@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual drive entry: exercises the library's public API in a live local
+  * Spark session. Run: `sbt "runMain graft.tools.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.functions._
+
+    val df = Seq(
+      Map("__name__" -> "http_requests_total", "code" -> "200", "handler" -> "query"),
+      Map("__name__" -> "up", "instance" -> "promhouse_clickhouse_exporter_1:9116", "job" -> "clickhouse"),
+      Map.empty[String, String],
+      Map("l" -> "a\"b\\c\nd\te")
+    ).toDF("labels")
+    val out = df.select(labels_fingerprint($"labels").as("fp"), labels_json($"labels").as("json"))
+    out.show(false)
+    println("UNSIGNED: " + out.collect().map(r => java.lang.Long.toUnsignedString(r.getLong(0))).mkString(", "))
+
+    registerAll(spark)
+    df.createOrReplaceTempView("t")
+    spark.sql("select labels_fingerprint(labels) fp, labels_json(labels) j from t").show(false)
+
+    val big = spark.range(100000).select(map(lit("k"), $"id".cast("string")).as("labels"))
+    println("BIG distinct fps: " + big.select(labels_fingerprint($"labels").as("f")).distinct.count)
+    println(spark.sql("select labels_fingerprint(labels) f from t").queryExecution.executedPlan.toString.linesIterator.take(5).mkString("\n"))
+    spark.stop()
+  }
+}
