@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.2-2.7) expressed over
+  * the driver test tables. Each query is shaped so its physical plan is the
+  * one we'd want at 100 TB: filters/projections pushed to the parquet scan,
+  * dimension joins broadcast, aggregations with map-side partials, top-k as
+  * TakeOrderedAndProject.
+  *
+  * Aggregate outputs are kept hash-stable across engines: integer-valued
+  * doubles (exact), money sums rounded to cents, timestamps projected as
+  * epoch milliseconds.
+  */
+object CoreQueries {
+
+  import QueryDef._
+
+  /** A2/A4-shape grouped aggregation with map-side combine (reference:
+    * README.md:76-119). */
+  private val q1Agg = withOracle("q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** O5 top-k: ORDER BY … DESC LIMIT k plans as TakeOrderedAndProject —
+    * no global sort (reference: README.md:104-119). Tie-broken on the key
+    * so the row set is deterministic. */
+  private val q2TopK = withOracle("q2_topk",
+    """SELECT user_id, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id ASC
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(desc("n_events"), asc("user_id"))
+      .limit(10)
+  }
+
+  /** J1/J3 star join: fact joined to three dimension tables — all three are
+    * broadcast (dimensions are tiny at any SF; region/nation are bounded). */
+  private val q3Join = withOracle("q3_join",
+    """SELECT r.r_name, n.n_name,
+      |       count(*) AS n_orders,
+      |       round(sum(o.o_totalprice), 2) AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+  }
+
+  /** J2/F7 fingerprint-set pruning: a small key set semi-joins the fact
+    * table — the Spark analogue of the reference's IN-list / temp-table
+    * switch (clickhouse.go:282-370). Broadcast left-semi join: no shuffle
+    * of the fact side. */
+  private val q4SemiJoin = withOracle("q4_semijoin",
+    """SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000.0)
+      |GROUP BY l_suppkey""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+    val keys = Tables(s, dir, "supplier")
+      .where(col("s_acctbal") > 9000.0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    li.join(broadcast(keys), Seq("l_suppkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+  }
+
+  /** S6/F6/O1 time-range scan: closed-interval timestamp predicate + column
+    * pruning; both reach the parquet reader (PushedFilters). Timestamps are
+    * projected as epoch millis for engine-portable comparison. */
+  private val q5RangeScan = withOracle("q5_range_scan",
+    """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, round(value, 2) AS value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND event_type <> 'error'""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+        && col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+        && col("event_type") =!= "error")
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), round(col("value"), 2).as("value"))
+  }
+
+  /** A5 distinct (series-index refresh shape, clickhouse.go:159). */
+  private val q6Distinct = withOracle("q6_distinct",
+    "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+    Tables(s, dir, "events").select("user_id", "event_type").distinct()
+  }
+
+  /** W2 daily bucketing: the storage partitioning function
+    * (toDate(timestamp_ms/1000), clickhouse.go:100). */
+  private val q7DateBucket = withOracle("q7_date_bucket",
+    """SELECT strftime(cast(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** W1 tumbling time windows (promload chunked iteration, main.go:141-147)
+    * as a proper windowed aggregation — the scalable form of the
+    * reference's loop-of-range-queries. */
+  private val q8Window = withOracle("q8_window",
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+      |       event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("avg_value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, q2TopK, q3Join, q4SemiJoin, q5RangeScan, q6Distinct, q7DateBucket, q8Window)
+}
