@@ -1,0 +1,199 @@
+package graft.storage
+
+import graft.core.MatcherCompiler
+import graft.functions.{labels_fingerprint, labels_json}
+import graft.model.{Label, Query, Sample, TimeSeries}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's storage interface — the Spark re-expression of the
+  * reference's `base.Storage` (storages/base/base.go:31-40).
+  *
+  * Physical layout mirrors the reference's two-table design
+  * (storages/clickhouse/clickhouse.go:82-101), adapted to a data lake:
+  *
+  *  - `samples/` parquet: (fingerprint LONG, timestamp_ms LONG, value DOUBLE),
+  *    hive-partitioned by `date = to_date(timestamp_ms/1000)` (daily
+  *    partitions, like PARTITION BY toDate(...)), rows sorted by
+  *    (fingerprint, timestamp_ms) within files so parquet row-group min/max
+  *    stats prune on fingerprint at scan time (the ORDER BY key analogue).
+  *  - `time_series/` parquet: (date DATE, fingerprint LONG, labels STRING
+  *    canonical JSON). Duplicate fingerprints across writer batches are
+  *    tolerated and deduplicated at read (the ReplacingMergeTree analogue).
+  *
+  * Read path (clickhouse.go:372-421 re-thought Spark-first):
+  *  1. matcher predicates compile to native Catalyst filters on the series
+  *     table's labels map — unlike the reference (which scans an in-RAM map)
+  *     this pushes work into the engine and has no index-must-fit-in-RAM
+  *     constraint;
+  *  2. matched fingerprints prune the samples scan: a small set is inlined
+  *     as an IN filter (parquet row-group skipping; the reference's IN-list
+  *     branch), a large set becomes a broadcast left-semi join (the
+  *     temp-table JOIN branch);
+  *  3. time range is a partition-pruning `date` predicate + closed-interval
+  *     `timestamp_ms` filter.
+  */
+trait Storage {
+
+  /** Append a batch of series. `batch` columns: `labels map<string,string>`,
+    * `timestamp_ms long`, `value double`. */
+  def write(batch: DataFrame): Unit
+
+  /** Flat sample rows matching the query:
+    * (fingerprint, timestamp_ms, value, labels JSON string). */
+  def read(q: Query): DataFrame
+
+  /** Assembled series, reference read contract: samples time-ordered within
+    * each series (prompb.proto:59-62). */
+  final def readSeries(q: Query): DataFrame = {
+    val flat = read(q)
+    flat
+      .groupBy(col("fingerprint"), col("labels"))
+      .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
+  }
+
+  /** Typed edge for tests / the wire layer. */
+  final def readTimeSeries(q: Query): Seq[TimeSeries] = {
+    readSeries(q).collect().toSeq
+      .map { row =>
+        val labels = graft.core.LabelsJson.unmarshal(row.getAs[String]("labels"))
+          .toSeq.map { case (n, v) => Label(n, v) }.sortBy(_.name)
+        val samples = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("samples")
+          .map(s => Sample(s.getLong(0), s.getDouble(1))).toSeq
+        TimeSeries(labels, samples)
+      }
+      .sortBy(ts => (ts.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
+        graft.core.Fingerprint.of(ts.labels)))
+  }
+}
+
+object Storage {
+  /** Threshold between IN-list pruning and broadcast semi-join, the
+    * reference's MaxTimeSeriesInQuery default (cmd/promhouse/main.go:198). */
+  val MaxSeriesInline = 50
+
+  val samplesSchema: StructType = StructType(Seq(
+    StructField("fingerprint", LongType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Normalize a raw (labels, timestamp_ms, value) batch into sample rows +
+    * canonical series rows. */
+  private[storage] def prepare(batch: DataFrame): (DataFrame, DataFrame) = {
+    val withFp = batch
+      .withColumn("fingerprint", labels_fingerprint(col("labels")))
+    val samples = withFp.select(
+      col("fingerprint"), col("timestamp_ms").cast(LongType), col("value").cast(DoubleType))
+    val series = withFp
+      .select(col("fingerprint"), labels_json(col("labels")).as("labels"))
+      .dropDuplicates("fingerprint")
+    (samples, series)
+  }
+}
+
+/** Parquet/lake-backed store — the ClickHouse-storage analogue. */
+final class ParquetStore(spark: SparkSession, root: String) extends Storage {
+  import Storage._
+
+  private val samplesPath = s"$root/samples"
+  private val seriesPath = s"$root/time_series"
+
+  private def exists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  override def write(batch: DataFrame): Unit = {
+    val (samples, series) = prepare(batch)
+
+    // New-series detection (clickhouse.go:438-447): anti-join the batch's
+    // series against the stored dictionary, so the dictionary only grows by
+    // genuinely new fingerprints. Cross-writer duplicates that race are
+    // deduplicated at read — the ReplacingMergeTree semantics.
+    val newSeries =
+      if (exists(seriesPath))
+        series.join(spark.read.parquet(seriesPath).select("fingerprint"),
+          Seq("fingerprint"), "left_anti")
+      else series
+    newSeries
+      .withColumn("date", current_date())
+      .select("date", "fingerprint", "labels")
+      .write.mode(SaveMode.Append).parquet(seriesPath)
+
+    // Daily partitions + (fingerprint, timestamp_ms) sort within partitions:
+    // row-group stats then prune fingerprint point-lookups (the MergeTree
+    // ORDER BY analogue, clickhouse.go:93-101).
+    samples
+      .withColumn("date", to_date(timestamp_millis(col("timestamp_ms"))))
+      .repartition(col("date"))
+      .sortWithinPartitions("fingerprint", "timestamp_ms")
+      .write.mode(SaveMode.Append).partitionBy("date").parquet(samplesPath)
+  }
+
+  /** Series dictionary with parsed labels map, deduplicated by fingerprint
+    * (read-side ReplacingMergeTree; reference index refresh clickhouse.go:159). */
+  def seriesIndex: DataFrame =
+    spark.read.parquet(seriesPath)
+      .dropDuplicates("fingerprint")
+      .withColumn("labels_map", from_json(col("labels"), MapType(StringType, StringType)))
+
+  override def read(q: Query): DataFrame = {
+    val matched = seriesIndex
+      .where(MatcherCompiler.compile(col("labels_map"), q.matchers))
+      .select(col("fingerprint"), col("labels"))
+
+    val samples = spark.read.parquet(samplesPath)
+      .where(col("timestamp_ms") >= q.startMs && col("timestamp_ms") <= q.endMs)
+      // partition pruning on the daily date column (both bounds inclusive)
+      .where(col("date") >= to_date(timestamp_millis(lit(q.startMs)))
+        && col("date") <= to_date(timestamp_millis(lit(q.endMs))))
+
+    // Physical strategy switch, reference clickhouse.go:409-412 — but here
+    // the small-set branch pushes an IN filter all the way into the parquet
+    // row-group stats, and the large-set branch is a broadcast semi-join
+    // (no shuffle of the fact table either way).
+    val fps = matched.select("fingerprint").as[Long](spark.implicits.newLongEncoder)
+      .take(MaxSeriesInline + 1)
+    if (fps.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        samplesSchema.add("labels", StringType))
+    } else {
+      val pruned =
+        if (fps.length <= MaxSeriesInline) samples.where(col("fingerprint").isin(fps: _*))
+        else samples.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")
+      pruned
+        .join(broadcast(matched), Seq("fingerprint"))
+        .select("fingerprint", "timestamp_ms", "value", "labels")
+    }
+  }
+}
+
+/** In-memory store — the reference's memory storage
+  * (storages/memory/memory.go), used by the parametrized functional suite. */
+final class MemoryStore(spark: SparkSession) extends Storage {
+  import Storage._
+
+  private var samples: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], samplesSchema)
+  private var series: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("fingerprint", LongType), StructField("labels", StringType))))
+
+  override def write(batch: DataFrame): Unit = synchronized {
+    val (s, d) = prepare(batch)
+    samples = samples.union(s).localCheckpoint(eager = true)
+    series = series.union(d).dropDuplicates("fingerprint").localCheckpoint(eager = true)
+  }
+
+  override def read(q: Query): DataFrame = {
+    val matched = series
+      .withColumn("labels_map", from_json(col("labels"), MapType(StringType, StringType)))
+      .where(MatcherCompiler.compile(col("labels_map"), q.matchers))
+      .select(col("fingerprint"), col("labels"))
+    samples
+      .where(col("timestamp_ms") >= q.startMs && col("timestamp_ms") <= q.endMs)
+      .join(broadcast(matched), Seq("fingerprint"))
+      .select("fingerprint", "timestamp_ms", "value", "labels")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.model._
+import graft.storage.{MemoryStore, ParquetStore, Storage}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's parametrized storage functional suite
+  * (storages/storages_test.go:51-458): one suite, N storage impls, golden
+  * write/read round-trips across the matcher corpus. */
+class StorageSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Fixture: 3 series x 5 samples, 1 s apart (storages/test/test.go:26-75),
+  // anchored at a fixed epoch for determinism.
+  val T0 = 1700000000000L
+  def fixture: Seq[TimeSeries] = Seq(
+    TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", "200"), Label("handler", "query")),
+      (0 until 5).map(i => Sample(T0 + i * 1000L, Seq(13d, 14d, 14d, 14d, 15d)(i)))),
+    TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", "400"), Label("handler", "query_range")),
+      (0 until 5).map(i => Sample(T0 + i * 1000L, Seq(9d, 9d, 9d, 11d, 11d)(i)))),
+    TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", "200"), Label("handler", "prometheus")),
+      (0 until 5).map(i => Sample(T0 + i * 1000L, Seq(591d, 592d, 593d, 594d, 595d)(i)))))
+
+  def batchDF(data: Seq[TimeSeries]): DataFrame = {
+    import spark.implicits._
+    data.flatMap(ts => ts.samples.map(s =>
+      (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value)))
+      .toDF("labels", "timestamp_ms", "value")
+  }
+
+  val Start = T0
+  val End = T0 + 4000L
+
+  def makeStores(): Map[String, Storage] = Map(
+    "memory" -> new MemoryStore(spark),
+    "parquet" -> {
+      val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      new ParquetStore(spark, dir)
+    })
+
+  private def eqMatch(n: String, v: String) = Matcher(n, MatchType.Eq, v)
+  private def neqMatch(n: String, v: String) = Matcher(n, MatchType.Neq, v)
+  private def reMatch(n: String, v: String) = Matcher(n, MatchType.Re, v)
+  private def nreMatch(n: String, v: String) = Matcher(n, MatchType.Nre, v)
+
+  // (description, matchers, time range override, expected series count)
+  val cases: Seq[(String, Seq[Matcher], (Long, Long), Int)] = Seq(
+    // ByName (storages_test.go:87-170)
+    ("eq name", Seq(eqMatch("__name__", "http_requests_total")), (Start, End), 3),
+    ("re name anchored", Seq(reMatch("__name__", "http_requests_.+")), (Start, End), 3),
+    ("eq no such metric", Seq(eqMatch("__name__", "no_such_metric")), (Start, End), 0),
+    ("re non-anchored proof", Seq(reMatch("__name__", "_requests_")), (Start, End), 0),
+    ("zero time range", Seq(eqMatch("__name__", "http_requests_total")), (0L, 0L), 0),
+    // ByNonExistingLabel (173-201)
+    ("eq non-existing label", Seq(eqMatch("no_such_label", "value")), (Start, End), 0),
+    ("re non-existing label", Seq(reMatch("no_such_label", "value")), (Start, End), 0),
+    // BySeveralMatchers (203-262)
+    ("name AND handler", Seq(eqMatch("__name__", "http_requests_total"), eqMatch("handler", "query")), (Start, End), 1),
+    ("name AND code re", Seq(eqMatch("__name__", "http_requests_total"), reMatch("code", "4..")), (Start, End), 1),
+    ("name AND neq absent", Seq(eqMatch("__name__", "http_requests_total"), neqMatch("no_such_label", "no_such_value")), (Start, End), 3),
+    ("name AND eq-empty absent", Seq(eqMatch("__name__", "http_requests_total"), eqMatch("no_this_label", "")), (Start, End), 3),
+    // Empty extension (264-356)
+    ("no matchers at all", Seq.empty, (Start, End), 3),
+    ("name neq empty", Seq(neqMatch("__name__", "")), (Start, End), 3),
+    ("name neq no_such_metric", Seq(neqMatch("__name__", "no_such_metric")), (Start, End), 3),
+    ("absent label eq empty", Seq(eqMatch("no_such_label", "")), (Start, End), 3),
+    ("absent label neq value", Seq(neqMatch("no_such_label", "value")), (Start, End), 3),
+    ("name eq empty", Seq(eqMatch("__name__", "")), (Start, End), 0),
+    ("absent label neq empty", Seq(neqMatch("no_such_label", "")), (Start, End), 0),
+    ("nre matching everything", Seq(nreMatch("__name__", ".*")), (Start, End), 0))
+
+  for ((storeName, store) <- makeStores()) {
+    test(s"$storeName: write/read golden round-trip") {
+      store.write(batchDF(fixture))
+      val got = store.readTimeSeries(Query(Start, End, Seq(eqMatch("__name__", "http_requests_total"))))
+      val want = fixture.map(ts => ts.copy(labels = ts.sortedLabels))
+        .sortBy(ts => (ts.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
+          graft.core.Fingerprint.of(ts.labels)))
+      assert(got === want)
+    }
+
+    test(s"$storeName: matcher corpus") {
+      for ((desc, matchers, (s0, e0), expected) <- cases) {
+        val got = store.readTimeSeries(Query(s0, e0, matchers))
+        assert(got.size === expected, s"case: $desc")
+      }
+    }
+
+    test(s"$storeName: time sub-range is honored (closed interval)") {
+      val got = store.readTimeSeries(Query(T0 + 1000, T0 + 3000, Seq(eqMatch("handler", "query"))))
+      assert(got.size === 1)
+      assert(got.head.samples === Seq(Sample(T0 + 1000, 14d), Sample(T0 + 2000, 14d), Sample(T0 + 3000, 14d)))
+    }
+  }
+
+  test("parquet: funny labels survive write/read round-trip") {
+    // storages_test.go:391-425 escaping corpus
+    val funny = Seq(
+      TimeSeries(Seq(Label("__name__", "funny_1"), Label("quotes", "'`\"\\")), Seq(Sample(T0, 1d))),
+      TimeSeries(Seq(Label("__name__", "funny_2"), Label("bs", "\\ \\\\ \\\\\\\\")), Seq(Sample(T0, 2d))),
+      TimeSeries(Seq(Label("__name__", "funny_3"), Label("emoji", "🆗")), Seq(Sample(T0, 3d))),
+      TimeSeries(Seq(Label("__name__", "funny_4"), Label("ctl", "a\nb\rc\td")), Seq(Sample(T0, 4d))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funny_").toString
+    val store = new ParquetStore(spark, dir)
+    store.write(batchDF(funny))
+    val got = store.readTimeSeries(Query(T0, T0, Seq(Matcher("__name__", MatchType.Re, "funny_.+"))))
+    assert(got === funny.map(ts => ts.copy(labels = ts.sortedLabels)))
+  }
+
+  test("parquet: second write only appends new series to the dictionary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    val store = new ParquetStore(spark, dir)
+    store.write(batchDF(fixture))
+    store.write(batchDF(fixture)) // same series again
+    val dict = spark.read.parquet(s"$dir/time_series")
+    assert(dict.count() === 3) // no duplicate dictionary rows
+    // but samples appended twice
+    assert(spark.read.parquet(s"$dir/samples").count() === 30)
+  }
+}
