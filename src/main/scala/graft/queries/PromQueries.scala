@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.core.MatcherCompiler
+import graft.functions.{labels_fingerprint, labels_json}
+import graft.model.{MatchType, Matcher}
+import graft.storage.RawSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The PromHouse query surface (SURVEY.md §2.2/2.4/2.8) exercised over the
+  * driver test data. The `events` table plays the samples stream: each
+  * (event_type, user_id) pair is a series, with labels
+  * `{__name__: event_type, user: <user_id>}` — the same open label-space
+  * model as the reference, evaluated with the engine's real matcher
+  * compiler and label functions so the DuckDB oracle checks the actual
+  * operator implementations.
+  */
+object PromQueries {
+
+  import QueryDef._
+
+  /** events projected into the engine's sample model. */
+  private def eventSamples(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(
+      map(lit("__name__"), col("event_type"),
+        lit("user"), col("user_id").cast("string")).as("labels"),
+      col("event_id"),
+      unix_millis(col("ts")).as("timestamp_ms"),
+      col("value"))
+
+  private def matcherQuery(name: String, matchers: Seq[Matcher], oracleWhere: String): QueryDef =
+    withOracle(name,
+      s"""SELECT event_id, epoch_ms(ts) AS timestamp_ms, round(value, 2) AS value
+         |FROM events
+         |WHERE $oracleWhere""".stripMargin) { (s, dir) =>
+      eventSamples(s, dir)
+        .where(MatcherCompiler.compile(col("labels"), matchers))
+        .select(col("event_id"), col("timestamp_ms"), round(col("value"), 2).as("value"))
+    }
+
+  /** F1: `=` with the missing-label≡"" rule. */
+  private val f1Eq = matcherQuery("f1_matcher_eq",
+    Seq(Matcher("__name__", MatchType.Eq, "purchase"), Matcher("user", MatchType.Eq, "5")),
+    "event_type = 'purchase' AND cast(user_id AS VARCHAR) = '5'")
+
+  /** F2: `!=`. */
+  private val f2Neq = matcherQuery("f2_matcher_neq",
+    Seq(Matcher("__name__", MatchType.Neq, "error")),
+    "event_type <> 'error'")
+
+  /** F3: `=~` fully-anchored regex. */
+  private val f3Re = matcherQuery("f3_matcher_re",
+    Seq(Matcher("__name__", MatchType.Re, "p.+|s.+")),
+    "regexp_matches(event_type, '^(?:p.+|s.+)$')")
+
+  /** F4: `!~`. */
+  private val f4Nre = matcherQuery("f4_matcher_nre",
+    Seq(Matcher("__name__", MatchType.Nre, "e.*")),
+    "NOT regexp_matches(event_type, '^(?:e.*)$')")
+
+  /** F5: conjunction incl. absent-label cases — `nolabel=""` and
+    * `nolabel!="x"` both match everything (the reference's extension). */
+  private val f5Conj = matcherQuery("f5_matcher_conj",
+    Seq(
+      Matcher("__name__", MatchType.Re, ".+"),
+      Matcher("no_such_label", MatchType.Eq, ""),
+      Matcher("no_such_label", MatchType.Neq, "x"),
+      Matcher("user", MatchType.Nre, "1.*")),
+    "NOT regexp_matches(cast(user_id AS VARCHAR), '^(?:1.*)$')")
+
+  /** X2: canonical labels JSON — checked against literal string assembly. */
+  private val x2Json = withOracle("x2_labels_json",
+    """SELECT DISTINCT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels
+      |FROM events""".stripMargin) { (s, dir) =>
+    eventSamples(s, dir).select(labels_json(col("labels")).as("labels")).distinct()
+  }
+
+  /** X1: FNV-1a fingerprint — not expressible in ANSI SQL; rows-only check
+    * here, exact goldens covered in CoreSpec/StorageSpec. Output is the
+    * distinct (labels, unsigned fingerprint) dictionary. */
+  private val x1Fp = rowsOnly("x1_fingerprint") { (s, dir) =>
+    eventSamples(s, dir)
+      .select(labels_json(col("labels")).as("labels"),
+        labels_fingerprint(col("labels")).as("fingerprint"))
+      .distinct()
+  }
+
+  /** A1: group-adjacent assembly into (series, time-ordered samples[]).
+    * Array output isn't reliably hashable across engines; the stats variant
+    * below carries the oracle. */
+  private val a1Assembly = rowsOnly("a1_assembly") { (s, dir) =>
+    eventSamples(s, dir)
+      .groupBy(labels_json(col("labels")).as("labels"))
+      .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
+  }
+
+  /** A1 stats: per-series sample count, time bounds, first/last value —
+    * deterministic tie-break on (timestamp_ms, value, event_id). */
+  private val a1Stats = withOracle("a1_assembly_stats",
+    """WITH ranked AS (
+      |  SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts, value, event_id) AS rn_first,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts DESC, value DESC, event_id DESC) AS rn_last
+      |  FROM events)
+      |SELECT event_type, user_id,
+      |       count(*) AS n_samples,
+      |       min(ts_ms) AS min_ts, max(ts_ms) AS max_ts,
+      |       round(min(CASE WHEN rn_first = 1 THEN value END), 2) AS first_value,
+      |       round(min(CASE WHEN rn_last = 1 THEN value END), 2) AS last_value
+      |FROM ranked
+      |GROUP BY event_type, user_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("event_id"))
+    val wAsc = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts_ms").asc, col("value").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts_ms").desc, col("value").desc, col("event_id").desc)
+    e.withColumn("rn_first", row_number().over(wAsc))
+      .withColumn("rn_last", row_number().over(wDesc))
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"),
+        round(min(when(col("rn_first") === 1, col("value"))), 2).as("first_value"),
+        round(min(when(col("rn_last") === 1, col("value"))), 2).as("last_value"))
+  }
+
+  /** J4: top-k series enrichment — count per series, top 10, joined back to
+    * the series dictionary (README.md:104-119). */
+  private val j4TopkEnrich = withOracle("j4_topk_enrich",
+    """WITH topk AS (
+      |  SELECT event_type, user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |  ORDER BY n DESC, event_type, user_id LIMIT 10)
+      |SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels, n
+      |FROM topk""".stripMargin) { (s, dir) =>
+    val samples = eventSamples(s, dir)
+    val topk = samples
+      .groupBy(col("labels"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("labels")("__name__").asc, col("labels")("user").asc)
+      .limit(10)
+    topk.select(labels_json(col("labels")).as("labels"), col("n"))
+  }
+
+  /** F9/X11: rawsql passthrough — the full SQL surface behind the read API.
+    * The oracle replicates the any-column→(labels, value) coercion. */
+  private val rawSqlQ = withOracle("rawsql_passthrough",
+    """WITH q AS (
+      |  SELECT l_returnflag AS flag, l_linestatus AS status,
+      |         cast(count(*) AS DOUBLE) AS value
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT '{"flag":"' || flag || '","status":"' || status || '"}' AS labels,
+      |       value, 1700000000000 AS timestamp_ms
+      |FROM q""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    val matchers = Seq(
+      Matcher("job", MatchType.Eq, "rawsql"),
+      Matcher("query", MatchType.Eq,
+        "SELECT l_returnflag AS flag, l_linestatus AS status, cast(count(*) AS DOUBLE) AS value FROM lineitem GROUP BY 1, 2"))
+    val sql = RawSql.trigger(matchers).getOrElse(sys.error("rawsql trigger failed"))
+    RawSql.read(s, sql, endMs = 1700000000000L)
+  }
+
+  /** Ranking window functions over the event stream (beyond-reference
+    * analytics surface): per-user latest event + rank of value. */
+  private val wf1Window = withOracle("wf1_rank_window",
+    """SELECT user_id, event_id, round(value, 2) AS value, rnk, rn
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |         rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rnk <= 3 OR rn = 1""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+    val byValue = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rnk", rank().over(byValue))
+      .withColumn("rn", row_number().over(byTime))
+      .where(col("rnk") <= 3 || col("rn") === 1)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        col("rnk"), col("rn"))
+  }
+
+  /** A3-shape cardinality: series count per metric name
+    * (README.md:90-100). */
+  private val a3Cardinality = withOracle("a3_cardinality",
+    """SELECT event_type AS name, count(DISTINCT user_id) AS n_series
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("event_type").as("name"))
+      .agg(countDistinct("user_id").as("n_series"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
+    x1Fp, x2Json, a1Assembly, a1Stats, a3Cardinality, j4TopkEnrich,
+    rawSqlQ, wf1Window)
+}

@@ -32,6 +32,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer division — ns values exceed 2^53, double division loses bits
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 }
