@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) rides through the
+  * pipeline as an opaque `binary` column plus typed metadata; decode /
+  * feature-extraction runs as a partition-wise batch transform (the Scala
+  * analogue of mapInPandas).
+  *
+  * The actual codec is STUBBED — no image/audio libraries exist in this
+  * environment — with a deterministic fake that derives pseudo-metadata
+  * from the bytes. The Spark-side plumbing (schema, partitioning, batch
+  * iteration, typed Dataset round-trip) is real and tested; swapping
+  * `stubDecode` for a real JNI/ffmpeg decoder changes nothing upstream.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      byte_mean: Double)
+
+  /** STUB decoder: deterministic pseudo image metadata from raw bytes.
+    * A real implementation would parse the container header; `???`-grade
+    * fake kept total and reproducible. */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+    val width = 16 + (math.abs(ExtOps.splitmix64(n.toLong)) % 1024).toInt
+    val height = 16 + (math.abs(ExtOps.splitmix64(sum)) % 1024).toInt
+    val channels = 1 + (sum % 3).toInt
+    val mean = if (n == 0) 0d else sum.toDouble / n
+    (width, height, channels, mean)
+  }
+
+  /** Partition-wise feature extraction over the opaque binary column.
+    * One decoder instance per partition (the expensive-init pattern for
+    * real codecs), streaming iterator in/out — constant memory per task. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs would be initialized once per partition here
+      rows.map { r =>
+        val (w, h, c, mean) = stubDecode(r.media)
+        MediaFeature(r.doc_id, r.media.length, w, h, c, mean)
+      }
+    }
+  }
+
+  /** The documents table as a media table: text bytes standing in for an
+    * encoded image payload (schema shape is what matters). */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+  }
+}

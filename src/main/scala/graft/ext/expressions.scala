@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the training-data-pipeline expressions. Each is a
+  * tight loop over array data invoked from generated code — the per-row hot
+  * path stays inside whole-stage codegen with no boxing per element. */
+object ExtOps {
+
+  /** Cosine similarity of two float vectors, accumulated in double,
+    * left-to-right (matches DuckDB list_cosine_similarity on double casts). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0d || nb == 0d) 0d else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0d
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** splitmix64 — public-domain mixer; used to derive per-permutation
+    * coefficients deterministically. */
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a over UTF-8 bytes — cheap, dependency-free base hash for
+    * shingles/words (quality is sufficient for MinHash/SimHash bucketing). */
+  @inline def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = -3750763034362895579L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 1099511628211L; i += 1 }
+    h
+  }
+
+  /** MinHash signature: one base hash per element, k universal-hash
+    * permutations h_j(x) = a_j*x + b_j (a_j odd). One pass over the data
+    * regardless of k — the 100 TB-friendly form (vs k transforms). */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash64(tokens.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val a = splitmix64(2L * j + 1) | 1L
+        val b = splitmix64(-(j + 1).toLong)
+        val p = a * h + b
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes (majority vote per bit). */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash64(tokens.getUTF8String(i))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** Winnowing-style document fingerprint: Rabin-Karp rolling hash over
+    * UTF-8 bytes with window `w`; keep hashes ≡ 0 (mod `mod`) — a
+    * deterministic content-defined sample of substring hashes (the MOSS /
+    * content-defined-chunking idea, public literature). Output sorted
+    * distinct, so it is set-comparable. */
+  def rollingFingerprint(text: UTF8String, w: Int, mod: Int): ArrayData = {
+    val bytes = text.getBytes
+    if (bytes.length < w) return new GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    var pow = 1L
+    var i = 1
+    while (i < w) { pow *= B; i += 1 }
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var h = 0L
+    i = 0
+    while (i < bytes.length) {
+      h = h * B + (bytes(i) & 0xffL)
+      if (i >= w) h -= pow * B * (bytes(i - w) & 0xffL)
+      if (i >= w - 1 && (h % mod + mod) % mod == 0) out += splitmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExtOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.ExtOps.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExtOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.ExtOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_f"
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    ExtOps.minhash(tokens.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.minhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    ExtOps.simhash(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+case class RollingFingerprint(child: Expression, window: Int, mod: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    ExtOps.rollingFingerprint(text.asInstanceOf[UTF8String], window, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.rollingFingerprint($c, $window, $mod)")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+/** Column API for the ext expressions. */
+object extfunctions {
+  import org.apache.spark.sql.graftbridge.{column, expression}
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+  def dot_f(a: Column, b: Column): Column =
+    column(DotProductF(expression(a), expression(b)))
+  def minhash_signature(tokens: Column, k: Int): Column =
+    column(MinHashSignature(expression(tokens), k))
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+  def rolling_fingerprint(text: Column, window: Int = 8, mod: Int = 16): Column =
+    column(RollingFingerprint(expression(text), window, mod))
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.ext.TextAnalysis._
+import graft.ext.extfunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator inventory over `documents` / `embeddings`.
+  *
+  * Scale design: the quadratic exact-Jaccard pass (d3) is the correctness
+  * baseline; MinHash+LSH (d2) and SimHash bucketing (d4) are the 100 TB
+  * paths — candidate generation is a band-bucket shuffle join (linear in
+  * corpus size for bounded bucket sizes), with exact verification only on
+  * candidates.
+  */
+object DedupQueries {
+
+  import QueryDef._
+
+  val JaccardThreshold = 0.8
+  val MinhashK = 32
+  val Bands = 16 // x 2 rows per band: P(candidate) = 1-(1-j^2)^16
+
+  /** doc_id + distinct word-bigram shingle set. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), shingles(words(col("text")), 2).as("sh"))
+
+  /** D1 exact dedup: content-hash groups, keeper = min doc_id. */
+  private val d1Exact = withOracle("d1_dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** D3 exact n-gram Jaccard near-dup pairs — the quadratic baseline
+    * (broadcast self-join; only viable at small corpus sizes). */
+  private val d3Jaccard = withOracle("d3_ngram_jaccard",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)),
+       |           i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+       |                string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS sh
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(cast(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / len(list_distinct(a.sh || b.sh)), 4) AS jac
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE cast(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+    val d = docShingles(s, dir)
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .where(jac >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
+  }
+
+  /** D2 MinHash+LSH near-dup pairs — the scale path. Signature is one
+    * custom-expression pass; banding explodes to (band, band_hash) keys;
+    * same-bucket pairs are exact-verified. Must find the same pairs as d3
+    * (recall property asserted in ExtSpec). */
+  private val d2Minhash = rowsOnly("d2_dedup_minhash_lsh") { (s, dir) =>
+    minhashPairs(s, dir)
+  }
+
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(s, dir)
+      .withColumn("sig", minhash_signature(col("sh"), MinhashK))
+    val rowsPerBand = MinhashK / Bands
+    val banded = d.select(col("doc_id"), posexplode(
+      array((0 until Bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+      .as(Seq("band", "band_hash")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    withSets.where(jac >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
+  }
+
+  /** D4 SimHash near-dup pairs: 64-bit signature, bucket on the top 16
+    * bits, verify by Hamming distance within buckets. */
+  private val d4Simhash = rowsOnly("d4_dedup_simhash") { (s, dir) =>
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), simhash64(shingles(words(col("text")), 2)).as("sim"))
+      .withColumn("bucket", shiftrightunsigned(col("sim"), 48))
+    val a = d.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("bucket"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** D5 embedding-cosine near-dup pairs (exact, oracle-checked; the
+    * LSH-bucketed scale variant is SimilarityQueries.s2). The oracle
+    * replicates the exact same double-accumulation formula. */
+  private val d5Embed = withOracle("d5_dedup_embedding",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_dot_product(a.v, b.v) /
+      |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val cos = graft.ext.extfunctions.cosine_sim(col("va"), col("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .where(cos >= 0.4)
+      .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed)
+}

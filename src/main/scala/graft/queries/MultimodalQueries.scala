@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.ext.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column operators + the reference's faker transforms
+  * (X9 value perturbation / X10 instance fan-out, cmd/fake_exporter/faker.go)
+  * in deterministic, oracle-checkable form. */
+object MultimodalQueries {
+
+  import QueryDef._
+
+  /** MM1 binary metadata: opaque-binary plumbing that IS expressible in
+    * SQL — byte length and an 8-byte hex prefix (lowercased on both
+    * engines). */
+  private val mm1Binary = withOracle("mm1_binary_meta",
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+      lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("prefix_hex"))
+  }
+
+  /** MM2 stubbed decode via partition-wise typed transform (mapPartitions
+    * batch shape; see graft.ext.Multimodal). Deterministic fake features —
+    * rows-only here, exact goldens in ExtSpec. */
+  private val mm2Decode = rowsOnly("mm2_media_features") { (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.asMedia(s, dir)).toDF()
+  }
+
+  /** X10 instance fan-out: clone each series for N instances with a
+    * templated label (faker.go:106-151) — explode, no custom generator.
+    * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
+  private val x10Fanout = withOracle("x10_instance_fanout",
+    """SELECT e.event_id, 'instance-' || i.i AS instance,
+      |       round(e.value * (0.9 + 0.02 * ((e.event_id * 31 + i.i) % 10)), 4) AS value
+      |FROM events e CROSS JOIN (SELECT unnest(range(3)) AS i) i""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("value"))
+      .withColumn("i", explode(sequence(lit(0), lit(2))))
+      .select(col("event_id"),
+        concat(lit("instance-"), col("i")).as("instance"),
+        round(col("value") * (lit(0.9) + lit(0.02) *
+          ((col("event_id") * 31 + col("i")) % 10)), 4).as("value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, x10Fanout)
+}

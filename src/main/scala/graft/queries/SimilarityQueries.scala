@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.ext.ExtOps
+import graft.ext.extfunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * s1 is the exact brute-force baseline: broadcast the (small) query set,
+  * scan the corpus once, per-query top-k via TakeOrdered-style window —
+  * linear in corpus size, embarrassingly parallel, the right shape even at
+  * 100 TB when the query set is bounded.
+  *
+  * s2 is the sub-linear scale path: random-hyperplane LSH — bucket the
+  * corpus once (one custom-expression pass), then only score candidates
+  * sharing the query's bucket.
+  */
+object SimilarityQueries {
+
+  import QueryDef._
+
+  val TopK = 5
+  val NQueries = 10
+
+  private val cosExact =
+    """list_dot_product(q.v, e.v) /
+      |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))""".stripMargin
+
+  /** S1 brute-force cosine top-k (oracle-checked, identical formula &
+    * accumulation order on both engines). */
+  private val s1Brute = withOracle("s1_ann_brute",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < $NQueries)
+       |SELECT query_id, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round($cosExact, 4) AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $cosExact DESC, e.vec_id) AS rn
+       |  FROM q JOIN e ON q.vec_id <> e.vec_id) t
+       |WHERE rn <= $TopK""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cos = cosine_sim(col("qv"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
+    e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_full", cos)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  /** Multi-table random-hyperplane LSH buckets: `tables` independent hash
+    * tables of `bits` hyperplanes each. Output: one (table, bucket) row per
+    * input vector per table. Hyperplane components are ±1 derived from
+    * splitmix64 — deterministic and reproducible on any engine. Multi-table
+    * union-of-candidates is the standard recall fix when the corpus is
+    * near-isotropic (this synthetic data is LSH's worst case). */
+  private[graft] def bucketed(s: SparkSession, dir: String, tables: Int, bits: Int): DataFrame = {
+    val dim = 64
+    def plane(t: Int, j: Int): Seq[Double] = (0 until dim).map { d =>
+      if ((ExtOps.splitmix64(((t * 64 + j) * dim + d).toLong + 12345L) & 1L) == 1L) 1.0 else -1.0
+    }
+    val e = Tables(s, dir, "embeddings")
+    val buckets = (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { j =>
+        val planeCol = array(plane(t, j).map(lit): _*)
+        when(aggregate(zip_with(col("embedding"), planeCol, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bitCols.reduce((a, b) => a + b)
+    }
+    e.select(col("vec_id"), col("embedding"),
+      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** S2 LSH-bucketed ANN: candidates = union over hash tables of the
+    * query's bucket; only candidates are scored (the sub-linear scan).
+    * Recall vs s1 asserted in ExtSpec; rows-only here (bucket membership is
+    * not ANSI-SQL-expressible). */
+  private val s2Lsh = rowsOnly("s2_ann_lsh") { (s, dir) =>
+    val b = bucketed(s, dir, tables = 8, bits = 4)
+    val queries = b.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("table"), col("bucket"))
+    val candidates = b.join(broadcast(queries), Seq("table", "bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
+    candidates
+      .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ext.{ExtOps, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties and goldens for the training-data-pipeline operators. */
+class ExtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds every exact-jaccard near-dup pair (full recall at corpus scale)") {
+    val exact = graft.SparkEntry.queries("d3_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.DedupQueries.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    assert(lsh === exact) // banding params chosen for ~zero miss probability at j>=0.8
+  }
+
+  test("LSH ANN recall@5 vs brute force is high at this corpus size") {
+    val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.SparkEntry.queries("s2_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // 4 planes / 16 buckets: coarse but real pruning
+  }
+
+  test("simhash: identical token sets collide, hamming reflects similarity") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: String*) = new GenericArrayData(ws.map(UTF8String.fromString).toArray)
+    val a = ExtOps.simhash(arr("the", "quick", "brown", "fox"))
+    val b = ExtOps.simhash(arr("fox", "quick", "the", "brown")) // order-insensitive
+    val c = ExtOps.simhash(arr("completely", "different", "words", "here"))
+    assert(a === b)
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  test("rolling fingerprint: deterministic, content-defined, shift-tolerant") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val fp1 = ExtOps.rollingFingerprint(UTF8String.fromString(base), 8, 16).toLongArray().toSet
+    val fp2 = ExtOps.rollingFingerprint(UTF8String.fromString(base), 8, 16).toLongArray().toSet
+    assert(fp1 === fp2)
+    // a prefix insertion preserves most window hashes (content-defined)
+    val shifted = "XX " + base
+    val fp3 = ExtOps.rollingFingerprint(UTF8String.fromString(shifted), 8, 16).toLongArray().toSet
+    val overlap = (fp1 intersect fp3).size.toDouble / math.max(fp1.size, 1)
+    assert(overlap > 0.8, s"overlap $overlap")
+  }
+
+  test("minhash signature: jaccard estimate tracks exact jaccard") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: Seq[String]) = new GenericArrayData(ws.map(UTF8String.fromString).toArray)
+    val xs = (0 until 100).map(i => s"tok$i")
+    val ys = (20 until 120).map(i => s"tok$i") // jaccard = 80/120 = 0.667
+    val k = 128
+    val sa = ExtOps.minhash(arr(xs), k).toLongArray()
+    val sb = ExtOps.minhash(arr(ys), k).toLongArray()
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+    assert(math.abs(est - 0.667) < 0.15, s"estimate $est")
+  }
+
+  test("multimodal stub decode: deterministic, streams through mapPartitions") {
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(spark, sf))
+    val rows = feats.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && (1 to 3).contains(f.channels)))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(Multimodal.asMedia(spark, sf)).collect()
+    assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("cosine_sim expression matches driver-side double math") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
+    val got = df.select(graft.ext.extfunctions.cosine_sim(col("a"), col("b"))).head.getDouble(0)
+    val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+}
