@@ -1,0 +1,33 @@
+package graft.streaming
+
+import graft.storage.Storage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming ingest — the remote-write path (S1) re-expressed:
+  * a stream of (labels, timestamp_ms, value) batches lands in the
+  * two-table store via `foreachBatch` (reference semantics, SURVEY.md §2.9):
+  *
+  *  - no watermark: late/out-of-order data is accepted unconditionally
+  *    (the reference has no event-time ordering requirement — storage
+  *    sorts at read);
+  *  - series-level dedup per batch + anti-join against the stored
+  *    dictionary (new-fingerprint detection, clickhouse.go:437-447);
+  *    sample-level duplicates are kept, matching the reference;
+  *  - at-least-once friendly: samples are plain appends; replays only
+  *    create duplicate samples, which the reference tolerates too.
+  */
+object Ingest {
+
+  /** Start ingesting a streaming DataFrame with columns
+    * (labels map<string,string>, timestamp_ms long, value double). */
+  def start(stream: DataFrame, store: Storage,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.write(batch)
+      }
+      .start()
+}

@@ -32,6 +32,23 @@ object Smoke {
     val big = spark.range(100000).select(map(lit("k"), $"id".cast("string")).as("labels"))
     println("BIG distinct fps: " + big.select(labels_fingerprint($"labels").as("f")).distinct.count)
     println(spark.sql("select labels_fingerprint(labels) f from t").queryExecution.executedPlan.toString.linesIterator.take(5).mkString("\n"))
+
+    // end-to-end: promload file -> Spark source -> two-table store -> matcher read
+    import graft.model._
+    import graft.sources.PromFile
+    import graft.storage.ParquetStore
+    val fixture = Seq(
+      TimeSeries(Seq(Label("__name__", "http_requests_total"), Label("code", "200")),
+        (0 until 5).map(i => Sample(1700000000000L + i * 1000L, 13d + i))),
+      TimeSeries(Seq(Label("__name__", "up"), Label("job", "ch")),
+        Seq(Sample(1700000000000L, 1d))))
+    val tmp = java.nio.file.Files.createTempDirectory("smoke_e2e_").toString
+    PromFile.writeLocal(fixture, s"$tmp/shard0.bin")
+    val store = new ParquetStore(spark, s"$tmp/store")
+    store.write(PromFile.read(spark, s"$tmp/shard0.bin"))
+    val back = store.readTimeSeries(Query(1700000000000L, 1700000005000L,
+      Seq(Matcher("__name__", MatchType.Re, "http_.+"))))
+    println(s"E2E file->store->read: ${back.size} series, samples=${back.head.samples}")
     spark.stop()
   }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.model._
+import graft.sources.{Exposition, PromFile, Prompb}
+import graft.storage.ParquetStore
+import graft.streaming.Ingest
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = 1700000000000L
+  def fixture: Seq[TimeSeries] = Seq(
+    TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", "200"), Label("handler", "query")),
+      (0 until 5).map(i => Sample(T0 + i * 1000L, 13d + i))),
+    TimeSeries(
+      Seq(Label("__name__", "up"), Label("job", "clickhouse")),
+      Seq(Sample(T0, 1d))),
+    TimeSeries(
+      Seq(Label("__name__", "weird"), Label("v", "a\"b\\c\nd")),
+      Seq(Sample(T0, Double.PositiveInfinity), Sample(T0 + 1, Double.NaN))))
+
+  test("prompb codec round-trip (incl. NaN/Inf and escapes)") {
+    for (ts <- fixture) {
+      val got = Prompb.decodeTimeSeries(Prompb.encodeTimeSeries(ts))
+      assert(got.labels === ts.labels)
+      assert(got.samples.map(_.timestampMs) === ts.samples.map(_.timestampMs))
+      got.samples.zip(ts.samples).foreach { case (g, w) =>
+        assert(java.lang.Double.compare(g.value, w.value) === 0)
+      }
+    }
+    val wr = Prompb.decodeWriteRequest(Prompb.encodeWriteRequest(fixture))
+    assert(wr.map(_.labels) === fixture.map(_.labels))
+  }
+
+  test("promload file format round-trip through Spark read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_promfile_").toString
+    PromFile.writeLocal(fixture, s"$dir/shard0.bin")
+    val df = PromFile.read(spark, dir)
+    assert(df.count() === fixture.map(_.samples.size).sum)
+    val byName = df.collect().groupBy(_.getAs[Map[String, String]]("labels")("__name__"))
+    assert(byName.keySet === Set("http_requests_total", "up", "weird"))
+    assert(byName("http_requests_total").map(_.getAs[Long]("timestamp_ms")).sorted
+      === (0 until 5).map(T0 + _ * 1000L))
+  }
+
+  test("promload distributed write + read round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_promfile_w_").toString
+    PromFile.write(fixture.toDS().repartition(2), dir)
+    val back = PromFile.read(spark, dir)
+    assert(back.count() === fixture.map(_.samples.size).sum)
+  }
+
+  test("exposition text format parse (S9)") {
+    val text =
+      """# HELP http_requests_total Counts
+        |# TYPE http_requests_total counter
+        |http_requests_total{code="200",handler="query"} 1027 1395066363000
+        |metric_without_labels 12.47
+        |escaped{v="a\"b\\c\nd"} 1
+        |special NaN
+        |up{job="x"} +Inf
+        |malformed{{{ 3
+        |""".stripMargin
+    val got = Exposition.parse(text, defaultTsMs = 42L)
+    assert(got.size === 5)
+    assert(got(0) === TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", "200"), Label("handler", "query")),
+      Seq(Sample(1395066363000L, 1027d))))
+    assert(got(1) === TimeSeries(Seq(Label("__name__", "metric_without_labels")), Seq(Sample(42L, 12.47))))
+    assert(got(2).labels === Seq(Label("__name__", "escaped"), Label("v", "a\"b\\c\nd")))
+    assert(got(3).samples.head.value.isNaN)
+    assert(got(4).samples.head.value.isPosInfinity)
+  }
+
+  test("streaming ingest lands batches in the store (S1 foreachBatch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      org.apache.spark.sql.classic.SparkSession.builder().getOrCreate().sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val store = new ParquetStore(spark, dir)
+
+    val stream = MemoryStream[(Map[String, String], Long, Double)]
+    val df = stream.toDF().toDF("labels", "timestamp_ms", "value")
+    val q = Ingest.start(df, store, Trigger.AvailableNow())
+
+    stream.addData(fixture.flatMap(ts =>
+      ts.samples.map(s => (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value))))
+    q.awaitTermination(60000)
+
+    val got = store.readTimeSeries(Query(T0, T0 + 10000,
+      Seq(Matcher("__name__", MatchType.Eq, "http_requests_total"))))
+    assert(got.size === 1)
+    assert(got.head.samples.size === 5)
+
+    // second identical batch: dictionary unchanged, samples appended
+    val q2 = Ingest.start(df, store, Trigger.AvailableNow())
+    stream.addData(fixture.flatMap(ts =>
+      ts.samples.map(s => (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value))))
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/time_series").count() === 3)
+  }
+}
