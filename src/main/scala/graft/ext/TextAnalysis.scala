@@ -9,20 +9,24 @@ import org.apache.spark.sql.functions._
   * throughput — the operators a 100 TB text-cleaning pass is made of. */
 object TextAnalysis {
 
-  /** Whitespace tokens of lowercased, trimmed text. */
-  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokens of lowercased, trimmed text. The coalesce makes the
+    * whole downstream expression chain non-nullable, which keeps the
+    * optimizer from inferring `isnotnull(<whole chain>)` filters that would
+    * re-evaluate expensive expressions a second time per row. */
+  def words(text: Column): Column = split(lower(trim(coalesce(text, lit("")))), "\\s+")
 
   /** BPE-ish token count: alpha runs, single digits, single punctuation. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
-  /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup. */
-  def shingles(ws: Column, n: Int): Column = {
-    val grams =
-      if (n == 1) ws
-      else transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
-    when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (distinct), as one codegen'd pass (custom
+    * expression). The higher-order-function formulation
+    * (`transform(sequence(...), i -> concat(element_at(ws, i)...))`)
+    * evaluates interpreted and re-inlines its input into every
+    * element_at — O(words²) per document once the optimizer copies the
+    * expression into inferred filters. The kernel is O(words) and
+    * non-nullable (no isnotnull constraints get inferred on it). */
+  def shingles(ws: Column, n: Int): Column =
+    graft.ext.extfunctions.word_shingles(ws, n)
 
   /** Distinct-stopword-evidence language scores. The score for a language
     * is |distinct stopwords of that language present| / |distinct words| —

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -97,6 +98,28 @@ object ExtOps {
     out
   }
 
+  /** Distinct word n-gram shingles in one codegen'd pass — the
+    * higher-order-function formulation (transform/element_at) evaluates
+    * interpreted and gets re-inlined into optimizer-inferred filters, which
+    * turned the shingle pass quadratic; this kernel is O(words). */
+  def shingleSet(ws: ArrayData, n: Int): ArrayData = {
+    val count = ws.numElements()
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i <= count - n) {
+      var s = ws.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
+        j += 1
+      }
+      seen.add(s)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Winnowing-style document fingerprint: Rabin-Karp rolling hash over
     * UTF-8 bytes with window `w`; keep hashes ≡ 0 (mod `mod`) — a
     * deterministic content-defined sample of substring hashes (the MOSS /
@@ -164,6 +187,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any])
+    else ExtOps.shingleSet(v.asInstanceOf[ArrayData], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val empty = "new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])"
+    ev.copy(
+      code = c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${c.isNull} ? $empty : graft.ext.ExtOps.shingleSet(${c.value}, $n);
+           |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 case class RollingFingerprint(child: Expression, window: Int, mod: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(text: Any): Any =
@@ -186,6 +233,8 @@ object extfunctions {
     column(MinHashSignature(expression(tokens), k))
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
+  def word_shingles(ws: Column, n: Int): Column =
+    column(WordShingles(expression(ws), n))
   def rolling_fingerprint(text: Column, window: Int = 8, mod: Int = 16): Column =
     column(RollingFingerprint(expression(text), window, mod))
 }
