@@ -1,0 +1,102 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.model.TimeSeries
+import graft.sources.Prompb
+import graft.storage.Storage
+import java.net.InetSocketAddress
+import org.apache.spark.sql.SparkSession
+import org.xerial.snappy.Snappy
+
+/** The Prometheus remote read/write wire protocol over HTTP — the S1/S2
+  * entry points (reference: handlers/prom.go:232-310, routes
+  * cmd/promhouse/main.go:76-77): snappy-compressed protobuf bodies,
+  * `POST /write` = WriteRequest, `POST /read` = ReadRequest → ReadResponse.
+  *
+  * The handler is edge plumbing only: decode → DataFrame pipeline →
+  * encode. Uses the JDK's built-in HTTP server — the wire layer is not the
+  * scaling dimension (queries are); a production deployment would front
+  * this with any HTTP stack and call the same Storage API.
+  */
+final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
+
+  @volatile private var samplesWritten = 0L // A7 running counter
+  def totalSamplesWritten: Long = samplesWritten
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/write", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = respond(ex) {
+      val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
+      val series = Prompb.decodeWriteRequest(body)
+      write(series)
+      samplesWritten += series.map(_.samples.size).sum
+      Array.emptyByteArray
+    }
+  })
+  server.createContext("/read", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = respond(ex) {
+      val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
+      val queries = Prompb.decodeReadRequest(body)
+      val results = store.readAll(queries)
+      Snappy.compress(Prompb.encodeReadResponse(results))
+    }
+  })
+
+  def write(series: Seq[TimeSeries]): Unit = {
+    import spark.implicits._
+    val rows = series.flatMap(ts => ts.samples.map(s =>
+      (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value)))
+    store.write(rows.toDF("labels", "timestamp_ms", "value"))
+  }
+
+  private def respond(ex: HttpExchange)(f: => Array[Byte]): Unit =
+    try {
+      val out = f
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.set("Content-Encoding", "snappy")
+      ex.sendResponseHeaders(200, if (out.isEmpty) -1 else out.length)
+      if (out.nonEmpty) ex.getResponseBody.write(out)
+      ex.close()
+    } catch {
+      case e: Exception =>
+        val msg = String.valueOf(e.getMessage).getBytes("UTF-8")
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+        ex.close()
+    }
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpApi {
+
+  /** Remote-write client (S10 write side): WriteRequest → snappy → POST. */
+  def remoteWrite(url: String, series: Seq[TimeSeries]): Int = {
+    val body = Snappy.compress(Prompb.encodeWriteRequest(series))
+    post(s"$url/write", body)._1
+  }
+
+  /** Remote-read client (S10 read side). */
+  def remoteRead(url: String, queries: Seq[graft.model.Query]): Seq[Seq[TimeSeries]] = {
+    val body = Snappy.compress(Prompb.encodeReadRequest(queries))
+    val (code, resp) = post(s"$url/read", body)
+    require(code == 200, s"remote read failed: HTTP $code ${new String(resp, "UTF-8")}")
+    Prompb.decodeReadResponse(Snappy.uncompress(resp))
+  }
+
+  private def post(url: String, body: Array[Byte]): (Int, Array[Byte]) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.setRequestProperty("Content-Encoding", "snappy")
+    conn.getOutputStream.write(body)
+    val code = conn.getResponseCode
+    val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+    val out = if (in == null) Array.emptyByteArray else in.readAllBytes()
+    conn.disconnect()
+    (code, out)
+  }
+}

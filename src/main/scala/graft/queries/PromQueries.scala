@@ -78,12 +78,43 @@ object PromQueries {
 
   /** X1: FNV-1a fingerprint — not expressible in ANSI SQL; rows-only check
     * here, exact goldens covered in CoreSpec/StorageSpec. Output is the
-    * distinct (labels, unsigned fingerprint) dictionary. */
+    * distinct series dictionary with the uint64 fingerprint rendered
+    * unsigned (the reference's display semantics, README.md:35). */
   private val x1Fp = rowsOnly("x1_fingerprint") { (s, dir) =>
     eventSamples(s, dir)
       .select(labels_json(col("labels")).as("labels"),
         labels_fingerprint(col("labels")).as("fingerprint"))
       .distinct()
+      .withColumn("fingerprint_u64", expr(
+        """CASE WHEN fingerprint >= 0 THEN CAST(fingerprint AS STRING)
+          |ELSE CAST(CAST(fingerprint AS DECIMAL(38,0))
+          |          + CAST('18446744073709551616' AS DECIMAL(38,0)) AS STRING) END""".stripMargin))
+  }
+
+  /** rate()-style extension (the ReadHints.func the reference anticipates
+    * but never implements, prompb.proto:45-50): per-series delta/seconds
+    * between consecutive samples via lag window. */
+  private val wf2Rate = withOracle("wf2_rate",
+    """SELECT event_type, user_id, ts_us, round(rate, 6) + 0.0 AS rate FROM (
+      |  SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+      |         (value - lag(value) OVER w) /
+      |           ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS rate
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)) t
+      |WHERE rate IS NOT NULL""".stripMargin) { (s, dir) =>
+    // order and difference on exact microseconds: millisecond truncation
+    // would merge instants the oracle keeps distinct
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+      .withColumn("rate", (col("value") - lag("value", 1).over(w)) /
+        ((col("ts_us") - lag("ts_us", 1).over(w)) / 1000000.0))
+      .where(col("rate").isNotNull)
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        // + 0.0 normalizes -0.0 (engines disagree on the sign of zero)
+        (round(col("rate"), 6) + 0.0).as("rate"))
   }
 
   /** A1: group-adjacent assembly into (series, time-ordered samples[]).
@@ -163,6 +194,7 @@ object PromQueries {
         "SELECT l_returnflag AS flag, l_linestatus AS status, cast(count(*) AS DOUBLE) AS value FROM lineitem GROUP BY 1, 2"))
     val sql = RawSql.trigger(matchers).getOrElse(sys.error("rawsql trigger failed"))
     RawSql.read(s, sql, endMs = 1700000000000L)
+      .select("labels", "value", "timestamp_ms") // fingerprint is engine-specific
   }
 
   /** Ranking window functions over the event stream (beyond-reference
@@ -198,5 +230,5 @@ object PromQueries {
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a3Cardinality, j4TopkEnrich,
-    rawSqlQ, wf1Window)
+    rawSqlQ, wf1Window, wf2Rate)
 }

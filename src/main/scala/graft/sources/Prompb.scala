@@ -155,4 +155,122 @@ object Prompb {
     }
     out.result()
   }
+
+  // ---- read protocol (prompb.proto:32-71) ----
+  // LabelMatcher { 1: enum type (EQ=0 NEQ=1 RE=2 NRE=3); 2: name; 3: value }
+  // Query { 1: int64 start_ms; 2: int64 end_ms; 3: repeated LabelMatcher; 4: hints (ignored) }
+  // ReadRequest { 1: repeated Query } / ReadResponse { 1: repeated QueryResult }
+  // QueryResult { 1: repeated TimeSeries }
+
+  import graft.model.{MatchType, Matcher, Query}
+
+  private def matchTypeToInt(t: MatchType): Int = t match {
+    case MatchType.Eq => 0; case MatchType.Neq => 1
+    case MatchType.Re => 2; case MatchType.Nre => 3
+  }
+  private def intToMatchType(i: Int): MatchType = i match {
+    case 0 => MatchType.Eq; case 1 => MatchType.Neq
+    case 2 => MatchType.Re; case 3 => MatchType.Nre
+    case other => throw new IllegalArgumentException(s"bad matcher type $other")
+  }
+
+  private def encodeMatcher(m: Matcher): Array[Byte] = {
+    val w = new Writer
+    if (matchTypeToInt(m.matchType) != 0) w.int64(1, matchTypeToInt(m.matchType))
+    if (m.name.nonEmpty) w.string(2, m.name)
+    if (m.value.nonEmpty) w.string(3, m.value)
+    w.result()
+  }
+
+  private def decodeMatcher(buf: Array[Byte], start: Int, len: Int): Matcher = {
+    val r = new Reader(buf, start, start + len)
+    var tpe = 0; var name = ""; var value = ""
+    while (r.hasMore) {
+      val t = r.varint()
+      (t >> 3).toInt match {
+        case 1 => tpe = r.varint().toInt
+        case 2 => val (s, l) = r.lenDelimited(); name = new String(buf, s, l, "UTF-8")
+        case 3 => val (s, l) = r.lenDelimited(); value = new String(buf, s, l, "UTF-8")
+        case _ => r.skip((t & 7).toInt)
+      }
+    }
+    Matcher(name, intToMatchType(tpe), value)
+  }
+
+  def encodeQuery(q: Query): Array[Byte] = {
+    val w = new Writer
+    if (q.startMs != 0) w.int64(1, q.startMs)
+    if (q.endMs != 0) w.int64(2, q.endMs)
+    q.matchers.foreach(m => w.bytes(3, encodeMatcher(m)))
+    w.result()
+  }
+
+  def decodeQuery(buf: Array[Byte], start: Int, len: Int): Query = {
+    val r = new Reader(buf, start, start + len)
+    var s0 = 0L; var e0 = 0L
+    val ms = Seq.newBuilder[Matcher]
+    while (r.hasMore) {
+      val t = r.varint()
+      (t >> 3).toInt match {
+        case 1 => s0 = r.varint()
+        case 2 => e0 = r.varint()
+        case 3 => val (s, l) = r.lenDelimited(); ms += decodeMatcher(buf, s, l)
+        case _ => r.skip((t & 7).toInt) // hints received but ignored, like the reference
+      }
+    }
+    Query(s0, e0, ms.result())
+  }
+
+  def encodeReadRequest(queries: Seq[Query]): Array[Byte] = {
+    val w = new Writer
+    queries.foreach(q => w.bytes(1, encodeQuery(q)))
+    w.result()
+  }
+
+  def decodeReadRequest(buf: Array[Byte]): Seq[Query] = {
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[Query]
+    while (r.hasMore) {
+      val t = r.varint()
+      (t >> 3).toInt match {
+        case 1 => val (s, l) = r.lenDelimited(); out += decodeQuery(buf, s, l)
+        case _ => r.skip((t & 7).toInt)
+      }
+    }
+    out.result()
+  }
+
+  def encodeReadResponse(results: Seq[Seq[TimeSeries]]): Array[Byte] = {
+    val w = new Writer
+    results.foreach { series =>
+      val qr = new Writer
+      series.foreach(ts => qr.bytes(1, encodeTimeSeries(ts)))
+      w.bytes(1, qr.result())
+    }
+    w.result()
+  }
+
+  def decodeReadResponse(buf: Array[Byte]): Seq[Seq[TimeSeries]] = {
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[Seq[TimeSeries]]
+    while (r.hasMore) {
+      val t = r.varint()
+      (t >> 3).toInt match {
+        case 1 =>
+          val (s, l) = r.lenDelimited()
+          val qr = new Reader(buf, s, s + l)
+          val series = Seq.newBuilder[TimeSeries]
+          while (qr.hasMore) {
+            val t2 = qr.varint()
+            (t2 >> 3).toInt match {
+              case 1 => val (s2, l2) = qr.lenDelimited(); series += decodeTimeSeries(buf, s2, l2)
+              case _ => qr.skip((t2 & 7).toInt)
+            }
+          }
+          out += series.result()
+        case _ => r.skip((t & 7).toInt)
+      }
+    }
+    out.result()
+  }
 }

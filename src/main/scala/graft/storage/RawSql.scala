@@ -41,8 +41,9 @@ object RawSql {
       if (df.columns.contains("value")) col("value").cast(DoubleType)
       else lit(0.0).cast(DoubleType)
     df.select(
-      labels_json(labelMap).as("labels"),
+      graft.functions.labels_fingerprint(labelMap).as("fingerprint"),
+      lit(endMs).as("timestamp_ms"),
       valueCol.as("value"),
-      lit(endMs).as("timestamp_ms"))
+      labels_json(labelMap).as("labels"))
   }
 }

@@ -36,6 +36,8 @@ import org.apache.spark.sql.types._
   */
 trait Storage {
 
+  protected def session: SparkSession
+
   /** Append a batch of series. `batch` columns: `labels map<string,string>`,
     * `timestamp_ms long`, `value double`. */
   def write(batch: DataFrame): Unit
@@ -44,14 +46,30 @@ trait Storage {
     * (fingerprint, timestamp_ms, value, labels JSON string). */
   def read(q: Query): DataFrame
 
+  /** Read with the rawsql escape-hatch routing applied (F9,
+    * clickhouse.go:374-388): `{job="rawsql", query="<SQL>"}` bypasses the
+    * matcher pipeline into `spark.sql`. */
+  final def readQuery(q: Query): DataFrame =
+    RawSql.trigger(q.matchers) match {
+      case Some(sql) => RawSql.read(session, sql, q.endMs)
+        .select("fingerprint", "timestamp_ms", "value", "labels")
+      case None => read(q).select("fingerprint", "timestamp_ms", "value", "labels")
+    }
+
   /** Assembled series, reference read contract: samples time-ordered within
     * each series (prompb.proto:59-62). */
   final def readSeries(q: Query): DataFrame = {
-    val flat = read(q)
+    val flat = readQuery(q)
     flat
       .groupBy(col("fingerprint"), col("labels"))
       .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
   }
+
+  /** S2 batch read: a ReadRequest is a positional batch of independent
+    * queries (reference: prompb.proto:64-66, clickhouse.go:390-420) —
+    * answered per query, order preserved. */
+  final def readAll(queries: Seq[Query]): Seq[Seq[TimeSeries]] =
+    queries.map(readTimeSeries)
 
   /** Typed edge for tests / the wire layer. */
   final def readTimeSeries(q: Query): Seq[TimeSeries] = {
@@ -95,6 +113,8 @@ object Storage {
 /** Parquet/lake-backed store — the ClickHouse-storage analogue. */
 final class ParquetStore(spark: SparkSession, root: String) extends Storage {
   import Storage._
+
+  override protected def session: SparkSession = spark
 
   private val samplesPath = s"$root/samples"
   private val seriesPath = s"$root/time_series"
@@ -173,6 +193,8 @@ final class ParquetStore(spark: SparkSession, root: String) extends Storage {
   * (storages/memory/memory.go), used by the parametrized functional suite. */
 final class MemoryStore(spark: SparkSession) extends Storage {
   import Storage._
+
+  override protected def session: SparkSession = spark
 
   private var samples: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], samplesSchema)

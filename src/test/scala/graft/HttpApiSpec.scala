@@ -1,0 +1,73 @@
+package graft
+
+import graft.api.HttpApi
+import graft.model._
+import graft.storage.MemoryStore
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end wire protocol test: remote write + remote read over real
+  * HTTP with snappy+protobuf bodies (the reference's S1/S2 surface). */
+class HttpApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = 1700000000000L
+  def fixture: Seq[TimeSeries] = Seq(
+    TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", "200"), Label("handler", "query")),
+      (0 until 5).map(i => Sample(T0 + i * 1000L, 13d + i))),
+    TimeSeries(
+      Seq(Label("__name__", "up"), Label("job", "clickhouse")),
+      Seq(Sample(T0, 1d))))
+
+  test("remote write -> remote read round-trip over HTTP") {
+    val api = new HttpApi(spark, new MemoryStore(spark))
+    val port = api.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      assert(HttpApi.remoteWrite(url, fixture) === 200)
+      assert(api.totalSamplesWritten === 6)
+
+      val results = HttpApi.remoteRead(url, Seq(
+        Query(T0, T0 + 10000, Seq(Matcher("__name__", MatchType.Eq, "http_requests_total"))),
+        Query(T0, T0 + 10000, Seq(Matcher("no_such", MatchType.Eq, "x"))),
+        Query(T0, T0 + 10000, Seq.empty)))
+      assert(results.size === 3)
+      assert(results(0).size === 1)
+      assert(results(0).head.labels === fixture.head.labels)
+      assert(results(0).head.samples === fixture.head.samples)
+      assert(results(1).isEmpty)       // no match
+      assert(results(2).size === 2)    // empty matchers = everything
+    } finally api.stop()
+  }
+
+  test("malformed body yields HTTP 400, not a crash") {
+    val api = new HttpApi(spark, new MemoryStore(spark))
+    val port = api.start()
+    try {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/write").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("not snappy".getBytes)
+      assert(conn.getResponseCode === 400)
+      conn.disconnect()
+    } finally api.stop()
+  }
+
+  test("prompb read-protocol messages round-trip") {
+    import graft.sources.Prompb
+    val queries = Seq(
+      Query(1L, 2L, Seq(Matcher("a", MatchType.Eq, "x"), Matcher("b", MatchType.Nre, "y.*"))),
+      Query(0L, 9L, Seq.empty))
+    assert(Prompb.decodeReadRequest(Prompb.encodeReadRequest(queries)) === queries)
+    val resp = Seq(fixture, Seq.empty)
+    assert(Prompb.decodeReadResponse(Prompb.encodeReadResponse(resp)) === resp)
+  }
+}

@@ -117,6 +117,23 @@ class StorageSpec extends AnyFunSuite {
     assert(got === funny.map(ts => ts.copy(labels = ts.sortedLabels)))
   }
 
+  test("rawsql matcher shape bypasses the matcher pipeline (F9/X11)") {
+    // reference: storages_test.go:358-388 — each row becomes a
+    // single-sample series stamped at the query End time
+    val store = new MemoryStore(spark)
+    store.write(batchDF(fixture))
+    import spark.implicits._
+    Seq(("a", 1.5), ("b", 2.5)).toDF("k", "value").createOrReplaceTempView("rawsql_t")
+    val got = store.readTimeSeries(Query(0, End, Seq(
+      eqMatch("job", "rawsql"),
+      eqMatch("query", "SELECT k, value FROM rawsql_t ORDER BY k"))))
+    assert(got.size === 2)
+    // result order is (name, fingerprint); compare as a set
+    assert(got.map(ts => (ts.labels, ts.samples)).toSet === Set(
+      (Seq(Label("k", "a")), Seq(Sample(End, 1.5))),
+      (Seq(Label("k", "b")), Seq(Sample(End, 2.5)))))
+  }
+
   test("parquet: second write only appends new series to the dictionary") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
     val store = new ParquetStore(spark, dir)
