@@ -17,12 +17,29 @@ package object functions {
   def labels_json(labels: Column): Column =
     col(LabelsCanonicalJson(expression(labels)))
 
-  /** Register SQL names for the custom functions on a session. */
+  /** Register SQL names for all custom functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
+    import graft.ext._
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "labels_fingerprint", exprs => LabelsFingerprint(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "labels_json", exprs => LabelsCanonicalJson(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "rolling_fingerprint", exprs => RollingFingerprint(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -2,40 +2,48 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.TextAnalysis._
-import graft.ext.extfunctions._
 
-/** Scratch diagnostics for performance work. */
+/** Scratch diagnostics for performance/scale work: storage efficiency
+  * (bytes/sample vs the reference's 5.3 B/sample, README.md:63-65) and
+  * pushdown evidence on the hot scan paths. */
 object Diag {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    import spark.implicits._
 
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
+    // 200 series x 10k samples, 15s scrape interval, counter-like values
+    val root = java.nio.file.Files.createTempDirectory("graft_eff_").toString
+    val store = new graft.storage.ParquetStore(spark, root)
+    val t0 = System.nanoTime()
+    val batch = spark.range(2_000_000).select(
+      map(lit("__name__"), lit("http_requests_total"),
+        lit("instance"), concat(lit("host-"), (col("id") % 200).cast("string"))).as("labels"),
+      (lit(1700000000000L) + (col("id") / 200).cast("long") * 15000L).as("timestamp_ms"),
+      (col("id") / 200 + (col("id") % 7)).cast("double").as("value"))
+    store.write(batch)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    def dirSize(p: java.io.File): Long =
+      if (p.isFile) p.length else Option(p.listFiles).map(_.map(dirSize).sum).getOrElse(0L)
+    val bytes = dirSize(new java.io.File(s"$root/samples"))
+    println(f"ingest: 2,000,000 samples in $wallSec%.1f s (${2e6 / wallSec}%.0f samples/s)")
+    println(f"samples table: $bytes bytes -> ${bytes / 2e6}%.2f bytes/sample (reference: 5.3)")
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val d = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), shingles(col("ws"), 2).as("sh"))
-
-    time("shingles materialized-ws")(d.write.format("noop").mode("overwrite").save())
-    val sim = d.select(col("doc_id"), simhash64(col("sh")).as("sim"))
-      .withColumn("bucket", shiftrightunsigned(col("sim"), 48))
-    time("simhash")(sim.write.format("noop").mode("overwrite").save())
-    val a = sim.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("bucket"))
-    val b = sim.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("bucket"))
-    val joined = a.join(broadcast(b), Seq("bucket")).where(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .where(col("hamming") <= 6)
-    time("d4 join")(joined.write.format("noop").mode("overwrite").save())
-    joined.explain("formatted")
+    // --- pushdown evidence on the samples read path ---
+    val q = graft.model.Query(1700000000000L, 1700000900000L,
+      Seq(graft.model.Matcher("instance", graft.model.MatchType.Eq, "host-7")))
+    val df = store.read(q)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    println("read-path scan pushdown:")
+    plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("PartitionFilters")
+      || l.contains("Scan parquet") || l.contains("ReadSchema"))
+      .foreach(l => println("  " + l.trim.take(200)))
     spark.stop()
   }
 }

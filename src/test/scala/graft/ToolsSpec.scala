@@ -1,0 +1,78 @@
+package graft
+
+import graft.model._
+import graft.sources.{Exposition, PromFile}
+import graft.storage.ParquetStore
+import graft.tools.{FakeExporter, Promload}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ToolsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = 1700000000000L
+
+  test("promload copy: file -> store -> chunked file round-trip (S10/W1)") {
+    val fixture = Seq(
+      TimeSeries(Seq(Label("__name__", "m1"), Label("k", "a")),
+        (0 until 10).map(i => Sample(T0 + i * 30_000L, i.toDouble))),
+      TimeSeries(Seq(Label("__name__", "m2")),
+        Seq(Sample(T0 + 15_000L, 42d))))
+    val base = java.nio.file.Files.createTempDirectory("graft_promload_").toString
+    PromFile.writeLocal(fixture, s"$base/src.bin")
+
+    Promload.fileToStore(spark, s"$base/src.bin", s"$base/store")
+    // 5 one-minute chunks over [T0, T0+300s)
+    Promload.storeToFile(spark, s"$base/store", s"$base/out", T0, T0 + 300_000L, 60_000L)
+
+    val back = PromFile.read(spark, s"$base/out/*/")
+    assert(back.count() === 11)
+    val m1 = back.collect()
+      .filter(_.getAs[Map[String, String]]("labels")("__name__") == "m1")
+    assert(m1.map(_.getAs[Long]("timestamp_ms")).sorted.toSeq
+      === (0 until 10).map(T0 + _ * 30_000L))
+  }
+
+  test("fake exporter: fan-out + jitter invariants (X9/X10)") {
+    val input =
+      """up{job="demo"} 1 1700000000000
+        |http_requests_total{code="200"} 1027 1700000000000
+        |temperature_celsius 23.7 1700000000000
+        |special NaN 1700000000000
+        |""".stripMargin
+    val out = FakeExporter.fanOut(Exposition.parse(input), 3)
+    assert(out.size === 12)
+    // X10: every series got an instance label
+    assert(out.forall(_.labels.exists(_.name == "instance")))
+    // X9: 1 and NaN pass through unjittered
+    assert(out.filter(_.labels.exists(l => l.value == "up")).forall(_.samples.head.value == 1d))
+    assert(out.filter(_.labels.exists(l => l.value == "special")).forall(_.samples.head.value.isNaN))
+    // integral stays integral, jitter within ±10%
+    val reqs = out.filter(_.labels.exists(_.value == "http_requests_total")).map(_.samples.head.value)
+    assert(reqs.forall(v => v == math.rint(v) && v >= 1027 * 0.9 - 1 && v <= 1027 * 1.1 + 1))
+    // deterministic
+    assert(FakeExporter.render(out) === FakeExporter.render(FakeExporter.fanOut(Exposition.parse(input), 3)))
+    // distinct instances get (generally) distinct jitters
+    assert(reqs.distinct.size > 1)
+  }
+
+  test("ext functions are SQL-registered") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 as float), cast(2.0 as float)),
+        |                  array(cast(2.0 as float), cast(4.0 as float))) AS c,
+        |       simhash64(array('a','b')) AS s,
+        |       size(word_shingles(array('a','b','c'), 2)) AS n""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getLong(1) === graft.ext.ExtOps.simhash(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array("a", "b").map(org.apache.spark.unsafe.types.UTF8String.fromString))))
+    assert(r.getInt(2) === 2)
+  }
+}
