@@ -120,6 +120,37 @@ object ExtOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Random-hyperplane LSH bucket ids, all hash tables in one pass.
+    * Hyperplane components are ±1 derived from splitmix64 — identical to
+    * evaluating `tables`×`bits` aggregate(zip_with) dot products, but one
+    * tight loop with no per-element closures or intermediate arrays.
+    * Accumulation per plane is left-to-right in element order, so results
+    * are bitwise-equal to the HOF formulation it replaces. */
+  def lshBuckets(emb: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * 64 + j) * 64 + 12345
+        var dot = 0d
+        var d = 0
+        while (d < n) {
+          val x = emb.getFloat(d).toDouble
+          dot += (if ((splitmix64((base + d).toLong) & 1L) == 1L) x else -x)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing-style document fingerprint: Rabin-Karp rolling hash over
     * UTF-8 bytes with window `w`; keep hashes ≡ 0 (mod `mod`) — a
     * deterministic content-defined sample of substring hashes (the MOSS /
@@ -211,6 +242,16 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+case class LshBuckets(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(emb: Any): Any =
+    ExtOps.lshBuckets(emb.asInstanceOf[ArrayData], tables, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.lshBuckets($c, $tables, $bits)")
+  override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
+  override def prettyName: String = "lsh_buckets"
+}
+
 case class RollingFingerprint(child: Expression, window: Int, mod: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(text: Any): Any =
@@ -237,4 +278,6 @@ object extfunctions {
     column(WordShingles(expression(ws), n))
   def rolling_fingerprint(text: Column, window: Int = 8, mod: Int = 16): Column =
     column(RollingFingerprint(expression(text), window, mod))
+  def lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
+    column(LshBuckets(expression(emb), tables, bits))
 }

@@ -121,10 +121,15 @@ object DedupQueries {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin) { (s, dir) =>
+    // Norms precomputed per row (sqrt(dot(x,x)) once per vector, not per
+    // pair) — accumulation order per sum is unchanged, so bitwise-equal to
+    // the pairside formula the oracle runs.
     val e = Tables(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    val cos = graft.ext.extfunctions.cosine_sim(col("va"), col("vb"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot_f(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val cos = dot_f(col("va"), col("vb")) / (col("na") * col("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .where(cos >= 0.4)
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))

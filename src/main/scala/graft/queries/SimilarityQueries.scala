@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.ExtOps
+
 import graft.ext.extfunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -29,7 +29,10 @@ object SimilarityQueries {
       |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))""".stripMargin
 
   /** S1 brute-force cosine top-k (oracle-checked, identical formula &
-    * accumulation order on both engines). */
+    * accumulation order on both engines). Norms are precomputed per row
+    * before the pair join — sqrt(dot(x,x)) per vector once instead of per
+    * pair; bitwise-identical to computing them pairside since each sum's
+    * accumulation order is unchanged. */
   private val s1Brute = withOracle("s1_ann_brute",
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < $NQueries)
@@ -41,9 +44,11 @@ object SimilarityQueries {
        |  FROM q JOIN e ON q.vec_id <> e.vec_id) t
        |WHERE rn <= $TopK""".stripMargin) { (s, dir) =>
     val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot_f(col("embedding"), col("embedding"))).as("nrm"))
     val queries = e.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cos = cosine_sim(col("qv"), col("embedding"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val cos = dot_f(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
     e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("cos_full", cos)
@@ -60,21 +65,9 @@ object SimilarityQueries {
     * union-of-candidates is the standard recall fix when the corpus is
     * near-isotropic (this synthetic data is LSH's worst case). */
   private[graft] def bucketed(s: SparkSession, dir: String, tables: Int, bits: Int): DataFrame = {
-    val dim = 64
-    def plane(t: Int, j: Int): Seq[Double] = (0 until dim).map { d =>
-      if ((ExtOps.splitmix64(((t * 64 + j) * dim + d).toLong + 12345L) & 1L) == 1L) 1.0 else -1.0
-    }
     val e = Tables(s, dir, "embeddings")
-    val buckets = (0 until tables).map { t =>
-      val bitCols = (0 until bits).map { j =>
-        val planeCol = array(plane(t, j).map(lit): _*)
-        when(aggregate(zip_with(col("embedding"), planeCol, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bitCols.reduce((a, b) => a + b)
-    }
     e.select(col("vec_id"), col("embedding"),
-      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+      posexplode(lsh_buckets(col("embedding"), tables, bits)).as(Seq("table", "bucket")))
   }
 
   /** S2 LSH-bucketed ANN: candidates = union over hash tables of the
@@ -93,6 +86,8 @@ object SimilarityQueries {
     val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
     candidates
       .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
+      // cosine_sim is fine here: candidates are already pruned to ~bucket
+      // size, so the per-pair norm cost is off the hot path
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
