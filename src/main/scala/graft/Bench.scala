@@ -44,9 +44,24 @@ object Bench {
       d.name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // Write-path throughput: 2M Prometheus-shaped samples through the full
+    // ingest (fingerprint + new-series anti-join + partitioned sorted
+    // append), the BASELINE.md write envelope analogue.
+    import org.apache.spark.sql.functions._
+    val ingestRoot = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString
+    val store = new graft.storage.ParquetStore(spark, ingestRoot)
+    val batch = spark.range(2_000_000).select(
+      map(lit("__name__"), lit("http_requests_total"),
+        lit("instance"), concat(lit("host-"), (col("id") % 200).cast("string"))).as("labels"),
+      (lit(1700000000000L) + (col("id") / 200).cast("long") * 15000L).as("timestamp_ms"),
+      (col("id") / 200 + (col("id") % 7)).cast("double").as("value"))
+    val ti = System.nanoTime()
+    store.write(batch)
+    val ingestRate = 2e6 / ((System.nanoTime() - ti) / 1e9)
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -227,8 +227,112 @@ object PromQueries {
       .agg(countDistinct("user_id").as("n_series"))
   }
 
+  /** A2/X4: count of series per extracted label value — the reference's
+    * documented `visitParamExtractString(labels, 'job')` analytics shape
+    * (README.md:76-88), via `get_json_object` on the canonical JSON. The
+    * oracle derives the same result from first principles, so the JSON
+    * round-trip + extraction path is what's actually checked. */
+  private val a2LabelCount = withOracle("a2_label_count",
+    """SELECT user, count(*) AS n_series FROM (
+      |  SELECT DISTINCT event_type, cast(user_id AS VARCHAR) AS user FROM events)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    eventSamples(s, dir)
+      .select(labels_json(col("labels")).as("labels")).distinct()
+      .groupBy(get_json_object(col("labels"), "$.user").as("user"))
+      .agg(count(lit(1)).as("n_series"))
+  }
+
+  /** A4: samples-per-series top-k (README.md:104-119). */
+  private val a4SamplesPerSeries = withOracle("a4_samples_per_series",
+    """SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels,
+      |       count(*) AS n_samples
+      |FROM events GROUP BY 1
+      |ORDER BY n_samples DESC, labels LIMIT 10""".stripMargin) { (s, dir) =>
+    eventSamples(s, dir)
+      .groupBy(labels_json(col("labels")).as("labels"))
+      .agg(count(lit(1)).as("n_samples"))
+      .orderBy(col("n_samples").desc, col("labels").asc)
+      .limit(10)
+  }
+
+  /** Downsampling — the reference's roadmap item it never shipped
+    * (README.md:71): tumbling 1-minute buckets per series with
+    * count/min/max/avg/last. Pure partial-agg-friendly groupBy: map-side
+    * combine, one uniform exchange on (series, bucket) — the 100 TB shape. */
+  private val ds1Downsample = withOracle("ds1_downsample",
+    """WITH ranked AS (
+      |  SELECT event_type, user_id,
+      |         (epoch_ms(ts) // 60000) * 60000 AS bucket_ms, value,
+      |         row_number() OVER (PARTITION BY event_type, user_id,
+      |                                         (epoch_ms(ts) // 60000) * 60000
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT event_type, user_id, bucket_ms,
+      |       count(*) AS n,
+      |       round(min(value), 2) AS min_v,
+      |       round(max(value), 2) AS max_v,
+      |       round(avg(value), 4) + 0.0 AS avg_v,
+      |       round(min(CASE WHEN rn = 1 THEN value END), 2) AS last_v
+      |FROM ranked
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"),
+        (floor(unix_millis(col("ts")) / 60000) * 60000).as("bucket_ms"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 2).as("min_v"),
+        round(max("value"), 2).as("max_v"),
+        (round(avg("value"), 4) + 0.0).as("avg_v"),
+        round(max_by(col("value"),
+          struct(unix_micros(col("ts")), col("event_id"))), 2).as("last_v"))
+  }
+
+  /** As-of join — time-series alignment (the natural extension SURVEY §2.3
+    * notes the reference lacks): each purchase event picks up the most
+    * recent click (≤ its timestamp) by the same user. Spark-first
+    * formulation: union both sides + one window pass (single shuffle on
+    * user_id, no range-join explosion) — `last(..., ignoreNulls)` over an
+    * unbounded-preceding frame ordered by (ts, side) so a same-instant
+    * right-side row is visible to the left row, matching ASOF `>=`. */
+  private val as1AsofJoin = withOracle("as1_asof_join",
+    """WITH b AS (
+      |  SELECT user_id, ts, arg_max(value, event_id) AS b_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |a AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+      |       round(a.value, 2) AS value,
+      |       round(b.b_value, 2) AS prev_click_value,
+      |       epoch_us(b.ts) AS prev_click_ts_us
+      |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    // right side deduped to one row per (user, instant) — determinism under
+    // ties at any scale, mirroring the oracle's arg_max
+    val b = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .agg(max_by(col("value"), col("event_id")).as("b_value"))
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("b_value"))
+    val a = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), lit(1).as("side"),
+        col("event_id"), col("value"), lit(null).cast("double").as("b_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.unionByName(a)
+      .withColumn("prev_click_value",
+        last(when(col("side") === 0, col("b_value")), ignoreNulls = true).over(w))
+      .withColumn("prev_click_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        round(col("value"), 2).as("value"),
+        round(col("prev_click_value"), 2).as("prev_click_value"),
+        col("prev_click_ts_us"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
-    x1Fp, x2Json, a1Assembly, a1Stats, a3Cardinality, j4TopkEnrich,
-    rawSqlQ, wf1Window, wf2Rate)
+    x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
+    a4SamplesPerSeries, j4TopkEnrich,
+    rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin)
 }
