@@ -55,10 +55,21 @@ object ExtOps {
     h
   }
 
+  /** Per-k permutation coefficients, derived once (they were previously
+    * re-derived per token × permutation — pure waste in the hot loop). */
+  private val minhashCoef =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    minhashCoef.computeIfAbsent(k, { kk =>
+      (Array.tabulate(kk)(j => splitmix64(2L * j + 1) | 1L),
+        Array.tabulate(kk)(j => splitmix64(-(j + 1).toLong)))
+    })
+
   /** MinHash signature: one base hash per element, k universal-hash
     * permutations h_j(x) = a_j*x + b_j (a_j odd). One pass over the data
     * regardless of k — the 100 TB-friendly form (vs k transforms). */
   def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = tokens.numElements()
@@ -67,9 +78,7 @@ object ExtOps {
       val h = hash64(tokens.getUTF8String(i))
       var j = 0
       while (j < k) {
-        val a = splitmix64(2L * j + 1) | 1L
-        val b = splitmix64(-(j + 1).toLong)
-        val p = a * h + b
+        val p = as(j) * h + bs(j)
         if (p < sig(j)) sig(j) = p
         j += 1
       }

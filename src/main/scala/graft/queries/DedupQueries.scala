@@ -74,8 +74,13 @@ object DedupQueries {
   }
 
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Persisted: the (shingles, signature) table feeds both self-join sides
+    // and both verification joins — without it the shingle+minhash pass runs
+    // 4x. At 100 TB this is a materialized signature table; here the cache
+    // plays that role (tiny: one row per doc).
     val d = docShingles(s, dir)
       .withColumn("sig", minhash_signature(col("sh"), MinhashK))
+      .persist()
     val rowsPerBand = MinhashK / Bands // 4
     val banded = d.select(col("doc_id"), posexplode(
       array((0 until Bands).map(b =>
