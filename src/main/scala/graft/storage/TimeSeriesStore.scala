@@ -189,6 +189,18 @@ final class ParquetStore(spark: SparkSession, root: String) extends Storage {
   }
 }
 
+/** Blackhole store — discards writes, answers every query with an empty
+  * result (reference: storages/blackhole/blackhole.go:57-69; S12). Used as
+  * the zero-cost sink when exercising the wire/ingest path alone. */
+final class BlackholeStore(spark: SparkSession) extends Storage {
+  import Storage._
+  override protected def session: SparkSession = spark
+  override def write(batch: DataFrame): Unit = ()
+  override def read(q: Query): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      samplesSchema.add("labels", StringType))
+}
+
 /** In-memory store — the reference's memory storage
   * (storages/memory/memory.go), used by the parametrized functional suite. */
 final class MemoryStore(spark: SparkSession) extends Storage {

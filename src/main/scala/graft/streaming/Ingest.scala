@@ -30,4 +30,10 @@ object Ingest {
         if (!batch.isEmpty) store.write(batch)
       }
       .start()
+
+  /** A7: running samples-written total (reference tallies written samples
+    * per request, handlers/prom.go:303-307) — read from streaming progress,
+    * no extra job per batch. */
+  def samplesWritten(query: StreamingQuery): Long =
+    query.recentProgress.map(_.numInputRows).sum
 }

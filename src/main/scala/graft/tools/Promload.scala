@@ -29,6 +29,10 @@ object Promload {
     args.toList match {
       case "file2store" :: src :: root :: Nil =>
         fileToStore(spark, src, root)
+      case "file2null" :: src :: Nil =>
+        // S11 null sink (cmd/promload/null.go): decode-and-discard, for
+        // measuring source throughput alone
+        PromFile.read(spark, src).write.format("noop").mode("overwrite").save()
       case "store2file" :: root :: dst :: s :: e :: rest =>
         val step = rest.headOption.map(_.toLong).getOrElse(60_000L)
         storeToFile(spark, root, dst, s.toLong, e.toLong, step)

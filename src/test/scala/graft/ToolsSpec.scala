@@ -62,6 +62,40 @@ class ToolsSpec extends AnyFunSuite {
     assert(reqs.distinct.size > 1)
   }
 
+  test("blackhole store discards writes and answers empty (S12)") {
+    import org.apache.spark.sql.functions._
+    val bh = new graft.storage.BlackholeStore(spark)
+    bh.write(spark.range(3).select(
+      map(lit("__name__"), lit("m")).as("labels"),
+      lit(T0).as("timestamp_ms"), col("id").cast("double").as("value")))
+    assert(bh.read(Query(0L, Long.MaxValue, Seq.empty)).count() === 0)
+    assert(bh.readTimeSeries(Query(0L, Long.MaxValue, Seq.empty)).isEmpty)
+  }
+
+  test("streaming ingest reports samples written (A7)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Long, Double)]
+    val df = stream.toDF().select(
+      map(lit("__name__"), col("_1")).as("labels"),
+      col("_2").as("timestamp_ms"), col("_3").as("value"))
+    val store = new graft.storage.BlackholeStore(spark)
+    // AvailableNow snapshots offsets at start — data must exist beforehand.
+    // One addData per row: MemoryStream's numInputRows metric counts offset
+    // deltas, so a single 3-row block would report 1.
+    stream.addData(("m1", T0, 1.0))
+    stream.addData(("m1", T0 + 1, 2.0))
+    stream.addData(("m2", T0, 3.0))
+    val q = graft.streaming.Ingest.start(df, store,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val written = graft.streaming.Ingest.samplesWritten(q)
+    assert(written === 3,
+      s"; recentProgress=${q.recentProgress.map(_.json).mkString("\n")}")
+  }
+
   test("ext functions are SQL-registered") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
