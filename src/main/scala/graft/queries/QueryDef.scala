@@ -30,6 +30,9 @@ object Tables {
     * identical to DuckDB's TIMESTAMP_NS handling. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // time predicates on the converted column can't push down by themselves;
+    // this rule derives pushable raw-int64 bounds (see plans/Rules.scala)
+    graft.plans.Rules.install(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
     // integer division — ns values exceed 2^53, double division loses bits

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the plans the 100 TB design depends on, asserted
+  * so a refactor can't silently regress them (SCALE.md documents why each
+  * shape matters). Runs on sf0.001 — plan shape is SF-independent. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE so codegen spans are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3 star join: all dimensions broadcast, no sort-merge join") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q4 semi-join: broadcast left-semi, fact side not shuffled") {
+    val p = plan("q4_semijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q2 top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q5 range scan: time + type predicates pushed to parquet") {
+    val p = plan("q5_range_scan")
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    // the NanosComparisonPushdown rule derives raw-int64 bounds from the
+    // timestamp_micros(ts DIV 1000) comparisons — these must reach the scan
+    // (PushedFilters renders truncated, so check the derived conjuncts and
+    // the leading pushed bound)
+    assert(p.contains("GreaterThanOrEqual(ts"))
+    assert("""\(ts#\d+L? >= \d{15,}\)""".r.findFirstIn(p).nonEmpty)
+    assert("""\(ts#\d+L? <= \d{15,}\)""".r.findFirstIn(p).nonEmpty)
+  }
+
+  test("q1 agg runs inside whole-stage codegen with partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
+    assert(p.contains("partial_sum"))
+    // two HashAggregates = map-side partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("store read path: date partition pruning + fingerprint/ts pushdown") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_planspec_").toString
+    val store = new graft.storage.ParquetStore(spark, root)
+    store.write(spark.range(100).select(
+      map(lit("__name__"), lit("m"), lit("i"), (col("id") % 5).cast("string")).as("labels"),
+      (lit(1700000000000L) + col("id") * 1000L).as("timestamp_ms"),
+      col("id").cast("double").as("value")))
+    val q = graft.model.Query(1700000000000L, 1700000050000L,
+      Seq(graft.model.Matcher("i", graft.model.MatchType.Eq, "3")))
+    val p = store.read(q).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(date"))
+    assert(p.contains("GreaterThanOrEqual(timestamp_ms"))
+    assert(p.contains("EqualTo(fingerprint") || p.contains("In(fingerprint"))
+    assert(!p.contains("SortMergeJoin")) // label attach is broadcast
+  }
+
+  test("fingerprint expression stays inside whole-stage codegen") {
+    val p = plan("x1_fingerprint")
+    assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
+    assert(p.contains("labels_fingerprint") || p.contains("fingerprint"))
+  }
+}
