@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming extension operators: windowed downsample (watermark-bounded
+  * state) and stateful first-seen series detection. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = 1700000000000L // bucket-aligned (minute boundary not required)
+
+  private def labeled(rows: Seq[(String, Long, Double)]) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Long, Double)]
+    val df = stream.toDF().select(
+      map(lit("__name__"), col("_1")).as("labels"),
+      col("_2").as("timestamp_ms"), col("_3").as("value"))
+    stream.addData(rows: _*)
+    (stream, df)
+  }
+
+  test("windowed downsample: per-series minute buckets with last-by-time") {
+    val (_, df) = labeled(Seq(
+      ("m1", T0, 1.0), ("m1", T0 + 10_000, 5.0), ("m1", T0 + 70_000, 2.0),
+      ("m2", T0 + 5_000, 7.0)))
+    // zero lateness so the final watermark (max event time) closes the first
+    // bucket; the T0+70s bucket stays open and must NOT be emitted (append
+    // mode emits only watermark-closed windows)
+    val q = graft.streaming.Downsample.aggregate(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ds_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ds_out").collect()
+    assert(out.length === 2) // m1 + m2 first-minute buckets; open bucket withheld
+    val m1fp = graft.core.Fingerprint.of(Seq(graft.model.Label("__name__", "m1")))
+    val m1 = out.filter(_.getAs[Long]("fingerprint") == m1fp)
+    assert(m1.length === 1)
+    assert(m1.head.getAs[Long]("n") === 2)
+    assert(m1.head.getAs[Double]("min_v") === 1.0 && m1.head.getAs[Double]("max_v") === 5.0)
+    assert(m1.head.getAs[Double]("last_v") === 5.0) // value at max timestamp
+    assert(m1.head.getAs[Double]("avg_v") === 3.0)
+  }
+
+  test("stateful new-series detection emits each fingerprint once") {
+    val (stream, df) = labeled(Seq(
+      ("m1", T0, 1.0), ("m1", T0 + 1, 2.0), ("m2", T0, 3.0)))
+    val q = graft.streaming.Downsample.newSeries(spark, df)
+      .toDF("fingerprint", "labels")
+      .writeStream.format("memory").queryName("ns_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // second batch: one duplicate series + one new one
+      stream.addData(("m1", T0 + 2, 9.0), ("m3", T0, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("ns_out").collect()
+      assert(rows.length === 3) // m1, m2, m3 — m1 NOT re-emitted
+      val names = rows.map(_.getAs[String]("labels")).sorted
+      assert(names === Array(
+        """{"__name__":"m1"}""", """{"__name__":"m2"}""", """{"__name__":"m3"}"""))
+    } finally q.stop()
+  }
+}
