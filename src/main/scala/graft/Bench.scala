@@ -26,7 +26,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val skip = Set("d3_ngram_jaccard")
+    // d3 is the deliberately quadratic exact baseline (d2 is its scale
+    // path); s3 includes a KMeans *training* step — the serving-side scale
+    // path for ANN is s2. Neither belongs in the per-query latency table.
+    val skip = Set("d3_ngram_jaccard", "s3_ann_ivf")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the smallest SF (not timed)

@@ -94,5 +94,51 @@ object SimilarityQueries {
         round(col("cos_full"), 4).as("cos"))
   }
 
-  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh)
+  /** S3 IVF ANN — the classic inverted-file index: a KMeans coarse
+    * quantizer (deterministic seed) partitions the corpus into `nlist`
+    * cells; each query probes its `nprobe` nearest cells and exact-scores
+    * only those candidates. At 100 TB the cell assignment is a one-off
+    * write-side pass (store `cell` as a partition column) and the probe is
+    * a partition-pruned scan — the classic billion-scale serving layout.
+    * Note: this synthetic corpus is isotropic (near-worst case for any
+    * space partitioner); recall floor asserted in ExtSpec. */
+  private val s3Ivf = rowsOnly("s3_ann_ivf") { (s, dir) =>
+    val nlist = 16; val nprobe = 6
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5).fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // nprobe nearest centroids per query, computed driver-side (queries and
+    // centroids are both small); candidate fetch = broadcast join on cell
+    val centers = model.clusterCenters.map(_.toArray)
+    val qRows = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray
+      def dist(c: Array[Double]): Double =
+        c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+      centers.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe)
+        .map { case (_, cell) => (r.getLong(0), cell) }
+    }.toSeq
+    import s.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val queries = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val candidates = assigned
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .where(col("query_id") =!= col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
+    candidates
+      .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf)
 }
