@@ -71,6 +71,27 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
 
 object HttpApi {
 
+  /** The `promhouse` server binary equivalent (cmd/promhouse/main.go):
+    * starts the remote read/write endpoints over a Parquet store.
+    * `runMain graft.api.HttpApi <storeRoot> [port]` — point a Prometheus
+    * `remote_write`/`remote_read` config at it. */
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(sys.error("usage: HttpApi <storeRoot> [port]"))
+    val port = args.lift(1).map(_.toInt).getOrElse(9116)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val api = new HttpApi(spark, new graft.storage.ParquetStore(spark, root), port)
+    val bound = api.start()
+    println(s"[graft] remote read/write listening on 127.0.0.1:$bound (store: $root)")
+    Thread.currentThread().join() // serve until killed
+  }
+
   /** Remote-write client (S10 write side): WriteRequest → snappy → POST. */
   def remoteWrite(url: String, series: Seq[TimeSeries]): Int = {
     val body = Snappy.compress(Prompb.encodeWriteRequest(series))
