@@ -163,11 +163,17 @@ final class ParquetStore(spark: SparkSession, root: String) extends Storage {
       .where(MatcherCompiler.compile(col("labels_map"), q.matchers))
       .select(col("fingerprint"), col("labels"))
 
+    // date-prune bounds clamped to the representable timestamp range —
+    // unbounded queries (start=0/end=Long.MaxValue, e.g. bulk export) must
+    // not overflow timestamp_millis; the exact predicate below still uses
+    // the caller's values
+    val minDateMs = math.max(q.startMs, -62135596800000L) // 0001-01-01
+    val maxDateMs = math.min(q.endMs, 253402300799999L) // 9999-12-31
     val samples = spark.read.parquet(samplesPath)
       .where(col("timestamp_ms") >= q.startMs && col("timestamp_ms") <= q.endMs)
       // partition pruning on the daily date column (both bounds inclusive)
-      .where(col("date") >= to_date(timestamp_millis(lit(q.startMs)))
-        && col("date") <= to_date(timestamp_millis(lit(q.endMs))))
+      .where(col("date") >= to_date(timestamp_millis(lit(minDateMs)))
+        && col("date") <= to_date(timestamp_millis(lit(maxDateMs))))
 
     // Physical strategy switch, reference clickhouse.go:409-412 — but here
     // the small-set branch pushes an IN filter all the way into the parquet

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store compaction — the engine's stand-in for ClickHouse's background
+  * merges (the reference leans on MergeTree merging + ReplacingMergeTree
+  * dedup; a lake store must do it explicitly, SCALE.md §7):
+  *
+  *  - `samples/`: rewrite each day partition re-sorted by (fingerprint,
+  *    timestamp_ms) — many per-batch appended files become one sorted file
+  *    per day per shuffle task, restoring tight row-group fingerprint
+  *    stats after unordered appends. Embarrassingly parallel by day.
+  *  - `time_series/`: collapse duplicate fingerprints (cross-writer races
+  *    are tolerated at write time; compaction makes read-side
+  *    `dropDuplicates` a no-op).
+  *
+  * Usage: runMain graft.tools.Compact <storeRoot>
+  */
+object Compact {
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(sys.error("usage: Compact <storeRoot>"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, root)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, root: String): Unit = {
+    val stage = s"$root/.compact_stage"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // samples: day-partitioned re-sort. Stage-then-swap so a crash mid-job
+    // leaves the live tree untouched.
+    spark.read.parquet(s"$root/samples")
+      .repartition(col("date"))
+      .sortWithinPartitions("fingerprint", "timestamp_ms")
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(s"$stage/samples")
+
+    // series dictionary: one row per fingerprint, earliest sighting date
+    // (matches ReplacingMergeTree keeping a single row per key)
+    val series = spark.read.parquet(s"$root/time_series")
+    series
+      .groupBy("fingerprint")
+      .agg(min("date").as("date"), first("labels").as("labels"))
+      .select("date", "fingerprint", "labels")
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/time_series")
+
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val old = new org.apache.hadoop.fs.Path(s"$root/.old_$name")
+      val staged = new org.apache.hadoop.fs.Path(s"$stage/$name")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(staged, live)
+      fs.delete(old, true)
+    }
+    swap("samples")
+    swap("time_series")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+}

@@ -62,6 +62,36 @@ class ToolsSpec extends AnyFunSuite {
     assert(reqs.distinct.size > 1)
   }
 
+  test("compaction: same data back, one sorted file per day, unique dictionary") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val store = new ParquetStore(spark, root)
+    def batch(offset: Int) = spark.range(50).select(
+      map(lit("__name__"), lit("m"), lit("i"), (col("id") % 5).cast("string")).as("labels"),
+      (lit(T0) + (col("id") + offset) * 3_600_000L).as("timestamp_ms"), // spans days
+      (col("id") + offset).cast("double").as("value"))
+    store.write(batch(0))
+    store.write(batch(25)) // overlapping days -> multiple files per partition
+    val before = store.read(Query(0L, Long.MaxValue, Seq.empty))
+      .select("fingerprint", "timestamp_ms", "value").collect().toSet
+
+    graft.tools.Compact.run(spark, root)
+
+    val after = store.read(Query(0L, Long.MaxValue, Seq.empty))
+      .select("fingerprint", "timestamp_ms", "value").collect().toSet
+    assert(after === before)
+    // one parquet file per day partition
+    val dayDirs = new java.io.File(s"$root/samples").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(dayDirs.nonEmpty)
+    dayDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1, d.getName)
+    }
+    // dictionary physically unique after compaction
+    val dict = spark.read.parquet(s"$root/time_series")
+    assert(dict.count() === dict.select("fingerprint").distinct().count())
+  }
+
   test("blackhole store discards writes and answers empty (S12)") {
     import org.apache.spark.sql.functions._
     val bh = new graft.storage.BlackholeStore(spark)
