@@ -76,6 +76,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin")) // label attach is broadcast
   }
 
+  test("LSH candidate generation never degrades to a cartesian product") {
+    // d2/d4/s2 join on bucket keys — equi-joins by construction; a refactor
+    // that loses the equi-condition would silently go quadratic at scale
+    for (name <- Seq("d2_dedup_minhash_lsh", "d4_dedup_simhash", "s2_ann_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("as-of join is a single window pass, not a range join") {
+    val p = plan("as1_asof_join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("fingerprint expression stays inside whole-stage codegen") {
     val p = plan("x1_fingerprint")
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
