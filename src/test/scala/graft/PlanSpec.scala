@@ -91,6 +91,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("NanosComparisonPushdown: identical results with and without the rule") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    graft.plans.Rules.install(spark)
+    // nanos straddling µs-bucket boundaries incl. exact-thousand edges
+    val base = 1700000000000000000L
+    val ns = (0 until 50).map(i => base + i * 333L) ++
+      Seq(base, base + 999, base + 1000, base + 1001, base + 2000)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ns.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))))
+      .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+    val boundMicros = base / 1000 + 1
+    val bound = lit(java.time.Instant.ofEpochSecond(0, boundMicros * 1000))
+    def conv(n: Long): Long = java.lang.Math.floorDiv(n, 1000L)
+    val cases: Seq[(String, Column => Column, Long => Boolean)] = Seq(
+      (">=", _ >= bound, conv(_) >= boundMicros),
+      (">", _ > bound, conv(_) > boundMicros),
+      ("<=", _ <= bound, conv(_) <= boundMicros),
+      ("<", _ < bound, conv(_) < boundMicros),
+      ("=", _ === bound, conv(_) == boundMicros))
+    for ((label, sparkPred, scalaPred) <- cases) {
+      val got = df.where(sparkPred(col("t"))).select("ts")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = ns.filter(scalaPred).sorted
+      assert(got === want, s"comparator $label")
+    }
+  }
+
   test("fingerprint expression stays inside whole-stage codegen") {
     val p = plan("x1_fingerprint")
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
