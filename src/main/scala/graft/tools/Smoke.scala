@@ -49,6 +49,29 @@ object Smoke {
     val back = store.readTimeSeries(Query(1700000000000L, 1700000005000L,
       Seq(Matcher("__name__", MatchType.Re, "http_.+"))))
     println(s"E2E file->store->read: ${back.size} series, samples=${back.head.samples}")
+
+    // compaction: second write -> duplicate dictionary rows -> compact -> unique
+    store.write(PromFile.read(spark, s"$tmp/shard0.bin"))
+    Compact.run(spark, s"$tmp/store")
+    val dict = spark.read.parquet(s"$tmp/store/time_series")
+    println(s"COMPACT: dictionary rows=${dict.count()} (distinct fp=${dict.select("fingerprint").distinct.count()})")
+    val afterCompact = store.readTimeSeries(Query(1700000000000L, 1700000005000L,
+      Seq(Matcher("__name__", MatchType.Re, "http_.+"))))
+    println(s"COMPACT read-back: ${afterCompact.head.samples.size} samples (dup samples kept, reference semantics)")
+
+    // wire protocol round-trip over a live HTTP server
+    val api = new graft.api.HttpApi(spark, store)
+    val port = api.start()
+    val remote = graft.api.HttpApi.remoteRead(s"http://127.0.0.1:$port",
+      Seq(Query(1700000000000L, 1700000005000L, Seq(Matcher("job", MatchType.Eq, "ch")))))
+    println(s"HTTP remote read: ${remote.head.size} series -> ${remote.head.head.labels}")
+    api.stop()
+
+    // as-of + downsample over the driver test data
+    println("AS-OF sample:")
+    graft.SparkEntry.queries("as1_asof_join")(spark, "/root/testdata/sf0.001").show(3, false)
+    println("DOWNSAMPLE sample:")
+    graft.SparkEntry.queries("ds1_downsample")(spark, "/root/testdata/sf0.001").show(3, false)
     spark.stop()
   }
 }
