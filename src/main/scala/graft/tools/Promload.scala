@@ -33,6 +33,10 @@ object Promload {
         // S11 null sink (cmd/promload/null.go): decode-and-discard, for
         // measuring source throughput alone
         PromFile.read(spark, src).write.format("noop").mode("overwrite").save()
+      case "exporter2store" :: url :: root :: rest =>
+        val scrapes = rest.headOption.map(_.toInt).getOrElse(10)
+        val intervalMs = rest.lift(1).map(_.toLong).getOrElse(1000L)
+        exporterToStore(spark, url, root, scrapes, intervalMs)
       case "store2file" :: root :: dst :: s :: e :: rest =>
         val step = rest.headOption.map(_.toLong).getOrElse(60_000L)
         storeToFile(spark, root, dst, s.toLong, e.toLong, step)
@@ -48,6 +52,34 @@ object Promload {
     val store = new ParquetStore(spark, root)
     store.write(batch)
     println(s"[promload] copied ${batch.count()} samples from $src to $root")
+  }
+
+  /** S9 as a live source: scrape a text-exposition endpoint `scrapes`
+    * times at `intervalMs`, stamping un-timestamped samples with scrape
+    * time, landing each scrape in the store (reference:
+    * cmd/promload/exporter.go:73-159 + the copy loop main.go:123-241).
+    * One scrape = one small batch; the ingest path (fingerprint, anti-join,
+    * partitioned append) amortizes exactly as in streaming use. */
+  def exporterToStore(spark: SparkSession, url: String, root: String,
+      scrapes: Int, intervalMs: Long): Unit = {
+    import graft.sources.Exposition
+    import spark.implicits._
+    val store = new ParquetStore(spark, root)
+    var total = 0L
+    for (i <- 0 until scrapes) {
+      val t0 = System.currentTimeMillis()
+      val text = scala.io.Source.fromURL(url, "UTF-8").mkString
+      val series = Exposition.parse(text, defaultTsMs = t0)
+      if (series.nonEmpty) {
+        val rows = series.flatMap(ts => ts.samples.map(s =>
+          (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value)))
+        store.write(rows.toDF("labels", "timestamp_ms", "value"))
+        total += rows.size
+      }
+      println(s"[promload] scrape ${i + 1}/$scrapes: ${series.size} series, $total total samples")
+      val sleep = intervalMs - (System.currentTimeMillis() - t0)
+      if (i < scrapes - 1 && sleep > 0) Thread.sleep(sleep)
+    }
   }
 
   /** Store source → file sink in tumbling [start, end) chunks; the last

@@ -39,6 +39,37 @@ class ToolsSpec extends AnyFunSuite {
       === (0 until 10).map(T0 + _ * 30_000L))
   }
 
+  test("scrape loop: exposition endpoint -> store (S9 source + copy loop)") {
+    // serve fake-exporter output over HTTP, scrape it twice, read back
+    val text = FakeExporter.render(FakeExporter.fanOut(Exposition.parse(
+      """up{job="demo"} 1
+        |http_requests_total{code="200"} 1027
+        |""".stripMargin), 2))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = text.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    val root = java.nio.file.Files.createTempDirectory("graft_scrape_").toString
+    try {
+      Promload.exporterToStore(spark,
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics", root,
+        scrapes = 2, intervalMs = 10L)
+      val back = new ParquetStore(spark, root)
+        .readTimeSeries(Query(0L, Long.MaxValue,
+          Seq(Matcher("__name__", MatchType.Eq, "up"))))
+      assert(back.size === 2) // 2 fanned-out instances
+      assert(back.forall(_.samples.nonEmpty))
+      assert(back.head.samples.forall(_.value == 1d)) // X9: 1 passes through
+    } finally server.stop(0)
+  }
+
   test("fake exporter: fan-out + jitter invariants (X9/X10)") {
     val input =
       """up{job="demo"} 1 1700000000000
