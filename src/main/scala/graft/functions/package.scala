@@ -41,5 +41,9 @@ package object functions {
       "rolling_fingerprint", exprs => RollingFingerprint(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => LshBuckets(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

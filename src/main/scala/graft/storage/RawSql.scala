@@ -26,8 +26,12 @@ object RawSql {
       matchers.find(m => m.name == "query" && m.matchType == MatchType.Eq).map(_.value)
     else None
 
-  /** Run `sql` and coerce every row into a single-sample series. */
+  /** Run `sql` and coerce every row into a single-sample series. The
+    * engine's SQL functions (labels_fingerprint, cosine_sim, minhash,
+    * simhash, word_shingles, …) are registered first, so rawsql callers get
+    * the full extended surface, not just builtins. */
   def read(spark: SparkSession, sql: String, endMs: Long): DataFrame = {
+    graft.functions.registerAll(spark)
     val df = spark.sql(sql)
     coerce(df, endMs)
   }
