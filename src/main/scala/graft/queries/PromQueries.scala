@@ -159,6 +159,16 @@ object PromQueries {
         round(min(when(col("rn_last") === 1, col("value"))), 2).as("last_value"))
   }
 
+  /** A3 at scale: HyperLogLog++ cardinality — one pass, no
+    * distinct-shuffle, fixed-size sketch per group; the form a 100 TB
+    * series-cardinality dashboard actually runs. Approximate by design →
+    * rows-only (accuracy vs exact asserted in QueriesSpec). */
+  private val a3CardinalityHll = rowsOnly("a3_cardinality_hll") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("event_type").as("name"))
+      .agg(approx_count_distinct("user_id", 0.02).as("n_series"))
+  }
+
   /** J4: top-k series enrichment — count per series, top 10, joined back to
     * the series dictionary (README.md:104-119). */
   private val j4TopkEnrich = withOracle("j4_topk_enrich",
@@ -333,6 +343,6 @@ object PromQueries {
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
-    a4SamplesPerSeries, j4TopkEnrich,
+    a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
     rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin)
 }
