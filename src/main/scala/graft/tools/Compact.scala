@@ -42,7 +42,8 @@ object Compact {
     spark.read.parquet(s"$root/samples")
       .repartition(col("date"))
       .sortWithinPartitions("fingerprint", "timestamp_ms")
-      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(s"$stage/samples")
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd").parquet(s"$stage/samples")
 
     // series dictionary: one row per fingerprint, earliest sighting date
     // (matches ReplacingMergeTree keeping a single row per key)
@@ -52,7 +53,8 @@ object Compact {
       .agg(min("date").as("date"), first("labels").as("labels"))
       .select("date", "fingerprint", "labels")
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode(SaveMode.Overwrite).parquet(s"$stage/time_series")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(s"$stage/time_series")
 
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$root/$name")

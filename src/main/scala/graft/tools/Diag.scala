@@ -18,21 +18,27 @@ object Diag {
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
-    val root = java.nio.file.Files.createTempDirectory("graft_eff_").toString
-    val store = new graft.storage.ParquetStore(spark, root)
-    val t0 = System.nanoTime()
+    def dirSize(p: java.io.File): Long =
+      if (p.isFile) p.length else Option(p.listFiles).map(_.map(dirSize).sum).getOrElse(0L)
     val batch = spark.range(2_000_000).select(
       map(lit("__name__"), lit("http_requests_total"),
         lit("instance"), concat(lit("host-"), (col("id") % 200).cast("string"))).as("labels"),
       (lit(1700000000000L) + (col("id") / 200).cast("long") * 15000L).as("timestamp_ms"),
       (col("id") / 200 + (col("id") % 7)).cast("double").as("value"))
-    store.write(batch)
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    def dirSize(p: java.io.File): Long =
-      if (p.isFile) p.length else Option(p.listFiles).map(_.map(dirSize).sum).getOrElse(0L)
-    val bytes = dirSize(new java.io.File(s"$root/samples"))
-    println(f"ingest: 2,000,000 samples in $wallSec%.1f s (${2e6 / wallSec}%.0f samples/s)")
-    println(f"samples table: $bytes bytes -> ${bytes / 2e6}%.2f bytes/sample (reference: 5.3)")
+    var root = ""
+    for (codec <- Seq("snappy", "zstd")) {
+      spark.conf.set("spark.sql.parquet.compression.codec", codec)
+      root = java.nio.file.Files.createTempDirectory(s"graft_eff_${codec}_").toString
+      val store = new graft.storage.ParquetStore(spark, root)
+      val t0 = System.nanoTime()
+      store.write(batch)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val bytes = dirSize(new java.io.File(s"$root/samples"))
+      println(f"[$codec] ingest: 2,000,000 samples in $wallSec%.1f s (${2e6 / wallSec}%.0f samples/s); " +
+        f"$bytes bytes -> ${bytes / 2e6}%.2f bytes/sample (reference: 5.3)")
+    }
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    val store = new graft.storage.ParquetStore(spark, root)
 
     // --- pushdown evidence on the samples read path ---
     val q = graft.model.Query(1700000000000L, 1700000900000L,
