@@ -131,17 +131,24 @@ object CoreQueries {
     * as a proper windowed aggregation — the scalable form of the
     * reference's loop-of-range-queries. */
   private val q8Window = withOracle("q8_window",
-    // avg over exact integer cents: double sums are associativity-dependent
-    // (Spark's partial-agg order vs DuckDB's flipped a round-to-4-decimals
-    // boundary at sf0.1), integer sums are exact on both engines
+    // Cross-engine-stable average: (1) sum exact integer cents (double sums
+    // are associativity-dependent; Spark's partial-agg order vs DuckDB's
+    // flipped round() boundaries at sf0.1); (2) round to an INTEGER of
+    // 1e-4 units — decimal-scale round() disagrees between engines on
+    // exact binary boundaries (Spark rounds the shortest decimal string,
+    // DuckDB the binary value; cents/24 yields exact .00125 eighths), while
+    // integer rounding of the same double is identical everywhere; (3) one
+    // final exact division for display.
     """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
       |       event_type, count(*) AS n,
-      |       round(avg(cast(round(value * 100) AS BIGINT)) / 100.0, 4) AS avg_value
+      |       round(sum(cast(round(value * 100) AS BIGINT)) * 100.0 / count(*)) / 10000.0
+      |         AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
     Tables(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(avg(round(col("value") * 100).cast("long")) / 100.0, 4).as("avg_value"))
+        (round(sum(round(col("value") * 100).cast("long")) * 100.0 / count(lit(1)))
+          / 10000.0).as("avg_value"))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("avg_value"))
   }

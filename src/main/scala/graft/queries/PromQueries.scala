@@ -281,7 +281,8 @@ object PromQueries {
       |       count(*) AS n,
       |       round(min(value), 2) AS min_v,
       |       round(max(value), 2) AS max_v,
-      |       round(avg(cast(round(value * 100) AS BIGINT)) / 100.0, 4) + 0.0 AS avg_v,
+      |       round(sum(cast(round(value * 100) AS BIGINT)) * 100.0 / count(*)) / 10000.0
+      |         AS avg_v,
       |       round(min(CASE WHEN rn = 1 THEN value END), 2) AS last_v
       |FROM ranked
       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
@@ -291,7 +292,8 @@ object PromQueries {
       .agg(count(lit(1)).as("n"),
         round(min("value"), 2).as("min_v"),
         round(max("value"), 2).as("max_v"),
-        (round(avg(round(col("value") * 100).cast("long")) / 100.0, 4) + 0.0).as("avg_v"),
+        (round(sum(round(col("value") * 100).cast("long")) * 100.0 / count(lit(1)))
+          / 10000.0).as("avg_v"),
         round(max_by(col("value"),
           struct(unix_micros(col("ts")), col("event_id"))), 2).as("last_v"))
   }
