@@ -66,24 +66,42 @@ trait Storage {
   }
 
   /** S2 batch read: a ReadRequest is a positional batch of independent
-    * queries (reference: prompb.proto:64-66, clickhouse.go:390-420) —
-    * answered per query, order preserved. */
+    * queries (reference: prompb.proto:64-66, clickhouse.go:390-420),
+    * order preserved. Multi-query batches run as ONE Spark job — per-query
+    * frames are tagged with their index and unioned, so the scheduler
+    * overlaps their scans instead of running N sequential jobs (the
+    * reference necessarily loops; a DAG engine shouldn't). */
   final def readAll(queries: Seq[Query]): Seq[Seq[TimeSeries]] =
-    queries.map(readTimeSeries)
+    if (queries.sizeIs <= 1) queries.map(readTimeSeries)
+    else {
+      val unioned = queries.zipWithIndex
+        .map { case (q, i) => readQuery(q).withColumn("query_idx", lit(i)) }
+        .reduce(_ unionByName _)
+        .groupBy(col("query_idx"), col("fingerprint"), col("labels"))
+        .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
+      val byIdx = unioned.collect().groupBy(_.getAs[Int]("query_idx"))
+      queries.indices.map(i =>
+        byIdx.getOrElse(i, Array.empty[org.apache.spark.sql.Row]).toSeq
+          .map(rowToSeries).sortBy(seriesSortKey))
+    }
 
   /** Typed edge for tests / the wire layer. */
-  final def readTimeSeries(q: Query): Seq[TimeSeries] = {
-    readSeries(q).collect().toSeq
-      .map { row =>
-        val labels = graft.core.LabelsJson.unmarshal(row.getAs[String]("labels"))
-          .toSeq.map { case (n, v) => Label(n, v) }.sortBy(_.name)
-        val samples = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("samples")
-          .map(s => Sample(s.getLong(0), s.getDouble(1))).toSeq
-        TimeSeries(labels, samples)
-      }
-      .sortBy(ts => (ts.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
-        graft.core.Fingerprint.of(ts.labels)))
+  final def readTimeSeries(q: Query): Seq[TimeSeries] =
+    readSeries(q).collect().toSeq.map(rowToSeries).sortBy(seriesSortKey)
+
+  private def rowToSeries(row: org.apache.spark.sql.Row): TimeSeries = {
+    val labels = graft.core.LabelsJson.unmarshal(row.getAs[String]("labels"))
+      .toSeq.map { case (n, v) => Label(n, v) }.sortBy(_.name)
+    val samples = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("samples")
+      .map(s => Sample(s.getLong(0), s.getDouble(1))).toSeq
+    TimeSeries(labels, samples)
   }
+
+  /** Reference output order: metric name, then fingerprint
+    * (utils/timeseries/timeseries.go:32-56). */
+  private def seriesSortKey(ts: TimeSeries): (String, Long) =
+    (ts.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
+      graft.core.Fingerprint.of(ts.labels))
 }
 
 object Storage {

@@ -15,6 +15,23 @@ class QueriesSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.01"
 
+  test("salted aggregation equals direct aggregation (skewed key)") {
+    import org.apache.spark.sql.functions._
+    // 90% of rows on one hot key — the shape salting exists for
+    val df = spark.range(100000).select(
+      when(col("id") % 10 < 9, "hot").otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val saltedN = graft.ext.Salting.saltedCount(df, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedS = graft.ext.Salting.saltedSum(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedN === direct.view.mapValues(_._1).toMap)
+    // sums of integral-valued doubles — exact regardless of order
+    assert(saltedS === direct.view.mapValues(_._2).toMap)
+  }
+
   test("HLL cardinality tracks exact within the sketch's error bound") {
     val exact = SparkEntry.queries("a3_cardinality")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

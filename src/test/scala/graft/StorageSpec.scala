@@ -101,6 +101,17 @@ class StorageSpec extends AnyFunSuite {
       assert(got.size === 1)
       assert(got.head.samples === Seq(Sample(T0 + 1000, 14d), Sample(T0 + 2000, 14d), Sample(T0 + 3000, 14d)))
     }
+
+    test(s"$storeName: batched multi-query read matches per-query reads") {
+      val qs = Seq(
+        Query(Start, End, Seq(eqMatch("__name__", "http_requests_total"))),
+        Query(Start, End, Seq(eqMatch("__name__", "no_such_metric"))), // empty slot
+        Query(T0 + 1000, T0 + 3000, Seq(eqMatch("handler", "query"))),
+        Query(Start, End, Seq.empty)) // bulk export
+      val batched = store.readAll(qs)
+      assert(batched === qs.map(store.readTimeSeries))
+      assert(batched(1).isEmpty)
+    }
   }
 
   test("parquet: funny labels survive write/read round-trip") {
