@@ -77,7 +77,15 @@ class StorageSpec extends AnyFunSuite {
     ("absent label neq value", Seq(neqMatch("no_such_label", "value")), (Start, End), 3),
     ("name eq empty", Seq(eqMatch("__name__", "")), (Start, End), 0),
     ("absent label neq empty", Seq(neqMatch("no_such_label", "")), (Start, End), 0),
-    ("nre matching everything", Seq(nreMatch("__name__", ".*")), (Start, End), 0))
+    ("nre matching everything", Seq(nreMatch("__name__", ".*")), (Start, End), 0),
+    // RE2↔Java dialect common subset (SURVEY §2.8 X8 risk): PromQL users
+    // write RE2; these constructs must behave identically under Java regex
+    ("re alternation+quantifier", Seq(reMatch("__name__", "(http|tcp)_req.*")), (Start, End), 3),
+    ("re char class", Seq(reMatch("code", "[45][0-9]{2}")), (Start, End), 1),
+    ("re case-insensitive flag", Seq(reMatch("__name__", "(?i)HTTP_REQUESTS_TOTAL")), (Start, End), 3),
+    ("re escaped dot literal", Seq(reMatch("__name__", "http\\.requests")), (Start, End), 0),
+    ("re empty alternative matches absent", Seq(reMatch("no_such_label", "foo|")), (Start, End), 3),
+    ("nre empty alternative", Seq(nreMatch("no_such_label", "foo|")), (Start, End), 0))
 
   for ((storeName, store) <- makeStores()) {
     test(s"$storeName: write/read golden round-trip") {
