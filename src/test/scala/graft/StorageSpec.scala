@@ -110,6 +110,19 @@ class StorageSpec extends AnyFunSuite {
       assert(got.head.samples === Seq(Sample(T0 + 1000, 14d), Sample(T0 + 2000, 14d), Sample(T0 + 3000, 14d)))
     }
 
+    test(s"$storeName: out-of-order and late samples read back time-sorted (O4)") {
+      // late data accepted unconditionally, order restored at read
+      // (reference: memory.go:119-125; no watermark exists anywhere)
+      val late = TimeSeries(Seq(Label("__name__", "ooo_metric")),
+        Seq(Sample(T0 + 5000, 5d), Sample(T0 + 1000, 1d), Sample(T0 + 3000, 3d)))
+      store.write(batchDF(Seq(late)))
+      store.write(batchDF(Seq(TimeSeries(late.labels, Seq(Sample(T0 + 2000, 2d)))))) // late arrival
+      val got = store.readTimeSeries(Query(T0, T0 + 10000, Seq(eqMatch("__name__", "ooo_metric"))))
+      assert(got.size === 1)
+      assert(got.head.samples === Seq(
+        Sample(T0 + 1000, 1d), Sample(T0 + 2000, 2d), Sample(T0 + 3000, 3d), Sample(T0 + 5000, 5d)))
+    }
+
     test(s"$storeName: batched multi-query read matches per-query reads") {
       val qs = Seq(
         Query(Start, End, Seq(eqMatch("__name__", "http_requests_total"))),
