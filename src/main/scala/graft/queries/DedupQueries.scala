@@ -86,10 +86,19 @@ object DedupQueries {
       array((0 until Bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
       .as(Seq("band", "band_hash")))
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Candidate pairs via bucket grouping, not a self-join: ONE exchange on
+    // the (band, hash) key, pairs generated inside each bucket — the
+    // quadratic term is bounded by bucket size (the per-bucket HOF runs on
+    // one row per bucket, so interpreted eval is off the per-doc hot path).
+    val candidates = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))),
+          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val withSets = candidates
       .join(broadcast(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
