@@ -172,6 +172,34 @@ final class ParquetStore(spark: SparkSession, root: String) extends Storage {
       .option("compression", "zstd").parquet(samplesPath)
   }
 
+  /** Idempotent append: drops samples whose (fingerprint, timestamp_ms)
+    * already exist — the replay-safe variant of `write` for at-least-once
+    * upstreams (the reference tolerates duplicate samples instead,
+    * SURVEY.md §2.9; this is the Delta-MERGE-shaped alternative). The
+    * existence check reads ONLY the date partitions the batch touches, so
+    * its cost tracks batch time-span, not table size. Same-key samples
+    * with different values count as duplicates (first write wins). */
+  def writeIdempotent(batch: DataFrame): Unit = {
+    val withFp = batch
+      .withColumn("fingerprint", graft.functions.labels_fingerprint(col("labels")))
+      .dropDuplicates("fingerprint", "timestamp_ms")
+    val fresh =
+      if (!exists(samplesPath)) withFp
+      else {
+        val Array(bounds) = withFp
+          .agg(min("timestamp_ms").as("lo"), max("timestamp_ms").as("hi")).collect()
+        if (bounds.isNullAt(0)) return
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val existing = spark.read.parquet(samplesPath)
+          .where(col("date") >= to_date(timestamp_millis(lit(lo)))
+            && col("date") <= to_date(timestamp_millis(lit(hi))))
+          .where(col("timestamp_ms").between(lo, hi))
+          .select("fingerprint", "timestamp_ms")
+        withFp.join(existing, Seq("fingerprint", "timestamp_ms"), "left_anti")
+      }
+    write(fresh.drop("fingerprint"))
+  }
+
   /** Series dictionary with parsed labels map, deduplicated by fingerprint
     * (read-side ReplacingMergeTree; reference index refresh clickhouse.go:159). */
   def seriesIndex: DataFrame =

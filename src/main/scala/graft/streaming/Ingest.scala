@@ -31,6 +31,21 @@ object Ingest {
       }
       .start()
 
+  /** Replay-safe ingest for at-least-once upstreams: duplicate
+    * (fingerprint, timestamp_ms) samples from redelivered batches are
+    * dropped via a partition-pruned existence check
+    * (ParquetStore.writeIdempotent) instead of being appended like the
+    * reference does. */
+  def startIdempotent(stream: DataFrame, store: graft.storage.ParquetStore,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeIdempotent(batch)
+      }
+      .start()
+
   /** A7: running samples-written total (reference tallies written samples
     * per request, handlers/prom.go:303-307) — read from streaming progress,
     * no extra job per batch. */

@@ -135,6 +135,24 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet: idempotent write drops replayed samples, keeps new ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idem_").toString
+    val store = new ParquetStore(spark, root)
+    val ts = TimeSeries(Seq(Label("__name__", "idem_metric")),
+      Seq(Sample(T0, 1d), Sample(T0 + 1000, 2d)))
+    store.writeIdempotent(batchDF(Seq(ts)))
+    store.writeIdempotent(batchDF(Seq(ts))) // full replay -> no-op
+    def count() = spark.read.parquet(s"$root/samples").count()
+    assert(count() === 2)
+    // partial replay: one dup + one genuinely new sample
+    store.writeIdempotent(batchDF(Seq(ts.copy(
+      samples = Seq(Sample(T0 + 1000, 2d), Sample(T0 + 2000, 3d))))))
+    assert(count() === 3)
+    val got = store.readTimeSeries(Query(T0, T0 + 10000,
+      Seq(eqMatch("__name__", "idem_metric"))))
+    assert(got.head.samples === Seq(Sample(T0, 1d), Sample(T0 + 1000, 2d), Sample(T0 + 2000, 3d)))
+  }
+
   test("parquet: funny labels survive write/read round-trip") {
     // storages_test.go:391-425 escaping corpus
     val funny = Seq(
