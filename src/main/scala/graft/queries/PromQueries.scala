@@ -117,13 +117,28 @@ object PromQueries {
         (round(col("rate"), 6) + 0.0).as("rate"))
   }
 
-  /** A1: group-adjacent assembly into (series, time-ordered samples[]).
-    * Array output isn't reliably hashable across engines; the stats variant
-    * below carries the oracle. */
-  private val a1Assembly = rowsOnly("a1_assembly") { (s, dir) =>
+  /** A1: group-adjacent assembly into (series, time-ordered samples).
+    * The engine-internal form is `array<struct>` (readSeries,
+    * TimeSeriesStore.scala); the gate query projects it to a canonical
+    * string — "ts:cents" pairs, time-ordered — because array columns are
+    * not hashable by the driver's pandas compare, and the all-integer
+    * rendering is bit-stable across engines (round-to-int of the same
+    * double is; double→string is not). */
+  private val a1Assembly = withOracle("a1_assembly",
+    """SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels,
+      |       string_agg(epoch_ms(ts) || ':' || cast(round(value * 100) AS BIGINT), ','
+      |                  ORDER BY epoch_ms(ts), cast(round(value * 100) AS BIGINT)) AS samples,
+      |       count(*) AS n_samples
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
     eventSamples(s, dir)
       .groupBy(labels_json(col("labels")).as("labels"))
-      .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
+      .agg(
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("timestamp_ms").as("ts"),
+            round(col("value") * 100).cast("long").as("cents")))),
+          p => concat(p("ts").cast("string"), lit(":"), p("cents").cast("string"))))
+          .as("samples"),
+        count(lit(1)).as("n_samples"))
   }
 
   /** A1 stats: per-series sample count, time bounds, first/last value —
@@ -143,20 +158,19 @@ object PromQueries {
       |       round(min(CASE WHEN rn_last = 1 THEN value END), 2) AS last_value
       |FROM ranked
       |GROUP BY event_type, user_id""".stripMargin) { (s, dir) =>
+    // Single partial-agg-friendly pass: min_by/max_by on the composite
+    // (ts, value, event_id) key replace two full window sorts — same
+    // deterministic tie-break as the oracle's row_number ordering, one
+    // exchange instead of two sorted ones.
     val e = Tables(s, dir, "events")
       .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("value"), col("event_id"))
-    val wAsc = Window.partitionBy("event_type", "user_id")
-      .orderBy(col("ts_ms").asc, col("value").asc, col("event_id").asc)
-    val wDesc = Window.partitionBy("event_type", "user_id")
-      .orderBy(col("ts_ms").desc, col("value").desc, col("event_id").desc)
-    e.withColumn("rn_first", row_number().over(wAsc))
-      .withColumn("rn_last", row_number().over(wDesc))
-      .groupBy("event_type", "user_id")
+    val orderKey = struct(col("ts_ms"), col("value"), col("event_id"))
+    e.groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n_samples"),
         min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"),
-        round(min(when(col("rn_first") === 1, col("value"))), 2).as("first_value"),
-        round(min(when(col("rn_last") === 1, col("value"))), 2).as("last_value"))
+        round(min_by(col("value"), orderKey), 2).as("first_value"),
+        round(max_by(col("value"), orderKey), 2).as("last_value"))
   }
 
   /** A3 at scale: HyperLogLog++ cardinality — one pass, no

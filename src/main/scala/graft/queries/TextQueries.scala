@@ -77,12 +77,16 @@ object TextQueries {
   }
 
   /** Winnowing-style rolling-hash document fingerprint (custom codegen'd
-    * expression) — not ANSI-SQL-expressible; exact goldens in ExtSpec. */
+    * expression) — not ANSI-SQL-expressible; exact goldens in ExtSpec.
+    * The kernel returns a sorted-distinct array<long>; the gate query emits
+    * it comma-joined (canonical, and hashable by the driver's pandas
+    * compare — raw arrays are not). */
   private val t4DocFp = rowsOnly("t4_doc_fingerprint") { (s, dir) =>
+    val fp = rolling_fingerprint(col("text"), window = 8, mod = 16)
     Tables(s, dir, "documents").select(
       col("doc_id"),
-      rolling_fingerprint(col("text"), window = 8, mod = 16).as("fp"),
-      size(rolling_fingerprint(col("text"), window = 8, mod = 16)).as("n_fp"))
+      concat_ws(",", fp.cast("array<string>")).as("fp"),
+      size(fp).as("n_fp"))
   }
 
   val all: Seq[QueryDef] = Seq(t1Tokens, t2Quality, t3LangId, t4DocFp)
