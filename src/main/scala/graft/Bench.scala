@@ -64,7 +64,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"sf":"$sfDir"}"""
+    // Primary channel: one bare JSON line on stdout (build.sbt sets
+    // run/outputStrategy := StdoutOutput so sbt does not prefix it).
+    // Secondary channel: a file, in case the caller parses neither.
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -17,10 +17,15 @@ package object functions {
   def labels_json(labels: Column): Column =
     col(LabelsCanonicalJson(expression(labels)))
 
-  /** Register SQL names for all custom functions on a session. */
+  /** Register SQL names for all custom functions on a session.
+    * Idempotent: skips if already registered (re-registering logs a
+    * "replaced a previously registered function" warning per call, which
+    * floods the bench/verify output). */
   def registerAll(spark: SparkSession): Unit = {
     import graft.ext._
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("labels_fingerprint"))) return
     registry.createOrReplaceTempFunction(
       "labels_fingerprint", exprs => LabelsFingerprint(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
