@@ -73,27 +73,63 @@ object DedupQueries {
     minhashPairs(s, dir)
   }
 
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Persisted: the (shingles, signature) table feeds both self-join sides
-    // and both verification joins — without it the shingle+minhash pass runs
-    // 4x. At 100 TB this is a materialized signature table; here the cache
-    // plays that role (tiny: one row per doc).
-    val d = docShingles(s, dir)
+  /** Buckets larger than this are routed OUT of pair generation: a bucket of
+    * n ids is an O(n²) pair explosion inside one task, and a degenerate
+    * bucket (mass-duplicated boilerplate on a 100 TB corpus) would OOM it.
+    * Members of an oversized bucket collide on a full MinHash band — they are
+    * (near-)identical families that d1's exact content-hash pass already
+    * groups in linear time; `oversizedLshBuckets` reports them for audit. */
+  val MaxLshBucket = 1000
+
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir, MaxLshBucket)
+
+  /** One row per doc with shingle set + MinHash signature, persisted: it
+    * feeds banding and both verification joins — without it the
+    * shingle+minhash pass runs 4x. At 100 TB this is a materialized
+    * signature table; here the cache plays that role (tiny: one row/doc). */
+  private def signatureTable(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir)
       .withColumn("sig", minhash_signature(col("sh"), MinhashK))
       .persist()
+
+  private def bandedKeys(d: DataFrame): DataFrame = {
     val rowsPerBand = MinhashK / Bands // 4
-    val banded = d.select(col("doc_id"), posexplode(
+    d.select(col("doc_id"), posexplode(
       array((0 until Bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
       .as(Seq("band", "band_hash")))
-    // Candidate pairs via bucket grouping, not a self-join: ONE exchange on
-    // the (band, hash) key, pairs generated inside each bucket — the
-    // quadratic term is bounded by bucket size (the per-bucket HOF runs on
-    // one row per bucket, so interpreted eval is off the per-doc hot path).
+  }
+
+  /** Audit view of LSH buckets that exceed the pair-generation cap: these
+    * are exact/near-dup families handled by d1, not by pairwise verify. */
+  private[graft] def oversizedLshBuckets(s: SparkSession, dir: String,
+      maxBucket: Int = MaxLshBucket): DataFrame =
+    bandedKeys(signatureTable(s, dir))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+
+  private[graft] def minhashPairs(s: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val d = signatureTable(s, dir)
+    val banded = bandedKeys(d)
+    // Candidate pairs via bucket grouping, not a self-join: the (band, hash)
+    // exchange is computed once and REUSED (count pass and collect pass hash
+    // the same child — Spark's exchange reuse collapses them). The count
+    // pass bounds every bucket BEFORE collect_list materializes it, so no
+    // single task ever holds more than maxBucket ids: buckets with
+    // 2..maxBucket members generate pairs; larger ones are excluded here
+    // and surfaced by oversizedLshBuckets.
+    val inCap = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+      .select(col("band"), col("band_hash"))
     val candidates = banded
+      .join(inCap, Seq("band", "band_hash"))
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
       .select(explode(expr(
         """filter(
           |  flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))),

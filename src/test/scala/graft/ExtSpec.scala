@@ -26,6 +26,36 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh === exact) // banding params chosen for ~zero miss probability at j>=0.8
   }
 
+  test("LSH hot-bucket cap: degenerate bucket is excluded from pair generation but reported") {
+    // 60 byte-identical boilerplate docs (one degenerate LSH family: every
+    // band collides) + one genuine near-dup pair + unrelated filler.
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val nearA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearB = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val rows = (1L to 60L).map(i => (i, boiler)) ++
+      Seq((100L, nearA), (101L, nearB)) ++
+      (200L until 220L).map(i => (i, s"unique filler document number $i with words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshcap_").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val capped = graft.queries.DedupQueries.minhashPairs(spark, dir, maxBucket = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Pair generation is bounded: no pair from the 60-doc family (its
+    // buckets exceed the cap), but the legitimate near-dup pair survives.
+    assert(capped.contains((100L, 101L)), s"near-dup pair lost: $capped")
+    assert(!capped.exists { case (a, b) => a <= 60 && b <= 60 },
+      s"degenerate family leaked into pairwise path: $capped")
+    // The excluded family is visible to the audit view, and d1's exact pass
+    // (the designated route for identical families) groups all 60 copies.
+    val over = graft.queries.DedupQueries.oversizedLshBuckets(spark, dir, maxBucket = 10)
+      .collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("bucket_n") == 60L), over.mkString(","))
+    val d1 = graft.SparkEntry.queries("d1_dedup_exact")(spark, dir)
+      .where(col("n_copies") === 60).collect()
+    assert(d1.length == 1 && d1.head.getAs[Long]("keep_id") == 1L)
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d2 bucket-size cap: count pass shuffles aggregated rows, not the banded table") {
+    // The pre-count that bounds LSH buckets must partially aggregate BELOW
+    // its exchange — its shuffle then carries one row per (bucket,
+    // partition), not the full banded table. Losing partial_count here
+    // would double the d2 shuffle volume at scale.
+    // executedPlan.toString appends the AQE "Initial Plan" — measure only
+    // the final one
+    val p = plan("d2_dedup_minhash_lsh").split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), "bucket pre-count lost map-side partial aggregation")
+    assert(p.contains("partial_collect_list"), "bucket collect lost map-side partial aggregation")
+    // one banded exchange for the collect pass + one small aggregated-count
+    // exchange; the in-cap key set joins via broadcast, never reshuffling
+    // the banded table
+    val bandedExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandedExchanges <= 2, s"unexpected extra banding shuffles: $bandedExchanges")
+  }
+
   test("as-of join is a single window pass, not a range join") {
     val p = plan("as1_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
