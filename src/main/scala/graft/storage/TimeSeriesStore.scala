@@ -128,14 +128,27 @@ object Storage {
   }
 }
 
-/** Parquet/lake-backed store — the ClickHouse-storage analogue. */
-final class ParquetStore(spark: SparkSession, root: String) extends Storage {
+/** Parquet/lake-backed store — the ClickHouse-storage analogue.
+  *
+  * @param indexTtlMs how long a cached series index stays fresh. The
+  *   reference keeps its whole index in RAM and re-reads the dictionary
+  *   table every 5 s (clickhouse.go:146-204) — that refresh loop is also
+  *   its multi-writer discovery mechanism. Here the index is a persisted
+  *   DataFrame (no must-fit-in-RAM ceiling) rebuilt lazily when older than
+  *   the TTL; a local `write` invalidates immediately (the reference also
+  *   updates its map inline on write), and other writers' series appear
+  *   within one TTL, matching the reference's 5 s staleness window.
+  *   `indexTtlMs = 0` disables caching (every read scans the dictionary). */
+final class ParquetStore(spark: SparkSession, root: String,
+    indexTtlMs: Long = 5000L) extends Storage {
   import Storage._
 
   override protected def session: SparkSession = spark
 
   private val samplesPath = s"$root/samples"
   private val seriesPath = s"$root/time_series"
+
+  @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
 
   private def exists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -170,6 +183,8 @@ final class ParquetStore(spark: SparkSession, root: String) extends Storage {
       .sortWithinPartitions("fingerprint", "timestamp_ms")
       .write.mode(SaveMode.Append).partitionBy("date")
       .option("compression", "zstd").parquet(samplesPath)
+
+    invalidateIndex()
   }
 
   /** Idempotent append: drops samples whose (fingerprint, timestamp_ms)
@@ -201,8 +216,40 @@ final class ParquetStore(spark: SparkSession, root: String) extends Storage {
   }
 
   /** Series dictionary with parsed labels map, deduplicated by fingerprint
-    * (read-side ReplacingMergeTree; reference index refresh clickhouse.go:159). */
-  def seriesIndex: DataFrame =
+    * (read-side ReplacingMergeTree; reference index refresh
+    * clickhouse.go:159). Served from a persisted snapshot while fresh — a
+    * serving deployment issuing many small matcher queries pays the
+    * dictionary scan + JSON parse once per TTL, not once per query. */
+  def seriesIndex: DataFrame = {
+    if (indexTtlMs <= 0) return buildIndex()
+    val now = System.currentTimeMillis()
+    cachedIndex match {
+      case Some((df, at)) if now - at < indexTtlMs => df
+      case _ => synchronized {
+        cachedIndex match {
+          case Some((df, at)) if System.currentTimeMillis() - at < indexTtlMs => df
+          case stale =>
+            stale.foreach(_._1.unpersist(blocking = false))
+            val df = buildIndex()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            df.count() // materialize now: concurrent readers share one scan
+            cachedIndex = Some((df, System.currentTimeMillis()))
+            df
+        }
+      }
+    }
+  }
+
+  /** Drop the cached index snapshot; the next read rebuilds from storage.
+    * Called by `write` (own new series must be visible immediately, like the
+    * reference's inline map update, clickhouse.go:438-447) and by anything
+    * that rewrites the dictionary out-of-band (e.g. after `Compact.run`). */
+  def invalidateIndex(): Unit = synchronized {
+    cachedIndex.foreach(_._1.unpersist(blocking = false))
+    cachedIndex = None
+  }
+
+  private def buildIndex(): DataFrame =
     spark.read.parquet(seriesPath)
       .dropDuplicates("fingerprint")
       .withColumn("labels_map", from_json(col("labels"), MapType(StringType, StringType)))

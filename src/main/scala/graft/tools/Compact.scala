@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *    `dropDuplicates` a no-op).
   *
   * Usage: runMain graft.tools.Compact <storeRoot>
+  *
+  * Live `ParquetStore` instances serving the same root should
+  * `invalidateIndex()` after a compaction (or just wait out their index
+  * TTL) so their cached dictionary snapshot re-reads the rewritten files.
   */
 object Compact {
 

@@ -13,6 +13,10 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FileScan metadata (PushedFilters etc.) truncates at 100 chars by
+    // default — long pushed-filter lists would hide the entries these
+    // contracts assert on
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 
   val dir = "/root/testdata/sf0.001"

@@ -194,4 +194,34 @@ class StorageSpec extends AnyFunSuite {
     // but samples appended twice
     assert(spark.read.parquet(s"$dir/samples").count() === 30)
   }
+
+  test("parquet: series index is served from a cached snapshot across queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxcache_").toString
+    val store = new ParquetStore(spark, dir) // default TTL: caching on
+    store.write(batchDF(fixture))
+    val q = Query(Start, End, Seq(eqMatch("code", "200")))
+    store.read(q).collect() // first read materializes the snapshot
+    // subsequent queries read the dictionary from the in-memory snapshot,
+    // not from parquet (reference analogue: in-RAM index, clickhouse.go:51-53)
+    val cachedDf = store.read(q)
+    cachedDf.collect() // finalize AQE so cache stages are visible in the plan
+    assert(cachedDf.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "matcher side should scan the cached index snapshot")
+    // invalidation drops the snapshot: the next query scans the dictionary
+    // files again (TTL=0 stores share this path — they never persist;
+    // note Spark's CacheManager substitutes any matching plan while a
+    // snapshot IS persisted, so un-persisting is what ends cache serving)
+    store.invalidateIndex()
+    val uncached = new ParquetStore(spark, dir, indexTtlMs = 0L)
+    val uncachedDf = uncached.read(q)
+    uncachedDf.collect()
+    assert(!uncachedDf.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // a write invalidates the snapshot — its new series is visible to the
+    // very next query (inline map update analogue, clickhouse.go:438-447)
+    store.write(batchDF(Seq(TimeSeries(
+      Seq(Label("__name__", "fresh_metric")),
+      Seq(Sample(T0, 1d))))))
+    assert(store.readTimeSeries(
+      Query(0L, Long.MaxValue, Seq(eqMatch("__name__", "fresh_metric")))).size === 1)
+  }
 }

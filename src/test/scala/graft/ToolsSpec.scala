@@ -107,6 +107,7 @@ class ToolsSpec extends AnyFunSuite {
       .select("fingerprint", "timestamp_ms", "value").collect().toSet
 
     graft.tools.Compact.run(spark, root)
+    store.invalidateIndex() // compaction rewrote the dictionary out-of-band
 
     val after = store.read(Query(0L, Long.MaxValue, Seq.empty))
       .select("fingerprint", "timestamp_ms", "value").collect().toSet
