@@ -10,14 +10,32 @@ import org.apache.spark.sql.functions._
   *
   * Semantics (reference: storages/base/base.go:90-138):
   *  - a missing label is equivalent to the empty string (`emptyLabel`);
-  *  - `=~` / `!~` regexes are fully anchored: `^(?:value)$`;
+  *  - `=~` / `!~` regexes are fully anchored (the reference compiles
+  *    `^(?:value)$`, base.go:101-103);
   *  - the matcher list is a conjunction (AND);
   *  - an EMPTY matcher list matches everything — the reference's bulk-export
   *    extension beyond PromQL (base.go:100-138, storages_test.go:264-356).
   *
-  * Dialect note: the reference compiles Go RE2; we use Java regex via
-  * `rlike`. The corpora in the test suite pin the common subset; RE2-only
-  * constructs (e.g. no backrefs) do not arise in matcher values.
+  * Dialect: the reference compiles Go RE2; the engine evaluates Java regex
+  * (`rlike` on the Catalyst path). Two measures close the gap without an
+  * RE2 engine on the classpath:
+  *
+  *  1. anchoring uses `\A(?:value)\z`, not `^...$` — Java's `$` (and `\Z`)
+  *     also match just before a trailing newline, so `^(?:foo)$` matches
+  *     "foo\n" under Java but not under RE2; `\z` is end-of-input in both
+  *     dialects. The same pattern string is used on the Catalyst and
+  *     driver paths, so they cannot diverge from each other.
+  *  2. `validateRe2` rejects the Java-only constructs RE2 refuses to
+  *     compile (backreferences, lookaround, atomic groups, possessive
+  *     quantifiers, `\Z`/`\G`). The reference errors at matcher-compile
+  *     time on these (base.go:101-103 regexp.Compile) — erroring loudly
+  *     here mirrors that; accepting them would *silently* return different
+  *     rows than the reference.
+  *
+  * Residual divergence (documented, not closable without re2j): `^`/`$`
+  * *inside* the value still carry Java line semantics against values with
+  * trailing newlines, and RE2-legal-but-Java-illegal syntax (e.g. `(?P<n>`
+  * named groups) errors here rather than matching.
   */
 object MatcherCompiler {
 
@@ -25,13 +43,60 @@ object MatcherCompiler {
   def labelValue(labels: Column, name: String): Column =
     coalesce(labels.getItem(name), lit(""))
 
+  /** Full-anchor wrapper, RE2-compatible end-of-input semantics. */
+  private def anchored(value: String): String = "\\A(?:" + value + ")\\z"
+
+  /** Reject constructs Java regex accepts but RE2 (the reference dialect)
+    * rejects. Throws IllegalArgumentException naming the construct —
+    * the analogue of the reference's compile-time matcher error. */
+  def validateRe2(pattern: String): Unit = {
+    var i = 0
+    var inClass = false
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"matcher regex uses $what, which RE2 (the reference dialect) does not support: $pattern")
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          pattern.charAt(i + 1) match {
+            case c if c >= '1' && c <= '9' && !inClass => fail(s"a backreference (\\$c)")
+            case 'k' if !inClass => fail("a named backreference (\\k)")
+            case 'Z' => fail("\\Z (Java: end-before-final-newline; RE2 has only \\z)")
+            case 'G' => fail("\\G (end-of-previous-match)")
+            case _ => ()
+          }
+          i += 2
+        case '[' if !inClass =>
+          inClass = true; i += 1
+          if (i < pattern.length && pattern.charAt(i) == '^') i += 1
+          if (i < pattern.length && pattern.charAt(i) == ']') i += 1 // leading ] is literal
+        case ']' if inClass =>
+          inClass = false; i += 1
+        case '(' if !inClass && i + 1 < pattern.length && pattern.charAt(i + 1) == '?' =>
+          val rest = pattern.substring(i + 2)
+          if (rest.startsWith("=") || rest.startsWith("!")) fail("lookahead (?= / (?!")
+          else if (rest.startsWith("<=") || rest.startsWith("<!")) fail("lookbehind (?<= / (?<!")
+          else if (rest.startsWith(">")) fail("an atomic group (?>")
+          i += 1
+        case c if !inClass && (c == '*' || c == '+' || c == '?' || c == '}')
+            && i + 1 < pattern.length && pattern.charAt(i + 1) == '+'
+            // `}+` is only a quantifier if the `}` closes a repetition like
+            // {2,3}; a bare `}` is a literal in both dialects. Cheap check:
+            // there is a matching `{` before it.
+            && (c != '}' || pattern.lastIndexOf('{', i) >= 0) =>
+          fail(s"a possessive quantifier ($c+)")
+        case _ => i += 1
+      }
+    }
+  }
+
   def compileOne(labels: Column, m: Matcher): Column = {
     val v = labelValue(labels, m.name)
     m.matchType match {
       case MatchType.Eq  => v === m.value
       case MatchType.Neq => v =!= m.value
-      case MatchType.Re  => v.rlike("^(?:" + m.value + ")$")
-      case MatchType.Nre => !v.rlike("^(?:" + m.value + ")$")
+      case MatchType.Re  => validateRe2(m.value); v.rlike(anchored(m.value))
+      case MatchType.Nre => validateRe2(m.value); !v.rlike(anchored(m.value))
     }
   }
 
@@ -40,15 +105,16 @@ object MatcherCompiler {
     matchers.map(compileOne(labels, _)).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Driver-side evaluation against a plain label map — used by tests and
-    * by the in-memory store variant (reference: storages/base/base.go:100-138). */
+    * by the in-memory store variant (reference: storages/base/base.go:100-138).
+    * Compiles the exact pattern string the Catalyst path uses. */
   def matches(labels: Map[String, String], matchers: Seq[Matcher]): Boolean =
     matchers.forall { m =>
       val v = labels.getOrElse(m.name, "")
       m.matchType match {
         case MatchType.Eq  => v == m.value
         case MatchType.Neq => v != m.value
-        case MatchType.Re  => ("^(?:" + m.value + ")$").r.findFirstIn(v).isDefined
-        case MatchType.Nre => ("^(?:" + m.value + ")$").r.findFirstIn(v).isEmpty
+        case MatchType.Re  => validateRe2(m.value); anchored(m.value).r.findFirstIn(v).isDefined
+        case MatchType.Nre => validateRe2(m.value); anchored(m.value).r.findFirstIn(v).isEmpty
       }
     }
 }

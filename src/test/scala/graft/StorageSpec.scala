@@ -195,6 +195,54 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/samples").count() === 30)
   }
 
+  test("regex anchoring is RE2 end-of-input: trailing newline does not match (X8)") {
+    // Go RE2's `$` in `^(?:v)$` is end-of-text; Java's `$` also matches
+    // before a final `\n`. The compiler anchors with `\A(?:v)\z` so both
+    // engine paths follow RE2 here.
+    import graft.core.MatcherCompiler
+    assert(!MatcherCompiler.matches(Map("l" -> "foo\n"), Seq(reMatch("l", "foo"))))
+    assert(MatcherCompiler.matches(Map("l" -> "foo"), Seq(reMatch("l", "foo"))))
+    assert(MatcherCompiler.matches(Map("l" -> "foo\n"), Seq(reMatch("l", "foo\\n"))))
+    assert(MatcherCompiler.matches(Map("l" -> "foo\n"), Seq(nreMatch("l", "foo"))))
+    // same through the full store read path (Catalyst rlike)
+    for ((storeName, store) <- makeStores()) {
+      store.write(batchDF(Seq(TimeSeries(
+        Seq(Label("__name__", "nl_metric"), Label("l", "foo\n")),
+        Seq(Sample(T0, 1d))))))
+      assert(store.readTimeSeries(Query(0L, Long.MaxValue, Seq(reMatch("l", "foo")))).isEmpty,
+        s"$storeName: trailing-newline value must not match an anchored regex")
+      assert(store.readTimeSeries(Query(0L, Long.MaxValue, Seq(reMatch("l", "foo\\n")))).size === 1,
+        s"$storeName: explicit \\n in the pattern still matches")
+    }
+  }
+
+  test("Java-only regex constructs are rejected at matcher compile (X8)") {
+    // RE2 refuses these at compile time (reference: base.go:101-103);
+    // accepting them under Java semantics would silently diverge.
+    import graft.core.MatcherCompiler
+    val rejected = Seq(
+      "(a)\\1",      // backreference
+      "\\k<g>",      // named backreference
+      "(?=a)b",      // lookahead
+      "(?!a)b",      // negative lookahead
+      "x(?<=a)",     // lookbehind
+      "x(?<!a)",     // negative lookbehind
+      "(?>ab)c",     // atomic group
+      "a*+b",        // possessive quantifiers
+      "a++b",
+      "a{2,3}+b",
+      "a\\Zb",       // Java-only anchors
+      "a\\Gb")
+    for (p <- rejected)
+      intercept[IllegalArgumentException] {
+        MatcherCompiler.matches(Map("l" -> "x"), Seq(reMatch("l", p)))
+      }
+    // common-subset constructs still compile and run
+    val accepted = Seq("(?i)FOO", "[a*+]?", "(a+)+", "a\\\\1", "\\Afoo\\z", "\\bword\\b", "[^]a]")
+    for (p <- accepted)
+      MatcherCompiler.matches(Map("l" -> "x"), Seq(reMatch("l", p))) // must not throw
+  }
+
   test("parquet: series index is served from a cached snapshot across queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idxcache_").toString
     val store = new ParquetStore(spark, dir) // default TTL: caching on
