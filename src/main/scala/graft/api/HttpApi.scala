@@ -20,8 +20,10 @@ import org.xerial.snappy.Snappy
   */
 final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
 
-  @volatile private var samplesWritten = 0L // A7 running counter
-  def totalSamplesWritten: Long = samplesWritten
+  // A7 running counter; atomic — concurrent /write handlers increment it
+  // (the reference uses a prometheus Counter, which is atomic too)
+  private val samplesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+  def totalSamplesWritten: Long = samplesWritten.get()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/write", new HttpHandler {
@@ -29,7 +31,7 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
       val series = Prompb.decodeWriteRequest(body)
       write(series)
-      samplesWritten += series.map(_.samples.size).sum
+      samplesWritten.addAndGet(series.map(_.samples.size).sum.toLong)
       Array.emptyByteArray
     }
   })

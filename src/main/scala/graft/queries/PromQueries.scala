@@ -161,11 +161,14 @@ object PromQueries {
     // Single partial-agg-friendly pass: min_by/max_by on the composite
     // (ts, value, event_id) key replace two full window sorts — same
     // deterministic tie-break as the oracle's row_number ordering, one
-    // exchange instead of two sorted ones.
+    // exchange instead of two sorted ones. The order key uses FULL
+    // microsecond precision (the oracle's ORDER BY ts does too; the data
+    // has sub-ms-distinct instants) — only the min_ts/max_ts *outputs* are
+    // millisecond-truncated.
     val e = Tables(s, dir, "events")
       .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-        col("value"), col("event_id"))
-    val orderKey = struct(col("ts_ms"), col("value"), col("event_id"))
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("event_id"))
+    val orderKey = struct(col("ts_us"), col("value"), col("event_id"))
     e.groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n_samples"),
         min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"),

@@ -82,11 +82,14 @@ object TextQueries {
     * it comma-joined (canonical, and hashable by the driver's pandas
     * compare — raw arrays are not). */
   private val t4DocFp = rowsOnly("t4_doc_fingerprint") { (s, dir) =>
+    // NULL text → NULL kernel output; coalesce both projections to the
+    // empty-document rendering ("" / 0) so fp and n_fp stay consistent
+    // (concat_ws alone would render NULL as "" while size stays NULL)
     val fp = rolling_fingerprint(col("text"), window = 8, mod = 16)
     Tables(s, dir, "documents").select(
       col("doc_id"),
-      concat_ws(",", fp.cast("array<string>")).as("fp"),
-      size(fp).as("n_fp"))
+      concat_ws(",", coalesce(fp, array()).cast("array<string>")).as("fp"),
+      size(coalesce(fp, array())).as("n_fp"))
   }
 
   val all: Seq[QueryDef] = Seq(t1Tokens, t2Quality, t3LangId, t4DocFp)

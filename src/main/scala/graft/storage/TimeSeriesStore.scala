@@ -157,7 +157,10 @@ final class ParquetStore(spark: SparkSession, root: String,
 
   override def write(batch: DataFrame): Unit = {
     val (samples, series) = prepare(batch)
+    writeParts(samples, series)
+  }
 
+  private def writeParts(samples: DataFrame, series: DataFrame): Unit = {
     // New-series detection (clickhouse.go:438-447): anti-join the batch's
     // series against the stored dictionary, so the dictionary only grows by
     // genuinely new fingerprints. Cross-writer duplicates that race are
@@ -193,7 +196,9 @@ final class ParquetStore(spark: SparkSession, root: String,
     * SURVEY.md §2.9; this is the Delta-MERGE-shaped alternative). The
     * existence check reads ONLY the date partitions the batch touches, so
     * its cost tracks batch time-span, not table size. Same-key samples
-    * with different values count as duplicates (first write wins). */
+    * with different values count as duplicates (first write wins).
+    * The fingerprint is computed once here and flows through to the write
+    * (no second pass through `prepare`). */
   def writeIdempotent(batch: DataFrame): Unit = {
     val withFp = batch
       .withColumn("fingerprint", graft.functions.labels_fingerprint(col("labels")))
@@ -212,7 +217,12 @@ final class ParquetStore(spark: SparkSession, root: String,
           .select("fingerprint", "timestamp_ms")
         withFp.join(existing, Seq("fingerprint", "timestamp_ms"), "left_anti")
       }
-    write(fresh.drop("fingerprint"))
+    val samples = fresh.select(
+      col("fingerprint"), col("timestamp_ms").cast(LongType), col("value").cast(DoubleType))
+    val series = fresh
+      .select(col("fingerprint"), labels_json(col("labels")).as("labels"))
+      .dropDuplicates("fingerprint")
+    writeParts(samples, series)
   }
 
   /** Series dictionary with parsed labels map, deduplicated by fingerprint
