@@ -37,7 +37,17 @@ object MatchType {
   * anchored: `^(?:value)$` (base.go:101-103). */
 final case class Matcher(name: String, matchType: MatchType, value: String)
 
+/** Prometheus read hints (reference: prompb/prompb.proto:45-50) — the
+  * caller's outer function and step. The reference receives and DROPS these
+  * (handlers/prom.go:184-186); this engine exploits them: an aggregating
+  * `func` with a positive `stepMs` is answered with per-step pre-aggregated
+  * buckets instead of raw samples (see [[graft.storage.Storage.readSeries]]),
+  * cutting the wire volume by the step/scrape-interval ratio. */
+final case class ReadHints(
+    stepMs: Long = 0L, func: String = "", startMs: Long = 0L, endMs: Long = 0L)
+
 /** A read query: closed time interval + conjunction of matchers.
   * Empty matcher list matches everything (bulk-export extension,
   * reference: storages/base/base.go:100-138). */
-final case class Query(startMs: Long, endMs: Long, matchers: Seq[Matcher])
+final case class Query(startMs: Long, endMs: Long, matchers: Seq[Matcher],
+    hints: Option[ReadHints] = None)

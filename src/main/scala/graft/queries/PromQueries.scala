@@ -359,9 +359,30 @@ object PromQueries {
         col("prev_click_ts_us"))
   }
 
+  /** RH1: hinted read — the ReadHints exploitation path
+    * (prompb.proto:45-50, the field the reference receives and drops,
+    * prom.go:184-186). A `max_over_time` hint with a 6 h step is answered
+    * from per-(series, step-bucket) aggregates via the exact production
+    * helper the wire path uses (Storage.hintedDownsample): one
+    * partial-agg shuffle, step/interval-fold less data on the wire. */
+  private val rh1Hinted = withOracle("rh1_hinted_read",
+    """SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels,
+      |       epoch_ms(ts) - epoch_ms(ts) % 21600000 AS bucket_ms,
+      |       round(max(value), 2) AS max_v
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val flat = eventSamples(s, dir).select(
+      labels_fingerprint(col("labels")).as("fingerprint"),
+      col("timestamp_ms"), col("value"),
+      labels_json(col("labels")).as("labels"))
+    graft.storage.Storage
+      .hintedDownsample(flat, graft.model.ReadHints(21600000L, "max_over_time")).get
+      .select(col("labels"), col("timestamp_ms").as("bucket_ms"),
+        round(col("value"), 2).as("max_v"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
     a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
-    rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin)
+    rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted)
 }

@@ -158,11 +158,39 @@ object Prompb {
 
   // ---- read protocol (prompb.proto:32-71) ----
   // LabelMatcher { 1: enum type (EQ=0 NEQ=1 RE=2 NRE=3); 2: name; 3: value }
-  // Query { 1: int64 start_ms; 2: int64 end_ms; 3: repeated LabelMatcher; 4: hints (ignored) }
+  // Query { 1: int64 start_ms; 2: int64 end_ms; 3: repeated LabelMatcher; 4: ReadHints }
+  // ReadHints { 1: int64 step_ms; 2: string func; 3: int64 start_ms; 4: int64 end_ms }
+  //   (prompb.proto:45-50 — decoded here and exploited by the hinted read
+  //   path, unlike the reference which logs and drops them, prom.go:184-186)
   // ReadRequest { 1: repeated Query } / ReadResponse { 1: repeated QueryResult }
   // QueryResult { 1: repeated TimeSeries }
 
-  import graft.model.{MatchType, Matcher, Query}
+  import graft.model.{MatchType, Matcher, Query, ReadHints}
+
+  private def encodeHints(h: ReadHints): Array[Byte] = {
+    val w = new Writer
+    if (h.stepMs != 0) w.int64(1, h.stepMs)
+    if (h.func.nonEmpty) w.string(2, h.func)
+    if (h.startMs != 0) w.int64(3, h.startMs)
+    if (h.endMs != 0) w.int64(4, h.endMs)
+    w.result()
+  }
+
+  private def decodeHints(buf: Array[Byte], start: Int, len: Int): ReadHints = {
+    val r = new Reader(buf, start, start + len)
+    var step = 0L; var func = ""; var s0 = 0L; var e0 = 0L
+    while (r.hasMore) {
+      val t = r.varint()
+      (t >> 3).toInt match {
+        case 1 => step = r.varint()
+        case 2 => val (s, l) = r.lenDelimited(); func = new String(buf, s, l, "UTF-8")
+        case 3 => s0 = r.varint()
+        case 4 => e0 = r.varint()
+        case _ => r.skip((t & 7).toInt)
+      }
+    }
+    ReadHints(step, func, s0, e0)
+  }
 
   private def matchTypeToInt(t: MatchType): Int = t match {
     case MatchType.Eq => 0; case MatchType.Neq => 1
@@ -202,12 +230,14 @@ object Prompb {
     if (q.startMs != 0) w.int64(1, q.startMs)
     if (q.endMs != 0) w.int64(2, q.endMs)
     q.matchers.foreach(m => w.bytes(3, encodeMatcher(m)))
+    q.hints.foreach(h => w.bytes(4, encodeHints(h)))
     w.result()
   }
 
   def decodeQuery(buf: Array[Byte], start: Int, len: Int): Query = {
     val r = new Reader(buf, start, start + len)
     var s0 = 0L; var e0 = 0L
+    var hints: Option[ReadHints] = None
     val ms = Seq.newBuilder[Matcher]
     while (r.hasMore) {
       val t = r.varint()
@@ -215,10 +245,11 @@ object Prompb {
         case 1 => s0 = r.varint()
         case 2 => e0 = r.varint()
         case 3 => val (s, l) = r.lenDelimited(); ms += decodeMatcher(buf, s, l)
-        case _ => r.skip((t & 7).toInt) // hints received but ignored, like the reference
+        case 4 => val (s, l) = r.lenDelimited(); hints = Some(decodeHints(buf, s, l))
+        case _ => r.skip((t & 7).toInt)
       }
     }
-    Query(s0, e0, ms.result())
+    Query(s0, e0, ms.result(), hints)
   }
 
   def encodeReadRequest(queries: Seq[Query]): Array[Byte] = {

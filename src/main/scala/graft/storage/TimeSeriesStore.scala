@@ -57,9 +57,13 @@ trait Storage {
     }
 
   /** Assembled series, reference read contract: samples time-ordered within
-    * each series (prompb.proto:59-62). */
+    * each series (prompb.proto:59-62). When the query carries exploitable
+    * ReadHints (aggregating func + step), samples are served pre-aggregated
+    * per step bucket — the optimization the reference's dropped-hints field
+    * anticipates (prompb.proto:45-50, prom.go:184-186). */
   final def readSeries(q: Query): DataFrame = {
-    val flat = readQuery(q)
+    val flat0 = readQuery(q)
+    val flat = q.hints.flatMap(h => Storage.hintedDownsample(flat0, h)).getOrElse(flat0)
     flat
       .groupBy(col("fingerprint"), col("labels"))
       .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
@@ -108,6 +112,36 @@ object Storage {
   /** Threshold between IN-list pruning and broadcast semi-join, the
     * reference's MaxTimeSeriesInQuery default (cmd/promhouse/main.go:198). */
   val MaxSeriesInline = 50
+
+  /** Hint funcs answerable from step buckets; `*_over_time` variants map to
+    * the same aggregate. Anything else (rate, quantile, …) is served raw. */
+  private val HintAggs: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map(
+    "avg" -> (c => avg(c)),
+    "sum" -> (c => sum(c)),
+    "min" -> (c => min(c)),
+    "max" -> (c => max(c)),
+    "count" -> (c => count(c).cast(DoubleType)))
+
+  /** Pre-aggregate a flat (fingerprint, timestamp_ms, value, labels) frame
+    * into per-(series, step-bucket) samples for an exploitable hint; None
+    * when the hint cannot be answered by bucketing (the caller then serves
+    * raw samples, exactly like the reference always does). Bucket timestamps
+    * are step-aligned via floored division, so they are stable across
+    * queries with the same step — a Prometheus caller can cache/merge them.
+    * One partial-agg shuffle on (fingerprint, bucket); at 100 TB this is
+    * the same plan shape as the ds1 streaming downsample. */
+  def hintedDownsample(flat: DataFrame, hints: graft.model.ReadHints): Option[DataFrame] = {
+    if (hints.stepMs <= 0) return None
+    val base = hints.func.stripSuffix("_over_time")
+    HintAggs.get(base).map { agg =>
+      val step = lit(hints.stepMs)
+      flat
+        .groupBy(col("fingerprint"), col("labels"),
+          (col("timestamp_ms") - pmod(col("timestamp_ms"), step)).as("timestamp_ms"))
+        .agg(agg(col("value")).as("value"))
+        .select("fingerprint", "timestamp_ms", "value", "labels")
+    }
+  }
 
   val samplesSchema: StructType = StructType(Seq(
     StructField("fingerprint", LongType, nullable = false),

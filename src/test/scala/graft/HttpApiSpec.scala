@@ -65,9 +65,39 @@ class HttpApiSpec extends AnyFunSuite {
     import graft.sources.Prompb
     val queries = Seq(
       Query(1L, 2L, Seq(Matcher("a", MatchType.Eq, "x"), Matcher("b", MatchType.Nre, "y.*"))),
-      Query(0L, 9L, Seq.empty))
+      Query(0L, 9L, Seq.empty),
+      Query(1L, 9L, Seq.empty, Some(ReadHints(60000L, "avg_over_time", 1L, 9L))))
     assert(Prompb.decodeReadRequest(Prompb.encodeReadRequest(queries)) === queries)
     val resp = Seq(fixture, Seq.empty)
     assert(Prompb.decodeReadResponse(Prompb.encodeReadResponse(resp)) === resp)
+  }
+
+  test("hinted remote read serves pre-aggregated step buckets over the wire") {
+    val api = new HttpApi(spark, new MemoryStore(spark))
+    val port = api.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      assert(HttpApi.remoteWrite(url, fixture) === 200)
+      val m = Seq(Matcher("__name__", MatchType.Eq, "http_requests_total"))
+
+      // max over 2 s buckets: samples at T0+0..4 s with values 13..17
+      // collapse to buckets (T0, 14), (T0+2s, 16), (T0+4s, 17)
+      val hinted = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
+        Some(ReadHints(stepMs = 2000L, func = "max_over_time"))))).head
+      assert(hinted.size === 1)
+      assert(hinted.head.samples === Seq(
+        Sample(T0, 14d), Sample(T0 + 2000, 16d), Sample(T0 + 4000, 17d)))
+
+      // count func (cast to double) over one wide bucket
+      val counted = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
+        Some(ReadHints(stepMs = 3600_000L, func = "count"))))).head
+      assert(counted.head.samples.map(_.value) === Seq(5d))
+
+      // un-exploitable func (rate needs adjacent raw points): raw samples,
+      // reference-identical behavior
+      val raw = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
+        Some(ReadHints(stepMs = 2000L, func = "rate"))))).head
+      assert(raw.head.samples === fixture.head.samples)
+    } finally api.stop()
   }
 }
