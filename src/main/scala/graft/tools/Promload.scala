@@ -46,13 +46,20 @@ object Promload {
     spark.stop()
   }
 
-  /** File source → store sink: one distributed read, one store append. */
+  /** File source → store sink: one distributed read, one store append.
+    * Progress is byte-accounted like the reference's file source
+    * (file.go:96-105: bytes consumed vs file size). */
   def fileToStore(spark: SparkSession, src: String, root: String): Unit = {
     val batch = PromFile.read(spark, src)
     val store = new ParquetStore(spark, root)
     store.write(batch)
-    println(s"[promload] copied ${batch.count()} samples from $src to $root")
+    val srcBytes = dirBytes(new java.io.File(src))
+    println(s"[promload] copied ${batch.count()} samples ($srcBytes source bytes, 100.0%) from $src to $root")
   }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
 
   /** S9 as a live source: scrape a text-exposition endpoint `scrapes`
     * times at `intervalMs`, stamping un-timestamped samples with scrape
@@ -82,24 +89,55 @@ object Promload {
     }
   }
 
+  /** Read-ahead bound between the chunk reader and the file writer — the
+    * reference's bounded channel (cap 10, cmd/promload/main.go:201): a slow
+    * sink back-pressures the reader instead of letting it buffer the whole
+    * source in memory. */
+  val ReadAheadChunks = 10
+
   /** Store source → file sink in tumbling [start, end) chunks; the last
-    * partial chunk is clamped (reference: cmd/promload/main.go:141-147). */
+    * partial chunk is clamped (reference: cmd/promload/main.go:141-147).
+    * A reader thread pulls chunks ahead of the writer through a bounded
+    * queue (cap [[ReadAheadChunks]]); progress reports percent of the time
+    * range plus bytes written (reference: file.go:96-105 byte accounting). */
   def storeToFile(spark: SparkSession, root: String, dst: String,
       startMs: Long, endMs: Long, stepMs: Long): Unit = {
     import spark.implicits._
     val store = new ParquetStore(spark, root)
-    var chunkStart = startMs
+
+    // (chunkStart, chunkEnd, series); None = source drained
+    val queue = new java.util.concurrent.ArrayBlockingQueue[
+      Option[(Long, Long, Seq[graft.model.TimeSeries])]](ReadAheadChunks)
+    val reader = new Thread(() => {
+      try {
+        var chunkStart = startMs
+        while (chunkStart < endMs) {
+          val chunkEnd = math.min(chunkStart + stepMs, endMs)
+          // closed interval on [chunkStart, chunkEnd-1] so chunks don't overlap
+          val series = store.readTimeSeries(Query(chunkStart, chunkEnd - 1, Seq.empty))
+          queue.put(Some((chunkStart, chunkEnd, series))) // blocks when full
+          chunkStart = chunkEnd
+        }
+      } finally queue.put(None)
+    }, "promload-chunk-reader")
+    reader.setDaemon(true)
+    reader.start()
+
     var copied = 0L
-    while (chunkStart < endMs) {
-      val chunkEnd = math.min(chunkStart + stepMs, endMs)
-      // closed interval on [chunkStart, chunkEnd-1] so chunks don't overlap
-      val series = store.readTimeSeries(Query(chunkStart, chunkEnd - 1, Seq.empty))
-      if (series.nonEmpty)
-        PromFile.write(series.toDS(), s"$dst/chunk_$chunkStart")
-      copied += series.map(_.samples.size).sum
-      val pct = 100.0 * (chunkEnd - startMs) / (endMs - startMs)
-      println(f"[promload] $pct%5.1f%% — ${series.size} series, $copied total samples")
-      chunkStart = chunkEnd
+    var bytes = 0L
+    var done = false
+    while (!done) queue.take() match {
+      case None => done = true
+      case Some((chunkStart, chunkEnd, series)) =>
+        if (series.nonEmpty) {
+          val chunkDir = s"$dst/chunk_$chunkStart"
+          PromFile.write(series.toDS(), chunkDir)
+          bytes += dirBytes(new java.io.File(chunkDir))
+        }
+        copied += series.map(_.samples.size).sum
+        val pct = 100.0 * (chunkEnd - startMs) / (endMs - startMs)
+        println(f"[promload] $pct%5.1f%% — ${series.size} series, $copied total samples, $bytes bytes written")
     }
+    reader.join()
   }
 }
