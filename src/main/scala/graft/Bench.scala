@@ -27,9 +27,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // d3 is the deliberately quadratic exact baseline (d2 is its scale
-    // path); s3 includes a KMeans *training* step — the serving-side scale
-    // path for ANN is s2. Neither belongs in the per-query latency table.
-    val skip = Set("d3_ngram_jaccard", "s3_ann_ivf")
+    // path) and d6's gate form embeds the same exact pair set as its oracle
+    // anchor (the scale path is keepList over d2's LSH pairs); s3 includes
+    // a KMeans *training* step — the serving-side scale path for ANN is
+    // s2. None belongs in the per-query latency table.
+    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the smallest SF (not timed)

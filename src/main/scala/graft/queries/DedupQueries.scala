@@ -145,6 +145,88 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
   }
 
+  /** D6: dedup keep-list — the final step of a training-data dedup
+    * pipeline: collapse near-dup pairs into connected components and elect
+    * one keeper (min doc_id) per component; every document maps to its
+    * keeper (itself when un-duplicated).
+    *
+    * Distributed CC by iterative min-label propagation:
+    * `comp(v) ← min(comp(v), min over neighbors comp(u))` until fixpoint —
+    * each round is one equi-join + partial-agg groupBy (no cartesian, no
+    * driver-side graph). Rounds needed = graph diameter; near-dup
+    * components are dense families (quasi-cliques), so 2-3 rounds converge
+    * in practice. Lineage is truncated per round (eager localCheckpoint;
+    * at 100 TB: checkpoint to the cluster store), and the loop stops the
+    * round after nothing changes.
+    *
+    * `pairs` is pluggable: at scale feed `minhashPairs` (the d2 LSH path);
+    * the oracle-checked gate query feeds the exact-Jaccard pairs so DuckDB
+    * can replicate the semantics with a recursive CTE. ExtSpec asserts the
+    * two pair sources produce identical keep-lists. */
+  private[graft] def keepList(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var comp = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(comp.select(col("doc_id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("comp").as("nbr_comp"))
+      val next = comp.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(comp.withColumnRenamed("comp", "prev"), "doc_id")
+        .where(col("comp") =!= col("prev")).isEmpty
+      comp = next
+      rounds += 1
+    }
+    docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_id"))
+  }
+
+  /** Exact near-dup pairs (doc_a, doc_b) — d3's pair set, reused by the d6
+    * oracle anchor. */
+  private def exactPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(s, dir)
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .where(jac >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private val d6KeepList = withOracle("d6_dedup_keeplist",
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)),
+       |           i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+       |                string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS sh
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |  WHERE cast(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |c AS (SELECT a AS doc_id, least(min(b), a) AS keep FROM reach GROUP BY a)
+       |SELECT docs.doc_id, coalesce(c.keep, docs.doc_id) AS keep_id
+       |FROM documents docs LEFT JOIN c USING (doc_id)""".stripMargin) { (s, dir) =>
+    keepList(exactPairs(s, dir), Tables(s, dir, "documents"))
+  }
+
   /** D4 SimHash near-dup pairs: 64-bit signature, bucket on the top 16
     * bits, verify by Hamming distance within buckets. */
   private val d4Simhash = rowsOnly("d4_dedup_simhash") { (s, dir) =>
@@ -185,5 +267,5 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
   }
 
-  val all: Seq[QueryDef] = Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed)
+  val all: Seq[QueryDef] = Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList)
 }

@@ -56,6 +56,29 @@ class ExtSpec extends AnyFunSuite {
     assert(d1.length == 1 && d1.head.getAs[Long]("keep_id") == 1L)
   }
 
+  test("keep-list CC: LSH pairs and exact pairs elect identical keepers") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = graft.SparkEntry.queries("d3_ngram_jaccard")(spark, sf)
+    val viaExact = graft.queries.DedupQueries.keepList(exact, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = graft.queries.DedupQueries.keepList(
+      graft.queries.DedupQueries.minhashPairs(spark, sf), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExact === viaLsh)
+    assert(viaExact.exists { case (id, keep) => id != keep }, "fixture should contain dups")
+  }
+
+  test("keep-list CC: chain components converge to the global min keeper") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5 needs multi-round propagation; 6 is isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 6L).toDF("doc_id")
+    val kl = graft.queries.DedupQueries.keepList(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
