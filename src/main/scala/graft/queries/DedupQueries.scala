@@ -136,9 +136,12 @@ object DedupQueries {
           |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+    // No broadcast hint on the verification joins: the shingle table is
+    // corpus-sized — a forced broadcast would OOM at scale. AQE broadcasts
+    // it while it is small and shuffles on doc_id once it is not.
     val withSets = candidates
-      .join(broadcast(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
-      .join(broadcast(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     withSets.where(jac >= JaccardThreshold)
@@ -235,7 +238,9 @@ object DedupQueries {
       .withColumn("bucket", shiftrightunsigned(col("sim"), 48))
     val a = d.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("bucket"))
     val b = d.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("bucket"))
-    a.join(broadcast(b), Seq("bucket"))
+    // plain equi-join on the bucket key — both sides are corpus-sized, so
+    // no broadcast hint; AQE picks broadcast only while the table is small
+    a.join(b, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= 6)

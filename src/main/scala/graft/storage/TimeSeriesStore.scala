@@ -101,11 +101,13 @@ trait Storage {
     TimeSeries(labels, samples)
   }
 
-  /** Reference output order: metric name, then fingerprint
-    * (utils/timeseries/timeseries.go:32-56). */
+  /** Reference output order: metric name, then fingerprint — UNSIGNED
+    * uint64 order (utils/timeseries/timeseries.go:32-56; fingerprints
+    * routinely exceed Long.MaxValue, README.md:35). Flipping the sign bit
+    * makes signed comparison follow unsigned order. */
   private def seriesSortKey(ts: TimeSeries): (String, Long) =
     (ts.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
-      graft.core.Fingerprint.of(ts.labels))
+      graft.core.Fingerprint.of(ts.labels) ^ Long.MinValue)
 }
 
 object Storage {

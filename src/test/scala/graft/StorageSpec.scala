@@ -93,7 +93,7 @@ class StorageSpec extends AnyFunSuite {
       val got = store.readTimeSeries(Query(Start, End, Seq(eqMatch("__name__", "http_requests_total"))))
       val want = fixture.map(ts => ts.copy(labels = ts.sortedLabels))
         .sortBy(ts => (ts.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
-          graft.core.Fingerprint.of(ts.labels)))
+          graft.core.Fingerprint.of(ts.labels) ^ Long.MinValue)) // unsigned order
       assert(got === want)
     }
 
@@ -193,6 +193,25 @@ class StorageSpec extends AnyFunSuite {
     assert(dict.count() === 3) // no duplicate dictionary rows
     // but samples appended twice
     assert(spark.read.parquet(s"$dir/samples").count() === 30)
+  }
+
+  test("series output order follows UNSIGNED fingerprint order (O3)") {
+    // the reference sorts by name then uint64 fingerprint
+    // (timeseries.go:32-56); fingerprints exceed Long.MaxValue, so a signed
+    // sort would order them wrongly. Find label sets on both sides of the
+    // sign boundary and check the read-out order.
+    import graft.core.Fingerprint
+    def labelsFor(i: Int) = Seq(Label("__name__", "m"), Label("i", i.toString))
+    val neg = (0 until 1000).find(i => Fingerprint.of(labelsFor(i)) < 0).get
+    val pos = (0 until 1000).find(i => Fingerprint.of(labelsFor(i)) > 0).get
+    val store = new MemoryStore(spark)
+    store.write(batchDF(Seq(
+      TimeSeries(labelsFor(neg), Seq(Sample(T0, 1d))),
+      TimeSeries(labelsFor(pos), Seq(Sample(T0, 2d))))))
+    val out = store.readTimeSeries(Query(0L, Long.MaxValue, Seq.empty))
+    val fps = out.map(ts => Fingerprint.of(ts.labels))
+    // unsigned order: positive (high bit clear) sorts before negative
+    assert(fps === fps.sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
   }
 
   test("regex anchoring is RE2 end-of-input: trailing newline does not match (X8)") {
