@@ -52,8 +52,10 @@ object CoreQueries {
       .limit(10)
   }
 
-  /** J1/J3 star join: fact joined to three dimension tables — all three are
-    * broadcast (dimensions are tiny at any SF; region/nation are bounded). */
+  /** J1/J3 star join: fact joined to three dimension tables. nation/region
+    * are BOUNDED (25/5 rows) — forced broadcast is always right; customer
+    * grows with SF, so no hint: AQE broadcasts it while small and falls
+    * back to a shuffle join at the scale where broadcasting would OOM. */
   private val q3Join = withOracle("q3_join",
     """SELECT r.r_name, n.n_name,
       |       count(*) AS n_orders,
@@ -67,7 +69,7 @@ object CoreQueries {
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
     val r = Tables(s, dir, "region")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -75,10 +77,11 @@ object CoreQueries {
         round(sum("o_totalprice"), 2).as("revenue"))
   }
 
-  /** J2/F7 fingerprint-set pruning: a small key set semi-joins the fact
+  /** J2/F7 fingerprint-set pruning: a selective key set semi-joins the fact
     * table — the Spark analogue of the reference's IN-list / temp-table
-    * switch (clickhouse.go:282-370). Broadcast left-semi join: no shuffle
-    * of the fact side. */
+    * switch (clickhouse.go:282-370). Left-semi with no forced hint: the key
+    * set grows with SF, so AQE picks broadcast (no fact shuffle) while it
+    * fits and degrades to a shuffle join instead of an OOM when it won't. */
   private val q4SemiJoin = withOracle("q4_semijoin",
     """SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
       |FROM lineitem
@@ -88,7 +91,7 @@ object CoreQueries {
     val keys = Tables(s, dir, "supplier")
       .where(col("s_acctbal") > 9000.0)
       .select(col("s_suppkey").as("l_suppkey"))
-    li.join(broadcast(keys), Seq("l_suppkey"), "left_semi")
+    li.join(keys, Seq("l_suppkey"), "left_semi")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
   }

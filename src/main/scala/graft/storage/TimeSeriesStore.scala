@@ -115,6 +115,11 @@ object Storage {
     * reference's MaxTimeSeriesInQuery default (cmd/promhouse/main.go:198). */
   val MaxSeriesInline = 50
 
+  /** Above this matched-series cardinality the read path stops forcing a
+    * broadcast semi-join (a million fingerprints ≈ 8 MB broadcasts fine; a
+    * hundred million would OOM executors) and lets AQE choose. */
+  val BroadcastSeriesLimit = 1000000L
+
   /** Hint funcs answerable from step buckets; `*_over_time` variants map to
     * the same aggregate. Anything else (rate, quantile, …) is served raw. */
   private val HintAggs: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map(
@@ -317,21 +322,35 @@ final class ParquetStore(spark: SparkSession, root: String,
       .where(col("date") >= to_date(timestamp_millis(lit(minDateMs)))
         && col("date") <= to_date(timestamp_millis(lit(maxDateMs))))
 
-    // Physical strategy switch, reference clickhouse.go:409-412 — but here
-    // the small-set branch pushes an IN filter all the way into the parquet
-    // row-group stats, and the large-set branch is a broadcast semi-join
-    // (no shuffle of the fact table either way).
+    // Physical strategy switch — the reference's 2-tier IN-list/temp-table
+    // choice (clickhouse.go:409-412) extended to 4 tiers by matched-set
+    // cardinality (cheap to know: the index is cached):
+    //  1. ≤MaxSeriesInline: IN filter pushed into parquet row-group stats;
+    //  2. ≤BroadcastSeriesLimit: forced broadcast left-semi — fact table
+    //     never shuffles;
+    //  3. above that: unhinted semi-join — AQE shuffles rather than OOMs;
+    //  4. empty matcher list (bulk export, every series matches): no
+    //     pruning join at all.
+    // Label attach follows the same hint rule.
     val fps = matched.select("fingerprint").as[Long](spark.implicits.newLongEncoder)
       .take(MaxSeriesInline + 1)
     if (fps.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         samplesSchema.add("labels", StringType))
     } else {
+      val matchedAll = q.matchers.isEmpty
+      val smallMatch = !matchedAll && fps.length > MaxSeriesInline &&
+        matched.count() <= BroadcastSeriesLimit // count on the cached index
       val pruned =
         if (fps.length <= MaxSeriesInline) samples.where(col("fingerprint").isin(fps: _*))
-        else samples.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")
+        else if (matchedAll) samples // every series matches: pruning is a no-op
+        else if (smallMatch)
+          samples.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")
+        else samples.join(matched.select("fingerprint"), Seq("fingerprint"), "left_semi")
+      val attach =
+        if (fps.length <= MaxSeriesInline || smallMatch) broadcast(matched) else matched
       pruned
-        .join(broadcast(matched), Seq("fingerprint"))
+        .join(attach, Seq("fingerprint"))
         .select("fingerprint", "timestamp_ms", "value", "labels")
     }
   }
