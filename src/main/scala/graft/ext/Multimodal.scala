@@ -62,4 +62,27 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, ts_ms: Long, luma: Double)
+
+  /** Frame sampling — the 1-row → N-rows generator shape of video
+    * pipelines: each media payload yields one sampled frame per `stepMs`
+    * of (stubbed) duration, capped at `maxFrames`. Map-only plan: the
+    * expansion happens inside the partition iterator (constant memory, no
+    * shuffle, binary payload never copied per frame). The stub "decoder"
+    * derives duration from payload size (1 B ≈ 1 ms) and a deterministic
+    * per-frame luma — a real ffmpeg frame grab slots into the same
+    * flatMap without touching the plan shape. */
+  def sampleFrames(media: Dataset[MediaRow], stepMs: Long = 1000L,
+      maxFrames: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val durationMs = r.media.length.toLong // stub: 1 byte ≈ 1 ms
+        val n = math.min(maxFrames.toLong, durationMs / stepMs + 1)
+        (0L until n).iterator.map(i =>
+          FrameRow(r.doc_id, i, i * stepMs, ((r.doc_id * 131 + i) % 256).toDouble))
+      }
+    }
+  }
 }

@@ -31,6 +31,21 @@ object MultimodalQueries {
     Multimodal.extractFeatures(Multimodal.asMedia(s, dir)).toDF()
   }
 
+  /** MM3 frame sampling: the 1-row → N-frames generator shape (video
+    * frame-grab pipelines), run through the real mapPartitions transform
+    * (graft.ext.Multimodal.sampleFrames). The stub decode is simple
+    * arithmetic on payload size, so this one IS oracle-checkable. */
+  private val mm3Frames = withOracle("mm3_frame_sample",
+    """SELECT d.doc_id, i.i AS frame_idx,
+      |       i.i * 1000 AS ts_ms,
+      |       cast((d.doc_id * 131 + i.i) % 256 AS DOUBLE) AS luma
+      |FROM (SELECT doc_id,
+      |             least(3, octet_length(encode(text)) // 1000) AS max_i
+      |      FROM documents) d
+      |JOIN (SELECT unnest(range(4)) AS i) i ON i.i <= d.max_i""".stripMargin) { (s, dir) =>
+    Multimodal.sampleFrames(Multimodal.asMedia(s, dir)).toDF()
+  }
+
   /** X10 instance fan-out: clone each series for N instances with a
     * templated label (faker.go:106-151) — explode, no custom generator.
     * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
@@ -47,5 +62,5 @@ object MultimodalQueries {
           ((col("event_id") * 31 + col("i")) % 10)), 4).as("value"))
   }
 
-  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, x10Fanout)
+  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, x10Fanout)
 }

@@ -137,6 +137,15 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(est - 0.667) < 0.15, s"estimate $est")
   }
 
+  test("frame sampling: 1-row-to-N generator stays a map-only plan (no shuffle)") {
+    val frames = graft.ext.Multimodal.sampleFrames(
+      graft.ext.Multimodal.asMedia(spark, sf), stepMs = 100L) // short docs: force expansion
+    val n = frames.count()
+    assert(n > 500, s"expansion should yield multiple frames per doc, got $n")
+    val p = frames.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "frame expansion must not shuffle")
+  }
+
   test("multimodal stub decode: deterministic, streams through mapPartitions") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(spark, sf))
     val rows = feats.collect()

@@ -195,6 +195,22 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/samples").count() === 30)
   }
 
+  test("parquet: another writer's series appear within one index TTL (multi-writer discovery)") {
+    // the reference's shared-table refresh loop is its cluster-discovery
+    // mechanism (clickhouse.go:146-204, README.md:58-61); here: two stores
+    // on one root, reader discovers the other writer's series after TTL
+    val dir = java.nio.file.Files.createTempDirectory("graft_multiwriter_").toString
+    val reader = new ParquetStore(spark, dir, indexTtlMs = 150L)
+    val writerB = new ParquetStore(spark, dir)
+    reader.write(batchDF(fixture))
+    assert(reader.readTimeSeries(Query(0L, Long.MaxValue, Seq.empty)).size === 3)
+    writerB.write(batchDF(Seq(TimeSeries(
+      Seq(Label("__name__", "other_writer_metric")), Seq(Sample(T0, 9d))))))
+    Thread.sleep(200) // wait out the reader's TTL
+    assert(reader.readTimeSeries(
+      Query(0L, Long.MaxValue, Seq(eqMatch("__name__", "other_writer_metric")))).size === 1)
+  }
+
   test("series output order follows UNSIGNED fingerprint order (O3)") {
     // the reference sorts by name then uint64 fingerprint
     // (timeseries.go:32-56); fingerprints exceed Long.MaxValue, so a signed
