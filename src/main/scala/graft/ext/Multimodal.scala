@@ -63,6 +63,31 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  case class ResizedRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+
+  /** Resize — the binary→binary transform of image pipelines: payload in,
+    * (smaller) payload + updated metadata out, batched per partition like
+    * the decoder. STUB: deterministic stride subsampling of the bytes down
+    * to ≤`maxBytes` stands in for a real scaler; the contract that matters
+    * (and is tested) is output length ≤ maxBytes, determinism, and the
+    * map-only plan. */
+  def resize(media: Dataset[MediaRow], maxBytes: Int = 4096): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.media.length
+        val out =
+          if (n <= maxBytes) r.media
+          else {
+            val stride = (n + maxBytes - 1) / maxBytes
+            Array.tabulate(n / stride)(i => r.media(i * stride))
+          }
+        val (w, h, _, _) = stubDecode(out)
+        ResizedRow(r.doc_id, out, w, h)
+      }
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Long, ts_ms: Long, luma: Double)
 
   /** Frame sampling — the 1-row → N-rows generator shape of video

@@ -72,6 +72,19 @@ object Smoke {
     graft.SparkEntry.queries("as1_asof_join")(spark, "/root/testdata/sf0.001").show(3, false)
     println("DOWNSAMPLE sample:")
     graft.SparkEntry.queries("ds1_downsample")(spark, "/root/testdata/sf0.001").show(3, false)
+
+    // hinted read: pre-aggregated step buckets vs raw samples
+    val hinted = store.readTimeSeries(Query(1700000000000L, 1700000005000L,
+      Seq(Matcher("__name__", MatchType.Re, "http_.+")),
+      Some(graft.model.ReadHints(stepMs = 2000L, func = "max_over_time"))))
+    println(s"HINTED read (max/2s): ${hinted.head.samples} (raw had ${afterCompact.head.samples.size})")
+
+    // multimodal: resize + frame sampling over the documents fixture
+    val media = graft.ext.Multimodal.asMedia(spark, "/root/testdata/sf0.001")
+    val rz = graft.ext.Multimodal.resize(media, maxBytes = 64)
+    println(s"RESIZE: ${rz.count()} payloads, max bytes=${rz.collect().map(_.media.length).max}")
+    val fr = graft.ext.Multimodal.sampleFrames(media, stepMs = 100L)
+    println(s"FRAMES: ${fr.count()} frames from ${media.count()} docs")
     spark.stop()
   }
 }

@@ -146,6 +146,18 @@ class ExtSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "frame expansion must not shuffle")
   }
 
+  test("resize: binary-to-binary transform bounds payload size, deterministic, no shuffle") {
+    val media = graft.ext.Multimodal.asMedia(spark, sf)
+    val resized = graft.ext.Multimodal.resize(media, maxBytes = 64)
+    val rows = resized.collect()
+    assert(rows.nonEmpty && rows.forall(_.media.length <= 64))
+    // deterministic: same input → byte-identical output
+    val again = graft.ext.Multimodal.resize(media, maxBytes = 64).collect()
+    assert(rows.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => java.util.Arrays.equals(a.media, b.media) })
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("multimodal stub decode: deterministic, streams through mapPartitions") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(spark, sf))
     val rows = feats.collect()
