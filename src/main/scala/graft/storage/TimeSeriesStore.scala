@@ -56,14 +56,25 @@ trait Storage {
       case None => read(q).select("fingerprint", "timestamp_ms", "value", "labels")
     }
 
+  /** Hinted-read fast path from a pre-aggregated rollup table, when the
+    * store maintains one and the hint is answerable from it. Default: none
+    * (hints are then answered by aggregating raw samples at query time). */
+  protected def readHintedRollup(q: Query, hints: graft.model.ReadHints): Option[DataFrame] = None
+
   /** Assembled series, reference read contract: samples time-ordered within
     * each series (prompb.proto:59-62). When the query carries exploitable
     * ReadHints (aggregating func + step), samples are served pre-aggregated
-    * per step bucket — the optimization the reference's dropped-hints field
-    * anticipates (prompb.proto:45-50, prom.go:184-186). */
+    * per step bucket — from the write-side rollup table when the store
+    * keeps one, else by aggregating the raw scan — the optimization the
+    * reference's dropped-hints field anticipates (prompb.proto:45-50,
+    * prom.go:184-186). */
   final def readSeries(q: Query): DataFrame = {
-    val flat0 = readQuery(q)
-    val flat = q.hints.flatMap(h => Storage.hintedDownsample(flat0, h)).getOrElse(flat0)
+    val flat = q.hints.flatMap(h => readHintedRollup(q, h))
+      .orElse {
+        lazy val flat0 = readQuery(q)
+        q.hints.flatMap(h => Storage.hintedDownsample(flat0, h))
+      }
+      .getOrElse(readQuery(q))
     flat
       .groupBy(col("fingerprint"), col("labels"))
       .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
@@ -179,15 +190,27 @@ object Storage {
   *   the TTL; a local `write` invalidates immediately (the reference also
   *   updates its map inline on write), and other writers' series appear
   *   within one TTL, matching the reference's 5 s staleness window.
-  *   `indexTtlMs = 0` disables caching (every read scans the dictionary). */
+  *   `indexTtlMs = 0` disables caching (every read scans the dictionary).
+  * @param rollupStepMs when > 0, every write also maintains
+  *   `samples_rollup/` — per-(fingerprint, step-bucket) partial aggregates
+  *   (count/min/max/sum). Hinted reads whose step is a multiple of this
+  *   granularity are then served ENTIRELY from the rollup (the raw samples
+  *   table is never scanned): at 100 TB a dashboard's `avg_over_time` with
+  *   a 5 m step reads step/scrape-interval ≈ 20-300× less data. The
+  *   aggregates are algebraic, so duplicate partial rows from separate
+  *   batches re-merge exactly at read. Off by default — it adds one
+  *   aggregation + append per ingest batch (the classic TSDB rollup
+  *   write-cost/read-speed trade; the reference never shipped its
+  *   roadmap downsampling, README.md:71). */
 final class ParquetStore(spark: SparkSession, root: String,
-    indexTtlMs: Long = 5000L) extends Storage {
+    indexTtlMs: Long = 5000L, rollupStepMs: Long = 0L) extends Storage {
   import Storage._
 
   override protected def session: SparkSession = spark
 
   private val samplesPath = s"$root/samples"
   private val seriesPath = s"$root/time_series"
+  private val rollupPath = s"$root/samples_rollup"
 
   @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
 
@@ -228,7 +251,75 @@ final class ParquetStore(spark: SparkSession, root: String,
       .write.mode(SaveMode.Append).partitionBy("date")
       .option("compression", "zstd").parquet(samplesPath)
 
+    if (rollupStepMs > 0) {
+      // per-batch partial rollup rows; cross-batch duplicates of the same
+      // (fingerprint, bucket) re-merge at read (aggregates are algebraic)
+      samples
+        .withColumn("bucket_ms",
+          col("timestamp_ms") - pmod(col("timestamp_ms"), lit(rollupStepMs)))
+        .groupBy(col("fingerprint"), col("bucket_ms"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
+          max("value").as("max_v"), sum("value").as("sum_v"))
+        .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
+        .write.mode(SaveMode.Append).partitionBy("date")
+        .option("compression", "zstd").parquet(rollupPath)
+    }
+
     invalidateIndex()
+  }
+
+  /** Serve an exploitable hint straight from the rollup table: matcher
+    * pruning on the (rollup-bucket) rows, partial-row re-merge, then
+    * re-bucket to the hint's step. Whole rollup buckets intersecting
+    * [startMs, endMs] are served (bucket-aligned semantics — hints are
+    * advisory; Prometheus re-filters by time). Raw samples never scanned. */
+  override protected def readHintedRollup(
+      q: Query, hints: graft.model.ReadHints): Option[DataFrame] = {
+    val base = hints.func.stripSuffix("_over_time")
+    val answerable = rollupStepMs > 0 && hints.stepMs > 0 &&
+      hints.stepMs % rollupStepMs == 0 &&
+      Set("avg", "sum", "min", "max", "count").contains(base) &&
+      exists(rollupPath)
+    if (!answerable) return None
+
+    val matched = seriesIndex
+      .where(MatcherCompiler.compile(col("labels_map"), q.matchers))
+      .select(col("fingerprint"), col("labels"))
+    val fps = matched.select("fingerprint").as[Long](spark.implicits.newLongEncoder)
+      .take(MaxSeriesInline + 1)
+    if (fps.isEmpty)
+      return Some(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        samplesSchema.add("labels", StringType)))
+
+    val minDateMs = math.max(q.startMs, -62135596800000L)
+    val maxDateMs = math.min(q.endMs, 253402300799999L)
+    val rollup0 = spark.read.parquet(rollupPath)
+      .where(col("bucket_ms") >= q.startMs - (rollupStepMs - 1) && col("bucket_ms") <= q.endMs)
+      .where(col("date") >= to_date(timestamp_millis(lit(math.max(minDateMs - rollupStepMs, -62135596800000L))))
+        && col("date") <= to_date(timestamp_millis(lit(maxDateMs))))
+    val pruned =
+      if (q.matchers.isEmpty) rollup0
+      else if (fps.length <= MaxSeriesInline) rollup0.where(col("fingerprint").isin(fps: _*))
+      else rollup0.join(matched.select("fingerprint"), Seq("fingerprint"), "left_semi")
+
+    val step = lit(hints.stepMs)
+    val stepped = pruned
+      .groupBy(col("fingerprint"),
+        (col("bucket_ms") - pmod(col("bucket_ms"), step)).as("timestamp_ms"))
+      .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
+        max("max_v").as("max_v"), sum("sum_v").as("sum_v"))
+    val value = base match {
+      case "count" => col("cnt").cast(DoubleType)
+      case "min"   => col("min_v")
+      case "max"   => col("max_v")
+      case "sum"   => col("sum_v")
+      case "avg"   => col("sum_v") / col("cnt")
+    }
+    Some(stepped
+      .select(col("fingerprint"), col("timestamp_ms"), value.as("value"))
+      .join(if (fps.length <= MaxSeriesInline) broadcast(matched) else matched,
+        Seq("fingerprint"))
+      .select("fingerprint", "timestamp_ms", "value", "labels"))
   }
 
   /** Idempotent append: drops samples whose (fingerprint, timestamp_ms)

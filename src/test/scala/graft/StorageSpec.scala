@@ -195,6 +195,34 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/samples").count() === 30)
   }
 
+  test("parquet: rollup store serves hinted reads from pre-aggregated buckets, raw never scanned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_").toString
+    val rollupStore = new ParquetStore(spark, dir, rollupStepMs = 1000L)
+    rollupStore.write(batchDF(fixture))
+    // second batch lands in the SAME rollup buckets -> partial rows that
+    // must re-merge exactly at read (aggregates are algebraic)
+    rollupStore.write(batchDF(fixture.map(ts => ts.copy(
+      samples = ts.samples.map(s => Sample(s.timestampMs + 500, s.value + 100))))))
+
+    val rawStore = new ParquetStore(spark, dir) // no rollup: aggregates raw at read
+    for (func <- Seq("max_over_time", "min_over_time", "count", "sum", "avg_over_time")) {
+      val q = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
+        Some(ReadHints(stepMs = 2000L, func = func)))
+      assert(rollupStore.readTimeSeries(q) === rawStore.readTimeSeries(q), s"func: $func")
+    }
+    // the rollup-served plan reads samples_rollup/, not samples/
+    val hintedDf = rollupStore.readSeries(Query(T0, T0 + 4999,
+      Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "max"))))
+    val p = hintedDf.queryExecution.executedPlan.toString
+    assert(p.contains("samples_rollup"), "hinted read should scan the rollup table")
+    assert(!p.contains(s"$dir/samples]"), "hinted read must not scan raw samples")
+    // un-answerable step (not a multiple of the rollup granularity) falls
+    // back to the raw path, still correct
+    val odd = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
+      Some(ReadHints(stepMs = 1500L, func = "max")))
+    assert(rollupStore.readTimeSeries(odd) === rawStore.readTimeSeries(odd))
+  }
+
   test("parquet: another writer's series appear within one index TTL (multi-writer discovery)") {
     // the reference's shared-table refresh loop is its cluster-discovery
     // mechanism (clickhouse.go:146-204, README.md:58-61); here: two stores
