@@ -60,6 +60,23 @@ object Compact {
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$stage/time_series")
 
+    // rollup (when the store maintains one): merge per-batch partial rows
+    // to one row per (fingerprint, bucket) — read-side re-merge becomes a
+    // no-op, same algebraic combine the read path uses
+    val rollupLive = new org.apache.hadoop.fs.Path(s"$root/samples_rollup")
+    val hasRollup = fs.exists(rollupLive)
+    if (hasRollup) {
+      spark.read.parquet(s"$root/samples_rollup")
+        .groupBy("fingerprint", "bucket_ms")
+        .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
+          max("max_v").as("max_v"), sum("sum_v").as("sum_v"))
+        .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
+        .repartition(col("date"))
+        .sortWithinPartitions("fingerprint", "bucket_ms")
+        .write.mode(SaveMode.Overwrite).partitionBy("date")
+        .option("compression", "zstd").parquet(s"$stage/samples_rollup")
+    }
+
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$root/$name")
       val old = new org.apache.hadoop.fs.Path(s"$root/.old_$name")
@@ -71,6 +88,7 @@ object Compact {
     }
     swap("samples")
     swap("time_series")
+    if (hasRollup) swap("samples_rollup")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 }

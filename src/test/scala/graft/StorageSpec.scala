@@ -221,6 +221,16 @@ class StorageSpec extends AnyFunSuite {
     val odd = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
       Some(ReadHints(stepMs = 1500L, func = "max")))
     assert(rollupStore.readTimeSeries(odd) === rawStore.readTimeSeries(odd))
+    // compaction merges partial rollup rows; served results unchanged
+    val before = rollupStore.readTimeSeries(Query(T0, T0 + 4999,
+      Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "avg"))))
+    graft.tools.Compact.run(spark, dir)
+    rollupStore.invalidateIndex()
+    val rollup = spark.read.parquet(s"$dir/samples_rollup")
+    assert(rollup.count() ===
+      rollup.select("fingerprint", "bucket_ms").distinct().count(), "partials merged")
+    assert(rollupStore.readTimeSeries(Query(T0, T0 + 4999,
+      Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "avg")))) === before)
   }
 
   test("parquet: another writer's series appear within one index TTL (multi-writer discovery)") {
