@@ -68,17 +68,18 @@ trait Storage {
     * keeps one, else by aggregating the raw scan — the optimization the
     * reference's dropped-hints field anticipates (prompb.proto:45-50,
     * prom.go:184-186). */
-  final def readSeries(q: Query): DataFrame = {
-    val flat = q.hints.flatMap(h => readHintedRollup(q, h))
-      .orElse {
-        lazy val flat0 = readQuery(q)
-        q.hints.flatMap(h => Storage.hintedDownsample(flat0, h))
-      }
-      .getOrElse(readQuery(q))
-    flat
+  final def readSeries(q: Query): DataFrame =
+    hintedFlat(q)
       .groupBy(col("fingerprint"), col("labels"))
       .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))
-  }
+
+  /** The flat (fingerprint, timestamp_ms, value, labels) frame for a query
+    * with its hint (if any) applied — the single source for both the
+    * one-query and the batched read paths. */
+  private def hintedFlat(q: Query): DataFrame =
+    q.hints.flatMap(h => readHintedRollup(q, h))
+      .orElse(q.hints.flatMap(h => Storage.hintedDownsample(readQuery(q), h)))
+      .getOrElse(readQuery(q))
 
   /** S2 batch read: a ReadRequest is a positional batch of independent
     * queries (reference: prompb.proto:64-66, clickhouse.go:390-420),
@@ -90,7 +91,7 @@ trait Storage {
     if (queries.sizeIs <= 1) queries.map(readTimeSeries)
     else {
       val unioned = queries.zipWithIndex
-        .map { case (q, i) => readQuery(q).withColumn("query_idx", lit(i)) }
+        .map { case (q, i) => hintedFlat(q).withColumn("query_idx", lit(i)) }
         .reduce(_ unionByName _)
         .groupBy(col("query_idx"), col("fingerprint"), col("labels"))
         .agg(sort_array(collect_list(struct(col("timestamp_ms"), col("value")))).as("samples"))

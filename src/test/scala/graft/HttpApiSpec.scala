@@ -98,6 +98,15 @@ class HttpApiSpec extends AnyFunSuite {
       val raw = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
         Some(ReadHints(stepMs = 2000L, func = "rate"))))).head
       assert(raw.head.samples === fixture.head.samples)
+
+      // hints apply per-query inside a positional BATCH too (the batched
+      // path is one unioned Spark job; each member keeps its own hint)
+      val batched = HttpApi.remoteRead(url, Seq(
+        Query(T0, T0 + 10000, m, Some(ReadHints(stepMs = 2000L, func = "max_over_time"))),
+        Query(T0, T0 + 10000, m)))
+      assert(batched(0).head.samples === Seq(
+        Sample(T0, 14d), Sample(T0 + 2000, 16d), Sample(T0 + 4000, 17d)))
+      assert(batched(1).head.samples === fixture.head.samples)
     } finally api.stop()
   }
 }
