@@ -81,7 +81,7 @@ object DedupQueries {
     * groups in linear time; `oversizedLshBuckets` reports them for audit. */
   val MaxLshBucket = 1000
 
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir, MaxLshBucket)
 
   /** One row per doc with shingle set + MinHash signature, persisted: it
@@ -103,14 +103,14 @@ object DedupQueries {
 
   /** Audit view of LSH buckets that exceed the pair-generation cap: these
     * are exact/near-dup families handled by d1, not by pairwise verify. */
-  private[graft] def oversizedLshBuckets(s: SparkSession, dir: String,
+  def oversizedLshBuckets(s: SparkSession, dir: String,
       maxBucket: Int = MaxLshBucket): DataFrame =
     bandedKeys(signatureTable(s, dir))
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
 
-  private[graft] def minhashPairs(s: SparkSession, dir: String,
+  def minhashPairs(s: SparkSession, dir: String,
       maxBucket: Int): DataFrame = {
     val d = signatureTable(s, dir)
     val banded = bandedKeys(d)
@@ -166,7 +166,7 @@ object DedupQueries {
     * the oracle-checked gate query feeds the exact-Jaccard pairs so DuckDB
     * can replicate the semantics with a recursive CTE. ExtSpec asserts the
     * two pair sources produce identical keep-lists. */
-  private[graft] def keepList(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def keepList(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
