@@ -202,9 +202,18 @@ object Storage {
   *   batches re-merge exactly at read. Off by default — it adds one
   *   aggregation + append per ingest batch (the classic TSDB rollup
   *   write-cost/read-speed trade; the reference never shipped its
-  *   roadmap downsampling, README.md:71). */
+  *   roadmap downsampling, README.md:71).
+  * @param fingerprintBuckets when > 0, samples are additionally
+  *   hive-partitioned by `bucket = pmod(fingerprint, N)` under each day —
+  *   metastore-free co-location by series. Matcher queries with a bounded
+  *   fingerprint set then PARTITION-prune to |set|/N of each day's files
+  *   (on top of row-group stats), and any fingerprint-keyed job can
+  *   process bucket-by-bucket. The cost is N× more files per day per
+  *   batch (compaction collapses them), so size N to the cluster, not the
+  *   laptop. Off by default. */
 final class ParquetStore(spark: SparkSession, root: String,
-    indexTtlMs: Long = 5000L, rollupStepMs: Long = 0L) extends Storage {
+    indexTtlMs: Long = 5000L, rollupStepMs: Long = 0L,
+    fingerprintBuckets: Int = 0) extends Storage {
   import Storage._
 
   override protected def session: SparkSession = spark
@@ -245,12 +254,21 @@ final class ParquetStore(spark: SparkSession, root: String,
     // ORDER BY analogue, clickhouse.go:93-101).
     // zstd over sorted data: measured 1.89 B/sample on the Prometheus-shaped
     // corpus vs 4.66 snappy and the reference's published 5.3 (Diag)
-    samples
+    val dated = samples
       .withColumn("date", to_date(timestamp_millis(col("timestamp_ms"))))
-      .repartition(col("date"))
-      .sortWithinPartitions("fingerprint", "timestamp_ms")
-      .write.mode(SaveMode.Append).partitionBy("date")
-      .option("compression", "zstd").parquet(samplesPath)
+    if (fingerprintBuckets > 0)
+      dated
+        .withColumn("bucket", pmod(col("fingerprint"), lit(fingerprintBuckets.toLong)))
+        .repartition(col("date"), col("bucket"))
+        .sortWithinPartitions("fingerprint", "timestamp_ms")
+        .write.mode(SaveMode.Append).partitionBy("date", "bucket")
+        .option("compression", "zstd").parquet(samplesPath)
+    else
+      dated
+        .repartition(col("date"))
+        .sortWithinPartitions("fingerprint", "timestamp_ms")
+        .write.mode(SaveMode.Append).partitionBy("date")
+        .option("compression", "zstd").parquet(samplesPath)
 
     if (rollupStepMs > 0) {
       // per-batch partial rollup rows; cross-batch duplicates of the same
@@ -434,7 +452,17 @@ final class ParquetStore(spark: SparkSession, root: String,
       val smallMatch = !matchedAll && fps.length > MaxSeriesInline &&
         matched.count() <= BroadcastSeriesLimit // count on the cached index
       val pruned =
-        if (fps.length <= MaxSeriesInline) samples.where(col("fingerprint").isin(fps: _*))
+        if (fps.length <= MaxSeriesInline) {
+          // bucketed layout: the fingerprint set maps to a bucket set →
+          // hive partition pruning drops whole directories before the
+          // row-group stats even get a say
+          val base =
+            if (fingerprintBuckets > 0)
+              samples.where(col("bucket").isin(
+                fps.map(f => Math.floorMod(f, fingerprintBuckets.toLong)).distinct: _*))
+            else samples
+          base.where(col("fingerprint").isin(fps: _*))
+        }
         else if (matchedAll) samples // every series matches: pruning is a no-op
         else if (smallMatch)
           samples.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")

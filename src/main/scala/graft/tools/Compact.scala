@@ -41,12 +41,16 @@ object Compact {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-    // samples: day-partitioned re-sort. Stage-then-swap so a crash mid-job
-    // leaves the live tree untouched.
-    spark.read.parquet(s"$root/samples")
-      .repartition(col("date"))
+    // samples: day-partitioned re-sort (bucket-partitioned too when the
+    // store uses the fingerprint-bucketed layout). Stage-then-swap so a
+    // crash mid-job leaves the live tree untouched.
+    val samples = spark.read.parquet(s"$root/samples")
+    val sampleParts =
+      if (samples.columns.contains("bucket")) Seq("date", "bucket") else Seq("date")
+    samples
+      .repartition(sampleParts.map(col): _*)
       .sortWithinPartitions("fingerprint", "timestamp_ms")
-      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .write.mode(SaveMode.Overwrite).partitionBy(sampleParts: _*)
       .option("compression", "zstd").parquet(s"$stage/samples")
 
     // series dictionary: one row per fingerprint, earliest sighting date

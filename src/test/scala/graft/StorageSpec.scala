@@ -233,6 +233,29 @@ class StorageSpec extends AnyFunSuite {
       Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "avg")))) === before)
   }
 
+  test("parquet: fingerprint-bucketed layout partition-prunes point queries, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+    val store = new ParquetStore(spark, dir, fingerprintBuckets = 8)
+    store.write(batchDF(fixture))
+    val q = Query(Start, End, Seq(eqMatch("handler", "query")))
+    val got = store.readTimeSeries(q)
+    assert(got.size === 1 && got.head.samples.size === 5)
+    // the bucket set derived from the matched fingerprints reaches the scan
+    // as a PARTITION filter (directory-level pruning)
+    val df = store.read(q)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket#"),
+      "bucket pruning should appear in PartitionFilters")
+    // survives compaction (bucket-aware rewrite), results unchanged
+    graft.tools.Compact.run(spark, dir)
+    store.invalidateIndex()
+    assert(store.readTimeSeries(q) === got)
+    assert(new java.io.File(s"$dir/samples").listFiles()
+      .filter(_.getName.startsWith("date=")).forall(d =>
+        d.listFiles().exists(_.getName.startsWith("bucket="))), "bucket dirs kept")
+  }
+
   test("parquet: another writer's series appear within one index TTL (multi-writer discovery)") {
     // the reference's shared-table refresh loop is its cluster-discovery
     // mechanism (clickhouse.go:146-204, README.md:58-61); here: two stores
