@@ -30,6 +30,26 @@ class StreamingSpec extends AnyFunSuite {
     (stream, df)
   }
 
+  test("streaming ingest into a rollup store: hinted reads served from the rollup") {
+    // end-to-end composition: stream -> foreachBatch write (which also
+    // maintains samples_rollup) -> hinted read answered WITHOUT scanning raw
+    import graft.model._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_rollup_").toString
+    val store = new graft.storage.ParquetStore(spark, root, rollupStepMs = 1000L)
+    val (stream, df) = labeled(Seq(
+      ("m1", T0, 1.0), ("m1", T0 + 500, 3.0), ("m1", T0 + 2000, 5.0)))
+    val q = graft.streaming.Ingest.start(df, store, Trigger.AvailableNow())
+    q.awaitTermination(60_000)
+    val hinted = store.readTimeSeries(Query(T0, T0 + 2999,
+      Seq(Matcher("__name__", MatchType.Eq, "m1")),
+      Some(ReadHints(stepMs = 1000L, func = "max_over_time"))))
+    assert(hinted.head.samples === Seq(Sample(T0, 3.0), Sample(T0 + 2000, 5.0)))
+    val plan = store.readSeries(Query(T0, T0 + 2999,
+      Seq(Matcher("__name__", MatchType.Eq, "m1")),
+      Some(ReadHints(1000L, "max")))).queryExecution.executedPlan.toString
+    assert(plan.contains("samples_rollup"))
+  }
+
   test("windowed downsample: per-series minute buckets with last-by-time") {
     val (_, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 10_000, 5.0), ("m1", T0 + 70_000, 2.0),
