@@ -50,6 +50,23 @@ object Diag {
     plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("PartitionFilters")
       || l.contains("Scan parquet") || l.contains("ReadSchema"))
       .foreach(l => println("  " + l.trim.take(200)))
+
+    // --- rollup economics: write overhead vs hinted-read speedup ---
+    val rollupRoot = java.nio.file.Files.createTempDirectory("graft_rollup_diag_").toString
+    val rollupStore = new graft.storage.ParquetStore(spark, rollupRoot, rollupStepMs = 60000L)
+    val tr = System.nanoTime()
+    rollupStore.write(batch)
+    val rollupWallSec = (System.nanoTime() - tr) / 1e9
+    println(f"[rollup] ingest with 1m rollup: ${2e6 / rollupWallSec}%.0f samples/s " +
+      f"(rollup table ${dirSize(new java.io.File(s"$rollupRoot/samples_rollup"))} bytes)")
+    val hq = graft.model.Query(1700000000000L, 1700030000000L,
+      Seq(graft.model.Matcher("instance", graft.model.MatchType.Eq, "host-7")),
+      Some(graft.model.ReadHints(stepMs = 300000L, func = "avg_over_time")))
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val plainStore = new graft.storage.ParquetStore(spark, rollupRoot) // raw-path hint serving
+    val tRollup = time(rollupStore.readSeries(hq).collect())
+    val tRaw = time(plainStore.readSeries(hq).collect())
+    println(f"[rollup] hinted read (avg/5m over 8h): rollup-served $tRollup%.2f s vs raw-aggregated $tRaw%.2f s")
     spark.stop()
   }
 }
