@@ -160,6 +160,25 @@ object ExtOps {
     new GenericArrayData(out)
   }
 
+  /** Exact Jaccard similarity of two DISTINCT-element string arrays in one
+    * pass: |∩| via a hash probe of the smaller side, |∪| = na + nb − |∩|.
+    * Replaces `size(array_intersect)/size(array_union)` in the dedup
+    * verification hot path — those materialize both result arrays just to
+    * take their sizes (two hash builds + two output copies per pair).
+    * Same rational value ⇒ bit-identical double ⇒ oracle-stable. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0d
+    val (small, big, ns, nbg) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nbg) { if (set.contains(big.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Winnowing-style document fingerprint: Rabin-Karp rolling hash over
     * UTF-8 bytes with window `w`; keep hashes ≡ 0 (mod `mod`) — a
     * deterministic content-defined sample of substring hashes (the MOSS /
@@ -261,6 +280,17 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int) extends UnaryEx
   override def prettyName: String = "lsh_buckets"
 }
 
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExtOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.ExtOps.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sim"
+}
+
 case class RollingFingerprint(child: Expression, window: Int, mod: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(text: Any): Any =
@@ -287,6 +317,8 @@ object extfunctions {
     column(WordShingles(expression(ws), n))
   def rolling_fingerprint(text: Column, window: Int = 8, mod: Int = 16): Column =
     column(RollingFingerprint(expression(text), window, mod))
+  def jaccard_sim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
   def lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
     column(LshBuckets(expression(emb), tables, bits))
 }

@@ -50,5 +50,7 @@ package object functions {
       "lsh_buckets", exprs => LshBuckets(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -58,8 +58,7 @@ object DedupQueries {
     val d = docShingles(s, dir)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    val jac = jaccard_sim(col("sh_a"), col("sh_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .where(jac >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
@@ -142,8 +141,7 @@ object DedupQueries {
     val withSets = candidates
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    val jac = jaccard_sim(col("sh_a"), col("sh_b"))
     withSets.where(jac >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
   }
@@ -199,8 +197,7 @@ object DedupQueries {
     val d = docShingles(s, dir)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    val jac = jaccard_sim(col("sh_a"), col("sh_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .where(jac >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))

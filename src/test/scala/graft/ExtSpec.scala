@@ -168,6 +168,24 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("jaccard_sim kernel is bit-identical to the intersect/union formulation") {
+    import graft.ext.TextAnalysis.{words, shingles}
+    import graft.ext.extfunctions.jaccard_sim
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), shingles(words(col("text")), 2).as("sh"))
+      .where(size(col("sh")) > 0).limit(40)
+    val pairs = d.select(col("sh").as("sa"))
+      .crossJoin(d.select(col("sh").as("sb")))
+    val rows = pairs.select(
+      jaccard_sim(col("sa"), col("sb")).as("fast"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"$r"))
+  }
+
   test("cosine_sim expression matches driver-side double math") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
