@@ -36,6 +36,46 @@ object Downsample {
       .select(unix_millis(col("w.start")).as("bucket_ms"), col("fingerprint"),
         col("n"), col("min_v"), col("max_v"), col("avg_v"), col("last_v"))
 
+  /** Continuous rollup maintenance: the streaming producer of the
+    * `samples_rollup` table that [[graft.storage.ParquetStore]] serves
+    * hinted reads from (same algebraic schema: cnt/min/max/sum per
+    * (fingerprint, step bucket), date-partitioned). Append mode — a
+    * window's row lands once its watermark closes, so rows are final (no
+    * partial-row merge needed); samples later than the watermark stay in
+    * the raw table only (hinted serving then slightly undercounts those
+    * buckets — the lateness budget is the caller's consistency knob).
+    * Use EITHER this sink OR a write-side rollup store
+    * (`rollupStepMs > 0`), not both — running both double-counts. */
+  def rollup(stream: DataFrame, stepMs: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("fingerprint", labels_fingerprint(col("labels")))
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), s"$stepMs milliseconds").as("w"),
+        col("fingerprint"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
+        max("value").as("max_v"), sum("value").as("sum_v"))
+      .select(col("fingerprint"), unix_millis(col("w.start")).as("bucket_ms"),
+        col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
+        to_date(col("w.start")).as("date"))
+
+  /** Start the rollup sink against a store root. */
+  def startRollupSink(stream: DataFrame, storeRoot: String, stepMs: Long,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"),
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    rollup(stream, stepMs, watermark).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .partitionBy("date")
+      .option("path", s"$storeRoot/samples_rollup")
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "zstd")
+      .format("parquet")
+      .start()
+
   /** Stateful first-seen series detection — the streaming-native form of
     * the new-fingerprint check (clickhouse.go:437-447): keyed state per
     * fingerprint, emits (fingerprint, labels JSON) exactly once per series

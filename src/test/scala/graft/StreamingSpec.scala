@@ -50,6 +50,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("samples_rollup"))
   }
 
+  test("streaming rollup sink feeds hinted serving: raw ingest + continuous rollup on one root") {
+    import graft.model._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_rusink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rusink_ckpt_").toString
+    // raw path (samples + dictionary), NO write-side rollup — the stream sink owns it
+    val rawStore = new graft.storage.ParquetStore(spark, root)
+    val (_, df1) = labeled(Seq(("m1", T0, 1.0), ("m1", T0 + 500, 3.0), ("m1", T0 + 2000, 5.0)))
+    graft.streaming.Ingest.start(df1, rawStore, Trigger.AvailableNow()).awaitTermination(60_000)
+    // zero lateness + a sentinel past the asserted range so the watermark
+    // closes (and append emits) the T0 and T0+2s buckets
+    val (_, df2) = labeled(Seq(("m1", T0, 1.0), ("m1", T0 + 500, 3.0),
+      ("m1", T0 + 2000, 5.0), ("m1", T0 + 5000, 0.0)))
+    graft.streaming.Downsample.startRollupSink(df2, root, stepMs = 1000L, ckpt,
+      Trigger.AvailableNow(), watermark = "0 milliseconds").awaitTermination(60_000)
+
+    // serving store: answers the hint from the stream-built rollup
+    val serving = new graft.storage.ParquetStore(spark, root, rollupStepMs = 1000L)
+    val hinted = serving.readTimeSeries(Query(T0, T0 + 2999,
+      Seq(Matcher("__name__", MatchType.Eq, "m1")),
+      Some(ReadHints(stepMs = 1000L, func = "sum"))))
+    assert(hinted.head.samples === Seq(Sample(T0, 4.0), Sample(T0 + 2000, 5.0)))
+  }
+
   test("windowed downsample: per-series minute buckets with last-by-time") {
     val (_, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 10_000, 5.0), ("m1", T0 + 70_000, 2.0),
