@@ -26,6 +26,12 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
   def totalSamplesWritten: Long = samplesWritten.get()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // without an executor the JDK server runs every handler on its single
+  // dispatch thread — concurrent scrapes/queries would serialize (the
+  // reference gets a goroutine per request from net/http)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
   server.createContext("/write", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = respond(ex) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())

@@ -47,6 +47,26 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("concurrent remote writes: all accepted, counter exact") {
+    val api = new HttpApi(spark, new MemoryStore(spark))
+    val port = api.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val codes = Await.result(Future.sequence((1 to 8).map(i => Future {
+        HttpApi.remoteWrite(url, Seq(TimeSeries(
+          Seq(Label("__name__", s"cc_metric_$i")),
+          Seq(Sample(T0, i.toDouble), Sample(T0 + 1000, i.toDouble)))))
+      })), 120.seconds)
+      assert(codes.forall(_ == 200))
+      assert(api.totalSamplesWritten === 16) // atomic increment under concurrency
+      assert(HttpApi.remoteRead(url,
+        Seq(Query(0L, Long.MaxValue, Seq.empty))).head.size === 8)
+    } finally api.stop()
+  }
+
   test("malformed body yields HTTP 400, not a crash") {
     val api = new HttpApi(spark, new MemoryStore(spark))
     val port = api.start()
