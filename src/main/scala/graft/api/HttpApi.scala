@@ -23,6 +23,8 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
   // A7 running counter; atomic — concurrent /write handlers increment it
   // (the reference uses a prometheus Counter, which is atomic too)
   private val samplesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val readRequests = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val writeRequests = new java.util.concurrent.atomic.AtomicLong(0L)
   def totalSamplesWritten: Long = samplesWritten.get()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -36,6 +38,7 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
     override def handle(ex: HttpExchange): Unit = respond(ex) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
       val series = Prompb.decodeWriteRequest(body)
+      writeRequests.incrementAndGet()
       write(series)
       samplesWritten.addAndGet(series.map(_.samples.size).sum.toLong)
       Array.emptyByteArray
@@ -45,8 +48,27 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
     override def handle(ex: HttpExchange): Unit = respond(ex) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
       val queries = Prompb.decodeReadRequest(body)
+      readRequests.incrementAndGet()
       val results = store.readAll(queries)
       Snappy.compress(Prompb.encodeReadResponse(results))
+    }
+  })
+  // GET /metrics — text exposition of the server's own counters (the
+  // reference's Storage implements prometheus.Collector and promhouse
+  // serves /metrics; same scrape surface, hand-rendered)
+  server.createContext("/metrics", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val out = (
+        "# TYPE graft_samples_written_total counter\n" +
+        s"graft_samples_written_total ${samplesWritten.get()}\n" +
+        "# TYPE graft_read_requests_total counter\n" +
+        s"graft_read_requests_total ${readRequests.get()}\n" +
+        "# TYPE graft_write_requests_total counter\n" +
+        s"graft_write_requests_total ${writeRequests.get()}\n").getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
     }
   })
 

@@ -186,6 +186,25 @@ class ExtSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)), s"$r"))
   }
 
+  test("jaccard kernel property: equals set arithmetic on arbitrary distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def arr(ws: Seq[String]) =
+      new GenericArrayData(ws.distinct.map(UTF8String.fromString).toArray)
+    val tokens = Gen.listOf(Gen.oneOf((0 until 30).map(i => s"w$i")))
+    val p = Prop.forAll(tokens, tokens) { (xs, ys) =>
+      val (a, b) = (xs.distinct.toSet, ys.distinct.toSet)
+      val expected =
+        if (a.isEmpty || b.isEmpty) 0d
+        else a.intersect(b).size.toDouble / a.union(b).size
+      java.lang.Double.doubleToLongBits(ExtOps.jaccard(arr(xs), arr(ys))) ==
+        java.lang.Double.doubleToLongBits(expected)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cosine_sim expression matches driver-side double math") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")

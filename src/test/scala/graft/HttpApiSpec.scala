@@ -64,6 +64,16 @@ class HttpApiSpec extends AnyFunSuite {
       assert(api.totalSamplesWritten === 16) // atomic increment under concurrency
       assert(HttpApi.remoteRead(url,
         Seq(Query(0L, Long.MaxValue, Seq.empty))).head.size === 8)
+      // /metrics: own-counter scrape surface, parseable by the engine's
+      // exposition parser (reference: Storage is a prometheus.Collector)
+      val metrics = scala.io.Source.fromURL(s"$url/metrics", "UTF-8").mkString
+      val parsed = graft.sources.Exposition.parse(metrics, defaultTsMs = 1L)
+      def value(name: String): Double = parsed
+        .find(_.labels.exists(l => l.name == "__name__" && l.value == name))
+        .get.samples.head.value
+      assert(value("graft_samples_written_total") === 16d)
+      assert(value("graft_write_requests_total") === 8d)
+      assert(value("graft_read_requests_total") === 1d)
     } finally api.stop()
   }
 
