@@ -156,6 +156,24 @@ object CoreQueries {
         col("event_type"), col("n"), col("avg_value"))
   }
 
+  /** Exact discrete percentiles per group — the sort-based aggregation
+    * shape (no interpolation: percentile_disc picks an actual data value,
+    * so cross-engine parity is exact; the approximate scale path for heavy
+    * cardinalities would be approx_percentile, analogous to a3's HLL
+    * variant). */
+  private val q9Percentile = withOracle("q9_percentile",
+    """SELECT event_type,
+      |       round(quantile_disc(value, 0.5), 2) AS p50,
+      |       round(quantile_disc(value, 0.95), 2) AS p95
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 2).as("p50"),
+        round(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"), 2).as("p95"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q1Agg, q2TopK, q3Join, q4SemiJoin, q5RangeScan, q6Distinct, q7DateBucket, q8Window)
+    q1Agg, q2TopK, q3Join, q4SemiJoin, q5RangeScan, q6Distinct, q7DateBucket, q8Window,
+    q9Percentile)
 }
