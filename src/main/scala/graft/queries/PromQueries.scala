@@ -338,25 +338,15 @@ object PromQueries {
     val b = ev.where(col("event_type") === "click")
       .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .agg(max_by(col("value"), col("event_id")).as("b_value"))
-      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
-        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
-        col("b_value"))
     val a = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), lit(1).as("side"),
-        col("event_id"), col("value"), lit(null).cast("double").as("b_value"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us").asc, col("side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    b.unionByName(a)
-      .withColumn("prev_click_value",
-        last(when(col("side") === 0, col("b_value")), ignoreNulls = true).over(w))
-      .withColumn("prev_click_ts_us",
-        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
-      .where(col("side") === 1)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+    graft.ext.AsOf.joinBackward(a, b, on = Seq("user_id"), timeCol = "ts_us",
+        payload = Seq("b_value"), prefix = "prev_")
       .select(col("event_id"), col("user_id"), col("ts_us"),
         round(col("value"), 2).as("value"),
-        round(col("prev_click_value"), 2).as("prev_click_value"),
-        col("prev_click_ts_us"))
+        round(col("prev_b_value"), 2).as("prev_click_value"),
+        col("prev_ts_us").as("prev_click_ts_us"))
   }
 
   /** RH1: hinted read — the ReadHints exploitation path

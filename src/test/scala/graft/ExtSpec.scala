@@ -186,6 +186,23 @@ class ExtSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)), s"$r"))
   }
 
+  test("as-of backward join: nearest prior right row, same-instant visible, null before first") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.0))
+      .toDF("k", "t", "v")
+    val out = graft.ext.AsOf.joinBackward(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong))).toSet
+    assert(out === Set(
+      ("a", Some(1.0), Some(10L)), // same instant: right row visible (>= semantics)
+      ("b", Some(2.0), Some(15L)), // nearest prior
+      ("c", None, None),           // before any right row
+      ("d", None, None)))          // key with no right rows at all
+  }
+
   test("jaccard kernel property: equals set arithmetic on arbitrary distinct arrays") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
