@@ -58,4 +58,18 @@ object AsOf {
     swept.where(col("__side") === 1)
       .select(left.columns.map(col) ++ outPayload.map(col): _*)
   }
+
+  /** Forward variant: nearest right row with `right.timeCol >= left.timeCol`
+    * — the backward sweep over negated time (same single-shuffle plan).
+    * `timeCol` must be numeric (epoch millis/micros). The matched right
+    * row's time surfaces as `prefix+timeCol`, like the backward form. */
+  def joinForward(left: DataFrame, right: DataFrame, on: Seq[String],
+      timeCol: String, payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val neg = "__negt"
+    joinBackward(
+      left.withColumn(neg, -col(timeCol)),
+      right.withColumn(neg, -col(timeCol)),
+      on, neg, payload :+ timeCol, prefix)
+      .drop(neg, prefix + neg)
+  }
 }

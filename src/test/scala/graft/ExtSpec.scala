@@ -203,6 +203,19 @@ class ExtSpec extends AnyFunSuite {
       ("d", None, None)))          // key with no right rows at all
   }
 
+  test("as-of forward join: nearest following right row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 16L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0)).toDF("k", "t", "v")
+    val out = graft.ext.AsOf.joinForward(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong))).toSet
+    assert(out === Set(
+      ("a", Some(1.0), Some(10L)), // same instant counts (>=)
+      ("b", None, None)))          // nothing after t=16
+  }
+
   test("jaccard kernel property: equals set arithmetic on arbitrary distinct arrays") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
