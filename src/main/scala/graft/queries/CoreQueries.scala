@@ -173,7 +173,20 @@ object CoreQueries {
         round(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"), 2).as("p95"))
   }
 
+  /** q9 at scale: t-digest-style approximate percentiles — one pass,
+    * mergeable fixed-size sketch per group instead of q9's per-group sort
+    * (the same exact↔sketch pairing as a3_cardinality / a3_cardinality_hll).
+    * Approximate by design → rows-only; accuracy vs q9 asserted in
+    * QueriesSpec. */
+  private val q9PercentileApprox = rowsOnly("q9_percentile_approx") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(approx_percentile(col("value"), lit(0.5), lit(1000)), 2).as("p50"),
+        round(approx_percentile(col("value"), lit(0.95), lit(1000)), 2).as("p95"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2TopK, q3Join, q4SemiJoin, q5RangeScan, q6Distinct, q7DateBucket, q8Window,
-    q9Percentile)
+    q9Percentile, q9PercentileApprox)
 }

@@ -32,6 +32,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(saltedS === direct.view.mapValues(_._2).toMap)
   }
 
+  test("approx percentile tracks exact within sketch accuracy") {
+    val exact = SparkEntry.queries("q9_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q9_percentile_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (p50, p95)) <- exact) {
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / math.max(math.abs(p50), 1) < 0.05, s"$k p50: $p50 vs $a50")
+      assert(math.abs(a95 - p95) / math.max(math.abs(p95), 1) < 0.05, s"$k p95: $p95 vs $a95")
+    }
+  }
+
   test("HLL cardinality tracks exact within the sketch's error bound") {
     val exact = SparkEntry.queries("a3_cardinality")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
