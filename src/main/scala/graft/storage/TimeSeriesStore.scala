@@ -223,6 +223,18 @@ final class ParquetStore(spark: SparkSession, root: String,
   private val rollupPath = s"$root/samples_rollup"
 
   @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
+  @volatile private var cachedIndexSize: Long = -1L
+
+  /** Total dictionary cardinality, memoized with the snapshot (the
+    * materializing count() already computes it). */
+  private def indexSize(): Long = {
+    if (cachedIndexSize >= 0) cachedIndexSize
+    else {
+      val n = seriesIndex.count()
+      cachedIndexSize = n
+      n
+    }
+  }
 
   private def exists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -393,7 +405,7 @@ final class ParquetStore(spark: SparkSession, root: String,
             stale.foreach(_._1.unpersist(blocking = false))
             val df = buildIndex()
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            df.count() // materialize now: concurrent readers share one scan
+            cachedIndexSize = df.count() // materialize now; memoize cardinality
             cachedIndex = Some((df, System.currentTimeMillis()))
             df
         }
@@ -408,6 +420,7 @@ final class ParquetStore(spark: SparkSession, root: String,
   def invalidateIndex(): Unit = synchronized {
     cachedIndex.foreach(_._1.unpersist(blocking = false))
     cachedIndex = None
+    cachedIndexSize = -1L
   }
 
   private def buildIndex(): DataFrame =
@@ -449,8 +462,12 @@ final class ParquetStore(spark: SparkSession, root: String,
         samplesSchema.add("labels", StringType))
     } else {
       val matchedAll = q.matchers.isEmpty
+      // matched.count() runs on the cached snapshot, and the full-index
+      // cardinality bounds it from above — when the whole dictionary is
+      // under the broadcast limit (the common case until ~1 M series), the
+      // per-query count job is skipped entirely
       val smallMatch = !matchedAll && fps.length > MaxSeriesInline &&
-        matched.count() <= BroadcastSeriesLimit // count on the cached index
+        (indexSize() <= BroadcastSeriesLimit || matched.count() <= BroadcastSeriesLimit)
       val pruned =
         if (fps.length <= MaxSeriesInline) {
           // bucketed layout: the fingerprint set maps to a bucket set →
