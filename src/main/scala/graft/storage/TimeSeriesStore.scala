@@ -77,9 +77,12 @@ trait Storage {
     * with its hint (if any) applied — the single source for both the
     * one-query and the batched read paths. */
   private def hintedFlat(q: Query): DataFrame =
-    q.hints.flatMap(h => readHintedRollup(q, h))
-      .orElse(q.hints.flatMap(h => Storage.hintedDownsample(readQuery(q), h)))
-      .getOrElse(readQuery(q))
+    q.hints.flatMap(h => readHintedRollup(q, h)).getOrElse {
+      // build readQuery once — it runs the strategy-probe job (take(51) on
+      // the index), so constructing it twice would double that
+      val flat = readQuery(q)
+      q.hints.flatMap(h => Storage.hintedDownsample(flat, h)).getOrElse(flat)
+    }
 
   /** S2 batch read: a ReadRequest is a positional batch of independent
     * queries (reference: prompb.proto:64-66, clickhouse.go:390-420),
