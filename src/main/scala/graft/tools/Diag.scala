@@ -25,18 +25,23 @@ object Diag {
         lit("instance"), concat(lit("host-"), (col("id") % 200).cast("string"))).as("labels"),
       (lit(1700000000000L) + (col("id") / 200).cast("long") * 15000L).as("timestamp_ms"),
       (col("id") / 200 + (col("id") % 7)).cast("double").as("value"))
+    // the store always writes zstd (its own writer option); the knob under
+    // test here is the parquet page version — v2 pages get
+    // DELTA_BINARY_PACKED for ints, and regular timestamps + sorted
+    // fingerprints should delta-encode well on top of the sort
     var root = ""
-    for (codec <- Seq("snappy", "zstd")) {
-      spark.conf.set("spark.sql.parquet.compression.codec", codec)
-      root = java.nio.file.Files.createTempDirectory(s"graft_eff_${codec}_").toString
+    for (pv <- Seq("PARQUET_1_0", "PARQUET_2_0")) {
+      spark.sparkContext.hadoopConfiguration.set("parquet.writer.version", pv)
+      root = java.nio.file.Files.createTempDirectory(s"graft_eff_${pv}_").toString
       val store = new graft.storage.ParquetStore(spark, root)
       val t0 = System.nanoTime()
       store.write(batch)
       val wallSec = (System.nanoTime() - t0) / 1e9
       val bytes = dirSize(new java.io.File(s"$root/samples"))
-      println(f"[$codec] ingest: 2,000,000 samples in $wallSec%.1f s (${2e6 / wallSec}%.0f samples/s); " +
+      println(f"[zstd/$pv] ingest: 2,000,000 samples in $wallSec%.1f s (${2e6 / wallSec}%.0f samples/s); " +
         f"$bytes bytes -> ${bytes / 2e6}%.2f bytes/sample (reference: 5.3)")
     }
+    spark.sparkContext.hadoopConfiguration.set("parquet.writer.version", "PARQUET_1_0")
     spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
     val store = new graft.storage.ParquetStore(spark, root)
 
