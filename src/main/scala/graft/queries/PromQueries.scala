@@ -147,9 +147,9 @@ object PromQueries {
     """WITH ranked AS (
       |  SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id,
       |         row_number() OVER (PARTITION BY event_type, user_id
-      |                            ORDER BY ts, value, event_id) AS rn_first,
+      |                            ORDER BY epoch_us(ts), value, event_id) AS rn_first,
       |         row_number() OVER (PARTITION BY event_type, user_id
-      |                            ORDER BY ts DESC, value DESC, event_id DESC) AS rn_last
+      |                            ORDER BY epoch_us(ts) DESC, value DESC, event_id DESC) AS rn_last
       |  FROM events)
       |SELECT event_type, user_id,
       |       count(*) AS n_samples,
@@ -161,9 +161,10 @@ object PromQueries {
     // Single partial-agg-friendly pass: min_by/max_by on the composite
     // (ts, value, event_id) key replace two full window sorts — same
     // deterministic tie-break as the oracle's row_number ordering, one
-    // exchange instead of two sorted ones. The order key uses FULL
-    // microsecond precision (the oracle's ORDER BY ts does too; the data
-    // has sub-ms-distinct instants) — only the min_ts/max_ts *outputs* are
+    // exchange instead of two sorted ones. Both sides order on microsecond
+    // precision — the oracle on epoch_us(ts) explicitly, because its raw
+    // TIMESTAMP_NS column orders on nanoseconds the converted Spark column
+    // no longer carries. Only the min_ts/max_ts *outputs* are
     // millisecond-truncated.
     val e = Tables(s, dir, "events")
       .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
