@@ -371,9 +371,72 @@ object PromQueries {
         round(col("value"), 2).as("max_v"))
   }
 
+  /** ReadHints `rate` served from rollup partials — the full write-side
+    * algebra the rollup store runs across ingest batches
+    * (TimeSeriesStore.scala rollupPartials/mergeRollup/deriveHint):
+    * partials built per 1 h bucket in two separate "batches" (split on
+    * timestamp parity — same buckets, interleaved samples), merged to the
+    * hint's 6 h step, rate derived from the first/last (ts, value) pair.
+    * Bucket-local rate semantics: (last−first)/Δt within the bucket, no
+    * extrapolation (documented at Storage.RollupBases). The oracle
+    * recomputes first/last with ranked row_numbers over (ts, value). */
+  private val rh2RateRollup = withOracle("rh2_rate_rollup",
+    """WITH b AS (
+      |  SELECT event_type, user_id,
+      |         epoch_ms(ts) - epoch_ms(ts) % 21600000 AS bucket_ms,
+      |         epoch_ms(ts) AS ts_ms, value,
+      |         row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts) - epoch_ms(ts) % 21600000
+      |                            ORDER BY epoch_ms(ts), value) AS rn_f,
+      |         row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts) - epoch_ms(ts) % 21600000
+      |                            ORDER BY epoch_ms(ts) DESC, value DESC) AS rn_l
+      |  FROM events)
+      |SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels,
+      |       bucket_ms,
+      |       round((min(CASE WHEN rn_l = 1 THEN value END) - min(CASE WHEN rn_f = 1 THEN value END))
+      |             / ((max(ts_ms) - min(ts_ms)) / 1000.0), 6) + 0.0 AS rate
+      |FROM b GROUP BY 1, 2
+      |HAVING max(ts_ms) > min(ts_ms)""".stripMargin) { (s, dir) =>
+    val flat = eventSamples(s, dir).select(
+      labels_json(col("labels")).as("labels"), col("timestamp_ms"), col("value"))
+    val partials = Seq(0, 1)
+      .map(p => graft.storage.Storage.rollupPartials(
+        flat.where(pmod(col("timestamp_ms"), lit(2)) === p), 3600000L, Seq("labels")))
+      .reduce(_ unionByName _)
+    val merged = graft.storage.Storage.mergeRollup(partials, 21600000L, Seq("labels"))
+    graft.storage.Storage.deriveHint(merged, "rate", Seq("labels")).get
+      .select(col("labels"), col("timestamp_ms").as("bucket_ms"),
+        // + 0.0 normalizes -0.0 (engines disagree on the sign of zero)
+        (round(col("value"), 6) + 0.0).as("rate"))
+  }
+
+  /** ReadHints `last_over_time` from rollup partials at the hint's own step
+    * (partials ARE the merged rows — the one-shuffle fast path
+    * hintedDownsample takes); value is the bucket's last (ts, value) pair,
+    * bit-exact across engines (no arithmetic, only selection). */
+  private val rh3LastRollup = withOracle("rh3_last_rollup",
+    """WITH b AS (
+      |  SELECT event_type, user_id,
+      |         epoch_ms(ts) - epoch_ms(ts) % 21600000 AS bucket_ms, value,
+      |         row_number() OVER (PARTITION BY event_type, user_id, epoch_ms(ts) - epoch_ms(ts) % 21600000
+      |                            ORDER BY epoch_ms(ts) DESC, value DESC) AS rn_l
+      |  FROM events)
+      |SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels,
+      |       bucket_ms,
+      |       round(min(CASE WHEN rn_l = 1 THEN value END), 2) AS last_v
+      |FROM b GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val flat = eventSamples(s, dir).select(
+      labels_json(col("labels")).as("labels"), col("timestamp_ms"), col("value"))
+    val merged = graft.storage.Storage.rollupPartials(flat, 21600000L, Seq("labels"))
+      .withColumnRenamed("bucket_ms", "timestamp_ms")
+    graft.storage.Storage.deriveHint(merged, "last_over_time", Seq("labels")).get
+      .select(col("labels"), col("timestamp_ms").as("bucket_ms"),
+        round(col("value"), 2).as("last_v"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
     a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
-    rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted)
+    rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted,
+    rh2RateRollup, rh3LastRollup)
 }

@@ -135,14 +135,81 @@ object Storage {
     * hundred million would OOM executors) and lets AQE choose. */
   val BroadcastSeriesLimit = 1000000L
 
-  /** Hint funcs answerable from step buckets; `*_over_time` variants map to
-    * the same aggregate. Anything else (rate, quantile, …) is served raw. */
-  private val HintAggs: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map(
-    "avg" -> (c => avg(c)),
-    "sum" -> (c => sum(c)),
-    "min" -> (c => min(c)),
-    "max" -> (c => max(c)),
-    "count" -> (c => count(c).cast(DoubleType)))
+  /** Hint funcs answerable from rollup partials (after stripping the
+    * `_over_time` suffix). avg/sum/min/max/count re-merge algebraically;
+    * last/rate/increase/delta derive from the first/last (ts, value)
+    * partials. rate/increase semantics are BUCKET-LOCAL: (last−first)
+    * within each step bucket, no cross-bucket extrapolation and no
+    * counter-reset correction — hints are advisory (the reference drops
+    * them entirely, prom.go:184-186); callers needing Prometheus-exact
+    * extrapolated rate query raw. */
+  val RollupBases: Set[String] =
+    Set("avg", "sum", "min", "max", "count", "last", "rate", "increase", "delta")
+
+  /** One rollup partial row per (keys…, step bucket) over a
+    * (…, timestamp_ms, value) frame: algebraic aggregates (cnt/min/max/sum)
+    * plus first/last (ts, value) pairs. Rows from separate batches covering
+    * the same bucket re-merge EXACTLY via [[mergeRollup]] — cnt/sum add,
+    * min/max combine, and (first, last) merge as min/max of the (ts, value)
+    * struct, which is associative and deterministic under timestamp ties
+    * (value breaks them). One partial-agg shuffle on (keys, bucket). */
+  def rollupPartials(samples: DataFrame, stepMs: Long,
+      keys: Seq[String] = Seq("fingerprint")): DataFrame =
+    samples
+      .withColumn("bucket_ms", col("timestamp_ms") - pmod(col("timestamp_ms"), lit(stepMs)))
+      .groupBy(keys.map(col) :+ col("bucket_ms"): _*)
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
+        max("value").as("max_v"), sum("value").as("sum_v"),
+        min(struct(col("timestamp_ms"), col("value"))).as("f"),
+        max(struct(col("timestamp_ms"), col("value"))).as("l"))
+      .select(keys.map(col) ++ Seq(col("bucket_ms"), col("cnt"), col("min_v"),
+        col("max_v"), col("sum_v"),
+        col("f.timestamp_ms").as("first_ts"), col("f.value").as("first_v"),
+        col("l.timestamp_ms").as("last_ts"), col("l.value").as("last_v")): _*)
+
+  /** Merge partial rollup rows (possibly many per bucket, from separate
+    * writer batches) and re-bucket to a coarser step — the hint's step must
+    * be a multiple of the partial granularity. Output keeps the partial
+    * schema with `timestamp_ms` as the step-aligned bucket. */
+  def mergeRollup(partials: DataFrame, stepMs: Long,
+      keys: Seq[String] = Seq("fingerprint")): DataFrame =
+    partials
+      .withColumn("timestamp_ms", col("bucket_ms") - pmod(col("bucket_ms"), lit(stepMs)))
+      .groupBy(keys.map(col) :+ col("timestamp_ms"): _*)
+      .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
+        max("max_v").as("max_v"), sum("sum_v").as("sum_v"),
+        min(struct(col("first_ts"), col("first_v"))).as("f"),
+        max(struct(col("last_ts"), col("last_v"))).as("l"))
+      .select(keys.map(col) ++ Seq(col("timestamp_ms"), col("cnt"), col("min_v"),
+        col("max_v"), col("sum_v"),
+        col("f.first_ts").as("first_ts"), col("f.first_v").as("first_v"),
+        col("l.last_ts").as("last_ts"), col("l.last_v").as("last_v")): _*)
+
+  /** Project merged rollup rows to (keys…, timestamp_ms, value) for a hint
+    * func; None when the func is not rollup-answerable. rate drops buckets
+    * without a positive time delta (a rate needs ≥2 distinct instants);
+    * increase/delta drop single-sample buckets. */
+  def deriveHint(merged: DataFrame, func: String,
+      keys: Seq[String] = Seq("fingerprint")): Option[DataFrame] = {
+    val value = func.stripSuffix("_over_time") match {
+      case "count" => col("cnt").cast(DoubleType)
+      case "min"   => col("min_v")
+      case "max"   => col("max_v")
+      case "sum"   => col("sum_v")
+      case "avg"   => col("sum_v") / col("cnt")
+      case "last"  => col("last_v")
+      case "delta" | "increase" => col("last_v") - col("first_v")
+      case "rate" =>
+        (col("last_v") - col("first_v")) / ((col("last_ts") - col("first_ts")) / 1000.0)
+      case _ => return None
+    }
+    val filtered = func.stripSuffix("_over_time") match {
+      case "rate" => merged.where(col("last_ts") > col("first_ts"))
+      case "delta" | "increase" => merged.where(col("cnt") >= 2)
+      case _ => merged
+    }
+    Some(filtered.select(keys.map(col) ++ Seq(col("timestamp_ms"), value.as("value")): _*))
+  }
 
   /** Pre-aggregate a flat (fingerprint, timestamp_ms, value, labels) frame
     * into per-(series, step-bucket) samples for an exploitable hint; None
@@ -150,19 +217,16 @@ object Storage {
     * raw samples, exactly like the reference always does). Bucket timestamps
     * are step-aligned via floored division, so they are stable across
     * queries with the same step — a Prometheus caller can cache/merge them.
-    * One partial-agg shuffle on (fingerprint, bucket); at 100 TB this is
-    * the same plan shape as the ds1 streaming downsample. */
+    * ONE partial-agg shuffle on (fingerprint, bucket) — partials at the
+    * hint's own step already ARE the merged rows, so no second exchange;
+    * at 100 TB this is the same plan shape as the ds1 streaming downsample. */
   def hintedDownsample(flat: DataFrame, hints: graft.model.ReadHints): Option[DataFrame] = {
     if (hints.stepMs <= 0) return None
-    val base = hints.func.stripSuffix("_over_time")
-    HintAggs.get(base).map { agg =>
-      val step = lit(hints.stepMs)
-      flat
-        .groupBy(col("fingerprint"), col("labels"),
-          (col("timestamp_ms") - pmod(col("timestamp_ms"), step)).as("timestamp_ms"))
-        .agg(agg(col("value")).as("value"))
-        .select("fingerprint", "timestamp_ms", "value", "labels")
-    }
+    val keys = Seq("fingerprint", "labels")
+    val merged = rollupPartials(flat, hints.stepMs, keys)
+      .withColumnRenamed("bucket_ms", "timestamp_ms")
+    deriveHint(merged, hints.func, keys)
+      .map(_.select("fingerprint", "timestamp_ms", "value", "labels"))
   }
 
   val samplesSchema: StructType = StructType(Seq(
@@ -287,13 +351,9 @@ final class ParquetStore(spark: SparkSession, root: String,
 
     if (rollupStepMs > 0) {
       // per-batch partial rollup rows; cross-batch duplicates of the same
-      // (fingerprint, bucket) re-merge at read (aggregates are algebraic)
-      samples
-        .withColumn("bucket_ms",
-          col("timestamp_ms") - pmod(col("timestamp_ms"), lit(rollupStepMs)))
-        .groupBy(col("fingerprint"), col("bucket_ms"))
-        .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
-          max("value").as("max_v"), sum("value").as("sum_v"))
+      // (fingerprint, bucket) re-merge at read (aggregates are algebraic,
+      // first/last merge as min/max of the (ts, value) struct)
+      rollupPartials(samples, rollupStepMs)
         .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
         .write.mode(SaveMode.Append).partitionBy("date")
         .option("compression", "zstd").parquet(rollupPath)
@@ -304,15 +364,18 @@ final class ParquetStore(spark: SparkSession, root: String,
 
   /** Serve an exploitable hint straight from the rollup table: matcher
     * pruning on the (rollup-bucket) rows, partial-row re-merge, then
-    * re-bucket to the hint's step. Whole rollup buckets intersecting
-    * [startMs, endMs] are served (bucket-aligned semantics — hints are
-    * advisory; Prometheus re-filters by time). Raw samples never scanned. */
+    * re-bucket to the hint's step and derive the hinted value — including
+    * last/rate/increase/delta from the first/last partials (the funcs the
+    * reference's dropped-hints field anticipates, prompb.proto:45-50).
+    * Whole rollup buckets intersecting [startMs, endMs] are served
+    * (bucket-aligned semantics — hints are advisory; Prometheus re-filters
+    * by time). Raw samples never scanned. Pruning mirrors `read`'s 4-tier
+    * strategy — same cached index, same forced-broadcast rule. */
   override protected def readHintedRollup(
       q: Query, hints: graft.model.ReadHints): Option[DataFrame] = {
-    val base = hints.func.stripSuffix("_over_time")
     val answerable = rollupStepMs > 0 && hints.stepMs > 0 &&
       hints.stepMs % rollupStepMs == 0 &&
-      Set("avg", "sum", "min", "max", "count").contains(base) &&
+      RollupBases.contains(hints.func.stripSuffix("_over_time")) &&
       exists(rollupPath)
     if (!answerable) return None
 
@@ -331,28 +394,24 @@ final class ParquetStore(spark: SparkSession, root: String,
       .where(col("bucket_ms") >= q.startMs - (rollupStepMs - 1) && col("bucket_ms") <= q.endMs)
       .where(col("date") >= to_date(timestamp_millis(lit(math.max(minDateMs - rollupStepMs, -62135596800000L))))
         && col("date") <= to_date(timestamp_millis(lit(maxDateMs))))
+
+    // same 4 tiers as `read` (IN-list / forced broadcast / AQE semi-join /
+    // no-op), so a mid-size matched set never shuffles the rollup either
+    val matchedAll = q.matchers.isEmpty
+    val smallMatch = !matchedAll && fps.length > MaxSeriesInline &&
+      (indexSize() <= BroadcastSeriesLimit || matched.count() <= BroadcastSeriesLimit)
     val pruned =
-      if (q.matchers.isEmpty) rollup0
+      if (matchedAll) rollup0
       else if (fps.length <= MaxSeriesInline) rollup0.where(col("fingerprint").isin(fps: _*))
+      else if (smallMatch)
+        rollup0.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")
       else rollup0.join(matched.select("fingerprint"), Seq("fingerprint"), "left_semi")
 
-    val step = lit(hints.stepMs)
-    val stepped = pruned
-      .groupBy(col("fingerprint"),
-        (col("bucket_ms") - pmod(col("bucket_ms"), step)).as("timestamp_ms"))
-      .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
-        max("max_v").as("max_v"), sum("sum_v").as("sum_v"))
-    val value = base match {
-      case "count" => col("cnt").cast(DoubleType)
-      case "min"   => col("min_v")
-      case "max"   => col("max_v")
-      case "sum"   => col("sum_v")
-      case "avg"   => col("sum_v") / col("cnt")
-    }
-    Some(stepped
-      .select(col("fingerprint"), col("timestamp_ms"), value.as("value"))
-      .join(if (fps.length <= MaxSeriesInline) broadcast(matched) else matched,
-        Seq("fingerprint"))
+    val merged = mergeRollup(pruned, hints.stepMs)
+    val attach =
+      if (fps.length <= MaxSeriesInline || smallMatch) broadcast(matched) else matched
+    deriveHint(merged, hints.func).map(_
+      .join(attach, Seq("fingerprint"))
       .select("fingerprint", "timestamp_ms", "value", "labels"))
   }
 

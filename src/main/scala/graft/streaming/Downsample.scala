@@ -38,8 +38,10 @@ object Downsample {
 
   /** Continuous rollup maintenance: the streaming producer of the
     * `samples_rollup` table that [[graft.storage.ParquetStore]] serves
-    * hinted reads from (same algebraic schema: cnt/min/max/sum per
-    * (fingerprint, step bucket), date-partitioned). Append mode — a
+    * hinted reads from (same algebraic schema: cnt/min/max/sum plus
+    * first/last (ts, value) per (fingerprint, step bucket),
+    * date-partitioned — the first/last pair is what makes
+    * rate/increase/last hints rollup-servable). Append mode — a
     * window's row lands once its watermark closes, so rows are final (no
     * partial-row merge needed); samples later than the watermark stay in
     * the raw table only (hinted serving then slightly undercounts those
@@ -55,9 +57,13 @@ object Downsample {
       .groupBy(window(col("event_time"), s"$stepMs milliseconds").as("w"),
         col("fingerprint"))
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
-        max("value").as("max_v"), sum("value").as("sum_v"))
+        max("value").as("max_v"), sum("value").as("sum_v"),
+        min(struct(col("timestamp_ms"), col("value"))).as("f"),
+        max(struct(col("timestamp_ms"), col("value"))).as("l"))
       .select(col("fingerprint"), unix_millis(col("w.start")).as("bucket_ms"),
         col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
+        col("f.timestamp_ms").as("first_ts"), col("f.value").as("first_v"),
+        col("l.timestamp_ms").as("last_ts"), col("l.value").as("last_v"),
         to_date(col("w.start")).as("date"))
 
   /** Start the rollup sink against a store root. */

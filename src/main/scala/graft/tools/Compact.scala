@@ -70,11 +70,13 @@ object Compact {
     val rollupLive = new org.apache.hadoop.fs.Path(s"$root/samples_rollup")
     val hasRollup = fs.exists(rollupLive)
     if (hasRollup) {
-      spark.read.parquet(s"$root/samples_rollup")
-        .groupBy("fingerprint", "bucket_ms")
-        .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
-          max("max_v").as("max_v"), sum("sum_v").as("sum_v"))
+      // same algebraic combine the read path uses (Storage.mergeRollup at
+      // the rollup's own granularity = pure partial-row merge, no re-bucket)
+      val rollup = spark.read.parquet(s"$root/samples_rollup")
+      graft.storage.Storage.mergeRollup(rollup, stepMs = 1L)
+        .withColumnRenamed("timestamp_ms", "bucket_ms")
         .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
+        .select(rollup.columns.filter(_ != "date").map(col) :+ col("date"): _*)
         .repartition(col("date"))
         .sortWithinPartitions("fingerprint", "bucket_ms")
         .write.mode(SaveMode.Overwrite).partitionBy("date")

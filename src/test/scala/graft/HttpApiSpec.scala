@@ -123,10 +123,16 @@ class HttpApiSpec extends AnyFunSuite {
         Some(ReadHints(stepMs = 3600_000L, func = "count"))))).head
       assert(counted.head.samples.map(_.value) === Seq(5d))
 
-      // un-exploitable func (rate needs adjacent raw points): raw samples,
-      // reference-identical behavior
-      val raw = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
+      // rate is servable from the first/last pair per bucket (bucket-local
+      // Δvalue/Δt): [13,14]→1/s, [15,16]→1/s, [17] single-sample dropped
+      val rated = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
         Some(ReadHints(stepMs = 2000L, func = "rate"))))).head
+      assert(rated.head.samples === Seq(Sample(T0, 1d), Sample(T0 + 2000, 1d)))
+
+      // un-exploitable func (quantile needs the full distribution): raw
+      // samples, reference-identical behavior
+      val raw = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
+        Some(ReadHints(stepMs = 2000L, func = "quantile"))))).head
       assert(raw.head.samples === fixture.head.samples)
 
       // hints apply per-query inside a positional BATCH too (the batched

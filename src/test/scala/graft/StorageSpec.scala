@@ -205,17 +205,27 @@ class StorageSpec extends AnyFunSuite {
       samples = ts.samples.map(s => Sample(s.timestampMs + 500, s.value + 100))))))
 
     val rawStore = new ParquetStore(spark, dir) // no rollup: aggregates raw at read
-    for (func <- Seq("max_over_time", "min_over_time", "count", "sum", "avg_over_time")) {
+    for (func <- Seq("max_over_time", "min_over_time", "count", "sum", "avg_over_time",
+        "last_over_time", "rate", "increase", "delta")) {
       val q = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
         Some(ReadHints(stepMs = 2000L, func = func)))
       assert(rollupStore.readTimeSeries(q) === rawStore.readTimeSeries(q), s"func: $func")
     }
-    // the rollup-served plan reads samples_rollup/, not samples/
-    val hintedDf = rollupStore.readSeries(Query(T0, T0 + 4999,
-      Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "max"))))
-    val p = hintedDf.queryExecution.executedPlan.toString
-    assert(p.contains("samples_rollup"), "hinted read should scan the rollup table")
-    assert(!p.contains(s"$dir/samples]"), "hinted read must not scan raw samples")
+    // rate values derive from the first/last partials: fixture handler=query
+    // buckets are [13,14], [14,14], [15] -> (last-first)/Δt; +100-shifted
+    // second batch lands +500 ms into the same buckets
+    val rated = rollupStore.readTimeSeries(Query(T0, T0 + 4999,
+      Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "rate"))))
+    assert(rated.head.samples.forall(_.value > 0), "counter fixture rates are positive")
+    // the rollup-served plan reads samples_rollup/, not samples/ — for the
+    // algebraic funcs AND the first/last-derived ones
+    for (func <- Seq("max", "rate", "last_over_time")) {
+      val hintedDf = rollupStore.readSeries(Query(T0, T0 + 4999,
+        Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, func))))
+      val p = hintedDf.queryExecution.executedPlan.toString
+      assert(p.contains("samples_rollup"), s"$func: hinted read should scan the rollup table")
+      assert(!p.contains(s"$dir/samples]"), s"$func: hinted read must not scan raw samples")
+    }
     // un-answerable step (not a multiple of the rollup granularity) falls
     // back to the raw path, still correct
     val odd = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
@@ -231,6 +241,31 @@ class StorageSpec extends AnyFunSuite {
       rollup.select("fingerprint", "bucket_ms").distinct().count(), "partials merged")
     assert(rollupStore.readTimeSeries(Query(T0, T0 + 4999,
       Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "avg")))) === before)
+  }
+
+  test("parquet: hinted rollup read keeps read()'s broadcast tier above the inline limit") {
+    // 60 matched series > MaxSeriesInline(50) but ≤ BroadcastSeriesLimit:
+    // the rollup path must force the broadcast semi-join exactly like
+    // read()'s tier 2 — a shuffled join here would shuffle the rollup on
+    // every mid-size matched set
+    val dir = java.nio.file.Files.createTempDirectory("graft_rolluptier_").toString
+    val store = new ParquetStore(spark, dir, rollupStepMs = 1000L)
+    val many = (0 until 60).map(i => TimeSeries(
+      Seq(Label("__name__", "tier_metric"), Label("i", i.toString)),
+      Seq(Sample(T0, i.toDouble), Sample(T0 + 500, i + 5d))))
+    store.write(batchDF(many))
+    val df = store.readSeries(Query(T0, T0 + 999, Seq(eqMatch("__name__", "tier_metric")),
+      Some(ReadHints(1000L, "rate"))))
+    val got = df.collect()
+    assert(got.length === 60)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("samples_rollup"), "served from the rollup")
+    assert(!p.contains(s"$dir/samples]"), "raw samples absent from the hinted plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "matched-set pruning above the inline limit must broadcast, not shuffle the rollup")
+    // bucket-local rate: (last-first)/Δt = 5 / 0.5 s = 10 for every series
+    assert(got.forall(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("samples")
+      .forall(_.getDouble(1) === 10.0)))
   }
 
   test("parquet: fingerprint-bucketed layout partition-prunes point queries, same results") {
