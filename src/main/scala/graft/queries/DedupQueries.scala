@@ -86,11 +86,18 @@ object DedupQueries {
   /** One row per doc with shingle set + MinHash signature, persisted: it
     * feeds banding and both verification joins — without it the
     * shingle+minhash pass runs 4x. At 100 TB this is a materialized
-    * signature table; here the cache plays that role (tiny: one row/doc). */
+    * signature table; here the cache plays that role (tiny: one row/doc).
+    * Memoized per corpus dir — repeated dedup runs in a long-lived serving
+    * session reuse ONE persisted frame instead of stacking a fresh copy in
+    * executor storage per call (same pattern as the store's series index). */
+  private val signatureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def signatureTable(s: SparkSession, dir: String): DataFrame =
-    docShingles(s, dir)
-      .withColumn("sig", minhash_signature(col("sh"), MinhashK))
-      .persist()
+    signatureCache.computeIfAbsent(dir, _ =>
+      docShingles(s, dir)
+        .withColumn("sig", minhash_signature(col("sh"), MinhashK))
+        .persist())
 
   private def bandedKeys(d: DataFrame): DataFrame = {
     val rowsPerBand = MinhashK / Bands // 4

@@ -56,6 +56,19 @@ class ExtSpec extends AnyFunSuite {
     assert(d1.length == 1 && d1.head.getAs[Long]("keep_id") == 1L)
   }
 
+  test("d2 signature table is memoized: repeated dedup runs add no cached frames") {
+    // the signature persist() must not stack a fresh executor-storage copy
+    // per call in a long-lived serving session — one cached frame per
+    // corpus dir, reused across minhashPairs AND oversizedLshBuckets
+    graft.queries.DedupQueries.minhashPairs(spark, sf).count()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    graft.queries.DedupQueries.minhashPairs(spark, sf).count()
+    graft.queries.DedupQueries.oversizedLshBuckets(spark, sf).count()
+    graft.queries.DedupQueries.minhashPairs(spark, sf, maxBucket = 10).count()
+    assert(spark.sparkContext.getPersistentRDDs.size === n1,
+      "repeated d2 runs must reuse the memoized signature frame")
+  }
+
   test("keep-list CC: LSH pairs and exact pairs elect identical keepers") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
