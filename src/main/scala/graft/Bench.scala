@@ -34,10 +34,14 @@ object Bench {
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
-    // JIT/codegen + parquet-footer warmup on the smallest SF (not timed)
+    // JIT/codegen + parquet-footer warmup on the smallest SF (not timed).
+    // A failure here is tolerable (the timed run still executes) but never
+    // silent — a typo'd query name warming nothing would skew its timing.
     defs.foreach { d =>
       try d.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup of ${d.name} failed: ${e.getMessage}")
+      }
     }
 
     val results = defs.map { d =>

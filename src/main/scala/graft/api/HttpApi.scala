@@ -17,8 +17,17 @@ import org.xerial.snappy.Snappy
   * encode. Uses the JDK's built-in HTTP server — the wire layer is not the
   * scaling dimension (queries are); a production deployment would front
   * this with any HTTP stack and call the same Storage API.
+  *
+  * @param serveDerivedHintsOnWire opt-in: also serve rate/increase/delta
+  *   hints as derived per-bucket samples. OFF by default — a stock
+  *   Prometheus client treats hints as advisory and re-applies the func
+  *   over returned samples (rate over rate values = rate-of-rate), so
+  *   those hints are stripped at this edge (raw samples, exactly what the
+  *   reference returns, prom.go:184-186). Enable only for pushdown-aware
+  *   callers that consume the derived buckets directly.
   */
-final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
+final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
+    serveDerivedHintsOnWire: Boolean = false) {
 
   // A7 running counter; atomic — concurrent /write handlers increment it
   // (the reference uses a prometheus Counter, which is atomic too)
@@ -47,7 +56,9 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0) {
   server.createContext("/read", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = respond(ex) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
-      val queries = Prompb.decodeReadRequest(body)
+      val decoded = Prompb.decodeReadRequest(body)
+      val queries =
+        if (serveDerivedHintsOnWire) decoded else decoded.map(Storage.sanitizeWireHints)
       readRequests.incrementAndGet()
       val results = store.readAll(queries)
       Snappy.compress(Prompb.encodeReadResponse(results))
@@ -137,7 +148,7 @@ object HttpApi {
   }
 
   private def post(url: String, body: Array[Byte]): (Int, Array[Byte]) = {
-    val conn = new java.net.URL(url).openConnection()
+    val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)

@@ -32,10 +32,16 @@ import org.apache.spark.sql.functions._
   *     here mirrors that; accepting them would *silently* return different
   *     rows than the reference.
   *
+  *  3. RE2's named-group syntax `(?P<name>…)` (Java spells it `(?<name>…)`
+  *     and additionally forbids `_` in names) is rewritten to a plain
+  *     group `(…)` before compiling — capture-group names cannot affect
+  *     match/no-match, which is all a matcher evaluates. `(?P=name)`
+  *     backreferences are rejected: RE2 itself has no backreferences, so
+  *     erroring is reference-identical.
+  *
   * Residual divergence (documented, not closable without re2j): `^`/`$`
   * *inside* the value still carry Java line semantics against values with
-  * trailing newlines, and RE2-legal-but-Java-illegal syntax (e.g. `(?P<n>`
-  * named groups) errors here rather than matching.
+  * trailing newlines.
   */
 object MatcherCompiler {
 
@@ -44,7 +50,45 @@ object MatcherCompiler {
     coalesce(labels.getItem(name), lit(""))
 
   /** Full-anchor wrapper, RE2-compatible end-of-input semantics. */
-  private def anchored(value: String): String = "\\A(?:" + value + ")\\z"
+  private def anchored(value: String): String = "\\A(?:" + toJavaDialect(value) + ")\\z"
+
+  /** Rewrite RE2-legal syntax Java refuses: `(?P<name>` named groups become
+    * plain `(` groups (names never change what matches, and Java's own
+    * `(?<name>` form forbids `_` in names, so renaming wouldn't suffice).
+    * `(?P=name)` (a backreference in Python, INVALID in RE2) fails loudly.
+    * Escape- and character-class-aware, same scan discipline as
+    * [[validateRe2]]. */
+  def toJavaDialect(pattern: String): String = {
+    val out = new StringBuilder(pattern.length)
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      c match {
+        case '\\' if i + 1 < pattern.length =>
+          out.append(c).append(pattern.charAt(i + 1)); i += 2
+        case '[' if !inClass =>
+          inClass = true; out.append(c); i += 1
+        case ']' if inClass =>
+          inClass = false; out.append(c); i += 1
+        case '(' if !inClass && pattern.startsWith("(?P", i) =>
+          if (pattern.startsWith("(?P<", i)) {
+            val close = pattern.indexOf('>', i + 4)
+            val name = if (close < 0) "" else pattern.substring(i + 4, close)
+            if (close < 0 || name.isEmpty || !name.forall(ch =>
+                ch.isLetterOrDigit && ch < 128 || ch == '_'))
+              throw new IllegalArgumentException(
+                s"malformed named group in matcher regex (RE2 requires (?P<[A-Za-z0-9_]+>): $pattern")
+            out.append('('); i = close + 1
+          } else
+            throw new IllegalArgumentException(
+              s"matcher regex uses (?P= / (?P' syntax, which RE2 (the reference dialect) does not support: $pattern")
+        case _ =>
+          out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
 
   /** Reject constructs Java regex accepts but RE2 (the reference dialect)
     * rejects. Throws IllegalArgumentException naming the construct —

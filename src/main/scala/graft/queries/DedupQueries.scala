@@ -87,17 +87,50 @@ object DedupQueries {
     * feeds banding and both verification joins — without it the
     * shingle+minhash pass runs 4x. At 100 TB this is a materialized
     * signature table; here the cache plays that role (tiny: one row/doc).
-    * Memoized per corpus dir — repeated dedup runs in a long-lived serving
-    * session reuse ONE persisted frame instead of stacking a fresh copy in
-    * executor storage per call (same pattern as the store's series index). */
-  private val signatureCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * Memoized per (session, dir) with a TTL — repeated dedup runs in a
+    * long-lived serving session reuse ONE persisted frame instead of
+    * stacking a fresh copy in executor storage per call; a rewritten
+    * corpus is picked up within one TTL or immediately via
+    * [[invalidateSignatures]]; a restarted session never sees frames bound
+    * to a stopped one (same freshness contract as the store's series
+    * index, ParquetStore.seriesIndex). */
+  val SignatureTtlMs = 300000L
 
-  private def signatureTable(s: SparkSession, dir: String): DataFrame =
-    signatureCache.computeIfAbsent(dir, _ =>
-      docShingles(s, dir)
-        .withColumn("sig", minhash_signature(col("sh"), MinhashK))
-        .persist())
+  private val signatureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
+
+  private def signatureTable(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val hit = signatureCache.get(key)
+    if (hit != null && System.currentTimeMillis() - hit._2 < SignatureTtlMs) hit._1
+    else signatureCache.synchronized {
+      val again = signatureCache.get(key)
+      if (again != null && System.currentTimeMillis() - again._2 < SignatureTtlMs) again._1
+      else {
+        if (again != null) again._1.unpersist(blocking = false)
+        // drop entries whose session has been stopped — their persisted
+        // frames are unusable and would pin the map forever
+        signatureCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+        val df = docShingles(s, dir)
+          .withColumn("sig", minhash_signature(col("sh"), MinhashK))
+          .persist()
+        signatureCache.put(key, (df, System.currentTimeMillis()))
+        df
+      }
+    }
+  }
+
+  /** Drop any cached signature table for `dir` (all sessions); the next
+    * dedup run re-reads the corpus. Call after rewriting the corpus dir —
+    * the analogue of ParquetStore.invalidateIndex after an o.o.b. rewrite. */
+  def invalidateSignatures(dir: String): Unit = signatureCache.synchronized {
+    signatureCache.entrySet().removeIf { e =>
+      val matches = e.getKey._2 == dir
+      if (matches && !e.getKey._1.sparkContext.isStopped)
+        e.getValue._1.unpersist(blocking = false)
+      matches
+    }
+  }
 
   private def bandedKeys(d: DataFrame): DataFrame = {
     val rowsPerBand = MinhashK / Bands // 4

@@ -146,6 +146,24 @@ object Storage {
   val RollupBases: Set[String] =
     Set("avg", "sum", "min", "max", "count", "last", "rate", "increase", "delta")
 
+  /** Hint funcs whose derived values must NOT be served as samples to a
+    * stock remote-read client: ReadHints are advisory, so Prometheus
+    * re-applies the function over whatever samples come back — rate() over
+    * per-bucket rate values is rate-of-rate, silently wrong. min/max/last
+    * (and bucket-aligned avg/sum) re-apply harmlessly. The wire edge strips
+    * these hints via [[sanitizeWireHints]] (falling back to raw samples,
+    * reference-identical behavior, prom.go:184-186) unless the deployment
+    * opts in for pushdown-aware callers. */
+  val WireUnsafeHintFuncs: Set[String] = Set("rate", "increase", "delta")
+
+  /** Drop a query's hint when a hint-oblivious remote-read client would
+    * mis-reapply its func over the derived samples (see
+    * [[WireUnsafeHintFuncs]]); internal callers keep full deriveHint use. */
+  def sanitizeWireHints(q: graft.model.Query): graft.model.Query =
+    if (q.hints.exists(h => WireUnsafeHintFuncs.contains(h.func.stripSuffix("_over_time"))))
+      q.copy(hints = None)
+    else q
+
   /** One rollup partial row per (keys…, step bucket) over a
     * (…, timestamp_ms, value) frame: algebraic aggregates (cnt/min/max/sum)
     * plus first/last (ts, value) pairs. Rows from separate batches covering
@@ -185,10 +203,20 @@ object Storage {
         col("f.first_ts").as("first_ts"), col("f.first_v").as("first_v"),
         col("l.last_ts").as("last_ts"), col("l.last_v").as("last_v")): _*)
 
+  /** Hint funcs derived from the first/last (ts, value) partials — these
+    * need the extended rollup schema ([[rollupPartials]] since it grew
+    * first_ts/first_v/last_ts/last_v); the algebraic rest only needs
+    * cnt/min_v/max_v/sum_v. */
+  val FirstLastBases: Set[String] = Set("last", "rate", "increase", "delta")
+
   /** Project merged rollup rows to (keys…, timestamp_ms, value) for a hint
-    * func; None when the func is not rollup-answerable. rate drops buckets
-    * without a positive time delta (a rate needs ≥2 distinct instants);
-    * increase/delta drop single-sample buckets. */
+    * func; None when the func is not rollup-answerable. rate/increase/delta
+    * all drop buckets without a positive time delta — chronological
+    * first/last is undefined on a single instant (one shared predicate so
+    * every first/last-derived func has the same well-defined domain).
+    * `last` additionally guards on a non-null last pair, so rows that lost
+    * their first/last partials (pre-migration rollup files, see
+    * [[graft.tools.Compact]]) are never emitted as null-valued samples. */
   def deriveHint(merged: DataFrame, func: String,
       keys: Seq[String] = Seq("fingerprint")): Option[DataFrame] = {
     val value = func.stripSuffix("_over_time") match {
@@ -204,8 +232,8 @@ object Storage {
       case _ => return None
     }
     val filtered = func.stripSuffix("_over_time") match {
-      case "rate" => merged.where(col("last_ts") > col("first_ts"))
-      case "delta" | "increase" => merged.where(col("cnt") >= 2)
+      case "rate" | "delta" | "increase" => merged.where(col("last_ts") > col("first_ts"))
+      case "last" => merged.where(col("last_ts").isNotNull)
       case _ => merged
     }
     Some(filtered.select(keys.map(col) ++ Seq(col("timestamp_ms"), value.as("value")): _*))
@@ -291,6 +319,7 @@ final class ParquetStore(spark: SparkSession, root: String,
 
   @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
   @volatile private var cachedIndexSize: Long = -1L
+  @volatile private var rollupFirstLastOk: Option[Boolean] = None
 
   /** Total dictionary cardinality, memoized with the snapshot (the
     * materializing count() already computes it). */
@@ -306,6 +335,23 @@ final class ParquetStore(spark: SparkSession, root: String,
   private def exists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** True when EVERY rollup file carries the first/last partials — the
+    * columns exist under a merged-footer read AND no row reads them as
+    * null (a mixed old+new dir exposes the columns but nulls them for
+    * pre-migration files; min/max(struct) would then prefer the
+    * null-field structs and silently corrupt derived hints). The null
+    * probe is one column-pruned scan bounded by rollup size (fold× smaller
+    * than raw), memoized per store instance until [[invalidateIndex]];
+    * rollupPartials never emits null first_ts, so null ⟺ old file.
+    * `Compact.run` migrates old/mixed dirs, after which this is true. */
+  private def rollupServesFirstLast(): Boolean = rollupFirstLastOk.getOrElse {
+    val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
+    val ok = Seq("first_ts", "first_v", "last_ts", "last_v").forall(merged.columns.contains) &&
+      merged.where(col("first_ts").isNull).isEmpty
+    rollupFirstLastOk = Some(ok)
+    ok
   }
 
   override def write(batch: DataFrame): Unit = {
@@ -359,7 +405,12 @@ final class ParquetStore(spark: SparkSession, root: String,
         .option("compression", "zstd").parquet(rollupPath)
     }
 
+    // own appends always carry the full rollup schema, so they can't flip
+    // the first/last capability either way (old→mixed stays false, new
+    // stays true) — keep the memo so ingest doesn't re-probe per batch
+    val flOk = rollupFirstLastOk
     invalidateIndex()
+    rollupFirstLastOk = flOk
   }
 
   /** Serve an exploitable hint straight from the rollup table: matcher
@@ -373,10 +424,15 @@ final class ParquetStore(spark: SparkSession, root: String,
     * strategy — same cached index, same forced-broadcast rule. */
   override protected def readHintedRollup(
       q: Query, hints: graft.model.ReadHints): Option[DataFrame] = {
+    val base = hints.func.stripSuffix("_over_time")
     val answerable = rollupStepMs > 0 && hints.stepMs > 0 &&
       hints.stepMs % rollupStepMs == 0 &&
-      RollupBases.contains(hints.func.stripSuffix("_over_time")) &&
-      exists(rollupPath)
+      RollupBases.contains(base) &&
+      exists(rollupPath) &&
+      // first/last-derived funcs need every rollup file to carry the
+      // first/last partials; pre-migration dirs fall back to raw serving
+      // (reference-identical) until Compact backfills them
+      (!FirstLastBases.contains(base) || rollupServesFirstLast())
     if (!answerable) return None
 
     val matched = seriesIndex
@@ -390,7 +446,20 @@ final class ParquetStore(spark: SparkSession, root: String,
 
     val minDateMs = math.max(q.startMs, -62135596800000L)
     val maxDateMs = math.min(q.endMs, 253402300799999L)
-    val rollup0 = spark.read.parquet(rollupPath)
+    val rollupRaw = spark.read.parquet(rollupPath)
+    // pre-migration rollup files (written before the schema grew the
+    // first/last partials) still serve the algebraic funcs: pad the missing
+    // columns with typed nulls so the shared merge works; the gate above
+    // already routed first/last-derived funcs to the raw path
+    val rollupCompat =
+      if (Seq("first_ts", "first_v", "last_ts", "last_v").forall(rollupRaw.columns.contains))
+        rollupRaw
+      else rollupRaw
+        .withColumn("first_ts", lit(null).cast(LongType))
+        .withColumn("first_v", lit(null).cast(DoubleType))
+        .withColumn("last_ts", lit(null).cast(LongType))
+        .withColumn("last_v", lit(null).cast(DoubleType))
+    val rollup0 = rollupCompat
       .where(col("bucket_ms") >= q.startMs - (rollupStepMs - 1) && col("bucket_ms") <= q.endMs)
       .where(col("date") >= to_date(timestamp_millis(lit(math.max(minDateMs - rollupStepMs, -62135596800000L))))
         && col("date") <= to_date(timestamp_millis(lit(maxDateMs))))
@@ -483,6 +552,7 @@ final class ParquetStore(spark: SparkSession, root: String,
     cachedIndex.foreach(_._1.unpersist(blocking = false))
     cachedIndex = None
     cachedIndexSize = -1L
+    rollupFirstLastOk = None
   }
 
   private def buildIndex(): DataFrame =

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object Compact {
 
   def main(args: Array[String]): Unit = {
-    val root = args.headOption.getOrElse(sys.error("usage: Compact <storeRoot>"))
+    val root = args.headOption.getOrElse(sys.error("usage: Compact <storeRoot> [rollupStepMs]"))
+    val stepOverride = args.lift(1).map(_.toLong)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -32,11 +33,11 @@ object Compact {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, root)
+    run(spark, root, stepOverride)
     spark.stop()
   }
 
-  def run(spark: SparkSession, root: String): Unit = {
+  def run(spark: SparkSession, root: String, rollupStepMs: Option[Long] = None): Unit = {
     val stage = s"$root/.compact_stage"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -70,13 +71,47 @@ object Compact {
     val rollupLive = new org.apache.hadoop.fs.Path(s"$root/samples_rollup")
     val hasRollup = fs.exists(rollupLive)
     if (hasRollup) {
-      // same algebraic combine the read path uses (Storage.mergeRollup at
-      // the rollup's own granularity = pure partial-row merge, no re-bucket)
-      val rollup = spark.read.parquet(s"$root/samples_rollup")
-      graft.storage.Storage.mergeRollup(rollup, stepMs = 1L)
-        .withColumnRenamed("timestamp_ms", "bucket_ms")
+      val rollup = spark.read.option("mergeSchema", "true").parquet(s"$root/samples_rollup")
+      // migration/backfill: rollup files written before the schema grew the
+      // first/last partials (or a mixed old+new dir — old rows read those
+      // columns as null) cannot serve last/rate/increase/delta hints, and
+      // first/last can't be reconstructed from algebraic partials. The raw
+      // samples CAN rebuild them — one rollupPartials pass at the table's
+      // own step (inferred as the gcd of the step-aligned bucket keys, or
+      // passed explicitly). After one compaction the dir is uniformly
+      // new-schema and the hinted read re-enables the first/last funcs.
+      val newSchema = Seq("first_ts", "first_v", "last_ts", "last_v")
+        .forall(rollup.columns.contains)
+      val needsBackfill = !newSchema ||
+        rollup.where(col("first_ts").isNull).limit(1).count() > 0
+      val compacted =
+        if (!needsBackfill)
+          // same algebraic combine the read path uses (Storage.mergeRollup
+          // at the rollup's own granularity = pure partial-row merge)
+          graft.storage.Storage.mergeRollup(rollup, stepMs = 1L)
+            .withColumnRenamed("timestamp_ms", "bucket_ms")
+        else {
+          val step = rollupStepMs.getOrElse {
+            @annotation.tailrec
+            def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+            // every bucket_ms is a multiple of the true step; the gcd of a
+            // sample of them is m*step (m=1 with overwhelming probability
+            // given many buckets) — an overestimate only coarsens the
+            // rebuilt rollup, never corrupts it
+            val bs = rollup.select("bucket_ms").distinct().limit(10000)
+              .collect().map(r => math.abs(r.getLong(0))).filter(_ != 0)
+            require(bs.nonEmpty, "cannot infer rollup step (all buckets at 0); pass rollupStepMs")
+            bs.reduce(gcd)
+          }
+          println(s"[compact] rollup lacks first/last partials; rebuilding from raw samples at step=${step}ms")
+          graft.storage.Storage.rollupPartials(
+            samples.select("fingerprint", "timestamp_ms", "value"), step)
+        }
+      compacted
         .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
-        .select(rollup.columns.filter(_ != "date").map(col) :+ col("date"): _*)
+        .select(col("fingerprint"), col("bucket_ms"), col("cnt"), col("min_v"),
+          col("max_v"), col("sum_v"), col("first_ts"), col("first_v"),
+          col("last_ts"), col("last_v"), col("date"))
         .repartition(col("date"))
         .sortWithinPartitions("fingerprint", "bucket_ms")
         .write.mode(SaveMode.Overwrite).partitionBy("date")

@@ -55,16 +55,57 @@ object FakeExporter {
   private def escape(v: String): String =
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
+  /** Serve the fan-out as a live scrape target (reference:
+    * cmd/fake_exporter/main.go — an HTTP endpoint Prometheus scrapes, each
+    * scrape re-perturbed). `base` is re-evaluated per request, so a
+    * supplier that re-stamps timestamps yields fresh jitter per scrape
+    * (jitter is seeded from (fingerprint, instance, timestamp)). Returns
+    * the bound server; `stop(0)` it when done. Scrape at
+    * `http://127.0.0.1:<port>/metrics`. */
+  def serve(base: () => Seq[TimeSeries], instances: Int, port: Int = 0,
+      template: String = "instance-%d"): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-fake-exporter"); t.setDaemon(true); t
+    }))
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val out = render(fanOut(base(), instances, template)).getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.start()
+    server
+  }
+
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(2)
-    val input = if (args.length > 1) {
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))), "UTF-8")
+    // usage: FakeExporter [instances] [expositionFile] [--serve [port]]
+    val serveIdx = args.indexOf("--serve")
+    val positional = if (serveIdx >= 0) args.take(serveIdx) else args
+    val n = positional.headOption.map(_.toInt).getOrElse(2)
+    val input = if (positional.length > 1) {
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(positional(1))), "UTF-8")
     } else {
       """up{job="demo"} 1 1700000000000
         |http_requests_total{code="200"} 1027 1700000000000
         |temperature_celsius 23.7 1700000000000
         |""".stripMargin
     }
-    print(render(fanOut(Exposition.parse(input), n)))
+    val parsed = Exposition.parse(input)
+    if (serveIdx >= 0) {
+      val port = args.lift(serveIdx + 1).map(_.toInt).getOrElse(9115)
+      // live mode: re-stamp each scrape at scrape time so repeated scrapes
+      // see moving, freshly-jittered values (the reference proxies a live
+      // exporter; a fixed payload plays that role here)
+      val server = serve(() => {
+        val now = System.currentTimeMillis()
+        parsed.map(ts => ts.copy(samples = ts.samples.map(_.copy(timestampMs = now))))
+      }, n, port)
+      println(s"[fake_exporter] serving ${parsed.size} base series x $n instances " +
+        s"on http://127.0.0.1:${server.getAddress.getPort}/metrics")
+      Thread.currentThread().join()
+    } else print(render(fanOut(parsed, n)))
   }
 }

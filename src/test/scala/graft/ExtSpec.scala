@@ -69,6 +69,25 @@ class ExtSpec extends AnyFunSuite {
       "repeated d2 runs must reuse the memoized signature frame")
   }
 
+  test("d2 signature cache invalidation: a rewritten corpus is re-read, evicted frame unpersisted") {
+    import graft.queries.DedupQueries
+    // private corpus dir so invalidation here can't race other tests
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigcache_").toString
+    spark.read.parquet(s"$sf/documents.parquet").limit(30)
+      .write.parquet(s"$dir/documents.parquet")
+    val before = DedupQueries.minhashPairs(spark, dir).count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // rewrite the corpus out-of-band: without invalidation the TTL'd cache
+    // would keep serving the 30-doc signature frame
+    spark.read.parquet(s"$sf/documents.parquet").limit(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupQueries.invalidateSignatures(dir)
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore,
+      "invalidation must unpersist the evicted signature frame")
+    assert(DedupQueries.minhashPairs(spark, dir).count() === 0L,
+      s"post-invalidation run must see the rewritten 1-doc corpus (before: $before pairs)")
+  }
+
   test("keep-list CC: LSH pairs and exact pairs elect identical keepers") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -103,7 +103,8 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("hinted remote read serves pre-aggregated step buckets over the wire") {
-    val api = new HttpApi(spark, new MemoryStore(spark))
+    val store = new MemoryStore(spark)
+    val api = new HttpApi(spark, store)
     val port = api.start()
     try {
       val url = s"http://127.0.0.1:$port"
@@ -123,11 +124,25 @@ class HttpApiSpec extends AnyFunSuite {
         Some(ReadHints(stepMs = 3600_000L, func = "count"))))).head
       assert(counted.head.samples.map(_.value) === Seq(5d))
 
-      // rate is servable from the first/last pair per bucket (bucket-local
-      // Δvalue/Δt): [13,14]→1/s, [15,16]→1/s, [17] single-sample dropped
+      // rate/increase/delta hints are STRIPPED at the wire edge by default:
+      // hints are advisory, so a stock client re-applies rate() over the
+      // returned samples — serving derived per-bucket rates would yield
+      // rate-of-rate. Raw samples come back, reference-identical
+      // (prom.go:184-186 drops every hint).
       val rated = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
         Some(ReadHints(stepMs = 2000L, func = "rate"))))).head
-      assert(rated.head.samples === Seq(Sample(T0, 1d), Sample(T0 + 2000, 1d)))
+      assert(rated.head.samples === fixture.head.samples)
+
+      // pushdown-aware deployments opt in: bucket-local Δvalue/Δt
+      // [13,14]→1/s, [15,16]→1/s, [17] single-sample dropped
+      val optIn = new HttpApi(spark, store, serveDerivedHintsOnWire = true)
+      val optInPort = optIn.start()
+      try {
+        val derived = HttpApi.remoteRead(s"http://127.0.0.1:$optInPort",
+          Seq(Query(T0, T0 + 10000, m,
+            Some(ReadHints(stepMs = 2000L, func = "rate"))))).head
+        assert(derived.head.samples === Seq(Sample(T0, 1d), Sample(T0 + 2000, 1d)))
+      } finally optIn.stop()
 
       // un-exploitable func (quantile needs the full distribution): raw
       // samples, reference-identical behavior

@@ -243,6 +243,61 @@ class StorageSpec extends AnyFunSuite {
       Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, "avg")))) === before)
   }
 
+  test("parquet: pre-migration rollup serves algebraic hints only; Compact backfills first/last from raw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollupmig_").toString
+    val store = new ParquetStore(spark, dir, rollupStepMs = 1000L)
+    store.write(batchDF(fixture))
+    // simulate a table written before the rollup schema grew the first/last
+    // partials: strip those columns in place
+    val rollupPath = s"$dir/samples_rollup"
+    val oldSchema = spark.read.parquet(rollupPath)
+      .drop("first_ts", "first_v", "last_ts", "last_v")
+      .localCheckpoint(eager = true)
+    oldSchema.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("date").parquet(rollupPath)
+    store.invalidateIndex()
+
+    val rawStore = new ParquetStore(spark, dir) // no rollup: raw-path truth
+    val avgQ = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
+      Some(ReadHints(2000L, "avg")))
+    val rateQ = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
+      Some(ReadHints(2000L, "rate")))
+    // algebraic funcs still serve from the old-schema rollup (padded nulls,
+    // never consulted)...
+    assert(store.readTimeSeries(avgQ) === rawStore.readTimeSeries(avgQ))
+    assert(store.readSeries(avgQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "algebraic hint should still use the old rollup")
+    // ...while first/last-derived funcs fall back to raw serving — correct
+    // values, no AnalysisException, no null-valued samples
+    assert(store.readTimeSeries(rateQ) === rawStore.readTimeSeries(rateQ))
+    assert(!store.readSeries(rateQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "pre-migration rollup must not serve rate")
+
+    // a MIXED dir (new-schema partials appended onto old files) is equally
+    // unservable for first/last — min/max(struct) would elect the null-field
+    // structs; the null probe catches what the column check alone cannot
+    store.write(batchDF(Seq(TimeSeries(
+      Seq(Label("__name__", "mix_metric")),
+      Seq(Sample(T0, 1d), Sample(T0 + 500, 3d))))))
+    store.invalidateIndex() // external-style reset: force a fresh probe
+    assert(store.readTimeSeries(rateQ) === rawStore.readTimeSeries(rateQ))
+    assert(!store.readSeries(rateQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "mixed-schema rollup must not serve rate")
+
+    // Compact's migration rebuilds the rollup from raw samples (step
+    // inferred from the bucket keys); first/last serving re-enables
+    graft.tools.Compact.run(spark, dir)
+    store.invalidateIndex()
+    val migrated = spark.read.parquet(rollupPath)
+    assert(Seq("first_ts", "first_v", "last_ts", "last_v")
+      .forall(migrated.columns.contains), "backfill restores the partials")
+    assert(migrated.where(org.apache.spark.sql.functions.col("first_ts").isNull).isEmpty,
+      "no null first/last rows survive migration")
+    assert(store.readTimeSeries(rateQ) === rawStore.readTimeSeries(rateQ))
+    assert(store.readSeries(rateQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "migrated rollup serves rate again")
+  }
+
   test("parquet: hinted rollup read keeps read()'s broadcast tier above the inline limit") {
     // 60 matched series > MaxSeriesInline(50) but ≤ BroadcastSeriesLimit:
     // the rollup path must force the broadcast semi-join exactly like
@@ -363,7 +418,10 @@ class StorageSpec extends AnyFunSuite {
       "a++b",
       "a{2,3}+b",
       "a\\Zb",       // Java-only anchors
-      "a\\Gb")
+      "a\\Gb",
+      "(?P<n>a)(?P=n)", // Python-style backreference — invalid in RE2 too
+      "(?P<>x)",     // malformed named group (empty name)
+      "(?P<a-b>x)")  // malformed named group (RE2 names are [A-Za-z0-9_]+)
     for (p <- rejected)
       intercept[IllegalArgumentException] {
         MatcherCompiler.matches(Map("l" -> "x"), Seq(reMatch("l", p)))
@@ -372,6 +430,22 @@ class StorageSpec extends AnyFunSuite {
     val accepted = Seq("(?i)FOO", "[a*+]?", "(a+)+", "a\\\\1", "\\Afoo\\z", "\\bword\\b", "[^]a]")
     for (p <- accepted)
       MatcherCompiler.matches(Map("l" -> "x"), Seq(reMatch("l", p))) // must not throw
+    // RE2 named groups `(?P<name>…)` (underscores legal in RE2, not in
+    // Java's `(?<name>`) are rewritten to plain groups and MATCH — the
+    // round-3 residual that used to error
+    assert(MatcherCompiler.matches(Map("l" -> "prod"), Seq(reMatch("l", "(?P<env_name>prod|dev)"))))
+    assert(!MatcherCompiler.matches(Map("l" -> "stage"), Seq(reMatch("l", "(?P<env_name>prod|dev)"))))
+    assert(MatcherCompiler.matches(Map("l" -> "ab"), Seq(reMatch("l", "(?P<x>a)(?P<y>b)"))))
+    assert(MatcherCompiler.matches(Map("l" -> "(?P<x"), Seq(reMatch("l", "[(?P<x]+")))) // class-literal, untouched
+    // same rewrite through the Catalyst rlike path
+    for ((storeName, store) <- makeStores()) {
+      store.write(batchDF(Seq(TimeSeries(
+        Seq(Label("__name__", "named_metric"), Label("env", "prod")),
+        Seq(Sample(T0, 1d))))))
+      assert(store.readTimeSeries(Query(0L, Long.MaxValue,
+        Seq(reMatch("env", "(?P<env_name>prod|dev)")))).size === 1,
+        s"$storeName: RE2 named group must match through the store read path")
+    }
   }
 
   test("parquet: series index is served from a cached snapshot across queries") {

@@ -70,6 +70,31 @@ class ToolsSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("fake exporter serve mode: live scrape target feeds the promload scrape loop end-to-end") {
+    // the reference's cmd/fake_exporter binds an HTTP endpoint Prometheus
+    // scrapes; serve() is that mode — scraped here by the engine's own
+    // scrape-loop source (S9), closing the generator->ingest loop
+    val base = Exposition.parse(
+      """up{job="demo"} 1 1700000000000
+        |http_requests_total{code="200"} 1027 1700000000000
+        |""".stripMargin)
+    val server = FakeExporter.serve(() => base, instances = 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_fakescrape_").toString
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+      val text = scala.io.Source.fromURL(url, "UTF-8").mkString
+      assert((0 until 3).forall(i => text.contains(s"""instance="instance-$i"""")))
+      // fixed payload + fixed timestamps => deterministic rendering per scrape
+      assert(scala.io.Source.fromURL(url, "UTF-8").mkString === text)
+      Promload.exporterToStore(spark, url, root, scrapes = 2, intervalMs = 10L)
+      val out = new ParquetStore(spark, root)
+        .readTimeSeries(Query(0L, Long.MaxValue, Seq.empty))
+      assert(out.size === 6, "2 base series x 3 instances")
+      assert(out.filter(_.labels.exists(l => l.name == "__name__" && l.value == "up"))
+        .forall(_.samples.forall(_.value == 1d))) // X9: 1 passes through
+    } finally server.stop(0)
+  }
+
   test("fake exporter: fan-out + jitter invariants (X9/X10)") {
     val input =
       """up{job="demo"} 1 1700000000000
