@@ -396,15 +396,26 @@ object PromQueries {
       |             / ((max(ts_ms) - min(ts_ms)) / 1000.0), 6) + 0.0 AS rate
       |FROM b GROUP BY 1, 2
       |HAVING max(ts_ms) > min(ts_ms)""".stripMargin) { (s, dir) =>
-    val flat = eventSamples(s, dir).select(
-      labels_json(col("labels")).as("labels"), col("timestamp_ms"), col("value"))
-    val partials = Seq(0, 1)
-      .map(p => graft.storage.Storage.rollupPartials(
-        flat.where(pmod(col("timestamp_ms"), lit(2)) === p), 3600000L, Seq("labels")))
-      .reduce(_ unionByName _)
-    val merged = graft.storage.Storage.mergeRollup(partials, 21600000L, Seq("labels"))
-    graft.storage.Storage.deriveHint(merged, "rate", Seq("labels")).get
-      .select(col("labels"), col("timestamp_ms").as("bucket_ms"),
+    // Shuffle on the narrow natural series keys, exactly as the production
+    // rollup shuffles on the fingerprint long — the canonical labels JSON
+    // is marshalled once per OUTPUT row, not carried through the exchange
+    // per input row. Per-"batch" partials (split on timestamp parity) are
+    // computed in ONE scan and ONE shuffle: the batch id is just an extra
+    // grouping key — identical partial rows to running rollupPartials per
+    // batch and unioning, without scanning events twice.
+    val flat = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("timestamp_ms"), col("value"))
+    val partials = graft.storage.Storage.rollupPartials(
+      flat.withColumn("batch", pmod(col("timestamp_ms"), lit(2))),
+      3600000L, Seq("event_type", "user_id", "batch"))
+    val merged = graft.storage.Storage.mergeRollup(partials, 21600000L,
+      Seq("event_type", "user_id"))
+    graft.storage.Storage.deriveHint(merged, "rate", Seq("event_type", "user_id")).get
+      .select(
+        labels_json(map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"))).as("labels"),
+        col("timestamp_ms").as("bucket_ms"),
         // + 0.0 normalizes -0.0 (engines disagree on the sign of zero)
         (round(col("value"), 6) + 0.0).as("rate"))
   }
@@ -424,12 +435,17 @@ object PromQueries {
       |       bucket_ms,
       |       round(min(CASE WHEN rn_l = 1 THEN value END), 2) AS last_v
       |FROM b GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    val flat = eventSamples(s, dir).select(
-      labels_json(col("labels")).as("labels"), col("timestamp_ms"), col("value"))
-    val merged = graft.storage.Storage.rollupPartials(flat, 21600000L, Seq("labels"))
+    val flat = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("timestamp_ms"), col("value"))
+    val merged = graft.storage.Storage
+      .rollupPartials(flat, 21600000L, Seq("event_type", "user_id"))
       .withColumnRenamed("bucket_ms", "timestamp_ms")
-    graft.storage.Storage.deriveHint(merged, "last_over_time", Seq("labels")).get
-      .select(col("labels"), col("timestamp_ms").as("bucket_ms"),
+    graft.storage.Storage.deriveHint(merged, "last_over_time", Seq("event_type", "user_id")).get
+      .select(
+        labels_json(map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"))).as("labels"),
+        col("timestamp_ms").as("bucket_ms"),
         round(col("value"), 2).as("last_v"))
   }
 

@@ -106,6 +106,18 @@ class PlanSpec extends AnyFunSuite {
     assert(bandedExchanges <= 2, s"unexpected extra banding shuffles: $bandedExchanges")
   }
 
+  test("rh2 rollup rate: one events scan, one partial-agg exchange + one merge exchange") {
+    // the per-batch partials are computed with the batch id as a grouping
+    // key — regressing to per-batch rollupPartials calls would scan events
+    // once per batch and add an exchange per batch
+    val p = plan("rh2_rate_rollup")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("events\\.parquet".r.findAllIn(finalPlan).size <= 1,
+      "rh2 must scan events exactly once")
+    assert("(?m)^\\s*\\+?- Exchange ".r.findAllIn(finalPlan).size <= 2,
+      "rh2 is two exchanges: partials on (keys, batch, bucket), merge on (keys, step)")
+  }
+
   test("as-of join is a single window pass, not a range join") {
     val p = plan("as1_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
