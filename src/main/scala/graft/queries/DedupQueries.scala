@@ -130,6 +130,9 @@ object DedupQueries {
         e.getValue._1.unpersist(blocking = false)
       matches
     }
+    // the signature frame reads through the memoized table frame — a
+    // rewritten corpus must drop both or the rebuild re-reads stale files
+    Tables.invalidate(dir)
   }
 
   private def bandedKeys(d: DataFrame): DataFrame = {
