@@ -378,7 +378,13 @@ final class ParquetStore(spark: SparkSession, root: String,
     // row-group stats then prune fingerprint point-lookups (the MergeTree
     // ORDER BY analogue, clickhouse.go:93-101).
     // zstd over sorted data: measured 1.89 B/sample on the Prometheus-shaped
-    // corpus vs 4.66 snappy and the reference's published 5.3 (Diag)
+    // corpus vs 4.66 snappy and the reference's published 5.3 (Diag).
+    // RANGE partitioning on (date, fingerprint), not hash on date alone: a
+    // batch rarely spans many days, and hash-by-date funnels each whole day
+    // through ONE sort+compress+write task — at 100 TB/day that task never
+    // finishes. Ranges keep day locality, split a day into files covering
+    // DISJOINT fingerprint ranges (point lookups stay one-file-per-day
+    // tight), and parallelize by cluster width instead of by span-of-days.
     val dated = samples
       .withColumn("date", to_date(timestamp_millis(col("timestamp_ms"))))
     if (fingerprintBuckets > 0)
@@ -390,7 +396,7 @@ final class ParquetStore(spark: SparkSession, root: String,
         .option("compression", "zstd").parquet(samplesPath)
     else
       dated
-        .repartition(col("date"))
+        .repartitionByRange(col("date"), col("fingerprint"))
         .sortWithinPartitions("fingerprint", "timestamp_ms")
         .write.mode(SaveMode.Append).partitionBy("date")
         .option("compression", "zstd").parquet(samplesPath)

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
 object Compact {
 
   def main(args: Array[String]): Unit = {
-    val root = args.headOption.getOrElse(sys.error("usage: Compact <storeRoot> [rollupStepMs]"))
+    val root = args.headOption.getOrElse(
+      sys.error("usage: Compact <storeRoot> [rollupStepMs] [filesPerDay]"))
     val stepOverride = args.lift(1).map(_.toLong)
+    val filesPerDay = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -33,11 +35,18 @@ object Compact {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, root, stepOverride)
+    run(spark, root, stepOverride, filesPerDay)
     spark.stop()
   }
 
-  def run(spark: SparkSession, root: String, rollupStepMs: Option[Long] = None): Unit = {
+  /** @param filesPerDay target output files per day partition. 1 (default)
+    *   funnels each day through one sort+compress task — maximal compression
+    *   and a single file to prune, right for laptop/day-scale stores. At
+    *   100 TB a day does not fit one task: set this to ~day-bytes/1 GB and
+    *   days are RANGE-split by fingerprint — each file covers a disjoint
+    *   fingerprint range, so point lookups still touch one file per day. */
+  def run(spark: SparkSession, root: String, rollupStepMs: Option[Long] = None,
+      filesPerDay: Int = 1): Unit = {
     val stage = s"$root/.compact_stage"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -48,8 +57,18 @@ object Compact {
     val samples = spark.read.parquet(s"$root/samples")
     val sampleParts =
       if (samples.columns.contains("bucket")) Seq("date", "bucket") else Seq("date")
-    samples
-      .repartition(sampleParts.map(col): _*)
+    // bucketed layouts are already split within each day by the bucket
+    // column; otherwise filesPerDay > 1 range-splits days by fingerprint
+    val arranged =
+      if (filesPerDay <= 1 || sampleParts.contains("bucket"))
+        samples.repartition(sampleParts.map(col): _*)
+      else {
+        val days = samples.select("date").distinct().count()
+        samples.repartitionByRange(
+          math.max(1, (days * filesPerDay).min(1 << 20).toInt),
+          col("date"), col("fingerprint"))
+      }
+    arranged
       .sortWithinPartitions("fingerprint", "timestamp_ms")
       .write.mode(SaveMode.Overwrite).partitionBy(sampleParts: _*)
       .option("compression", "zstd").parquet(s"$stage/samples")

@@ -147,6 +147,27 @@ class ToolsSpec extends AnyFunSuite {
     // dictionary physically unique after compaction
     val dict = spark.read.parquet(s"$root/time_series")
     assert(dict.count() === dict.select("fingerprint").distinct().count())
+
+    // cluster-scale mode: filesPerDay range-splits days by fingerprint —
+    // same data back, and every day's files cover DISJOINT fingerprint
+    // ranges (a point lookup still reads one file per day)
+    graft.tools.Compact.run(spark, root, filesPerDay = 3)
+    store.invalidateIndex()
+    assert(store.read(Query(0L, Long.MaxValue, Seq.empty))
+      .select("fingerprint", "timestamp_ms", "value").collect().toSet === before)
+    new java.io.File(s"$root/samples").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date=")).foreach { d =>
+        val ranges = d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val stats = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("fingerprint"), max("fingerprint")).collect()(0)
+          (stats.getLong(0), stats.getLong(1))
+        }.sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Array((_, hiA), (loB, _)) =>
+            assert(hiA <= loB, s"${d.getName}: overlapping fingerprint ranges")
+          case _ => ()
+        }
+      }
   }
 
   test("blackhole store discards writes and answers empty (S12)") {
