@@ -107,6 +107,38 @@ object ExtOps {
     out
   }
 
+  /** n-gram repetition statistics in one O(words) hashmap pass:
+    * (total n-gram instances, instances whose n-gram occurs more than
+    * once, occurrences of the most frequent n-gram) — the Gopher-rule
+    * repetition signals (duplicate-n-gram fraction, top-n-gram fraction)
+    * derive from these by division. One multiset count per row, map-only;
+    * the unnest+GROUP BY formulation an SQL engine uses would shuffle
+    * every n-gram instance of a 100 TB corpus twice. */
+  def repetitionStats(ws: ArrayData, n: Int): InternalRow = {
+    val count = ws.numElements()
+    if (count < n) return InternalRow(0L, 0L, 0L)
+    val freq = new java.util.HashMap[UTF8String, Int](count * 2)
+    var i = 0
+    while (i <= count - n) {
+      var s = ws.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
+        j += 1
+      }
+      freq.merge(s, 1, (a, b) => a + b)
+      i += 1
+    }
+    var dup = 0L; var top = 0L
+    val it = freq.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > 1) dup += c
+      if (c > top) top = c
+    }
+    InternalRow((count - n + 1).toLong, dup, top)
+  }
+
   /** Distinct word n-gram shingles in one codegen'd pass — the
     * higher-order-function formulation (transform/element_at) evaluates
     * interpreted and gets re-inlined into optimizer-inferred filters, which
@@ -270,6 +302,19 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("dup_grams", LongType, nullable = false),
+    StructField("top_gram", LongType, nullable = false)))
+  override def nullSafeEval(tokens: Any): Any =
+    ExtOps.repetitionStats(tokens.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 case class LshBuckets(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(emb: Any): Any =
@@ -315,6 +360,8 @@ object extfunctions {
     column(SimHash64(expression(tokens)))
   def word_shingles(ws: Column, n: Int): Column =
     column(WordShingles(expression(ws), n))
+  def repetition_stats(ws: Column, n: Int): Column =
+    column(RepetitionStats(expression(ws), n))
   def rolling_fingerprint(text: Column, window: Int = 8, mod: Int = 16): Column =
     column(RollingFingerprint(expression(text), window, mod))
   def jaccard_sim(a: Column, b: Column): Column =

@@ -312,5 +312,38 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
   }
 
-  val all: Seq[QueryDef] = Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList)
+  /** D7: train/eval n-gram decontamination — flag training documents that
+    * share word 4-grams with a benchmark set (here: the deterministic 5%
+    * of docs with `doc_id % 100 < 5`; production uses the eval suites and
+    * 8-13-grams — this corpus's vocabulary is tiny, so 4-grams give the
+    * same overlap behavior). Scale design: the benchmark n-gram set is
+    * BOUNDED (eval suites are MBs, not TBs), so it is distinct-ed and
+    * broadcast — the 100 TB training side streams map-only through a
+    * broadcast-hash semi-probe, one aggregation shuffle on doc_id at the
+    * end. Distinct n-grams per doc come from the O(words) shingle kernel,
+    * not a transform/element_at chain. */
+  private val d7Contamination = withOracle("d7_decontamination",
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)),
+      |                          i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 100 < 5),
+      |cand AS (SELECT doc_id, g FROM ng WHERE doc_id % 100 >= 5)
+      |SELECT cand.doc_id, count(*) AS n_contaminated
+      |FROM cand JOIN bench USING (g)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ng = Tables(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shingles(col("ws"), 4)).as("g"))
+    val bench = ng.where(col("doc_id") % 100 < 5).select("g").distinct()
+    val cand = ng.where(col("doc_id") % 100 >= 5)
+    cand.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination)
 }

@@ -92,5 +92,116 @@ object TextQueries {
       size(coalesce(fp, array())).as("n_fp"))
   }
 
-  val all: Seq[QueryDef] = Seq(t1Tokens, t2Quality, t3LangId, t4DocFp)
+  /** Gopher-rule quality signals (Rae et al. 2021 §A1.1, public): word
+    * count bounds, mean word length, alpha-word ratio, stopword ratio,
+    * symbol-to-word ratio, and the combined pass/fail gate. Map-only —
+    * every signal is a higher-order fold over the word array inside one
+    * projection, so the filter runs at scan throughput at 100 TB. */
+  private val t5Gopher = withOracle("t5_quality_gopher",
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+      |SELECT doc_id,
+      |       len(ws) AS n_words,
+      |       round(cast(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+      |             / greatest(len(ws), 1), 4) AS mean_word_len,
+      |       round(cast(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |             / greatest(len(ws), 1), 4) AS alpha_word_ratio,
+      |       round(cast(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE)
+      |             / greatest(len(ws), 1), 4) AS stopword_ratio,
+      |       round(cast(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+      |             / greatest(len(ws), 1), 4) AS symbol_word_ratio,
+      |       CASE WHEN len(ws) BETWEEN 50 AND 100000
+      |             AND cast(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / greatest(len(ws), 1) BETWEEN 3 AND 10
+      |             AND cast(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(ws), 1) >= 0.8
+      |             AND cast(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE) / greatest(len(ws), 1) <= 0.1
+      |            THEN true ELSE false END AS passes_gopher
+      |FROM w""".stripMargin) { (s, dir) =>
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val denom = greatest(nWords, lit(1))
+    val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom
+    val alphaRatio = size(filter(ws, _.rlike("[a-z]"))).cast("double") / denom
+    val stops = Stopwords("en")
+    val stopRatio = size(filter(ws, _.isin(stops: _*))).cast("double") / denom
+    val symbolRatio =
+      size(filter(ws, x => x.contains("#") || x.contains("..."))).cast("double") / denom
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(symbolRatio, 4).as("symbol_word_ratio"),
+      (nWords.between(50, 100000) && meanLen.between(3, 10) &&
+        alphaRatio >= 0.8 && symbolRatio <= 0.1).as("passes_gopher"))
+  }
+
+  /** Gopher-rule repetition signals: duplicate-2-gram fraction (share of
+    * 2-gram instances whose 2-gram occurs more than once) and top-2-gram
+    * fraction. The kernel ([[graft.ext.ExtOps.repetitionStats]]) is one
+    * O(words) hashmap pass per document — map-only, where the SQL
+    * formulation (unnest + double GROUP BY, what the oracle runs) would
+    * shuffle every n-gram instance of the corpus twice. */
+  private val t6Repetition = withOracle("t6_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws), 1)),
+      |                                       i -> ws[i] || ' ' || ws[i+1])) AS gram
+      |  FROM w),
+      |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       cast(sum(n) AS BIGINT) AS n_2grams,
+      |       round(cast(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 4) AS dup_2gram_frac,
+      |       round(cast(max(n) AS DOUBLE) / sum(n), 4) AS top_2gram_frac
+      |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+    val st = repetition_stats(words(col("text")), 2)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), st.as("st"))
+      .where(col("st.n_grams") > 0) // oracle emits no row for gram-less docs
+      .select(
+        col("doc_id"),
+        col("st.n_grams").as("n_2grams"),
+        round(col("st.dup_grams").cast("double") / col("st.n_grams"), 4)
+          .as("dup_2gram_frac"),
+        round(col("st.top_gram").cast("double") / col("st.n_grams"), 4)
+          .as("top_2gram_frac"))
+  }
+
+  /** PII scrub: email/phone detection + redaction counts. The corpus is
+    * synthetic word soup, so the gate query plants a deterministic email
+    * and phone per document (both engines construct the identical string)
+    * and then scrubs — exercising detection, replacement, and count parity
+    * across regex engines on real matches. Map-only scan-throughput pass;
+    * the patterns are RE2-safe (validated constructs only). */
+  private val p1PiiScrub = withOracle("p1_pii_scrub", {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\-]{5,}[0-9]"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id || '@example.com or +1-202-555-0' ||
+       |           lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(text, '$email')) AS n_emails,
+       |       len(regexp_extract_all(text, '$phone')) AS n_phones,
+       |       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                      '$phone', '<PHONE>', 'g') AS redacted
+       |FROM t""".stripMargin
+  }) { (s, dir) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\-]{5,}[0-9]"
+    val t = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-202-555-0"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(t, lit(email)).as("n_emails"),
+      regexp_count(t, lit(phone)).as("n_phones"),
+      regexp_replace(regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>")
+        .as("redacted"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, p1PiiScrub)
 }

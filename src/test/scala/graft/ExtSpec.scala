@@ -274,4 +274,71 @@ class ExtSpec extends AnyFunSuite {
     val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
     assert(math.abs(got - want) < 1e-12)
   }
+
+  test("repetition_stats kernel: goldens + brute-force property") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: Seq[String]) =
+      new GenericArrayData(ws.map(UTF8String.fromString).toArray)
+    def brute(ws: Seq[String], n: Int): (Long, Long, Long) = {
+      if (ws.length < n) return (0L, 0L, 0L)
+      val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      (grams.size.toLong,
+        counts.values.filter(_ > 1).sum,
+        counts.values.max)
+    }
+    // "a b a b c" 2-grams: [a b, b a, a b, b c] -> total 4, dup 2, top 2
+    val g = ExtOps.repetitionStats(arr(Seq("a", "b", "a", "b", "c")), 2)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) === ((4L, 2L, 2L)))
+    assert(ExtOps.repetitionStats(arr(Seq("a")), 2).getLong(0) === 0L)
+    assert(ExtOps.repetitionStats(arr(Nil), 2).getLong(0) === 0L)
+
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tokens = Gen.listOf(Gen.oneOf((0 until 8).map(i => s"w$i")))
+    val p = Prop.forAll(tokens, Gen.choose(1, 4)) { (ws, n) =>
+      val got = ExtOps.repetitionStats(arr(ws), n)
+      (got.getLong(0), got.getLong(1), got.getLong(2)) == brute(ws, n)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("t5/t6 text-quality passes are map-only plans (no shuffle at any corpus size)") {
+    for (name <- Seq("t5_quality_gopher", "t6_repetition")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+    }
+  }
+
+  test("d7 decontamination: benchmark n-gram set is broadcast, never shuffled as a join side") {
+    val df = graft.SparkEntry.queries("d7_decontamination")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$p")
+    // documents that share 4-grams with the benchmark subset are flagged
+    assert(df.count() > 0)
+  }
+
+  test("p1 PII scrub redacts real emails and phones, counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or call +1-415-555-0101 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.co one phone 020-7946-0958")).toDF("doc_id", "text")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\-]{5,}[0-9]"
+    val out = df.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(col("text"), lit(phone)).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), phone, "<PHONE>")
+        .as("redacted")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 1 && out(1L).getInt(2) === 1)
+    assert(out(1L).getString(3) === "write to <EMAIL> or call <PHONE> now")
+    assert(out(2L).getInt(1) === 0 && out(2L).getInt(2) === 0)
+    assert(out(3L).getInt(1) === 2 && out(3L).getInt(2) === 1)
+    assert(out(3L).getString(3) === "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+  }
 }
