@@ -76,10 +76,27 @@ object Bench {
     store.write(batch)
     val ingestRate = 2e6 / ((System.nanoTime() - ti) / 1e9)
 
+    // Storage efficiency vs BASELINE.md's ~5.3 B/sample (24 B raw at 4.5:1
+    // under ClickHouse MergeTree): bytes of sample parquet on disk per
+    // ingested sample. The samples table alone — the series dictionary is
+    // amortized over the store's lifetime, exactly like the reference's
+    // time_series table.
+    val samplesBytes = {
+      val root = java.nio.file.Paths.get(ingestRoot, "samples")
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(p => p.toString.endsWith(".parquet"))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally s.close()
+      }
+    }
+    val bytesPerSample = samplesBytes / 2e6
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_2","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_2","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     // Secondary channel: a file, in case the caller parses neither.

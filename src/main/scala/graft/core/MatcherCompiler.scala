@@ -39,9 +39,23 @@ import org.apache.spark.sql.functions._
   *     backreferences are rejected: RE2 itself has no backreferences, so
   *     erroring is reference-identical.
   *
-  * Residual divergence (documented, not closable without re2j): `^`/`$`
-  * *inside* the value still carry Java line semantics against values with
-  * trailing newlines.
+  *  4. `^`/`$` *inside* the value are aligned to RE2 semantics: where
+  *     multiline mode is OFF, `$` is rewritten to `\z` (Java's
+  *     non-multiline `$` still matches before a final newline; RE2's is
+  *     end-of-text) — `^` needs no rewrite (both dialects: start-of-text
+  *     when multiline is off). Inline flags are tracked through their
+  *     enclosing-group scopes, matching both dialects' scoping rules.
+  *
+  *  5. the whole pattern is compiled under Java's UNIX_LINES (`(?d)` in
+  *     the anchor wrapper): RE2 knows only `\n` as a line terminator —
+  *     for multiline `^`/`$` and for what `.` excludes — while Java
+  *     without `d` also breaks on `\r`, `\r\n`, NEL, LS, PS. One global
+  *     flag closes both (users cannot turn it off: `validateRe2` rejects
+  *     Java-only flag letters, `d` included).
+  *
+  *  6. `i` flags gain Java's `u` (UNICODE_CASE): RE2's case-insensitive
+  *     matching uses Unicode simple folding; Java's bare `(?i)` folds
+  *     ASCII only.
   */
 object MatcherCompiler {
 
@@ -49,19 +63,37 @@ object MatcherCompiler {
   def labelValue(labels: Column, name: String): Column =
     coalesce(labels.getItem(name), lit(""))
 
-  /** Full-anchor wrapper, RE2-compatible end-of-input semantics. */
-  private def anchored(value: String): String = "\\A(?:" + toJavaDialect(value) + ")\\z"
+  /** Full-anchor wrapper, RE2-compatible end-of-input semantics; `(?d)`
+    * makes `\n` the only line terminator pattern-wide, like RE2. */
+  private def anchored(value: String): String = "(?d)\\A(?:" + toJavaDialect(value) + ")\\z"
 
-  /** Rewrite RE2-legal syntax Java refuses: `(?P<name>` named groups become
-    * plain `(` groups (names never change what matches, and Java's own
-    * `(?<name>` form forbids `_` in names, so renaming wouldn't suffice).
-    * `(?P=name)` (a backreference in Python, INVALID in RE2) fails loudly.
-    * Escape- and character-class-aware, same scan discipline as
-    * [[validateRe2]]. */
+  /** Rewrite RE2-legal syntax Java refuses or evaluates differently:
+    *
+    *  - `(?P<name>` named groups become plain `(` groups (names never
+    *    change what matches, and Java's own `(?<name>` form forbids `_`
+    *    in names, so renaming wouldn't suffice); `(?P=name)` (a
+    *    backreference in Python, INVALID in RE2) fails loudly.
+    *  - `$` where multiline is off becomes `\z` (Java's non-multiline `$`
+    *    matches before a final newline, RE2's is end-of-text).
+    *  - flag segments containing `i` gain Java's `u` (UNICODE_CASE) so
+    *    case folding is Unicode-wide, like RE2's.
+    *
+    * Escape- and character-class-aware; inline-flag scopes are tracked
+    * per enclosing group (both dialects scope inline flags that way). */
   def toJavaDialect(pattern: String): String = {
     val out = new StringBuilder(pattern.length)
     var i = 0
     var inClass = false
+    var multiline = false
+    // multiline state saved at every group open, restored at its close
+    var stack = List.empty[Boolean]
+    val flagChars = "imsU-"
+    def applyFlags(seg: String): Unit = {
+      val cut = seg.indexOf('-')
+      val (on, off) = if (cut < 0) (seg, "") else (seg.substring(0, cut), seg.substring(cut))
+      if (on.contains('m')) multiline = true
+      if (off.contains('m')) multiline = false
+    }
     while (i < pattern.length) {
       val c = pattern.charAt(i)
       c match {
@@ -79,10 +111,33 @@ object MatcherCompiler {
                 ch.isLetterOrDigit && ch < 128 || ch == '_'))
               throw new IllegalArgumentException(
                 s"malformed named group in matcher regex (RE2 requires (?P<[A-Za-z0-9_]+>): $pattern")
+            stack ::= multiline
             out.append('('); i = close + 1
           } else
             throw new IllegalArgumentException(
               s"matcher regex uses (?P= / (?P' syntax, which RE2 (the reference dialect) does not support: $pattern")
+        case '(' if !inClass && i + 1 < pattern.length && pattern.charAt(i + 1) == '?' && {
+            var j = i + 2
+            while (j < pattern.length && flagChars.indexOf(pattern.charAt(j)) >= 0) j += 1
+            j < pattern.length && (pattern.charAt(j) == ')' || pattern.charAt(j) == ':')
+          } =>
+          var j = i + 2
+          while (j < pattern.length && flagChars.indexOf(pattern.charAt(j)) >= 0) j += 1
+          val seg = pattern.substring(i + 2, j)
+          val javaSeg = if (seg.contains('i')) seg.replace("i", "iu") else seg
+          if (pattern.charAt(j) == ':') stack ::= multiline // scoped: restore at its ')'
+          applyFlags(seg)
+          out.append("(?").append(javaSeg).append(pattern.charAt(j)); i = j + 1
+        case '(' if !inClass =>
+          stack ::= multiline; out.append(c); i += 1
+        case ')' if !inClass =>
+          stack match {
+            case saved :: rest => multiline = saved; stack = rest
+            case Nil => () // unbalanced — let the regex compiler report it
+          }
+          out.append(c); i += 1
+        case '$' if !inClass && !multiline =>
+          out.append("\\z"); i += 1
         case _ =>
           out.append(c); i += 1
       }
@@ -121,6 +176,19 @@ object MatcherCompiler {
           if (rest.startsWith("=") || rest.startsWith("!")) fail("lookahead (?= / (?!")
           else if (rest.startsWith("<=") || rest.startsWith("<!")) fail("lookbehind (?<= / (?<!")
           else if (rest.startsWith(">")) fail("an atomic group (?>")
+          else {
+            // flag segment: only i/m/s survive the dialect bridge. RE2's U
+            // (ungreedy) has no Java equivalent (Java's U re-types char
+            // classes) and Java-only flags (d/u/x) would silently change
+            // what matches under RE2 — both error loudly instead.
+            var j = i + 2
+            while (j < pattern.length && "imsUdux-".indexOf(pattern.charAt(j)) >= 0) j += 1
+            if (j < pattern.length && (pattern.charAt(j) == ')' || pattern.charAt(j) == ':'))
+              pattern.substring(i + 2, j).find(ch => "ims-".indexOf(ch) < 0).foreach {
+                case 'U' => fail("the RE2 ungreedy flag (?U), which Java cannot emulate")
+                case ch  => fail(s"the Java-only flag (?$ch)")
+              }
+          }
           i += 1
         case c if !inClass && (c == '*' || c == '+' || c == '?' || c == '}')
             && i + 1 < pattern.length && pattern.charAt(i + 1) == '+'

@@ -93,10 +93,11 @@ class SourcesSpec extends AnyFunSuite {
 
     val stream = MemoryStream[(Map[String, String], Long, Double)]
     val df = stream.toDF().toDF("labels", "timestamp_ms", "value")
-    val q = Ingest.start(df, store, Trigger.AvailableNow())
-
+    // AvailableNow processes what's in the source at start and terminates:
+    // data must be added BEFORE start or the query may land zero batches.
     stream.addData(fixture.flatMap(ts =>
       ts.samples.map(s => (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value))))
+    val q = Ingest.start(df, store, Trigger.AvailableNow())
     q.awaitTermination(60000)
 
     val got = store.readTimeSeries(Query(T0, T0 + 10000,
@@ -105,9 +106,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.head.samples.size === 5)
 
     // second identical batch: dictionary unchanged, samples appended
-    val q2 = Ingest.start(df, store, Trigger.AvailableNow())
     stream.addData(fixture.flatMap(ts =>
       ts.samples.map(s => (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value))))
+    val q2 = Ingest.start(df, store, Trigger.AvailableNow())
     q2.awaitTermination(60000)
     assert(spark.read.parquet(s"$dir/time_series").count() === 3)
   }

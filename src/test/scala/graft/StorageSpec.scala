@@ -448,6 +448,39 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("inner ^/$, `.`, and case folding follow RE2 semantics (X8 dialect bridge)") {
+    import graft.core.MatcherCompiler
+    // Non-multiline `$` is end-of-text (RE2), not before-final-newline
+    // (Java): `(?s)foo$.*` would match "foo\n" under raw Java semantics.
+    assert(!MatcherCompiler.matches(Map("l" -> "foo\n"), Seq(reMatch("l", "(?s)foo$.*"))))
+    assert(MatcherCompiler.matches(Map("l" -> "foo"), Seq(reMatch("l", "(?s)foo$.*"))))
+    // Multiline `$` breaks on \n only (RE2/UNIX_LINES), not on \r (raw Java).
+    assert(MatcherCompiler.matches(Map("l" -> "foo\nbar"), Seq(reMatch("l", "(?m)foo$(?s).*"))))
+    assert(!MatcherCompiler.matches(Map("l" -> "foo\rbar"), Seq(reMatch("l", "(?m)foo$(?s).*"))))
+    // A `(?m:...)` scope ends at its group: the second `$` is end-of-text
+    // again, so a trailing newline must not satisfy it.
+    assert(MatcherCompiler.matches(Map("l" -> "a\nb"), Seq(reMatch("l", "(?s)(?m:a$.)b$"))))
+    assert(!MatcherCompiler.matches(Map("l" -> "a\nb\n"), Seq(reMatch("l", "(?s)(?m:a$.)b$"))))
+    // `.` excludes only \n (RE2): \r and NEL are ordinary characters.
+    assert(MatcherCompiler.matches(Map("l" -> "a\rb"), Seq(reMatch("l", "a.b"))))
+    assert(MatcherCompiler.matches(Map("l" -> "ab"), Seq(reMatch("l", "a.b"))))
+    assert(!MatcherCompiler.matches(Map("l" -> "a\nb"), Seq(reMatch("l", "a.b"))))
+    // `(?i)` folds Unicode-wide (RE2 simple folding), not ASCII-only.
+    assert(MatcherCompiler.matches(Map("l" -> "Σ"), Seq(reMatch("l", "(?i)σ"))))
+    assert(MatcherCompiler.matches(Map("l" -> "ÄPFEL"), Seq(reMatch("l", "(?i)äpfel"))))
+    // Class and escape contexts are untouched by the `$` rewrite.
+    assert(MatcherCompiler.matches(Map("l" -> "$"), Seq(reMatch("l", "[$]"))))
+    assert(MatcherCompiler.matches(Map("l" -> "$"), Seq(reMatch("l", "\\$"))))
+    // Direct rewrite goldens.
+    assert(MatcherCompiler.toJavaDialect("foo$") === "foo\\z")
+    assert(MatcherCompiler.toJavaDialect("(?m)a$") === "(?m)a$")
+    assert(MatcherCompiler.toJavaDialect("(?m:a$)b$") === "(?m:a$)b\\z")
+    assert(MatcherCompiler.toJavaDialect("(a$)") === "(a\\z)")
+    assert(MatcherCompiler.toJavaDialect("(?i)x") === "(?iu)x")
+    assert(MatcherCompiler.toJavaDialect("(?-i:x)$") === "(?-iu:x)\\z")
+    assert(MatcherCompiler.toJavaDialect("[$]") === "[$]")
+  }
+
   test("parquet: series index is served from a cached snapshot across queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idxcache_").toString
     val store = new ParquetStore(spark, dir) // default TTL: caching on
