@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every implemented operator, in registration order. */
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ PromQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,6 +17,18 @@ package object functions {
   def labels_json(labels: Column): Column =
     col(LabelsCanonicalJson(expression(labels)))
 
+  /** Order-preserving (ts, value) → decimal(38,0) pack; min/max over it
+    * hash-aggregates where min/max(struct) would force a SortAggregate. */
+  def ts_val_encode(ts: Column, v: Column): Column =
+    col(TsValEncode(expression(ts), expression(v)))
+  def ts_val_ts(enc: Column): Column = col(TsValTs(expression(enc)))
+  def ts_val_v(enc: Column): Column = col(TsValV(expression(enc)))
+
+  /** Order-preserving (long, long) pack — a hash-aggregable min_by/max_by
+    * ordering key where a struct key would force SortAggregate. */
+  def long_pair_encode(a: Column, b: Column): Column =
+    col(LongPairEncode(expression(a), expression(b)))
+
   /** Register SQL names for all custom functions on a session.
     * Idempotent: skips if already registered (re-registering logs a
     * "replaced a previously registered function" warning per call, which

@@ -169,12 +169,18 @@ object PromQueries {
     val e = Tables(s, dir, "events")
       .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         unix_micros(col("ts")).as("ts_us"), col("value"), col("event_id"))
-    val orderKey = struct(col("ts_us"), col("value"), col("event_id"))
+    // first/last via the order-preserving (ts, value) decimal pack, NOT
+    // min_by over a struct key (struct agg buffers force SortAggregate —
+    // see Storage.rollupPartials). Equivalent to the oracle's
+    // (ts_us, value, event_id) ordering: value precedes event_id in the
+    // key, so the event_id tie-break can only choose among rows sharing
+    // (ts_us, value) — which all carry the same value being selected.
+    val pack = graft.functions.ts_val_encode(col("ts_us"), col("value"))
     e.groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n_samples"),
         min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"),
-        round(min_by(col("value"), orderKey), 2).as("first_value"),
-        round(max_by(col("value"), orderKey), 2).as("last_value"))
+        round(graft.functions.ts_val_v(min(pack)), 2).as("first_value"),
+        round(graft.functions.ts_val_v(max(pack)), 2).as("last_value"))
   }
 
   /** A3 at scale: HyperLogLog++ cardinality — one pass, no
@@ -312,8 +318,11 @@ object PromQueries {
         round(max("value"), 2).as("max_v"),
         (round(sum(round(col("value") * 100).cast("long")) * 100.0 / count(lit(1)))
           / 10000.0).as("avg_v"),
+        // decimal-pack ordering key, not struct — keeps ds1 in
+        // HashAggregate (struct min_by/max_by keys force SortAggregate)
         round(max_by(col("value"),
-          struct(unix_micros(col("ts")), col("event_id"))), 2).as("last_v"))
+          graft.functions.long_pair_encode(unix_micros(col("ts")),
+            col("event_id"))), 2).as("last_v"))
   }
 
   /** As-of join — time-series alignment (the natural extension SURVEY §2.3

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-corpus
+  * assembly. All selection decisions hash document identity (md5 hex —
+  * bit-identical across engines, unlike either engine's native `hash`),
+  * so every operator is reproducible run-to-run, engine-to-engine, and
+  * under any partitioning — the property a 100 TB pipeline needs to make
+  * "the training set" a pure function of the corpus, not of the cluster.
+  * No `rand()`, no `TABLESAMPLE` (both are partitioning-dependent). */
+object SamplingQueries {
+
+  import QueryDef._
+
+  /** Per-language keep-rate as a 4-hex-digit threshold (keep when the
+    * lang-salted hash prefix sorts below it): rate = threshold / 0x10000.
+    * en is downweighted (it dominates the corpus), zh upweighted —
+    * the CC-style language-rebalancing move. */
+  private val LangThresholds: Map[String, String] =
+    Map("en" -> "4000", "de" -> "c000", "fr" -> "c000", "es" -> "c000")
+  private val DefaultThreshold = "ffff"
+
+  /** SM1: stratified (per-language) deterministic downsampling. The hash is
+    * salted with the stratum so the same doc_id draws independently per
+    * grouping scheme (an unsalted hash would select the SAME docs in every
+    * sampler that uses it, correlating downstream ops). Map-only: the
+    * filter is a pure per-row predicate — no shuffle, no per-stratum count
+    * pass, scales linearly and composes with any upstream scan pruning. */
+  private val sm1Stratified = withOracle("sm1_stratified_sample", {
+    val cases = LangThresholds
+      .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE substring(md5(lang || ':' || doc_id), 1, 4)
+       |      < (CASE lang $cases ELSE '$DefaultThreshold' END)""".stripMargin
+  }) { (s, dir) =>
+    val threshold = LangThresholds.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, t)) => acc.when(col("lang") === l, lit(t))
+    }.otherwise(lit(DefaultThreshold))
+    Tables(s, dir, "documents")
+      .where(substring(md5(concat(col("lang"), lit(":"), col("doc_id").cast("string"))), 1, 4)
+        < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** SM2: domain-quota mixing — exactly N docs per source, the N whose
+    * salted hashes sort first (deterministic "uniform without replacement").
+    * Formulated as row_number over (source, hash) so Catalyst's
+    * InferWindowGroupLimit rewrites it to a WindowGroupLimit: every map
+    * task keeps only its local top-N per source BEFORE the exchange, so the
+    * shuffle carries O(sources × N × tasks) rows, not the corpus — the same
+    * partial top-k that makes O5 scale. A hot domain never materializes
+    * beyond N rows per task. */
+  private val sm2Quota = withOracle("sm2_domain_quota",
+    """SELECT doc_id, source
+      |FROM (SELECT doc_id, source,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY md5('quota:' || doc_id), doc_id) AS rn
+      |      FROM documents) WHERE rn <= 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("quota:"), col("doc_id").cast("string")))
+    Tables(s, dir, "documents")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
+      .where(col("rn") <= 10)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** SP1: train/val/test assignment by disjoint hash ranges (~90/5/5),
+    * reported as per-(lang, split) counts. The salt differs from sm1's so
+    * split membership is independent of sampling survival. Assignment is a
+    * map-only projection; the count is one partial-agg exchange on five
+    * langs × three splits. */
+  private val sp1Split = withOracle("sp1_split_assign",
+    """SELECT lang,
+      |       CASE WHEN substring(md5('split:' || doc_id), 1, 4) < 'e666' THEN 'train'
+      |            WHEN substring(md5('split:' || doc_id), 1, 4) < 'f333' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val p = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+    Tables(s, dir, "documents")
+      .select(col("lang"),
+        when(p < "e666", "train").when(p < "f333", "val").otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val all: Seq[QueryDef] = Seq(sm1Stratified, sm2Quota, sp1Split)
+}

@@ -1,7 +1,7 @@
 package graft.storage
 
 import graft.core.MatcherCompiler
-import graft.functions.{labels_fingerprint, labels_json}
+import graft.functions.{labels_fingerprint, labels_json, ts_val_encode, ts_val_ts, ts_val_v}
 import graft.model.{Label, Query, Sample, TimeSeries}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -175,15 +175,21 @@ object Storage {
       keys: Seq[String] = Seq("fingerprint")): DataFrame =
     samples
       .withColumn("bucket_ms", col("timestamp_ms") - pmod(col("timestamp_ms"), lit(stepMs)))
+      // first/last as min/max over the order-preserving decimal pack of
+      // (ts, value) — NOT min/max(struct): a struct aggregation buffer
+      // forces SortAggregateExec, which sorts every input row of this (the
+      // ingest- and serving-hot) stage; the decimal buffer hash-aggregates
+      // (plan-asserted in StorageSpec). Same (ts, value) lexicographic
+      // tie-break either way.
       .groupBy(keys.map(col) :+ col("bucket_ms"): _*)
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
         max("value").as("max_v"), sum("value").as("sum_v"),
-        min(struct(col("timestamp_ms"), col("value"))).as("f"),
-        max(struct(col("timestamp_ms"), col("value"))).as("l"))
+        min(ts_val_encode(col("timestamp_ms"), col("value"))).as("f"),
+        max(ts_val_encode(col("timestamp_ms"), col("value"))).as("l"))
       .select(keys.map(col) ++ Seq(col("bucket_ms"), col("cnt"), col("min_v"),
         col("max_v"), col("sum_v"),
-        col("f.timestamp_ms").as("first_ts"), col("f.value").as("first_v"),
-        col("l.timestamp_ms").as("last_ts"), col("l.value").as("last_v")): _*)
+        ts_val_ts(col("f")).as("first_ts"), ts_val_v(col("f")).as("first_v"),
+        ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v")): _*)
 
   /** Merge partial rollup rows (possibly many per bucket, from separate
     * writer batches) and re-bucket to a coarser step — the hint's step must
@@ -196,12 +202,18 @@ object Storage {
       .groupBy(keys.map(col) :+ col("timestamp_ms"): _*)
       .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
         max("max_v").as("max_v"), sum("sum_v").as("sum_v"),
-        min(struct(col("first_ts"), col("first_v"))).as("f"),
-        max(struct(col("last_ts"), col("last_v"))).as("l"))
+        // decimal pack, not struct — keeps the merge in HashAggregate (see
+        // rollupPartials). Null first/last (pre-migration rows) stay null
+        // through min/max-ignores-nulls, same as the struct formulation
+        // only when ALL rows are null — the rollupServesFirstLast gate
+        // already guarantees no mixed groups reach a first/last-derived
+        // func, and the algebraic funcs never read these columns.
+        min(ts_val_encode(col("first_ts"), col("first_v"))).as("f"),
+        max(ts_val_encode(col("last_ts"), col("last_v"))).as("l"))
       .select(keys.map(col) ++ Seq(col("timestamp_ms"), col("cnt"), col("min_v"),
         col("max_v"), col("sum_v"),
-        col("f.first_ts").as("first_ts"), col("f.first_v").as("first_v"),
-        col("l.last_ts").as("last_ts"), col("l.last_v").as("last_v")): _*)
+        ts_val_ts(col("f")).as("first_ts"), ts_val_v(col("f")).as("first_v"),
+        ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v")): _*)
 
   /** Hint funcs derived from the first/last (ts, value) partials — these
     * need the extended rollup schema ([[rollupPartials]] since it grew

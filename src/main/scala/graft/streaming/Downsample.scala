@@ -56,14 +56,18 @@ object Downsample {
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), s"$stepMs milliseconds").as("w"),
         col("fingerprint"))
+      // decimal pack, not min/max(struct): hash-aggregated streaming state
+      // (see Storage.rollupPartials — same first/last semantics)
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
         max("value").as("max_v"), sum("value").as("sum_v"),
-        min(struct(col("timestamp_ms"), col("value"))).as("f"),
-        max(struct(col("timestamp_ms"), col("value"))).as("l"))
+        min(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("f"),
+        max(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("l"))
       .select(col("fingerprint"), unix_millis(col("w.start")).as("bucket_ms"),
         col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
-        col("f.timestamp_ms").as("first_ts"), col("f.value").as("first_v"),
-        col("l.timestamp_ms").as("last_ts"), col("l.value").as("last_v"),
+        graft.functions.ts_val_ts(col("f")).as("first_ts"),
+        graft.functions.ts_val_v(col("f")).as("first_v"),
+        graft.functions.ts_val_ts(col("l")).as("last_ts"),
+        graft.functions.ts_val_v(col("l")).as("last_v"),
         to_date(col("w.start")).as("date"))
 
   /** Start the rollup sink against a store root. */

@@ -16,6 +16,11 @@ object Diag {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    if (args.headOption.contains("crossover")) {
+      crossover(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L), args.lift(2))
+      spark.stop(); return
+    }
+
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
     def dirSize(p: java.io.File): Long =
@@ -73,5 +78,71 @@ object Diag {
     val tRaw = time(plainStore.readSeries(hq).collect())
     println(f"[rollup] hinted read (avg/5m over 8h): rollup-served $tRollup%.2f s vs raw-aggregated $tRaw%.2f s")
     spark.stop()
+  }
+
+  /** Rollup crossover at a corpus the default Diag run can't reach: SCALE.md
+    * §5a's claim is that rollup serving wins once scan time (O(raw rows in
+    * range)) dominates plan overhead — ~2 M cached samples cannot show it,
+    * so this mode builds a dashboard-shaped corpus (nSamples total, 2 000
+    * series, 15 s scrape) with a 5 m write-side rollup (fold 20) and times a
+    * full-range hourly avg_over_time sweep served from the rollup vs
+    * re-aggregated from raw. Both paths produce identical output rows; the
+    * delta is pure input-side scan+aggregate work. min-of-2 per path
+    * (cache-warm repeat is the designed serving regime, SCALE.md §0). */
+  private def crossover(spark: SparkSession, nSamples: Long, reuseRoot: Option[String]): Unit = {
+    val nSeries = 2000L
+    val scrapeMs = 15000L
+    val t0Ms = 1700000000000L
+    val spanMs = (nSamples / nSeries) * scrapeMs
+    val root = reuseRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_xover_").toString)
+    // long index TTL: the timed reads must not re-snapshot the series index
+    // mid-measurement (serving processes hold a warm index; the 5 s default
+    // is a test-friendliness knob, not the production posture)
+    val rollupStore = new graft.storage.ParquetStore(spark, root,
+      indexTtlMs = 600000L, rollupStepMs = 300000L)
+    if (reuseRoot.isEmpty || !new java.io.File(s"$root/samples").exists()) {
+      val batch = spark.range(nSamples).select(
+        map(lit("__name__"), lit("http_requests_total"),
+          lit("instance"), concat(lit("host-"), (col("id") % nSeries).cast("string"))).as("labels"),
+        (lit(t0Ms) + (col("id") / nSeries) * scrapeMs).as("timestamp_ms"),
+        (col("id") / nSeries + (col("id") % 7)).cast("double").as("value"))
+      val tw = System.nanoTime()
+      rollupStore.write(batch)
+      println(f"[crossover] ingest: $nSamples samples in ${(System.nanoTime() - tw) / 1e9}%.0f s " +
+        f"(${nSamples / ((System.nanoTime() - tw) / 1e9)}%.0f samples/s with 5m rollup) root=$root")
+    }
+
+    val q = graft.model.Query(t0Ms, t0Ms + spanMs,
+      Seq(graft.model.Matcher("__name__", graft.model.MatchType.Eq, "http_requests_total")),
+      Some(graft.model.ReadHints(stepMs = 3600000L, func = "avg_over_time")))
+    // same dir, no rollup serving
+    val rawStore = new graft.storage.ParquetStore(spark, root, indexTtlMs = 600000L)
+    def time(f: => Long): (Double, Long) = {
+      def once = { val t = System.nanoTime(); val n = f; ((System.nanoTime() - t) / 1e9, n) }
+      val a = once; val b = once; (math.min(a._1, b._1), b._2)
+    }
+    val (tRollup, nR) = time(rollupStore.readSeries(q).select(explode(col("samples"))).count())
+    val (tRaw, nW) = time(rawStore.readSeries(q).select(explode(col("samples"))).count())
+    require(nR == nW, s"paths disagree: rollup $nR buckets vs raw $nW")
+    println(f"[crossover] hourly avg sweep over ${spanMs / 86400000.0}%.1f days, " +
+      f"$nR output buckets: rollup-served $tRollup%.2f s vs raw-aggregated $tRaw%.2f s " +
+      f"(${tRaw / tRollup}%.1fx)")
+
+    // stage decomposition (cache-warm): where does each path's time go?
+    import graft.storage.Storage
+    val (tRollupScan, nRollupRows) = time(
+      spark.read.parquet(s"$root/samples_rollup").count())
+    val (tRollupMerge, nMerged) = time(
+      Storage.deriveHint(
+        Storage.mergeRollup(
+          spark.read.parquet(s"$root/samples_rollup")
+            .where(col("bucket_ms") >= t0Ms && col("bucket_ms") <= t0Ms + spanMs),
+          3600000L), "avg_over_time").get.count())
+    val (tRawFlat, _) = time(
+      Storage.hintedDownsample(rawStore.readQuery(q), q.hints.get).get.count())
+    println(f"[crossover] stages: rollup bare scan $tRollupScan%.2f s ($nRollupRows rows); " +
+      f"rollup merge+derive $tRollupMerge%.2f s ($nMerged rows); " +
+      f"raw flat scan+downsample $tRawFlat%.2f s")
   }
 }

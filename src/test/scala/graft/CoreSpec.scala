@@ -76,6 +76,41 @@ class CoreSpec extends AnyFunSuite {
     })
   }
 
+  test("ts/value pair codec: roundtrip and order preservation (PairOps)") {
+    import graft.functions.PairOps
+    val specials = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, -Double.MaxValue)
+    val tsGen = Gen.oneOf(Gen.choose(PairOps.MinTs, PairOps.MaxTs),
+      Gen.oneOf(PairOps.MinTs, PairOps.MaxTs, 0L, 1700000000000L))
+    val vGen = Gen.oneOf(Gen.chooseNum(-1e300, 1e300), Gen.oneOf(specials))
+    // bit-exact roundtrip (canonical NaN: encode uses doubleToLongBits)
+    checkProp(Prop.forAll(tsGen, vGen) { (ts, v) =>
+      val enc = PairOps.encode(ts, v)
+      PairOps.decodeTs(enc) == ts &&
+        java.lang.Double.doubleToLongBits(PairOps.decodeV(enc)) ==
+          java.lang.Double.doubleToLongBits(v)
+    })
+    // decimal order ≡ (ts, value) lexicographic order, value per Double.compare
+    checkProp(Prop.forAll(tsGen, vGen, tsGen, vGen) { (t1, v1, t2, v2) =>
+      val cmp = PairOps.encode(t1, v1).compare(PairOps.encode(t2, v2))
+      val expect = if (t1 != t2) java.lang.Long.compare(t1, t2)
+        else java.lang.Double.compare(v1, v2)
+      Integer.signum(cmp) == Integer.signum(expect)
+    })
+    // out-of-range timestamps fail loudly, not silently mis-sort
+    intercept[IllegalArgumentException](PairOps.encode(PairOps.MinTs - 1, 0.0))
+    intercept[IllegalArgumentException](PairOps.encode(PairOps.MaxTs + 1, 0.0))
+    // long-pair variant: lexicographic order, second key unrestricted
+    val anyLong = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    checkProp(Prop.forAll(tsGen, anyLong, tsGen, anyLong) { (a1, b1, a2, b2) =>
+      val cmp = PairOps.encodeLongs(a1, b1).compare(PairOps.encodeLongs(a2, b2))
+      val expect = if (a1 != a2) java.lang.Long.compare(a1, a2)
+        else java.lang.Long.compare(b1, b2)
+      Integer.signum(cmp) == Integer.signum(expect)
+    })
+  }
+
   test("fingerprint differential: fixture series distinct and stable") {
     // reference fixture storages/test/test.go:26-75 — 3 distinct series
     val fps = Seq(

@@ -118,6 +118,29 @@ class PlanSpec extends AnyFunSuite {
       "rh2 is two exchanges: partials on (keys, batch, bucket), merge on (keys, step)")
   }
 
+  test("rollup partials and merge hash-aggregate (no SortAggregate from first/last)") {
+    // min/max over the ts_val_encode decimal pack must keep every rollup
+    // aggregation in HashAggregateExec; the struct formulation it replaces
+    // silently fell to SortAggregateExec — sorting the full input of the
+    // ingest- and serving-hot stages (measured ~10x slower per row)
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000).select(
+      (col("id") % 7).as("fingerprint"),
+      (lit(1700000000000L) + col("id") * 250).as("timestamp_ms"),
+      (col("id") % 13).cast("double").as("value"))
+    val partials = graft.storage.Storage.rollupPartials(df, 60000L)
+    val merged = graft.storage.Storage.mergeRollup(partials, 300000L)
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), "rollup aggs must hash-aggregate")
+    assert(!p.contains("SortAggregate"),
+      "a SortAggregate in the rollup path means a struct/binary agg buffer crept back in")
+    // same contract for the gate queries that pick first/last by pack key
+    for (q <- Seq("a1_assembly_stats", "ds1_downsample")) {
+      val qp = plan(q).split("== Initial Plan ==").head
+      assert(!qp.contains("SortAggregate"), s"$q must not sort-aggregate")
+    }
+  }
+
   test("as-of join is a single window pass, not a range join") {
     val p = plan("as1_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
