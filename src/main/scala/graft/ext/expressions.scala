@@ -117,7 +117,9 @@ object ExtOps {
   def repetitionStats(ws: ArrayData, n: Int): InternalRow = {
     val count = ws.numElements()
     if (count < n) return InternalRow(0L, 0L, 0L)
-    val freq = new java.util.HashMap[UTF8String, Int](count * 2)
+    // clamp the size hint: `count * 2` overflows Int for >2^30-word docs
+    // (negative capacity throws); past the clamp the map just rehashes
+    val freq = new java.util.HashMap[UTF8String, Int](math.min(count, 1 << 20) * 2)
     var i = 0
     while (i <= count - n) {
       var s = ws.getUTF8String(i)
@@ -146,7 +148,8 @@ object ExtOps {
   def shingleSet(ws: ArrayData, n: Int): ArrayData = {
     val count = ws.numElements()
     if (count < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    // same Int-overflow clamp as repetitionStats' size hint
+    val seen = new java.util.LinkedHashSet[UTF8String](math.min(count, 1 << 20) * 2)
     var i = 0
     while (i <= count - n) {
       var s = ws.getUTF8String(i)

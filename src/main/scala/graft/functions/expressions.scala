@@ -109,9 +109,16 @@ object LabelOps {
   *   enc = (ts − MinTs) · 2⁶⁴ + (sortable(v) + 2⁶³)
   *
   * where sortable(v) = bits ^ ((bits >> 63) & 0x7fff…f), bits =
-  * doubleToLongBits(v) — the standard monotone IEEE-754 reindexing
-  * (signed-long order ≡ Double.compare order: NaN canonicalized greatest,
-  * −0.0 < 0.0). ts bounds admit MICROsecond epochs of years 1–9999 (the Go
+  * doubleToRawLongBits(v) — the standard monotone IEEE-754 reindexing
+  * (signed-long order ≡ Double.compare order for non-NaN: −0.0 < 0.0).
+  * RAW bits, not canonicalized: the decode round-trip is then bit-exact
+  * for every NaN payload (e.g. Prometheus's staleness marker
+  * 0x7ff0000000000002), so rollup-served first/last returns the same
+  * bytes raw-parquet serving does. Ordering among distinct NaN payloads
+  * is payload-dependent but deterministic and total (positive-sign NaNs
+  * sort above +Inf, negative-sign NaNs below −Inf) — ties on (ts, v)
+  * still break identically on every merge path. ts bounds admit
+  * MICROsecond epochs of years 1–9999 (the Go
   * time.Time clamp range at µs resolution — ms epochs are a subset), so
   * enc ≤ 3.2e17 · 2⁶⁴ < 6e36 — exact in 38 digits. Encode runs per input
   * row (a few flops + one small BigInteger); decode runs once per output
@@ -127,7 +134,7 @@ object PairOps {
     if (ts < MinTs || ts > MaxTs)
       throw new IllegalArgumentException(
         s"timestamp_ms $ts outside the representable range [$MinTs, $MaxTs]")
-    val bits = java.lang.Double.doubleToLongBits(v)
+    val bits = java.lang.Double.doubleToRawLongBits(v)
     val sortable = bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
     val enc = java.math.BigInteger.valueOf(ts - MinTs).shiftLeft(64)
       .add(java.math.BigInteger.valueOf(sortable).add(Two63))

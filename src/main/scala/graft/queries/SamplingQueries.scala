@@ -19,7 +19,10 @@ object SamplingQueries {
     * the CC-style language-rebalancing move. */
   private val LangThresholds: Map[String, String] =
     Map("en" -> "4000", "de" -> "c000", "fr" -> "c000", "es" -> "c000")
-  private val DefaultThreshold = "ffff"
+  /** Unlisted languages keep EVERYTHING: "g" sorts above every 4-hex-digit
+    * prefix (ASCII 'g' > 'f'), so the strict `<` passes all 0x10000 prefix
+    * values — a 4-hex threshold like "ffff" would silently drop 1/65536. */
+  private val DefaultThreshold = "g"
 
   /** SM1: stratified (per-language) deterministic downsampling. The hash is
     * salted with the stratum so the same doc_id draws independently per

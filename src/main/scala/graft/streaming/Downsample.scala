@@ -70,21 +70,68 @@ object Downsample {
         graft.functions.ts_val_v(col("l")).as("last_v"),
         to_date(col("w.start")).as("date"))
 
-  /** Start the rollup sink against a store root. */
+  /** Start the rollup sink against a store root. Writes are
+    * REPLAY-IDEMPOTENT (the `writeIdempotent` analogue for the rollup
+    * table): each batch anti-joins its (fingerprint, bucket_ms) keys
+    * against the rows already on disk before appending, so re-processing
+    * the source — a failed batch retried, or a full replay after the
+    * checkpoint is wiped — never lands a second copy of a bucket that
+    * `mergeRollup` would then double-count.
+    *
+    * Upgrade path when the streaming state-store schema changes (the
+    * aggregation buffer in [[rollup]] is part of checkpoint state, so an
+    * old checkpoint fails to restore): point the restarted query at a NEW
+    * checkpoint dir and replay the source; the anti-join skips every
+    * bucket the previous incarnation already wrote. No rollup rebuild or
+    * manual dedup is needed. */
   def startRollupSink(stream: DataFrame, storeRoot: String, stepMs: Long,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"),
-      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = s"$storeRoot/samples_rollup"
     rollup(stream, stepMs, watermark).writeStream
       .outputMode("append")
       .trigger(trigger)
-      .partitionBy("date")
-      .option("path", s"$storeRoot/samples_rollup")
       .option("checkpointLocation", checkpoint)
-      .option("compression", "zstd")
-      .format("parquet")
+      .foreachBatch((batch: DataFrame, _: Long) => appendRollupIdempotent(batch, path))
       .start()
+  }
+
+  /** Append final (watermark-closed) rollup rows to `path`, dropping
+    * (fingerprint, bucket_ms) keys that already exist there. The existence
+    * probe reads ONLY the date partitions and bucket range the batch spans,
+    * so its cost tracks batch time-span, not table size — same pruning
+    * shape as the raw path's `writeIdempotent`. */
+  private[graft] def appendRollupIdempotent(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dir written by the old file-stream sink carries a _spark_metadata
+    // commit log; batch appends would be invisible to readers of that log.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_spark_metadata")),
+      s"$path carries a file-stream-sink _spark_metadata log; batch appends would be " +
+        "invisible to it. Rebuild the rollup once (graft.tools.Compact.run rewrites it " +
+        "without the log) before restarting this sink.")
+    val fresh =
+      if (!fs.exists(hPath)) batch
+      else {
+        val Array(bounds) =
+          batch.agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi")).collect()
+        if (bounds.isNullAt(0)) return
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        // explicit schema: an empty dir (a no-window first batch wrote only
+        // _SUCCESS) reads as an empty frame instead of failing inference
+        val existing = spark.read.schema(batch.schema).parquet(path)
+          .where(col("date").between(
+            to_date(timestamp_millis(lit(lo))), to_date(timestamp_millis(lit(hi)))))
+          .where(col("bucket_ms").between(lo, hi))
+          .select("fingerprint", "bucket_ms")
+        batch.join(existing, Seq("fingerprint", "bucket_ms"), "left_anti")
+      }
+    fresh.write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("date")
+      .option("compression", "zstd").parquet(path)
+  }
 
   /** Stateful first-seen series detection — the streaming-native form of
     * the new-fingerprint check (clickhouse.go:437-447): keyed state per

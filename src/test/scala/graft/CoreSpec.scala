@@ -83,15 +83,26 @@ class CoreSpec extends AnyFunSuite {
       Double.MaxValue, -Double.MaxValue)
     val tsGen = Gen.oneOf(Gen.choose(PairOps.MinTs, PairOps.MaxTs),
       Gen.oneOf(PairOps.MinTs, PairOps.MaxTs, 0L, 1700000000000L))
+    // NaN payloads must survive the codec RAW (rollup-served first/last
+    // returns the same bytes raw serving does — e.g. the Prometheus
+    // staleness marker); ordering among distinct payloads is
+    // payload-dependent but deterministic, so they join the roundtrip
+    // generator only, not the Double.compare order property below
+    val payloadNaNs = Seq(
+      java.lang.Double.longBitsToDouble(0x7ff0000000000002L), // staleness marker
+      java.lang.Double.longBitsToDouble(0xfff8000000000123L)) // negative-sign payload
     val vGen = Gen.oneOf(Gen.chooseNum(-1e300, 1e300), Gen.oneOf(specials))
-    // bit-exact roundtrip (canonical NaN: encode uses doubleToLongBits)
-    checkProp(Prop.forAll(tsGen, vGen) { (ts, v) =>
+    val vGenRaw =
+      Gen.oneOf(Gen.chooseNum(-1e300, 1e300), Gen.oneOf(specials ++ payloadNaNs))
+    // RAW-bit-exact roundtrip, every NaN payload preserved
+    checkProp(Prop.forAll(tsGen, vGenRaw) { (ts, v) =>
       val enc = PairOps.encode(ts, v)
       PairOps.decodeTs(enc) == ts &&
-        java.lang.Double.doubleToLongBits(PairOps.decodeV(enc)) ==
-          java.lang.Double.doubleToLongBits(v)
+        java.lang.Double.doubleToRawLongBits(PairOps.decodeV(enc)) ==
+          java.lang.Double.doubleToRawLongBits(v)
     })
     // decimal order ≡ (ts, value) lexicographic order, value per Double.compare
+    // (holds whenever at most the canonical NaN bit pattern is present)
     checkProp(Prop.forAll(tsGen, vGen, tsGen, vGen) { (t1, v1, t2, v2) =>
       val cmp = PairOps.encode(t1, v1).compare(PairOps.encode(t2, v2))
       val expect = if (t1 != t2) java.lang.Long.compare(t1, t2)

@@ -71,6 +71,25 @@ class StreamingSpec extends AnyFunSuite {
       Seq(Matcher("__name__", MatchType.Eq, "m1")),
       Some(ReadHints(stepMs = 1000L, func = "sum"))))
     assert(hinted.head.samples === Seq(Sample(T0, 4.0), Sample(T0 + 2000, 5.0)))
+
+    // replay idempotency: wipe the checkpoint (the state-store-schema-upgrade
+    // recovery move) and re-run the sink over the SAME source — the anti-join
+    // must skip every bucket the first incarnation wrote, so mergeRollup
+    // never sums a duplicate partial
+    val before = spark.read.parquet(s"$root/samples_rollup").count()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val (_, df3) = labeled(Seq(("m1", T0, 1.0), ("m1", T0 + 500, 3.0),
+      ("m1", T0 + 2000, 5.0), ("m1", T0 + 5000, 0.0)))
+    graft.streaming.Downsample.startRollupSink(df3, root, stepMs = 1000L, ckpt,
+      Trigger.AvailableNow(), watermark = "0 milliseconds").awaitTermination(60_000)
+    val rollup = spark.read.parquet(s"$root/samples_rollup")
+    assert(rollup.count() === before) // no duplicate (fingerprint, bucket) rows
+    assert(rollup.groupBy("fingerprint", "bucket_ms").count()
+      .where(col("count") > 1).isEmpty)
+    val replayed = serving.readTimeSeries(Query(T0, T0 + 2999,
+      Seq(Matcher("__name__", MatchType.Eq, "m1")),
+      Some(ReadHints(stepMs = 1000L, func = "sum"))))
+    assert(replayed.head.samples === Seq(Sample(T0, 4.0), Sample(T0 + 2000, 5.0)))
   }
 
   test("windowed downsample: per-series minute buckets with last-by-time") {
