@@ -29,6 +29,20 @@ package object functions {
   def long_pair_encode(a: Column, b: Column): Column =
     col(LongPairEncode(expression(a), expression(b)))
 
+  /** DDSketch quantile partial over a group's double values → binary
+    * (deterministic, merge-order-independent; see [[DDOps]]). */
+  def dd_hist(v: Column, alpha: Double = DDOps.DefaultAlpha): Column =
+    col(DDHistAgg(expression(v), alpha).toAggregateExpression())
+
+  /** Re-merge serialized [[dd_hist]] sketches (rollup partial combine). */
+  def dd_hist_merge(h: Column): Column =
+    col(DDHistMergeAgg(expression(h)).toAggregateExpression())
+
+  /** q-quantile from sketch bytes, within relative error α of a true
+    * value; null for an empty sketch. */
+  def dd_quantile(h: Column, q: Double): Column =
+    col(DDQuantile(expression(h), q))
+
   /** Register SQL names for all custom functions on a session.
     * Idempotent: skips if already registered (re-registering logs a
     * "replaced a previously registered function" warning per call, which
@@ -64,5 +78,18 @@ package object functions {
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     registry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    // SQL numeric literals arrive as Decimal; lift to double
+    def numLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+      e.eval(null) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case d: java.lang.Number => d.doubleValue()
+      }
+    registry.createOrReplaceTempFunction(
+      "dd_hist", exprs => if (exprs.length > 1) DDHistAgg(exprs(0), numLit(exprs(1)))
+        else DDHistAgg(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "dd_hist_merge", exprs => DDHistMergeAgg(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "dd_quantile", exprs => DDQuantile(exprs(0), numLit(exprs(1))), "built-in")
   }
 }

@@ -458,10 +458,36 @@ object PromQueries {
         round(col("value"), 2).as("last_v"))
   }
 
+  /** ReadHints `quantile:0.9` served from the rollup's DDSketch partials —
+    * the t-digest-class capability the rollup schema gained, kept
+    * deterministic (DDSketch merges are order-independent, so this output
+    * is a pure function of the corpus — same property every other gate
+    * query has). Rows-only at the gate (a sketch quantile is not
+    * ANSI-expressible); anchored by SketchSpec's relative-error bound vs
+    * exact percentile and byte-identical split-merge properties. Same
+    * two-batch partial/merge shape as rh2. */
+  private val rh4QuantileRollup = rowsOnly("rh4_quantile_rollup") { (s, dir) =>
+    val flat = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("timestamp_ms"), col("value"))
+    val partials = graft.storage.Storage.rollupPartials(
+      flat.withColumn("batch", pmod(col("timestamp_ms"), lit(2))),
+      3600000L, Seq("event_type", "user_id", "batch"))
+    val merged = graft.storage.Storage.mergeRollup(partials, 21600000L,
+      Seq("event_type", "user_id"))
+    graft.storage.Storage
+      .deriveHint(merged, "quantile:0.9", Seq("event_type", "user_id")).get
+      .select(
+        labels_json(map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"))).as("labels"),
+        col("timestamp_ms").as("bucket_ms"),
+        col("value").as("p90"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
     a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
     rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted,
-    rh2RateRollup, rh3LastRollup)
+    rh2RateRollup, rh3LastRollup, rh4QuantileRollup)
 }

@@ -1,7 +1,7 @@
 package graft.storage
 
 import graft.core.MatcherCompiler
-import graft.functions.{labels_fingerprint, labels_json, ts_val_encode, ts_val_ts, ts_val_v}
+import graft.functions.{dd_hist, dd_hist_merge, dd_quantile, labels_fingerprint, labels_json, ts_val_encode, ts_val_ts, ts_val_v}
 import graft.model.{Label, Query, Sample, TimeSeries}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -146,6 +146,15 @@ object Storage {
   val RollupBases: Set[String] =
     Set("avg", "sum", "min", "max", "count", "last", "rate", "increase", "delta")
 
+  /** Parse a `quantile:<q>` hint base (e.g. "quantile:0.99") — the
+    * parameterized form pushdown-aware callers use; Prometheus's own bare
+    * "quantile" hint carries no q (the parameter lives in the PromQL call,
+    * not in ReadHints) and is NOT rollup-answerable. Served within
+    * relative error α from the DDSketch partials. */
+  def quantileQ(base: String): Option[Double] =
+    if (!base.startsWith("quantile:")) None
+    else base.stripPrefix("quantile:").toDoubleOption.filter(q => q >= 0 && q <= 1)
+
   /** Hint funcs whose derived values must NOT be served as samples to a
     * stock remote-read client: ReadHints are advisory, so Prometheus
     * re-applies the function over whatever samples come back — rate() over
@@ -160,8 +169,12 @@ object Storage {
     * mis-reapply its func over the derived samples (see
     * [[WireUnsafeHintFuncs]]); internal callers keep full deriveHint use. */
   def sanitizeWireHints(q: graft.model.Query): graft.model.Query =
-    if (q.hints.exists(h => WireUnsafeHintFuncs.contains(h.func.stripSuffix("_over_time"))))
-      q.copy(hints = None)
+    if (q.hints.exists { h =>
+        val base = h.func.stripSuffix("_over_time")
+        // quantile is re-apply-unsafe too: quantile-of-bucket-quantiles ≠
+        // quantile, so a hint-oblivious client would silently diverge
+        WireUnsafeHintFuncs.contains(base) || base.startsWith("quantile")
+      }) q.copy(hints = None)
     else q
 
   /** One rollup partial row per (keys…, step bucket) over a
@@ -185,11 +198,17 @@ object Storage {
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
         max("value").as("max_v"), sum("value").as("sum_v"),
         min(ts_val_encode(col("timestamp_ms"), col("value"))).as("f"),
-        max(ts_val_encode(col("timestamp_ms"), col("value"))).as("l"))
+        max(ts_val_encode(col("timestamp_ms"), col("value"))).as("l"),
+        // DDSketch partial: deterministic + merge-order-independent, so it
+        // re-merges exactly like the algebraic columns. Catalyst's column
+        // pruning drops it from plans that never read `hist` (plan-locked
+        // in PlanSpec), so non-quantile hints pay nothing for it.
+        dd_hist(col("value")).as("hist"))
       .select(keys.map(col) ++ Seq(col("bucket_ms"), col("cnt"), col("min_v"),
         col("max_v"), col("sum_v"),
         ts_val_ts(col("f")).as("first_ts"), ts_val_v(col("f")).as("first_v"),
-        ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v")): _*)
+        ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v"),
+        col("hist")): _*)
 
   /** Merge partial rollup rows (possibly many per bucket, from separate
     * writer batches) and re-bucket to a coarser step — the hint's step must
@@ -209,11 +228,15 @@ object Storage {
         // already guarantees no mixed groups reach a first/last-derived
         // func, and the algebraic funcs never read these columns.
         min(ts_val_encode(col("first_ts"), col("first_v"))).as("f"),
-        max(ts_val_encode(col("last_ts"), col("last_v"))).as("l"))
+        max(ts_val_encode(col("last_ts"), col("last_v"))).as("l"),
+        // null partials (pre-migration rows) are skipped, same caveat as
+        // first/last: the serving gate keeps mixed groups off quantile
+        dd_hist_merge(col("hist")).as("hist"))
       .select(keys.map(col) ++ Seq(col("timestamp_ms"), col("cnt"), col("min_v"),
         col("max_v"), col("sum_v"),
         ts_val_ts(col("f")).as("first_ts"), ts_val_v(col("f")).as("first_v"),
-        ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v")): _*)
+        ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v"),
+        col("hist")): _*)
 
   /** Hint funcs derived from the first/last (ts, value) partials — these
     * need the extended rollup schema ([[rollupPartials]] since it grew
@@ -231,7 +254,8 @@ object Storage {
     * [[graft.tools.Compact]]) are never emitted as null-valued samples. */
   def deriveHint(merged: DataFrame, func: String,
       keys: Seq[String] = Seq("fingerprint")): Option[DataFrame] = {
-    val value = func.stripSuffix("_over_time") match {
+    val base = func.stripSuffix("_over_time")
+    val value = base match {
       case "count" => col("cnt").cast(DoubleType)
       case "min"   => col("min_v")
       case "max"   => col("max_v")
@@ -241,11 +265,15 @@ object Storage {
       case "delta" | "increase" => col("last_v") - col("first_v")
       case "rate" =>
         (col("last_v") - col("first_v")) / ((col("last_ts") - col("first_ts")) / 1000.0)
-      case _ => return None
+      case b => quantileQ(b) match {
+        case Some(q) => dd_quantile(col("hist"), q)
+        case None    => return None
+      }
     }
-    val filtered = func.stripSuffix("_over_time") match {
+    val filtered = base match {
       case "rate" | "delta" | "increase" => merged.where(col("last_ts") > col("first_ts"))
       case "last" => merged.where(col("last_ts").isNotNull)
+      case b if quantileQ(b).isDefined => merged.where(col("hist").isNotNull)
       case _ => merged
     }
     Some(filtered.select(keys.map(col) ++ Seq(col("timestamp_ms"), value.as("value")): _*))
@@ -332,6 +360,7 @@ final class ParquetStore(spark: SparkSession, root: String,
   @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
   @volatile private var cachedIndexSize: Long = -1L
   @volatile private var rollupFirstLastOk: Option[Boolean] = None
+  @volatile private var rollupHistOk: Option[Boolean] = None
 
   /** Total dictionary cardinality, memoized with the snapshot (the
     * materializing count() already computes it). */
@@ -363,6 +392,17 @@ final class ParquetStore(spark: SparkSession, root: String,
     val ok = Seq("first_ts", "first_v", "last_ts", "last_v").forall(merged.columns.contains) &&
       merged.where(col("first_ts").isNull).isEmpty
     rollupFirstLastOk = Some(ok)
+    ok
+  }
+
+  /** Same capability probe for the quantile-sketch partials: every rollup
+    * file must carry a non-null `hist` (a mixed old+new dir would merge a
+    * PARTIAL sketch and silently under-count quantiles). `Compact.run`
+    * backfills old dirs from raw samples. */
+  private def rollupServesHist(): Boolean = rollupHistOk.getOrElse {
+    val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
+    val ok = merged.columns.contains("hist") && merged.where(col("hist").isNull).isEmpty
+    rollupHistOk = Some(ok)
     ok
   }
 
@@ -424,11 +464,13 @@ final class ParquetStore(spark: SparkSession, root: String,
     }
 
     // own appends always carry the full rollup schema, so they can't flip
-    // the first/last capability either way (old→mixed stays false, new
-    // stays true) — keep the memo so ingest doesn't re-probe per batch
+    // the first/last or hist capability either way (old→mixed stays false,
+    // new stays true) — keep the memos so ingest doesn't re-probe per batch
     val flOk = rollupFirstLastOk
+    val hOk = rollupHistOk
     invalidateIndex()
     rollupFirstLastOk = flOk
+    rollupHistOk = hOk
   }
 
   /** Serve an exploitable hint straight from the rollup table: matcher
@@ -445,12 +487,14 @@ final class ParquetStore(spark: SparkSession, root: String,
     val base = hints.func.stripSuffix("_over_time")
     val answerable = rollupStepMs > 0 && hints.stepMs > 0 &&
       hints.stepMs % rollupStepMs == 0 &&
-      RollupBases.contains(base) &&
+      (RollupBases.contains(base) || quantileQ(base).isDefined) &&
       exists(rollupPath) &&
       // first/last-derived funcs need every rollup file to carry the
       // first/last partials; pre-migration dirs fall back to raw serving
       // (reference-identical) until Compact backfills them
-      (!FirstLastBases.contains(base) || rollupServesFirstLast())
+      (!FirstLastBases.contains(base) || rollupServesFirstLast()) &&
+      // quantile likewise needs the sketch partials in every file
+      (quantileQ(base).isEmpty || rollupServesHist())
     if (!answerable) return None
 
     val matched = seriesIndex
@@ -469,7 +513,7 @@ final class ParquetStore(spark: SparkSession, root: String,
     // first/last partials) still serve the algebraic funcs: pad the missing
     // columns with typed nulls so the shared merge works; the gate above
     // already routed first/last-derived funcs to the raw path
-    val rollupCompat =
+    val rollupFl =
       if (Seq("first_ts", "first_v", "last_ts", "last_v").forall(rollupRaw.columns.contains))
         rollupRaw
       else rollupRaw
@@ -477,6 +521,9 @@ final class ParquetStore(spark: SparkSession, root: String,
         .withColumn("first_v", lit(null).cast(DoubleType))
         .withColumn("last_ts", lit(null).cast(LongType))
         .withColumn("last_v", lit(null).cast(DoubleType))
+    val rollupCompat =
+      if (rollupFl.columns.contains("hist")) rollupFl
+      else rollupFl.withColumn("hist", lit(null).cast(BinaryType))
     val rollup0 = rollupCompat
       .where(col("bucket_ms") >= q.startMs - (rollupStepMs - 1) && col("bucket_ms") <= q.endMs)
       .where(col("date") >= to_date(timestamp_millis(lit(math.max(minDateMs - rollupStepMs, -62135596800000L))))
@@ -571,6 +618,7 @@ final class ParquetStore(spark: SparkSession, root: String,
     cachedIndex = None
     cachedIndexSize = -1L
     rollupFirstLastOk = None
+    rollupHistOk = None
   }
 
   private def buildIndex(): DataFrame =

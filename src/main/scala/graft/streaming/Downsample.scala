@@ -39,9 +39,10 @@ object Downsample {
   /** Continuous rollup maintenance: the streaming producer of the
     * `samples_rollup` table that [[graft.storage.ParquetStore]] serves
     * hinted reads from (same algebraic schema: cnt/min/max/sum plus
-    * first/last (ts, value) per (fingerprint, step bucket),
-    * date-partitioned — the first/last pair is what makes
-    * rate/increase/last hints rollup-servable). Append mode — a
+    * first/last (ts, value) and a DDSketch quantile partial per
+    * (fingerprint, step bucket), date-partitioned — the first/last pair is
+    * what makes rate/increase/last hints rollup-servable, the sketch what
+    * makes quantile:<q> servable). Append mode — a
     * window's row lands once its watermark closes, so rows are final (no
     * partial-row merge needed); samples later than the watermark stay in
     * the raw table only (hinted serving then slightly undercounts those
@@ -61,13 +62,15 @@ object Downsample {
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
         max("value").as("max_v"), sum("value").as("sum_v"),
         min(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("f"),
-        max(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("l"))
+        max(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("l"),
+        graft.functions.dd_hist(col("value")).as("hist"))
       .select(col("fingerprint"), unix_millis(col("w.start")).as("bucket_ms"),
         col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
         graft.functions.ts_val_ts(col("f")).as("first_ts"),
         graft.functions.ts_val_v(col("f")).as("first_v"),
         graft.functions.ts_val_ts(col("l")).as("last_ts"),
         graft.functions.ts_val_v(col("l")).as("last_v"),
+        col("hist"),
         to_date(col("w.start")).as("date"))
 
   /** Start the rollup sink against a store root. Writes are

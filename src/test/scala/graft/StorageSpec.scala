@@ -205,8 +205,12 @@ class StorageSpec extends AnyFunSuite {
       samples = ts.samples.map(s => Sample(s.timestampMs + 500, s.value + 100))))))
 
     val rawStore = new ParquetStore(spark, dir) // no rollup: aggregates raw at read
+    // quantile:<q> included: the raw path sketches all samples in one pass,
+    // the rollup path merges per-batch partials — DDSketch merge-order
+    // independence makes the two bit-identical
     for (func <- Seq("max_over_time", "min_over_time", "count", "sum", "avg_over_time",
-        "last_over_time", "rate", "increase", "delta")) {
+        "last_over_time", "rate", "increase", "delta",
+        "quantile:0.5_over_time", "quantile:0.99")) {
       val q = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
         Some(ReadHints(stepMs = 2000L, func = func)))
       assert(rollupStore.readTimeSeries(q) === rawStore.readTimeSeries(q), s"func: $func")
@@ -219,7 +223,7 @@ class StorageSpec extends AnyFunSuite {
     assert(rated.head.samples.forall(_.value > 0), "counter fixture rates are positive")
     // the rollup-served plan reads samples_rollup/, not samples/ — for the
     // algebraic funcs AND the first/last-derived ones
-    for (func <- Seq("max", "rate", "last_over_time")) {
+    for (func <- Seq("max", "rate", "last_over_time", "quantile:0.9")) {
       val hintedDf = rollupStore.readSeries(Query(T0, T0 + 4999,
         Seq(eqMatch("handler", "query")), Some(ReadHints(2000L, func))))
       val p = hintedDf.queryExecution.executedPlan.toString
@@ -251,7 +255,7 @@ class StorageSpec extends AnyFunSuite {
     // partials: strip those columns in place
     val rollupPath = s"$dir/samples_rollup"
     val oldSchema = spark.read.parquet(rollupPath)
-      .drop("first_ts", "first_v", "last_ts", "last_v")
+      .drop("first_ts", "first_v", "last_ts", "last_v", "hist")
       .localCheckpoint(eager = true)
     oldSchema.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("date").parquet(rollupPath)
@@ -272,6 +276,12 @@ class StorageSpec extends AnyFunSuite {
     assert(store.readTimeSeries(rateQ) === rawStore.readTimeSeries(rateQ))
     assert(!store.readSeries(rateQ).queryExecution.executedPlan.toString
       .contains("samples_rollup"), "pre-migration rollup must not serve rate")
+    // quantile is gated the same way: sketchless rollup falls back to raw
+    val qQ = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
+      Some(ReadHints(2000L, "quantile:0.9")))
+    assert(store.readTimeSeries(qQ) === rawStore.readTimeSeries(qQ))
+    assert(!store.readSeries(qQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "pre-migration rollup must not serve quantile")
 
     // a MIXED dir (new-schema partials appended onto old files) is equally
     // unservable for first/last — min/max(struct) would elect the null-field
@@ -296,6 +306,10 @@ class StorageSpec extends AnyFunSuite {
     assert(store.readTimeSeries(rateQ) === rawStore.readTimeSeries(rateQ))
     assert(store.readSeries(rateQ).queryExecution.executedPlan.toString
       .contains("samples_rollup"), "migrated rollup serves rate again")
+    // the rebuilt rollup carries the sketch partials too
+    assert(store.readTimeSeries(qQ) === rawStore.readTimeSeries(qQ))
+    assert(store.readSeries(qQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "migrated rollup serves quantile again")
   }
 
   test("parquet: hinted rollup read keeps read()'s broadcast tier above the inline limit") {
