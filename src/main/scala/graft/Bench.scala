@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Engine.install(spark)
 
     // d3 is the deliberately quadratic exact baseline (d2 is its scale
     // path) and d6's gate form embeds the same exact pair set as its oracle

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Engine.install(spark)
     new java.io.File(outDir).mkdirs()
     // local-use escape hatch for large-SF runs: the quadratic oracle
     // anchors (d3/d6) are deliberately slow there. The driver sets nothing

@@ -127,6 +127,7 @@ object HttpApi {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Engine.install(spark)
     val api = new HttpApi(spark, new graft.storage.ParquetStore(spark, root), port)
     val bound = api.start()
     println(s"[graft] remote read/write listening on 127.0.0.1:$bound (store: $root)")

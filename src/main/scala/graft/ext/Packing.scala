@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-batch assembly: documents are concatenated
+  * in a canonical order (ORDER BY id) and split into fixed-size token
+  * blocks (the context length), documents straddling block boundaries. The
+  * operator computes each document's global token offset in that virtual
+  * concatenation, plus the block span it lands in — the metadata a packed
+  * pre-training dataloader needs (which block(s) to read for a document,
+  * which documents compose a block).
+  *
+  * The naive formulation is `sum(w) OVER (ORDER BY id)` — an un-partitioned
+  * window, which Spark executes on ONE task after shuffling the corpus to a
+  * single partition: the textbook 100 TB scale-killer. This is instead the
+  * classic two-pass distributed prefix sum:
+  *
+  *   1. bucket each row by an order-aligned id range (any order-aligned
+  *      bucketing yields identical offsets — bucketing affects parallelism,
+  *      never the result);
+  *   2. one partial-agg exchange computes per-bucket token totals — at most
+  *      `buckets` rows — whose running sum (driver-side, bounded by the
+  *      `buckets` parameter) gives each bucket's global base offset;
+  *   3. one window per bucket (`partitionBy(bucket) orderBy(id)`) adds the
+  *      within-bucket running sum to the broadcast base.
+  *
+  * Per-task state is one bucket's slice (corpus/buckets — sized to the
+  * cluster), the corpus shuffles once (on the uniform bucket key), and no
+  * stage sees more than `buckets` rows of global state.
+  */
+object Packing {
+
+  /** Global pack offsets for `df` in ascending `id` order (`id` must be a
+    * unique long column; `weight` a non-negative integral token count).
+    * Output: the input row's `id` and `weight` plus
+    *   - `offset`      global token offset of the document's first token
+    *   - `first_block` / `last_block`  the blockSize-token block span
+    *     (last_block of an empty document equals first_block)
+    *   - `spans_boundary` whether the document crosses a block edge.
+    */
+  def packOffsets(df: DataFrame, id: String, weight: Column, blockSize: Long,
+      buckets: Int = 256): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val w = df.select(col(id), weight.cast("long").as("__w"))
+
+    // Order-aligned range bucketing. min/max is a bounded 2-long agg; the
+    // id-range split assumes roughly uniform id density for BALANCE (dense
+    // surrogate ids — the common case). Offsets are bucketing-independent
+    // either way.
+    val bounds = w.agg(min(col(id)), max(col(id))).head()
+    if (bounds.isNullAt(0)) // empty corpus
+      return w.select(col(id), col("__w").as("weight"),
+        lit(0L).as("offset"), lit(0L).as("first_block"), lit(0L).as("last_block"),
+        lit(false).as("spans_boundary"))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // ceil-div on the (non-negative) span so bucket ids stay < buckets
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+    val bucketed = w.withColumn("__bucket", (col(id) - lo).divide(width).cast("long"))
+
+    // Pass 1: per-bucket totals → global base offset per bucket. At most
+    // `buckets` rows leave the partial aggregation; the running sum over
+    // them is driver-side by design (bounded by the parameter, like the
+    // ANN query/centroid sets).
+    val totals = bucketed.groupBy("__bucket").agg(sum("__w").as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, base), (b, _)) => (b, base) }.toSeq
+    val baseDf = df.sparkSession.createDataFrame(bases).toDF("__bucket", "__base")
+
+    // Pass 2: within-bucket running sum + broadcast base join.
+    val win = Window.partitionBy("__bucket").orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bucketed
+      .join(broadcast(baseDf), "__bucket")
+      .withColumn("offset", col("__base") + coalesce(sum("__w").over(win), lit(0L)))
+
+    off.select(col(id), col("__w").as("weight"), col("offset"),
+        (col("offset") / blockSize).cast("long").as("first_block"),
+        ((col("offset") + greatest(col("__w"), lit(1L)) - 1L) / blockSize)
+          .cast("long").as("last_block"))
+      .withColumn("spans_boundary", col("first_block") =!= col("last_block"))
+  }
+}

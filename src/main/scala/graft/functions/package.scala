@@ -43,53 +43,10 @@ package object functions {
   def dd_quantile(h: Column, q: Double): Column =
     col(DDQuantile(expression(h), q))
 
-  /** Register SQL names for all custom functions on a session.
-    * Idempotent: skips if already registered (re-registering logs a
-    * "replaced a previously registered function" warning per call, which
-    * floods the bench/verify output). */
-  def registerAll(spark: SparkSession): Unit = {
-    import graft.ext._
-    val registry = spark.sessionState.functionRegistry
-    if (registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("labels_fingerprint"))) return
-    registry.createOrReplaceTempFunction(
-      "labels_fingerprint", exprs => LabelsFingerprint(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "labels_json", exprs => LabelsCanonicalJson(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
-    registry.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
-    registry.createOrReplaceTempFunction(
-      "rolling_fingerprint", exprs => RollingFingerprint(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
-    registry.createOrReplaceTempFunction(
-      "lsh_buckets", exprs => LshBuckets(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
-    registry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
-    // SQL numeric literals arrive as Decimal; lift to double
-    def numLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
-      e.eval(null) match {
-        case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        case d: java.lang.Number => d.doubleValue()
-      }
-    registry.createOrReplaceTempFunction(
-      "dd_hist", exprs => if (exprs.length > 1) DDHistAgg(exprs(0), numLit(exprs(1)))
-        else DDHistAgg(exprs(0)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "dd_hist_merge", exprs => DDHistMergeAgg(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "dd_quantile", exprs => DDQuantile(exprs(0), numLit(exprs(1))), "built-in")
-  }
+  /** Register SQL names for all custom functions on a session — the full
+    * table (with `DESCRIBE FUNCTION` info and literal-argument validation)
+    * lives in [[graft.plans.GraftFunctions]]; config-driven sessions get
+    * the same set via `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def registerAll(spark: SparkSession): Unit =
+    graft.plans.GraftFunctions.register(spark)
 }

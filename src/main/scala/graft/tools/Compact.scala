@@ -35,6 +35,7 @@ object Compact {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Engine.install(spark)
     run(spark, root, stepOverride, filesPerDay)
     spark.stop()
   }

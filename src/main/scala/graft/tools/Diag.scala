@@ -14,6 +14,7 @@ object Diag {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.Engine.install(spark)
     import spark.implicits._
 
     if (args.headOption.contains("crossover")) {

@@ -13,6 +13,7 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.Engine.install(spark)
     val df = graft.SparkEntry.queries(name)(spark, dir)
     df.collect()
     println("=== PLAN " + name + " ===")

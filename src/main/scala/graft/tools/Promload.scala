@@ -26,6 +26,7 @@ object Promload {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Engine.install(spark)
     args.toList match {
       case "file2store" :: src :: root :: Nil =>
         fileToStore(spark, src, root)

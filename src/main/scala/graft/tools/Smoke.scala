@@ -12,6 +12,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .appName("graft-smoke").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.Engine.install(spark)
     import spark.implicits._
     import graft.functions._
 
@@ -28,6 +29,14 @@ object Smoke {
     registerAll(spark)
     df.createOrReplaceTempView("t")
     spark.sql("select labels_fingerprint(labels) fp, labels_json(labels) j from t").show(false)
+
+    // full SQL kernel surface (GraftFunctions/GraftExtensions registration)
+    spark.sql(
+      """select ts_val_ts(ts_val_encode(1700000000000L, 1.5D)) ts_back,
+        |       ts_val_v(ts_val_encode(1700000000000L, 1.5D)) v_back,
+        |       repetition_stats(array('a','b','a','b'), 2) rep,
+        |       dd_quantile(dd_hist(v), 0.5) is null as dd_empty_null
+        |from (select cast(null as double) v)""".stripMargin).show(false)
 
     val big = spark.range(100000).select(map(lit("k"), $"id".cast("string")).as("labels"))
     println("BIG distinct fps: " + big.select(labels_fingerprint($"labels").as("f")).distinct.count)

@@ -8,4 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftbridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The session's mutable function registry (`sessionState` is
+    * `private[sql]` on the classic session). */
+  def functionRegistry(spark: SparkSession): catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }
