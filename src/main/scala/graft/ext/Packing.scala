@@ -55,9 +55,11 @@ object Packing {
         lit(0L).as("offset"), lit(0L).as("first_block"), lit(0L).as("last_block"),
         lit(false).as("spans_boundary"))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // ceil-div on the (non-negative) span so bucket ids stay < buckets
+    // ceil-div on the (non-negative) span so bucket ids stay < buckets;
+    // integer DIV throughout — doubles lose bits past 2^53
     val width = math.max(1L, (hi - lo) / buckets + 1L)
-    val bucketed = w.withColumn("__bucket", (col(id) - lo).divide(width).cast("long"))
+    val bucketed = w.withColumn("__bucket",
+      expr(s"(CAST(`$id` AS BIGINT) - ${lo}L) DIV ${width}L"))
 
     // Pass 1: per-bucket totals → global base offset per bucket. At most
     // `buckets` rows leave the partial aggregation; the running sum over
@@ -78,9 +80,8 @@ object Packing {
       .withColumn("offset", col("__base") + coalesce(sum("__w").over(win), lit(0L)))
 
     off.select(col(id), col("__w").as("weight"), col("offset"),
-        (col("offset") / blockSize).cast("long").as("first_block"),
-        ((col("offset") + greatest(col("__w"), lit(1L)) - 1L) / blockSize)
-          .cast("long").as("last_block"))
+        expr(s"offset DIV ${blockSize}L").as("first_block"),
+        expr(s"(offset + greatest(__w, 1L) - 1L) DIV ${blockSize}L").as("last_block"))
       .withColumn("spans_boundary", col("first_block") =!= col("last_block"))
   }
 }

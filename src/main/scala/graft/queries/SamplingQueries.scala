@@ -90,5 +90,34 @@ object SamplingQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  val all: Seq[QueryDef] = Seq(sm1Stratified, sm2Quota, sp1Split)
+  /** PK1: sequence-packing offsets — each document's global token offset
+    * in the canonical (ORDER BY doc_id) concatenation, and the 2048-token
+    * block span it occupies. The oracle states the semantics as the naive
+    * un-partitioned running-sum window; the Spark side is the two-pass
+    * distributed prefix sum ([[graft.ext.Packing]]) that never plans a
+    * single-partition window (plan contract in PlanSpec). Token weight =
+    * whitespace token count, the tokenizer t1 already proved engine-parity
+    * for. DuckDB's window SUM is HUGEINT — cast back to BIGINT. */
+  private val pk1Pack = withOracle("pk1_pack_offsets",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      |  FROM w)
+      |SELECT doc_id, n_tokens, "offset",
+      |       "offset" // 2048 AS first_block,
+      |       ("offset" + greatest(n_tokens, 1) - 1) // 2048 AS last_block,
+      |       ("offset" // 2048) <> (("offset" + greatest(n_tokens, 1) - 1) // 2048) AS spans_boundary
+      |FROM o""".stripMargin) { (s, dir) =>
+    graft.ext.Packing.packOffsets(
+        Tables(s, dir, "documents"), "doc_id",
+        size(graft.ext.TextAnalysis.words(col("text"))), blockSize = 2048L, buckets = 64)
+      .withColumnRenamed("weight", "n_tokens")
+  }
+
+  val all: Seq[QueryDef] = Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack)
 }
