@@ -202,6 +202,41 @@ object TextQueries {
         .as("redacted"))
   }
 
+  /** T7: rarity-weighted top terms per document — the tf-idf family with an
+    * exact cross-engine weight (tf/df instead of tf·log(N/df): one IEEE
+    * division is bit-deterministic across engines, `ln` is not). Corpus
+    * shape at scale: one exchange to (doc, term) with map-side partial
+    * counts, one vocabulary-keyed aggregation for document frequency, a
+    * term-keyed join whose df side AQE broadcasts while the vocabulary
+    * fits, and a WindowGroupLimit top-3 per doc (each task keeps 3 rows per
+    * doc before the exchange). No corpus-sized state anywhere. */
+  private val t7RareTerms = withOracle("t7_rare_terms",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST(tf.tf AS DOUBLE) / df.df AS score,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, score FROM s WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df")
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(score.desc, col("term"))))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), score.as("score"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, p1PiiScrub)
+    Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
+      p1PiiScrub)
 }
