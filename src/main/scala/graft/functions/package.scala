@@ -43,6 +43,36 @@ package object functions {
   def dd_quantile(h: Column, q: Double): Column =
     col(DDQuantile(expression(h), q))
 
+  /** Bits for a Bloom filter holding `n` items at false-positive rate
+    * `fpp` (standard m = -n·ln p / ln²2), clamped to ≥64. */
+  def bloomNumBits(n: Long, fpp: Double): Long = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"bloom_agg: need n>0, 0<fpp<1 (got $n, $fpp)")
+    math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+  }
+
+  /** Bloom-filter aggregate over pre-hashed 64-bit values (feed
+    * `xxhash64(x)`) → serialized filter bytes. Spark's own
+    * `BloomFilterAggregate` — the same sketch the runtime-filter optimizer
+    * injects, here exposed for explicit set-membership pre-filters (d8):
+    * a bounded key set (eval-suite n-grams, a keep-list, a block-list)
+    * collapses to `bloomNumBits/8` bytes that prune a 100 TB probe side
+    * map-side BEFORE any join shuffle. No false negatives, so an exact
+    * join on survivors reproduces exact semantics. */
+  def bloom_agg(hashed: Column, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    col(new BloomFilterAggregate(expression(hashed), Literal(expectedItems),
+      Literal(bloomNumBits(expectedItems, fpp))).toAggregateExpression())
+  }
+
+  /** Membership probe against [[bloom_agg]] bytes (a foldable literal or
+    * scalar subquery); value side must be the same `xxhash64` hashing used
+    * at build. True = maybe present (fpp chance), false = definitely not. */
+  def bloom_might_contain(bloom: Column, hashed: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(hashed)))
+
   /** Register SQL names for all custom functions on a session — the full
     * table (with `DESCRIBE FUNCTION` info and literal-argument validation)
     * lives in [[graft.plans.GraftFunctions]]; config-driven sessions get

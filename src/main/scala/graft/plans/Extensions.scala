@@ -133,6 +133,20 @@ object GraftFunctions {
     fn("dd_hist_merge", classOf[DDHistMergeAgg]) { a =>
       arity("dd_hist_merge", a, 1); DDHistMergeAgg(a(0))
     },
+    fn("bloom_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]) { a =>
+      arity("bloom_agg", a, 1, 3)
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val items = if (a.length == 3) intArg("bloom_agg", a(1)).toLong else 1L << 20
+      val fpp = if (a.length == 3) doubleArg("bloom_agg", a(2)) else 0.01
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        a(0), Literal(items), Literal(graft.functions.bloomNumBits(items, fpp)))
+    },
+    fn("bloom_might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) { a =>
+      arity("bloom_might_contain", a, 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))
+    },
     fn("dd_quantile", classOf[DDQuantile]) { a =>
       arity("dd_quantile", a, 2); DDQuantile(a(0), doubleArg("dd_quantile", a(1)))
     }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.ext.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus curation pipeline as ONE declarative DAG:
+  * quality gate → exact dedup keeper election → benchmark decontamination →
+  * deterministic split assignment, emitting the per-document manifest a
+  * training dataloader consumes. Each stage exists (and is oracle-checked)
+  * standalone — t5, d1, d7/d8, sp1 — this operator is their composition,
+  * the artifact a user of the engine actually ships.
+  *
+  * Scale shape (the point of composing in one DAG instead of four jobs):
+  * the tokenized words array is computed ONCE and feeds the quality gate,
+  * the token count, and the n-gram stage; Catalyst pushes the quality
+  * filter below the dedup/contamination joins, so documents failing the
+  * cheap map-side gate never reach a shuffle. What remains is one
+  * content-hash aggregation (uniform keys, partial-agg), one broadcast
+  * probe against the bounded benchmark n-gram set (the d8 Bloom pre-filter
+  * is the drop-in when that set outgrows broadcast), and a map-side hash
+  * split — no corpus-sized sort, window, or driver state anywhere. */
+object CurationQueries {
+
+  import QueryDef._
+
+  private val cur1 = withOracle("cur1_curation_manifest",
+    """WITH pool AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 >= 5),
+      |w AS (
+      |  SELECT doc_id, lang, text,
+      |         string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM pool),
+      |gop AS (
+      |  SELECT doc_id, lang, text, len(ws) AS n_tokens,
+      |         (len(ws) BETWEEN 50 AND 100000
+      |          AND cast(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+      |              / greatest(len(ws), 1) BETWEEN 3 AND 10
+      |          AND cast(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |              / greatest(len(ws), 1) >= 0.8
+      |          AND cast(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+      |              / greatest(len(ws), 1) <= 0.1) AS ok
+      |  FROM w),
+      |keep AS (SELECT md5(text) AS ch, min(doc_id) AS keep_id FROM pool GROUP BY 1),
+      |ng AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)),
+      |                          i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      |  FROM w),
+      |bw AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents WHERE doc_id % 100 < 5),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)),
+      |                           i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      |  FROM bw),
+      |contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (g))
+      |SELECT gop.doc_id, gop.lang, gop.n_tokens,
+      |       CASE WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'e666' THEN 'train'
+      |            WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'f333' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM gop
+      |JOIN keep ON md5(gop.text) = keep.ch AND gop.doc_id = keep.keep_id
+      |WHERE gop.ok
+      |  AND gop.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pool = docs.where(col("doc_id") % 100 >= 5)
+      .select(col("doc_id"), col("lang"), col("text"),
+        words(col("text")).as("ws"))
+
+    // t5's gopher gate, over the shared words array
+    val ws = col("ws")
+    val nWords = size(ws)
+    val denom = greatest(nWords, lit(1))
+    val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom
+    val alphaRatio = size(filter(ws, _.rlike("[a-z]"))).cast("double") / denom
+    val symbolRatio =
+      size(filter(ws, x => x.contains("#") || x.contains("..."))).cast("double") / denom
+    val ok = nWords.between(50, 100000) && meanLen.between(3, 10) &&
+      alphaRatio >= 0.8 && symbolRatio <= 0.1
+
+    val gop = pool.select(col("doc_id"), col("lang"), col("ws"),
+      md5(col("text").cast("binary")).as("ch"),
+      nWords.as("n_tokens"), ok.as("ok"))
+
+    // d1's keeper election within the pool (groupBy + join, not a window:
+    // partial-agg on uniform hash keys — a window over ch has no map-side
+    // combine and a mass-duplicated family would sort inside one task)
+    val keep = gop.groupBy("ch").agg(min("doc_id").as("keep_id"))
+
+    // d7's contamination probe against the bounded benchmark n-gram set
+    val bench = docs.where(col("doc_id") % 100 < 5)
+      .select(words(col("text")).as("ws"))
+      .select(explode(shingles(col("ws"), 4)).as("g"))
+      .distinct()
+    val contam = gop.select(col("doc_id"), explode(shingles(col("ws"), 4)).as("g"))
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+
+    // sp1's deterministic split hash
+    val p = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+    gop.where(col("ok"))
+      .join(keep, "ch").where(col("doc_id") === col("keep_id"))
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(p < "e666", "train").when(p < "f333", "val").otherwise("test").as("split"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1)
+}

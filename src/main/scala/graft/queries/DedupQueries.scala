@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.TextAnalysis._
 import graft.ext.extfunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator inventory over `documents` / `embeddings`.
@@ -322,7 +322,94 @@ object DedupQueries {
     * broadcast-hash semi-probe, one aggregation shuffle on doc_id at the
     * end. Distinct n-grams per doc come from the O(words) shingle kernel,
     * not a transform/element_at chain. */
-  private val d7Contamination = withOracle("d7_decontamination",
+  /** D9: incremental (cross-snapshot) exact dedup — the daily-ingest shape:
+    * a NEW batch (here the deterministic 20% with `doc_id % 10 >= 8`) is
+    * deduplicated against the already-curated BASE corpus and within
+    * itself, without ever re-pairing base-vs-base. Each new doc is classed
+    * `dup_of_base` (content hash already in base — keeper is base's),
+    * `dup_in_batch` (first seen inside this batch — keeper is the batch's
+    * min doc_id), or `unique`.
+    *
+    * Scale shape: the base side reduces to its content-hash index
+    * (16 B/doc — precomputed once per snapshot, never rescanning base
+    * text); the join keys are uniform hashes so the one exchange is
+    * skew-free, and the batch side is small by definition, so AQE
+    * broadcasts it both ways. Work per ingest is O(batch + base-index),
+    * not O(corpus²) — the property that makes daily dedup of a 100 TB
+    * corpus a routine job. The near-dup analogue is
+    * [[minhashPairsIncremental]]. */
+  private val d9Incremental = withOracle("d9_incremental_dedup",
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) AS ch, doc_id % 10 >= 8 AS is_new FROM documents),
+      |base AS (SELECT ch, min(doc_id) AS base_keep FROM h WHERE NOT is_new GROUP BY 1),
+      |batch AS (SELECT ch, min(doc_id) AS batch_keep FROM h WHERE is_new GROUP BY 1)
+      |SELECT n.doc_id,
+      |       CASE WHEN base.base_keep IS NOT NULL THEN 'dup_of_base'
+      |            WHEN n.doc_id <> batch.batch_keep THEN 'dup_in_batch'
+      |            ELSE 'unique' END AS status,
+      |       coalesce(base.base_keep, batch.batch_keep) AS keep_id
+      |FROM h n
+      |LEFT JOIN base USING (ch)
+      |JOIN batch USING (ch)
+      |WHERE n.is_new""".stripMargin) { (s, dir) =>
+    val h = Tables(s, dir, "documents").select(
+      col("doc_id"), md5(col("text").cast("binary")).as("ch"),
+      (col("doc_id") % 10 >= 8).as("is_new"))
+    val base = h.where(!col("is_new")).groupBy("ch").agg(min("doc_id").as("base_keep"))
+    val batch = h.where(col("is_new")).groupBy("ch").agg(min("doc_id").as("batch_keep"))
+    h.where(col("is_new"))
+      .join(base, Seq("ch"), "left")
+      .join(batch, Seq("ch"))
+      .select(col("doc_id"),
+        when(col("base_keep").isNotNull, "dup_of_base")
+          .when(col("doc_id") =!= col("batch_keep"), "dup_in_batch")
+          .otherwise("unique").as("status"),
+        coalesce(col("base_keep"), col("batch_keep")).as("keep_id"))
+  }
+
+  /** Near-dup candidate pairs involving at least one NEW document — the
+    * incremental form of [[minhashPairs]] for snapshot-over-snapshot
+    * ingestion. Old–old pairs are never generated: only LSH buckets that
+    * contain a new member produce candidates, and within such a bucket the
+    * pair comprehension drops all-old pairs before the explode. At scale
+    * the signature/banded-key side of the OLD corpus is a materialized
+    * table maintained across snapshots, so each ingest pays
+    * O(batch signatures + buckets touched by the batch) — the daily cost
+    * is proportional to the day's data, not the corpus. Verification
+    * joins stay unhinted (AQE decides), same as the full path. Equality
+    * with the filtered full pair set is pinned in ExtSpec. */
+  def minhashPairsIncremental(s: SparkSession, dir: String, isNew: Column,
+      maxBucket: Int = MaxLshBucket): DataFrame = {
+    val d = signatureTable(s, dir).withColumn("is_new", isNew)
+    val banded = bandedKeys(d.select(col("doc_id"), col("sig")))
+      .join(d.select(col("doc_id"), col("is_new")), "doc_id")
+    val touched = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"),
+        max(col("is_new").cast("int")).as("has_new"))
+      .where(col("bucket_n").between(2, maxBucket) && col("has_new") === 1)
+      .select(col("band"), col("band_hash"))
+    val candidates = banded
+      .join(touched, Seq("band", "band_hash"))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ms, x -> transform(ms, y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.is_new OR y.is_new AS any_new)))),
+          |  p -> p.doc_a < p.doc_b AND p.any_new)""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val jac = jaccard_sim(col("sh_a"), col("sh_b"))
+    withSets.where(jac >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
+  }
+
+  private val DecontaminationSql =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
       |ng AS (
@@ -333,10 +420,17 @@ object DedupQueries {
       |cand AS (SELECT doc_id, g FROM ng WHERE doc_id % 100 >= 5)
       |SELECT cand.doc_id, count(*) AS n_contaminated
       |FROM cand JOIN bench USING (g)
-      |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val ng = Tables(s, dir, "documents")
+      |GROUP BY 1""".stripMargin
+
+  /** doc_id + exploded distinct word-4-grams, the shared input of d7/d8. */
+  private def docNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(shingles(col("ws"), 4)).as("g"))
+
+  private val d7Contamination = withOracle("d7_decontamination",
+    DecontaminationSql) { (s, dir) =>
+    val ng = docNgrams(s, dir)
     val bench = ng.where(col("doc_id") % 100 < 5).select("g").distinct()
     val cand = ng.where(col("doc_id") % 100 >= 5)
     cand.join(broadcast(bench), "g")
@@ -344,6 +438,37 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** D8: d7's decontamination through a Bloom pre-filter — the shape that
+    * survives when the benchmark n-gram set outgrows the broadcast-hash
+    * join d7 forces. The bench set aggregates into one Bloom sketch
+    * (~1.2 MB/M grams at 1% fpp — a task-binary constant, not a shuffle
+    * side), and the corpus's n-grams are probed map-side at scan
+    * throughput: only survivors (true contamination + fpp·|clean|) ever
+    * enter the verification join, which is unhinted so AQE broadcasts the
+    * bench side while it's small and shuffles only the surviving sliver
+    * once it isn't. Bloom filters have no false negatives and the exact
+    * join removes false positives, so the output — and the oracle — is
+    * byte-identical to d7's. The one-row driver collect materializes the
+    * sketch, like s3's bounded centroid collect. */
+  private val d8ContaminationBloom = withOracle("d8_decontam_bloom",
+    DecontaminationSql) { (s, dir) =>
+    import graft.functions.{bloom_agg, bloom_might_contain}
+    val ng = docNgrams(s, dir)
+    val bench = ng.where(col("doc_id") % 100 < 5).select("g").distinct()
+    val bloom = bench
+      .agg(bloom_agg(xxhash64(col("g")), expectedItems = 1L << 20, fpp = 0.01).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // empty bench set → null sketch → null probe → no survivors (= d7's
+    // empty-join result); lit() can't type a null Array[Byte] by itself
+    val bloomCol = if (bloom == null) lit(null).cast("binary") else lit(bloom)
+    val cand = ng.where(col("doc_id") % 100 >= 5)
+      .where(bloom_might_contain(bloomCol, xxhash64(col("g"))))
+    cand.join(bench, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination)
+    Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
+      d8ContaminationBloom, d9Incremental)
 }

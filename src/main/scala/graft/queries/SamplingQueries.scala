@@ -119,5 +119,47 @@ object SamplingQueries {
       .withColumnRenamed("weight", "n_tokens")
   }
 
-  val all: Seq[QueryDef] = Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack)
+  /** PK2: length-bucketed batching — assign each document to a
+    * token-length quartile so an inference/training dataloader can batch
+    * similar lengths together (padding waste on a mixed-length batch is
+    * max(len)·batch − Σlen; quartile bucketing bounds it). The obvious
+    * `ntile(4) OVER (ORDER BY n_tokens)` is a GLOBAL sort into one
+    * partition — the formulation here computes the three quartile cut
+    * points as a 1-row aggregate, broadcasts it, and assigns buckets with
+    * a map-side comparison: one bounded exchange for the quantiles, scan
+    * throughput for the assignment, nothing corpus-sized ever sorted.
+    * Exact `percentile_disc` pins oracle semantics; `dd_quantile` partials
+    * are the same one-line swap as t8 at 100 TB. (Bucket populations are
+    * then near-equal rather than exactly equal — ntile's exact equality is
+    * a property no distributed dataloader needs.) */
+  private val pk2LengthBuckets = withOracle("pk2_length_buckets",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM documents),
+      |q AS (SELECT quantile_disc(n_tokens, 0.25) AS q1,
+      |             quantile_disc(n_tokens, 0.50) AS q2,
+      |             quantile_disc(n_tokens, 0.75) AS q3 FROM w)
+      |SELECT doc_id, n_tokens,
+      |       CASE WHEN n_tokens <= q1 THEN 0
+      |            WHEN n_tokens <= q2 THEN 1
+      |            WHEN n_tokens <= q3 THEN 2
+      |            ELSE 3 END AS bucket
+      |FROM w, q""".stripMargin) { (s, dir) =>
+    val w = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      size(graft.ext.TextAnalysis.words(col("text"))).as("n_tokens"))
+    val q = w.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)").as("q1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens)").as("q3"))
+    w.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") <= col("q1"), 0)
+          .when(col("n_tokens") <= col("q2"), 1)
+          .when(col("n_tokens") <= col("q3"), 2)
+          .otherwise(3).as("bucket"))
+  }
+
+  val all: Seq[QueryDef] = Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets)
 }

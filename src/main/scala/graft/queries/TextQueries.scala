@@ -236,7 +236,44 @@ object TextQueries {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), score.as("score"))
   }
 
+  /** T8: per-language quality gating — keep documents at or above their
+    * language's median quality (the CCNet-style move: a global threshold
+    * would let a high-resource language's distribution set the bar for
+    * every other). Score = t2's distinct-word ratio (engine-parity already
+    * proven); threshold = per-language exact median.
+    *
+    * Scale shape: thresholds are ONE ROW PER LANGUAGE — a broadcast-sized
+    * frame however big the corpus — so the gate itself is a map-side probe
+    * at scan throughput; the corpus is never windowed or sorted (a
+    * percent_rank-per-language window would sort 100 TB into ~30 language
+    * partitions — maximal skew). The exact `percentile_disc` threshold
+    * aggregation is the oracle-pinned semantics; at 100 TB the
+    * one-line swap is `dd_quantile(dd_hist(score), 0.5)` /
+    * `approx_percentile` — mergeable fixed-size partials, same pairing as
+    * q9 ↔ q9_approx. */
+  private val t8QualityGate = withOracle("t8_quality_gate",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |         cast(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+      |         / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS score
+      |  FROM documents),
+      |th AS (SELECT lang, quantile_disc(score, 0.5) AS thresh FROM s GROUP BY 1)
+      |SELECT s.doc_id, s.lang, round(s.score, 4) AS score, round(th.thresh, 4) AS thresh
+      |FROM s JOIN th USING (lang)
+      |WHERE s.score >= th.thresh""".stripMargin) { (s, dir) =>
+    val ws = words(col("text"))
+    val scored = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      (size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1))).as("score"))
+    val th = scored.groupBy("lang")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY score)").as("thresh"))
+    scored.join(broadcast(th), "lang")
+      .where(col("score") >= col("thresh"))
+      .select(col("doc_id"), col("lang"),
+        round(col("score"), 4).as("score"), round(col("thresh"), 4).as("thresh"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      p1PiiScrub)
+      t8QualityGate, p1PiiScrub)
 }

@@ -26,6 +26,43 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh === exact) // banding params chosen for ~zero miss probability at j>=0.8
   }
 
+  test("bloom-prefiltered decontamination (d8) is byte-identical to the exact join (d7)") {
+    val d7 = graft.SparkEntry.queries("d7_decontamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d8 = graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d7.nonEmpty, "fixture should contain contaminated docs")
+    assert(d8 === d7) // no false negatives; exact join kills false positives
+  }
+
+  test("bloom pre-filter prunes clean n-grams before the verification join") {
+    import graft.functions.{bloom_agg, bloom_might_contain}
+    import spark.implicits._
+    // disjoint vocabularies: bench grams can never collide with clean ones
+    // except through bloom false positives (1% at this sizing)
+    val bench = (1 to 1000).map(i => s"bench gram number $i").toDF("g")
+    val clean = (1 to 20000).map(i => s"clean gram number $i").toDF("g")
+    val bloom = bench.agg(bloom_agg(xxhash64(col("g"))).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val survivors = clean
+      .where(bloom_might_contain(lit(bloom), xxhash64(col("g")))).count()
+    assert(survivors < 20000 * 0.05, s"bloom should prune ~99% of clean grams, kept $survivors")
+    val benchKept = bench
+      .where(bloom_might_contain(lit(bloom), xxhash64(col("g")))).count()
+    assert(benchKept === 1000L) // no false negatives, ever
+  }
+
+  test("incremental LSH pairs = full LSH pairs filtered to those touching a new doc") {
+    val isNew = col("doc_id") % 2 === 0
+    val full = graft.queries.DedupQueries.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 2 == 0 || b % 2 == 0 }
+    val inc = graft.queries.DedupQueries.minhashPairsIncremental(spark, sf, isNew)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain pairs touching a new doc")
+    assert(inc === expected) // and never an old-old pair
+  }
+
   test("LSH hot-bucket cap: degenerate bucket is excluded from pair generation but reported") {
     // 60 byte-identical boilerplate docs (one degenerate LSH family: every
     // band collides) + one genuine near-dup pair + unrelated filler.

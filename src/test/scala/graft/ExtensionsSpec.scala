@@ -91,6 +91,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(q.getDouble(0) - 499.5) / 499.5 < 0.02)
   }
 
+  test("bloom_agg/bloom_might_contain compose from SQL: no false negatives, prunes strangers") {
+    spark.range(1000).selectExpr("concat('member ', id) AS g")
+      .createOrReplaceTempView("bloom_members")
+    spark.range(20000).selectExpr("concat('stranger ', id) AS g")
+      .createOrReplaceTempView("bloom_strangers")
+    // the bloom side must be foldable or a scalar subquery (same contract
+    // as Spark's own runtime-filter injection)
+    val kept = one(
+      """SELECT (SELECT count(*) FROM bloom_members
+        |        WHERE bloom_might_contain(
+        |          (SELECT bloom_agg(xxhash64(g)) FROM bloom_members),
+        |          xxhash64(g))) AS members_kept,
+        |       (SELECT count(*) FROM bloom_strangers
+        |        WHERE bloom_might_contain(
+        |          (SELECT bloom_agg(xxhash64(g)) FROM bloom_members),
+        |          xxhash64(g))) AS strangers_kept""".stripMargin)
+    assert(kept.getLong(0) === 1000L) // no false negatives, ever
+    assert(kept.getLong(1) < 20000 * 0.05, s"fp survivors: ${kept.getLong(1)}")
+  }
+
   test("literal-argument validation raises a clear error from SQL") {
     def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
       .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")

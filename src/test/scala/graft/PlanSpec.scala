@@ -177,6 +177,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t8/pk2 percentile gates: corpus is never globally sorted or windowed") {
+    // the thresholds are tiny aggregates broadcast back over the corpus —
+    // a Window/ntile formulation would sort the corpus into ~|langs| tasks
+    for (name <- Seq("t8_quality_gate", "pk2_length_buckets")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: threshold side should broadcast")
+      assert(!p.contains("Window"), s"$name: no window over the corpus")
+      assert(!p.contains("SortMergeJoin"), s"$name: corpus never shuffle-joined")
+    }
+  }
+
+  test("d8 bloom decontamination: probe filtered map-side before any join") {
+    val p = plan("d8_decontam_bloom")
+    assert(p.contains("might_contain"), "bloom probe must appear as a filter")
+    // the bloom filter is evaluated in a Filter, upstream of the exact join
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("HashJoin")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "plan renders top-down: the join sits above the bloom-filtered scan")
+  }
+
+  test("cur1 curation: quality gate pushed below joins, bench side broadcast") {
+    val p = plan("cur1_curation_manifest")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("fingerprint expression stays inside whole-stage codegen") {
     val p = plan("x1_fingerprint")
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
