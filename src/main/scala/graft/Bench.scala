@@ -45,13 +45,16 @@ object Bench {
       }
     }
 
-    // Two timed runs per query, min reported: the workload is deterministic
-    // (identical plans and data run-to-run), so run-to-run variance is the
-    // machine's (page cache, JIT recompiles, background IO) — observed ±20%
-    // on single runs at sf0.1. min is the standard least-noise estimator
-    // for deterministic work; the JSON carries the methodology marker.
+    // Three timed runs per query, min reported: the workload is
+    // deterministic (identical plans and data run-to-run), so run-to-run
+    // variance is the machine's — beyond the usual ±20% (page cache, JIT,
+    // background IO), this sandbox exhibits BURSTY multi-second freezes
+    // (co-tenant steal: a 0.9 s query was observed at 75 s inside a stall
+    // window, CPU-pressure ≈ 0 throughout). min over 3 runs is the
+    // standard least-noise estimator for deterministic work and gives two
+    // chances to land outside a stall; the JSON carries the marker.
     val results = defs.map { d =>
-      val times = (0 until 2).map { _ =>
+      val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -97,7 +100,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_2","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     // Secondary channel: a file, in case the caller parses neither.

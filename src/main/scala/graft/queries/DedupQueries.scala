@@ -355,11 +355,16 @@ object DedupQueries {
     val h = Tables(s, dir, "documents").select(
       col("doc_id"), md5(col("text").cast("binary")).as("ch"),
       (col("doc_id") % 10 >= 8).as("is_new"))
-    val base = h.where(!col("is_new")).groupBy("ch").agg(min("doc_id").as("base_keep"))
-    val batch = h.where(col("is_new")).groupBy("ch").agg(min("doc_id").as("batch_keep"))
+    // both keepers from ONE aggregation pass (min ignores the nulls the
+    // `when` injects) — one exchange on the uniform hash key and two text
+    // scans total (probe + build), where separate base/batch aggregations
+    // would cost three. batch_keep is never null for a probed row: the
+    // row itself is in its group.
+    val byHash = h.groupBy("ch").agg(
+      min(when(!col("is_new"), col("doc_id"))).as("base_keep"),
+      min(when(col("is_new"), col("doc_id"))).as("batch_keep"))
     h.where(col("is_new"))
-      .join(base, Seq("ch"), "left")
-      .join(batch, Seq("ch"))
+      .join(byHash, Seq("ch"))
       .select(col("doc_id"),
         when(col("base_keep").isNotNull, "dup_of_base")
           .when(col("doc_id") =!= col("batch_keep"), "dup_in_batch")

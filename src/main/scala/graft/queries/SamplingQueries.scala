@@ -161,5 +161,23 @@ object SamplingQueries {
           .otherwise(3).as("bucket"))
   }
 
-  val all: Seq[QueryDef] = Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets)
+  /** SH1: deterministic epoch shuffle — each document's position in the
+    * pseudo-random training order for seed "ep1", a pure function of
+    * (corpus, seed): reruns, engines, and any partitioning produce THE
+    * same permutation, and changing the seed draws an independent one
+    * (the per-epoch reshuffle). The oracle states the semantics as the
+    * naive global-window rank; the Spark side is the two-pass distributed
+    * rank ([[graft.ext.Shuffle]]) that buckets by the hash's first hex
+    * byte — order-aligned AND uniform, so no single-partition window ever
+    * appears in the plan (contract in PlanSpec). */
+  private val sh1Shuffle = withOracle("sh1_epoch_shuffle",
+    """SELECT doc_id,
+      |       row_number() OVER (ORDER BY md5('ep1:' || doc_id), doc_id) - 1 AS pos
+      |FROM documents""".stripMargin) { (s, dir) =>
+    graft.ext.Shuffle.deterministicOrder(Tables(s, dir, "documents"), "doc_id", "ep1")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets, sh1Shuffle)
 }

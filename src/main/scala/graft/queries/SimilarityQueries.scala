@@ -140,5 +140,69 @@ object SimilarityQueries {
         round(col("cos_full"), 4).as("cos"))
   }
 
-  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf)
+  /** S4: int8 scalar quantization of the embedding column — per-vector
+    * min/max affine codes, the standard 4× storage/bandwidth cut for the
+    * candidate-generation stage of billion-scale ANN (full-precision
+    * vectors are only fetched for the final re-rank, s1/s2-style). Pure
+    * map-only projection — no shuffle, composes with any scan pruning; at
+    * 100 TB this is a write-side layout choice (store codes+mn+mx,
+    * project the float array away). Exactly SQL-expressible (affine
+    * arithmetic in DOUBLE + ties-away-from-zero rounding on non-negative
+    * operands agree bit-for-bit across engines), so oracle-checked; the
+    * reconstruction-error bound ≤ (mx−mn)/510 per component is pinned in
+    * ExtSpec. Codes emitted comma-joined (t4's canonical form — raw
+    * arrays aren't hashable by the driver's compare). */
+  private val s4Quantize = withOracle("s4_quantize_int8",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+      |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+      |       array_to_string(list_transform(v, x ->
+      |         CASE WHEN mx = mn THEN 0
+      |              ELSE cast(round((x - mn) * 255 / (mx - mn)) AS INTEGER) END), ',') AS codes
+      |FROM m""".stripMargin) { (s, dir) =>
+    val v = transform(col("embedding"), _.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    // mn_raw/mx_raw names are deliberate: aliasing `round(mn, 6) AS mn` in
+    // the same select that computes codes would make Spark 4's implicit
+    // LATERAL column alias resolution bind the codes' `mn` to the ROUNDED
+    // value (a genuine 1-code divergence observed at a .5 boundary) —
+    // codes must quantize against the raw extrema, exactly as the oracle
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"), mn.as("mn_raw"), mx.as("mx_raw"))
+      .select(col("vec_id"), col("mn_raw"), col("mx_raw"),
+        concat_ws(",", transform(col("v"), x =>
+          when(col("mx_raw") === col("mn_raw"), lit(0))
+            .otherwise(
+              round((x - col("mn_raw")) * 255 / (col("mx_raw") - col("mn_raw")), 0).cast("int"))
+          ).cast("array<string>")).as("codes"))
+      .select(col("vec_id"),
+        round(col("mn_raw"), 6).as("mn"), round(col("mx_raw"), 6).as("mx"), col("codes"))
+  }
+
+  /** S5: per-label embedding centroid — the class/cluster mean vectors
+    * that seed an IVF coarse quantizer (s3), summarize dedup families, or
+    * drive topic-balance reporting. Spark has no element-wise array-sum
+    * aggregate, and none is needed: posexplode is map-side (the rows×dim
+    * expansion is pipelined inside the scan stage, never materialized) and
+    * the groupBy(label, pos) partial aggregation collapses each task's
+    * output to ≤ labels×dim rows BEFORE the exchange — the shuffle carries
+    * per-task partials, not the corpus, the identical shape to q1. Output
+    * is one row per (label, component): no array column (driver's compare
+    * can't hash arrays) and no float→string formatting divergence.
+    * round(6) masks the ULP gap between Spark's tree-summed partials and
+    * the oracle's sequential sum (relative error ~1e-13 ≪ 1e-6). */
+  private val s5Centroid = withOracle("s5_label_centroid",
+    """WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |                  unnest(embedding)::DOUBLE AS x
+      |           FROM embeddings)
+      |SELECT label, pos, round(avg(x), 6) AS m, count(*) AS n
+      |FROM u GROUP BY label, pos""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(transform(col("embedding"), _.cast("double"))))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("col")), 6).as("m"), count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid)
 }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming corpus ingestion — the curation pipeline's front door when
+  * documents arrive continuously instead of as snapshots (the batch
+  * analogue is d9_incremental_dedup).
+  */
+object DocStream {
+
+  /** Exact streaming dedup: emits each distinct document content exactly
+    * once for the lifetime of the query, keyed by content hash via
+    * `flatMapGroupsWithState`. Within a batch the min doc_id of a
+    * duplicate family is the deterministic keeper (same election rule as
+    * d1/d9); across batches the keyed state suppresses re-emission.
+    *
+    * State is ONE BOOLEAN per distinct content — bounded by corpus
+    * distinct-content cardinality, not stream volume, and keyed by a
+    * uniform 128-bit hash so the state store shards evenly. At 100 TB
+    * scale this runs on the RocksDB state store (spills past memory), and
+    * the checkpoint makes the seen-set survive restarts — the streaming
+    * equivalent of d9's persisted base content-hash index. */
+  def firstSeenDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    stream
+      .select(md5(col("text").cast("binary")).as("ch"),
+        col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // min doc_id, not iterator head: batch shuffle order is not
+            // deterministic, keeper election must be
+            Iterator.single(rows.minBy(_._2))
+          }
+      }
+  }
+}

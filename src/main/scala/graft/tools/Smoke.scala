@@ -94,6 +94,37 @@ object Smoke {
     println(s"RESIZE: ${rz.count()} payloads, max bytes=${rz.collect().map(_.media.length).max}")
     val fr = graft.ext.Multimodal.sampleFrames(media, stepMs = 100L)
     println(s"FRAMES: ${fr.count()} frames from ${media.count()} docs")
+
+    // epoch shuffle: distributed rank == a permutation; seeds independent
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ep1 = graft.ext.Shuffle.deterministicOrder(docs, "doc_id", "ep1")
+      .select($"doc_id", $"pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ep2 = graft.ext.Shuffle.deterministicOrder(docs, "doc_id", "ep2")
+      .select($"doc_id", $"pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"SHUFFLE: n=${ep1.size} perm=${ep1.values.toSeq.sorted == (0L until ep1.size)}" +
+      s" fixedPointsAcrossSeeds=${ep1.count { case (d, p) => ep2(d) == p }}")
+
+    // int8 quantization + label centroids over the embeddings fixture
+    graft.SparkEntry.queries("s4_quantize_int8")(spark, "/root/testdata/sf0.001").show(2, 60)
+    graft.SparkEntry.queries("s5_label_centroid")(spark, "/root/testdata/sf0.001")
+      .orderBy($"label", $"pos").show(3, false)
+
+    // streaming doc dedup: duplicate content suppressed across batches
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val st = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.DocStream.firstSeenDocs(spark,
+          st.toDF().select($"_1".as("doc_id"), $"_2".as("text")))
+        .toDF("ch", "doc_id", "text")
+        .writeStream.format("memory").queryName("smoke_docs").outputMode("append").start()
+      st.addData((7L, "alpha"), (3L, "alpha"), (5L, "beta"))
+      q.processAllAvailable()
+      st.addData((9L, "alpha"), (2L, "gamma"))
+      q.processAllAvailable()
+      println("DOCSTREAM: " + spark.table("smoke_docs").collect()
+        .map(r => s"${r.getString(2)}->${r.getLong(1)}").sorted.mkString(", "))
+      q.stop()
+    }
     spark.stop()
   }
 }

@@ -148,6 +148,26 @@ class ExtSpec extends AnyFunSuite {
     assert(kl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
   }
 
+  test("int8 quantization: dequantized vectors reconstruct within (mx-mn)/510 per component") {
+    val rows = graft.SparkEntry.queries("s4_quantize_int8")(spark, sf).collect()
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, mn, mx) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val codes = r.getString(3).split(",").map(_.toInt)
+      val v = orig(id)
+      assert(codes.length === v.length)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val scale = if (mx == mn) 0.0 else (mx - mn) / 255
+      val bound = (mx - mn) / 510 + 1e-5 // half a code step (+ the mn/mx round(6) slack)
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - (mn + c * scale)) <= bound,
+          s"vec $id: |${x} - ${mn + c * scale}| > $bound")
+      }
+    }
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

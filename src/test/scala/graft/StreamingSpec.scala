@@ -114,6 +114,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(m1.head.getAs[Double]("avg_v") === 3.0)
   }
 
+  test("streaming doc dedup: each distinct content emitted once, min doc_id keeps") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    stream.addData((7L, "alpha"), (3L, "alpha"), (5L, "beta"))
+    val q = graft.streaming.DocStream.firstSeenDocs(spark, df)
+      .toDF("ch", "doc_id", "text")
+      .writeStream.format("memory").queryName("docs_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // second batch: duplicate of batch-1 content + one new doc
+      stream.addData((9L, "alpha"), (2L, "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("docs_out").collect()
+        .map(r => (r.getAs[String]("text"), r.getAs[Long]("doc_id"))).sorted
+      // alpha kept ONCE with the min doc_id of its first-sighting batch;
+      // the batch-2 redelivery (id 9) suppressed by state
+      assert(rows === Array(("alpha", 3L), ("beta", 5L), ("gamma", 2L)))
+    } finally q.stop()
+  }
+
   test("stateful new-series detection emits each fingerprint once") {
     val (stream, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 1, 2.0), ("m2", T0, 3.0)))
