@@ -18,6 +18,24 @@ object TextAnalysis {
   /** BPE-ish token count: alpha runs, single digits, single punctuation. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
+  /** The Gopher quality gate (Rae et al. 2021 §A1.1, public) as one
+    * boolean column: word-count bounds, mean word length 3–10, ≥80%
+    * alpha words, ≤10% symbol words. Map-only higher-order folds over
+    * the word array — runs at scan throughput; shared by the batch gate
+    * (t5) and the streaming curation front door, so the two paths can
+    * never drift. */
+  def gopherPasses(text: Column): Column = {
+    val ws = words(text)
+    val n = size(ws)
+    val denom = greatest(n, lit(1))
+    val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom
+    val alphaRatio = size(filter(ws, _.rlike("[a-z]"))).cast("double") / denom
+    val symbolRatio =
+      size(filter(ws, x => x.contains("#") || x.contains("..."))).cast("double") / denom
+    n.between(50, 100000) && meanLen.between(3, 10) &&
+      alphaRatio >= 0.8 && symbolRatio <= 0.1
+  }
+
   /** Word n-gram shingles (distinct), as one codegen'd pass (custom
     * expression). The higher-order-function formulation
     * (`transform(sequence(...), i -> concat(element_at(ws, i)...))`)

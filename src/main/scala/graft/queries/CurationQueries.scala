@@ -104,5 +104,39 @@ object CurationQueries {
         when(p < "e666", "train").when(p < "f333", "val").otherwise("test").as("split"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1)
+  /** RP1: the dataset-card report — per-(source, lang) doc counts,
+    * distinct-content counts (the dedup-aware size), token/char volume,
+    * and the median document length. The numbers a data curator reads
+    * before and after every pipeline change, and the strata weights a
+    * mixing config consumes. One corpus scan: count/sum are partial-agg,
+    * count(DISTINCT ch) plans Spark's two-phase expand — both exchanges
+    * carry (source, lang[, ch]) keys, uniform and bounded, never the
+    * corpus. percentile_disc is exact per stratum (q9 proved engine
+    * parity); at 100 TB the one-line swap to dd_quantile partials (t8's
+    * move) trades exactness for a mergeable sketch. */
+  private val rp1 = withOracle("rp1_corpus_stats",
+    """WITH w AS (
+      |  SELECT source, lang, n_chars, md5(text) AS ch,
+      |         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |       count(DISTINCT ch) AS n_distinct,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS median_tokens
+      |FROM w GROUP BY source, lang""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("ch"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("ch")).as("n_distinct"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+          .cast("long").as("median_tokens"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1)
 }

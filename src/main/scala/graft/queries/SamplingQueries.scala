@@ -169,7 +169,7 @@ object SamplingQueries {
     * naive global-window rank; the Spark side is the two-pass distributed
     * rank ([[graft.ext.Shuffle]]) that buckets by the hash's first hex
     * byte — order-aligned AND uniform, so no single-partition window ever
-    * appears in the plan (contract in PlanSpec). */
+    * appears in the plan (contract in ShuffleSpec). */
   private val sh1Shuffle = withOracle("sh1_epoch_shuffle",
     """SELECT doc_id,
       |       row_number() OVER (ORDER BY md5('ep1:' || doc_id), doc_id) - 1 AS pos

@@ -132,8 +132,7 @@ object TextQueries {
       round(alphaRatio, 4).as("alpha_word_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(symbolRatio, 4).as("symbol_word_ratio"),
-      (nWords.between(50, 100000) && meanLen.between(3, 10) &&
-        alphaRatio >= 0.8 && symbolRatio <= 0.1).as("passes_gopher"))
+      gopherPasses(col("text")).as("passes_gopher"))
   }
 
   /** Gopher-rule repetition signals: duplicate-2-gram fraction (share of

@@ -22,6 +22,17 @@ object DocStream {
     * scale this runs on the RocksDB state store (spills past memory), and
     * the checkpoint makes the seen-set survive restarts — the streaming
     * equivalent of d9's persisted base content-hash index. */
+  /** The streaming curation front door: Gopher quality gate (the same
+    * [[graft.ext.TextAnalysis.gopherPasses]] column the batch gate t5
+    * runs — one definition, no batch/stream drift) THEN first-seen dedup.
+    * Order matters at scale: the gate is a map-side filter ahead of the
+    * stateful operator, so rejected documents never shuffle and never
+    * enter the state store — state is bounded by distinct PASSING
+    * content, corpus reject rates (30–70% on web crawl) cut it
+    * proportionally. */
+  def curatedDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] =
+    firstSeenDocs(spark, stream.where(graft.ext.TextAnalysis.gopherPasses(col("text"))))
+
   def firstSeenDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] = {
     import spark.implicits._
     stream

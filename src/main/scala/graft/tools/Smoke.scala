@@ -124,7 +124,24 @@ object Smoke {
       println("DOCSTREAM: " + spark.table("smoke_docs").collect()
         .map(r => s"${r.getString(2)}->${r.getLong(1)}").sorted.mkString(", "))
       q.stop()
+
+      // curated stream: quality gate ahead of the dedup state
+      val good = Seq.fill(60)("word").mkString(" ")
+      val st2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q2 = graft.streaming.DocStream.curatedDocs(spark,
+          st2.toDF().select($"_1".as("doc_id"), $"_2".as("text")))
+        .toDF("ch", "doc_id", "text")
+        .writeStream.format("memory").queryName("smoke_curated").outputMode("append").start()
+      st2.addData((1L, good), (2L, good), (3L, "too short"))
+      q2.processAllAvailable()
+      println("CURATED: kept=" + spark.table("smoke_curated").collect()
+        .map(_.getLong(1)).sorted.mkString(","))
+      q2.stop()
     }
+
+    // dataset-card report over the documents fixture
+    graft.SparkEntry.queries("rp1_corpus_stats")(spark, "/root/testdata/sf0.001")
+      .orderBy($"source", $"lang").show(3, false)
     spark.stop()
   }
 }

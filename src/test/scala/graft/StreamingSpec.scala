@@ -137,6 +137,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gate filters before dedup state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // 60 four-letter words: passes Gopher (n in bounds, mean len 4, all alpha)
+    val good = Seq.fill(60)("word").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    // doc 1 passes; 2 is a dup of 1; 3 fails the gate (too short)
+    stream.addData((1L, good), (2L, good), (3L, "too short"))
+    val q = graft.streaming.DocStream.curatedDocs(spark, df)
+      .toDF("ch", "doc_id", "text")
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curated_out").collect().map(_.getAs[Long]("doc_id"))
+      assert(rows === Array(1L)) // gate rejected 3, dedup suppressed 2
+    } finally q.stop()
+  }
+
   test("stateful new-series detection emits each fingerprint once") {
     val (stream, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 1, 2.0), ("m2", T0, 3.0)))
