@@ -36,11 +36,16 @@ object Shuffle {
   def deterministicOrder(df: DataFrame, id: String, seed: String,
       hexDigits: Int = 2): DataFrame = {
     require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits in [1,8], got $hexDigits")
+    // Sort on the 16-byte binary digest, not the 32-char hex string:
+    // unsigned byte-wise binary comparison is exactly the lexicographic
+    // order of the lowercase hex rendering (same permutation, the one the
+    // oracle states), at half the key bytes through the shuffle and sort.
     val h = md5(concat(lit(seed), lit(":"), col(id).cast("string")))
-    val hashed = df.withColumn("__h", h)
+    val hashed = df.withColumn("__h", unhex(h))
       // conv() parses the hex prefix; order-aligned because the prefix is
-      // the most-significant digits of the string ordering
-      .withColumn("__bucket", conv(substring(col("__h"), 1, hexDigits), 16, 10).cast("long"))
+      // the most-significant digits of the ordering. Both columns share
+      // the one md5 call via codegen subexpression elimination.
+      .withColumn("__bucket", conv(substring(h, 1, hexDigits), 16, 10).cast("long"))
 
     val counts = hashed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -21,6 +21,10 @@ object Diag {
       crossover(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L), args.lift(2))
       spark.stop(); return
     }
+    if (args.headOption.contains("shuffle")) {
+      shuffleRank(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -79,6 +83,33 @@ object Diag {
     val tRaw = time(plainStore.readSeries(hq).collect())
     println(f"[rollup] hinted read (avg/5m over 8h): rollup-served $tRollup%.2f s vs raw-aggregated $tRaw%.2f s")
     spark.stop()
+  }
+
+  /** Epoch-shuffle rank at a corpus where the single-partition window
+    * visibly chokes: times the naive `row_number() OVER (ORDER BY md5)`
+    * (what sh1's oracle states) against `ext/Shuffle.deterministicOrder`
+    * (what sh1 runs) on an n-row corpus. The naive plan funnels every row
+    * through ONE task; the two-pass plan keeps all cores busy. SCALE.md
+    * cites the measured row. */
+  private def shuffleRank(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val tTwo = time(sink(
+      graft.ext.Shuffle.deterministicOrder(spark.range(n).toDF("id"), "id", "ep1")))
+    println(f"[shuffle] two-pass distributed rank, n=$n%,d: $tTwo%.1f s")
+    // the naive window is timed at a SMALLER n: it funnels every row
+    // through one task (a first 50M attempt held exactly one core busy
+    // for >20 min before being killed), so it is measured where it
+    // terminates and compared per-row
+    val nNaive = math.min(n, 5_000_000L)
+    val tNaive = time(sink(spark.range(nNaive).toDF("id")
+      .withColumn("__h", md5(concat(lit("ep1:"), col("id").cast("string"))))
+      .withColumn("pos", row_number().over(Window.orderBy(col("__h"), col("id"))) - 1)))
+    println(f"[shuffle] naive single-partition window, n=$nNaive%,d: $tNaive%.1f s " +
+      f"(per-row: naive ${tNaive / nNaive * 1e9}%.0f ns vs two-pass ${tTwo / n * 1e9}%.0f ns)")
   }
 
   /** Rollup crossover at a corpus the default Diag run can't reach: SCALE.md

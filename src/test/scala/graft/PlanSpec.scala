@@ -206,6 +206,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s4 quantization is map-only: no exchange, no join, no sort") {
+    val p = plan("s4_quantize_int8")
+    assert(!p.contains("Exchange"), s"s4 must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Sort"), s"s4 is a pure projection:\n$p")
+  }
+
+  test("s5 centroids: partial aggregation below the exchange, no corpus sort") {
+    val p = plan("s5_label_centroid")
+    // partial_avg in the map-side HashAggregate proves the rows×dim explode
+    // output collapses to labels×dim partials before the shuffle
+    assert(p.contains("partial_avg") || p.contains("partial_average"),
+      s"s5: map-side partial aggregation missing:\n$p")
+    assert(!p.contains("SortAggregate"), s"s5: avg must hash-aggregate:\n$p")
+    assert(!p.contains("Window"), s"s5: no window:\n$p")
+  }
+
+  test("rp1 corpus stats: one documents scan, hash aggregation only") {
+    val p = plan("rp1_corpus_stats")
+    assert(!p.contains("Window"), s"rp1: no window over the corpus:\n$p")
+    assert(!p.contains("Join"), s"rp1: single-table report, no join:\n$p")
+    // exactly one parquet scan of documents in the FINAL plan (the AQE
+    // string repeats it in the "Initial Plan" section; count-distinct
+    // plans a second aggregation level, not a second scan)
+    val fin = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin).size === 1, s"rp1: one corpus scan:\n$fin")
+  }
+
+  test("sh1 epoch shuffle: window partitioned by bucket, never SinglePartition") {
+    val p = plan("sh1_epoch_shuffle")
+    assert(p.contains("hashpartitioning(__bucket"), s"sh1: bucket exchange missing:\n$p")
+    assert(!p.contains("SinglePartition"), s"sh1: single-partition stage found:\n$p")
+  }
+
   test("fingerprint expression stays inside whole-stage codegen") {
     val p = plan("x1_fingerprint")
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
