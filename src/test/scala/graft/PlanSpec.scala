@@ -116,6 +116,10 @@ class PlanSpec extends AnyFunSuite {
       "rh2 must scan events exactly once")
     assert("(?m)^\\s*\\+?- Exchange ".r.findAllIn(finalPlan).size <= 2,
       "rh2 is two exchanges: partials on (keys, batch, bucket), merge on (keys, step)")
+    // the quantile sketch partial rollupPartials builds must be PRUNED
+    // from non-quantile hints — a rate hint pays nothing for dd_hist
+    assert(!finalPlan.contains("dd_hist"),
+      "rh2: the DDSketch partial must be column-pruned from a rate hint")
   }
 
   test("rollup partials and merge hash-aggregate (no SortAggregate from first/last)") {
