@@ -138,5 +138,47 @@ object CurationQueries {
           .cast("long").as("median_tokens"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1)
+  /** RP2: cross-snapshot corpus diff — the "what changed between crawls"
+    * report: per-doc added/removed/changed status between a base snapshot
+    * and a new one (unchanged rows dropped — the delta manifest is the
+    * output a downstream incremental pipeline consumes; d9 is the dedup
+    * analogue of the same cross-snapshot discipline). Snapshots are
+    * simulated from the one test table by id-range membership plus a
+    * synthetic in-place edit. Scale shape: one full-outer equi-join on the
+    * id — both sides shuffle once on a uniform key (with the
+    * fingerprint-bucketed layout the join co-locates instead); content
+    * equality compares md5 digests, never text, so the wide column is
+    * projected away before the exchange. */
+  private val rp2 = withOracle("rp2_corpus_diff",
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <= 8),
+      |b AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 10 = 5 THEN 'v2:' || text ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 10 >= 1),
+      |d AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN a.h <> b.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, status FROM d WHERE status <> 'unchanged'""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val a = docs.where(col("doc_id") % 10 <= 8)
+      .select(col("doc_id").as("a_id"), md5(col("text").cast("binary")).as("a_h"))
+    val b = docs.where(col("doc_id") % 10 >= 1)
+      .select(col("doc_id").as("b_id"),
+        md5(when(col("doc_id") % 10 === 5, concat(lit("v2:"), col("text")))
+          .otherwise(col("text")).cast("binary")).as("b_h"))
+    a.join(b, col("a_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        when(col("a_id").isNull, "added")
+          .when(col("b_id").isNull, "removed")
+          .when(col("a_h") =!= col("b_h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2)
 }

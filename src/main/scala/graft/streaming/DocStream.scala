@@ -22,6 +22,19 @@ object DocStream {
     * scale this runs on the RocksDB state store (spills past memory), and
     * the checkpoint makes the seen-set survive restarts — the streaming
     * equivalent of d9's persisted base content-hash index. */
+  /** Streaming dataset-card: running per-(source, lang) document and
+    * token counts over the arriving corpus — rp1's streaming analogue,
+    * the live ingest dashboard a crawl pipeline watches. A plain
+    * streaming aggregation: state is ONE row per stratum (bounded by
+    * strata cardinality, not stream volume), each micro-batch folds in
+    * via the same partial-agg merge as batch rp1. No watermark — the
+    * card is cumulative over the query's lifetime, and late data must
+    * still be counted (same no-watermark stance as the ingest path). */
+  def runningCorpusStats(stream: DataFrame): DataFrame =
+    stream.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ext.TextAnalysis.words(col("text")))).as("total_tokens"))
+
   /** The streaming curation front door: Gopher quality gate (the same
     * [[graft.ext.TextAnalysis.gopherPasses]] column the batch gate t5
     * runs — one definition, no batch/stream drift) THEN first-seen dedup.

@@ -139,9 +139,27 @@ object Smoke {
       q2.stop()
     }
 
-    // dataset-card report over the documents fixture
+    // dataset-card report over the documents fixture + the snapshot diff
     graft.SparkEntry.queries("rp1_corpus_stats")(spark, "/root/testdata/sf0.001")
       .orderBy($"source", $"lang").show(3, false)
+    println("DIFF: " + graft.SparkEntry.queries("rp2_corpus_diff")(spark, "/root/testdata/sf0.001")
+      .groupBy($"status").count().collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      .sorted.mkString(", "))
+
+    // live dataset card over a document stream
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val st = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, String)]
+      val q = graft.streaming.DocStream.runningCorpusStats(
+          st.toDF().select($"_1".as("source"), $"_2".as("lang"), $"_3".as("text")))
+        .writeStream.format("memory").queryName("smoke_card").outputMode("complete").start()
+      st.addData(("web", "en", "one two"), ("web", "en", "three"))
+      q.processAllAvailable()
+      println("CARD: " + spark.table("smoke_card").collect()
+        .map(r => s"${r.getString(0)}/${r.getString(1)}:docs=${r.getLong(2)},toks=${r.getLong(3)}")
+        .mkString(", "))
+      q.stop()
+    }
     spark.stop()
   }
 }

@@ -157,6 +157,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus stats accumulate across batches per stratum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, String, String)]
+    val df = stream.toDF().select(
+      col("_1").as("source"), col("_2").as("lang"), col("_3").as("text"))
+    stream.addData(("web", "en", "one two three"), ("web", "en", "four five"))
+    val q = graft.streaming.DocStream.runningCorpusStats(df)
+      .writeStream.format("memory").queryName("card_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(("web", "en", "six"), ("books", "de", "sieben acht"))
+      q.processAllAvailable()
+      val rows = spark.table("card_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(rows(("web", "en")) === ((3L, 6L))) // 3 docs, 5+1 tokens
+      assert(rows(("books", "de")) === ((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful new-series detection emits each fingerprint once") {
     val (stream, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 1, 2.0), ("m2", T0, 3.0)))
