@@ -2,7 +2,7 @@ package graft.queries
 
 
 import graft.ext.extfunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,5 +204,61 @@ object SimilarityQueries {
       .agg(round(avg(col("col")), 6).as("m"), count(lit(1)).as("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid)
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** S6: ANN over the int8 codes — the operator s4's layout exists FOR.
+    * Candidate stage scores the corpus on dequantized codes (at 100 TB
+    * the scan reads the codes+extrema columns, ¼ the bytes of the float
+    * array, and the full-precision vectors stay unread); the top 3k
+    * survivors per query are re-ranked at full precision. Both stages
+    * keep the corpus unshuffled: the query set broadcasts into the
+    * candidate scan, and the bounded survivor set (queries × 3k rows)
+    * broadcasts into the re-rank fetch. Quantized-candidate recall vs the
+    * exact s1 is pinned in ExtSpec (reconstruction error ≤ (mx−mn)/510
+    * per component barely perturbs cosine ordering; the 3× candidate
+    * pool absorbs what it does perturb). */
+  private val s6Quantized = rowsOnly("s6_ann_quantized") { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    val v = transform(col("embedding"), _.cast("double"))
+    // the stored candidate-stage layout (exactly what s4 materializes);
+    // two selects so `codes` sees the child's mn/mx, not lateral aliases
+    val coded = e
+      .select(col("vec_id"), v.as("v"), array_min(v).as("mn"), array_max(v).as("mx"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        transform(col("v"), x =>
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0).cast("int")))
+          .as("codes"))
+    val queries = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), v.as("qv"))
+
+    val scale = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise((col("mx") - col("mn")) / 255)
+    val deq = transform(col("codes"), c => col("mn") + c.cast("double") * scale)
+    val candK = TopK * 3
+    val wA = Window.partitionBy("query_id").orderBy(col("cos_approx").desc, col("vec_id").asc)
+    val cands = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("deq", deq)
+      .withColumn("cos_approx", ddot(col("qv"), col("deq")) /
+        (sqrt(ddot(col("qv"), col("qv"))) * sqrt(ddot(col("deq"), col("deq")))))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= candK)
+      .select(col("query_id"), col("vec_id"))
+
+    // re-rank at full precision: the corpus scan stays in place, the
+    // bounded candidate list broadcasts onto it
+    val wF = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
+    e.select(col("vec_id"), v.as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) /
+        (sqrt(ddot(col("qv"), col("qv"))) * sqrt(ddot(col("fv"), col("fv")))))
+      .withColumn("rn", row_number().over(wF))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized)
 }

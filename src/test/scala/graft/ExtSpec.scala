@@ -177,6 +177,19 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall") // 4 planes / 16 buckets: coarse but real pruning
   }
 
+  test("quantized-candidate ANN recall@5 vs brute force is near-exact") {
+    val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.SparkEntry.queries("s6_ann_quantized")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect quant).size.toDouble / brute.size
+    // int8 reconstruction error ≤ (mx-mn)/510 per component barely moves
+    // cosine ordering, and the 3× candidate pool absorbs the residue —
+    // unlike LSH/IVF this stage scans everything (cheaper bytes), so
+    // recall should be near-perfect, not merely "better than random"
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("IVF ANN recall@5 vs brute force beats its probe fraction") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

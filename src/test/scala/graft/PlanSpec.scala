@@ -243,6 +243,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"sh1: single-partition stage found:\n$p")
   }
 
+  test("s6 quantized ANN: corpus never shuffled — queries and candidates broadcast") {
+    val p = plan("s6_ann_quantized").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"s6: bounded sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"s6: the corpus must not shuffle into a join:\n$p")
+  }
+
   test("fingerprint expression stays inside whole-stage codegen") {
     val p = plan("x1_fingerprint")
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
