@@ -484,10 +484,41 @@ object PromQueries {
         col("value").as("p90"))
   }
 
+  /** ReadHints `stddev_over_time` served from the rollup's sum-of-squares
+    * partial (population-variance algebra E[x²]−E[x]², PromQL's
+    * stddev_over_time semantics): cnt/sum_v/sum_sq all ADD across batch
+    * partials, so the merge is exact — same two-batch split as rh2. The
+    * oracle states the identical naive algebra (not Welford) so the only
+    * cross-engine difference is summation order, ~1e-15 relative, masked
+    * by round(6). */
+  private val rh5StddevRollup = withOracle("rh5_stddev_rollup",
+    """SELECT '{"__name__":"' || event_type || '","user":"' || user_id || '"}' AS labels,
+      |       epoch_ms(ts) - epoch_ms(ts) % 21600000 AS bucket_ms,
+      |       round(sqrt(greatest(
+      |         sum(value * value) / count(*)
+      |           - (sum(value) / count(*)) * (sum(value) / count(*)), 0)), 6) + 0.0 AS sd
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val flat = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("timestamp_ms"), col("value"))
+    val partials = graft.storage.Storage.rollupPartials(
+      flat.withColumn("batch", pmod(col("timestamp_ms"), lit(2))),
+      3600000L, Seq("event_type", "user_id", "batch"))
+    val merged = graft.storage.Storage.mergeRollup(partials, 21600000L,
+      Seq("event_type", "user_id"))
+    graft.storage.Storage
+      .deriveHint(merged, "stddev_over_time", Seq("event_type", "user_id")).get
+      .select(
+        labels_json(map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"))).as("labels"),
+        col("timestamp_ms").as("bucket_ms"),
+        (round(col("value"), 6) + 0.0).as("sd"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
     a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
     rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted,
-    rh2RateRollup, rh3LastRollup, rh4QuantileRollup)
+    rh2RateRollup, rh3LastRollup, rh4QuantileRollup, rh5StddevRollup)
 }

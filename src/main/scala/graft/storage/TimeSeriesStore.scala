@@ -144,7 +144,12 @@ object Storage {
     * them entirely, prom.go:184-186); callers needing Prometheus-exact
     * extrapolated rate query raw. */
   val RollupBases: Set[String] =
-    Set("avg", "sum", "min", "max", "count", "last", "rate", "increase", "delta")
+    Set("avg", "sum", "min", "max", "count", "last", "rate", "increase", "delta",
+      "stddev", "stdvar")
+
+  /** Hint funcs derived from the sum-of-squares partial (population
+    * variance algebra, matching PromQL's stddev/stdvar_over_time). */
+  val SumSqBases: Set[String] = Set("stddev", "stdvar")
 
   /** Parse a `quantile:<q>` hint base (e.g. "quantile:0.99") — the
     * parameterized form pushdown-aware callers use; Prometheus's own bare
@@ -163,7 +168,8 @@ object Storage {
     * these hints via [[sanitizeWireHints]] (falling back to raw samples,
     * reference-identical behavior, prom.go:184-186) unless the deployment
     * opts in for pushdown-aware callers. */
-  val WireUnsafeHintFuncs: Set[String] = Set("rate", "increase", "delta")
+  val WireUnsafeHintFuncs: Set[String] =
+    Set("rate", "increase", "delta", "stddev", "stdvar")
 
   /** Drop a query's hint when a hint-oblivious remote-read client would
     * mis-reapply its func over the derived samples (see
@@ -197,6 +203,10 @@ object Storage {
       .groupBy(keys.map(col) :+ col("bucket_ms"): _*)
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
         max("value").as("max_v"), sum("value").as("sum_v"),
+        // sum of squares: with cnt/sum_v it derives population
+        // stddev/stdvar algebraically (E[x²] − E[x]²) — adds, so it
+        // re-merges exactly like sum_v
+        sum(col("value") * col("value")).as("sum_sq"),
         min(ts_val_encode(col("timestamp_ms"), col("value"))).as("f"),
         max(ts_val_encode(col("timestamp_ms"), col("value"))).as("l"),
         // DDSketch partial: deterministic + merge-order-independent, so it
@@ -205,7 +215,7 @@ object Storage {
         // in PlanSpec), so non-quantile hints pay nothing for it.
         dd_hist(col("value")).as("hist"))
       .select(keys.map(col) ++ Seq(col("bucket_ms"), col("cnt"), col("min_v"),
-        col("max_v"), col("sum_v"),
+        col("max_v"), col("sum_v"), col("sum_sq"),
         ts_val_ts(col("f")).as("first_ts"), ts_val_v(col("f")).as("first_v"),
         ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v"),
         col("hist")): _*)
@@ -221,6 +231,9 @@ object Storage {
       .groupBy(keys.map(col) :+ col("timestamp_ms"): _*)
       .agg(sum("cnt").as("cnt"), min("min_v").as("min_v"),
         max("max_v").as("max_v"), sum("sum_v").as("sum_v"),
+        // null sum_sq (pre-migration rows) skipped by sum-ignores-nulls;
+        // the rollupServesSumSq gate keeps mixed groups off stddev/stdvar
+        sum("sum_sq").as("sum_sq"),
         // decimal pack, not struct — keeps the merge in HashAggregate (see
         // rollupPartials). Null first/last (pre-migration rows) stay null
         // through min/max-ignores-nulls, same as the struct formulation
@@ -233,7 +246,7 @@ object Storage {
         // first/last: the serving gate keeps mixed groups off quantile
         dd_hist_merge(col("hist")).as("hist"))
       .select(keys.map(col) ++ Seq(col("timestamp_ms"), col("cnt"), col("min_v"),
-        col("max_v"), col("sum_v"),
+        col("max_v"), col("sum_v"), col("sum_sq"),
         ts_val_ts(col("f")).as("first_ts"), ts_val_v(col("f")).as("first_v"),
         ts_val_ts(col("l")).as("last_ts"), ts_val_v(col("l")).as("last_v"),
         col("hist")): _*)
@@ -265,6 +278,15 @@ object Storage {
       case "delta" | "increase" => col("last_v") - col("first_v")
       case "rate" =>
         (col("last_v") - col("first_v")) / ((col("last_ts") - col("first_ts")) / 1000.0)
+      // population variance from algebraic partials (E[x²] − E[x]², the
+      // PromQL stdvar/stddev_over_time semantics); greatest(…, 0) clamps
+      // the tiny negative float residue a constant-valued bucket can leave
+      case "stdvar" =>
+        greatest(col("sum_sq") / col("cnt")
+          - (col("sum_v") / col("cnt")) * (col("sum_v") / col("cnt")), lit(0.0))
+      case "stddev" =>
+        sqrt(greatest(col("sum_sq") / col("cnt")
+          - (col("sum_v") / col("cnt")) * (col("sum_v") / col("cnt")), lit(0.0)))
       case b => quantileQ(b) match {
         case Some(q) => dd_quantile(col("hist"), q)
         case None    => return None
@@ -273,6 +295,7 @@ object Storage {
     val filtered = base match {
       case "rate" | "delta" | "increase" => merged.where(col("last_ts") > col("first_ts"))
       case "last" => merged.where(col("last_ts").isNotNull)
+      case "stddev" | "stdvar" => merged.where(col("sum_sq").isNotNull)
       case b if quantileQ(b).isDefined => merged.where(col("hist").isNotNull)
       case _ => merged
     }
@@ -361,6 +384,7 @@ final class ParquetStore(spark: SparkSession, root: String,
   @volatile private var cachedIndexSize: Long = -1L
   @volatile private var rollupFirstLastOk: Option[Boolean] = None
   @volatile private var rollupHistOk: Option[Boolean] = None
+  @volatile private var rollupSumSqOk: Option[Boolean] = None
 
   /** Total dictionary cardinality, memoized with the snapshot (the
     * materializing count() already computes it). */
@@ -403,6 +427,16 @@ final class ParquetStore(spark: SparkSession, root: String,
     val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
     val ok = merged.columns.contains("hist") && merged.where(col("hist").isNull).isEmpty
     rollupHistOk = Some(ok)
+    ok
+  }
+
+  /** Same capability probe for the sum-of-squares partial: a mixed
+    * old+new dir would sum PARTIAL sum_sq over full cnt and silently
+    * shrink variances. `Compact.run` backfills old dirs from raw. */
+  private def rollupServesSumSq(): Boolean = rollupSumSqOk.getOrElse {
+    val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
+    val ok = merged.columns.contains("sum_sq") && merged.where(col("sum_sq").isNull).isEmpty
+    rollupSumSqOk = Some(ok)
     ok
   }
 
@@ -468,9 +502,11 @@ final class ParquetStore(spark: SparkSession, root: String,
     // new stays true) — keep the memos so ingest doesn't re-probe per batch
     val flOk = rollupFirstLastOk
     val hOk = rollupHistOk
+    val sqOk = rollupSumSqOk
     invalidateIndex()
     rollupFirstLastOk = flOk
     rollupHistOk = hOk
+    rollupSumSqOk = sqOk
   }
 
   /** Serve an exploitable hint straight from the rollup table: matcher
@@ -494,7 +530,9 @@ final class ParquetStore(spark: SparkSession, root: String,
       // (reference-identical) until Compact backfills them
       (!FirstLastBases.contains(base) || rollupServesFirstLast()) &&
       // quantile likewise needs the sketch partials in every file
-      (quantileQ(base).isEmpty || rollupServesHist())
+      (quantileQ(base).isEmpty || rollupServesHist()) &&
+      // stddev/stdvar likewise need the sum-of-squares partial everywhere
+      (!SumSqBases.contains(base) || rollupServesSumSq())
     if (!answerable) return None
 
     val matched = seriesIndex
@@ -521,9 +559,12 @@ final class ParquetStore(spark: SparkSession, root: String,
         .withColumn("first_v", lit(null).cast(DoubleType))
         .withColumn("last_ts", lit(null).cast(LongType))
         .withColumn("last_v", lit(null).cast(DoubleType))
-    val rollupCompat =
+    val rollupHistCompat =
       if (rollupFl.columns.contains("hist")) rollupFl
       else rollupFl.withColumn("hist", lit(null).cast(BinaryType))
+    val rollupCompat =
+      if (rollupHistCompat.columns.contains("sum_sq")) rollupHistCompat
+      else rollupHistCompat.withColumn("sum_sq", lit(null).cast(DoubleType))
     val rollup0 = rollupCompat
       .where(col("bucket_ms") >= q.startMs - (rollupStepMs - 1) && col("bucket_ms") <= q.endMs)
       .where(col("date") >= to_date(timestamp_millis(lit(math.max(minDateMs - rollupStepMs, -62135596800000L))))
@@ -619,6 +660,7 @@ final class ParquetStore(spark: SparkSession, root: String,
     cachedIndexSize = -1L
     rollupFirstLastOk = None
     rollupHistOk = None
+    rollupSumSqOk = None
   }
 
   private def buildIndex(): DataFrame =

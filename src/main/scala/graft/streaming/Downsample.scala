@@ -38,7 +38,7 @@ object Downsample {
 
   /** Continuous rollup maintenance: the streaming producer of the
     * `samples_rollup` table that [[graft.storage.ParquetStore]] serves
-    * hinted reads from (same algebraic schema: cnt/min/max/sum plus
+    * hinted reads from (same algebraic schema: cnt/min/max/sum/sum_sq plus
     * first/last (ts, value) and a DDSketch quantile partial per
     * (fingerprint, step bucket), date-partitioned — the first/last pair is
     * what makes rate/increase/last hints rollup-servable, the sketch what
@@ -61,11 +61,12 @@ object Downsample {
       // (see Storage.rollupPartials — same first/last semantics)
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"),
         max("value").as("max_v"), sum("value").as("sum_v"),
+        sum(col("value") * col("value")).as("sum_sq"),
         min(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("f"),
         max(graft.functions.ts_val_encode(col("timestamp_ms"), col("value"))).as("l"),
         graft.functions.dd_hist(col("value")).as("hist"))
       .select(col("fingerprint"), unix_millis(col("w.start")).as("bucket_ms"),
-        col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
+        col("cnt"), col("min_v"), col("max_v"), col("sum_v"), col("sum_sq"),
         graft.functions.ts_val_ts(col("f")).as("first_ts"),
         graft.functions.ts_val_v(col("f")).as("first_v"),
         graft.functions.ts_val_ts(col("l")).as("last_ts"),

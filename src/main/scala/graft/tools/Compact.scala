@@ -100,10 +100,11 @@ object Compact {
       // own step (inferred as the gcd of the step-aligned bucket keys, or
       // passed explicitly). After one compaction the dir is uniformly
       // new-schema and the hinted read re-enables the first/last funcs.
-      val newSchema = Seq("first_ts", "first_v", "last_ts", "last_v", "hist")
+      val newSchema = Seq("first_ts", "first_v", "last_ts", "last_v", "hist", "sum_sq")
         .forall(rollup.columns.contains)
       val needsBackfill = !newSchema ||
-        rollup.where(col("first_ts").isNull || col("hist").isNull).limit(1).count() > 0
+        rollup.where(col("first_ts").isNull || col("hist").isNull ||
+          col("sum_sq").isNull).limit(1).count() > 0
       val compacted =
         if (!needsBackfill)
           // same algebraic combine the read path uses (Storage.mergeRollup
@@ -130,7 +131,7 @@ object Compact {
       compacted
         .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
         .select(col("fingerprint"), col("bucket_ms"), col("cnt"), col("min_v"),
-          col("max_v"), col("sum_v"), col("first_ts"), col("first_v"),
+          col("max_v"), col("sum_v"), col("sum_sq"), col("first_ts"), col("first_v"),
           col("last_ts"), col("last_v"), col("hist"), col("date"))
         .repartition(col("date"))
         .sortWithinPartitions("fingerprint", "bucket_ms")

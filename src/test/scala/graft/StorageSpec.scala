@@ -255,7 +255,7 @@ class StorageSpec extends AnyFunSuite {
     // partials: strip those columns in place
     val rollupPath = s"$dir/samples_rollup"
     val oldSchema = spark.read.parquet(rollupPath)
-      .drop("first_ts", "first_v", "last_ts", "last_v", "hist")
+      .drop("first_ts", "first_v", "last_ts", "last_v", "hist", "sum_sq")
       .localCheckpoint(eager = true)
     oldSchema.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("date").parquet(rollupPath)
@@ -282,6 +282,12 @@ class StorageSpec extends AnyFunSuite {
     assert(store.readTimeSeries(qQ) === rawStore.readTimeSeries(qQ))
     assert(!store.readSeries(qQ).queryExecution.executedPlan.toString
       .contains("samples_rollup"), "pre-migration rollup must not serve quantile")
+    // stddev is gated on the sum_sq partial the same way
+    val sdQ = Query(T0, T0 + 4999, Seq(eqMatch("handler", "query")),
+      Some(ReadHints(2000L, "stddev_over_time")))
+    assert(store.readTimeSeries(sdQ) === rawStore.readTimeSeries(sdQ))
+    assert(!store.readSeries(sdQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "pre-migration rollup must not serve stddev")
 
     // a MIXED dir (new-schema partials appended onto old files) is equally
     // unservable for first/last — min/max(struct) would elect the null-field
@@ -310,6 +316,10 @@ class StorageSpec extends AnyFunSuite {
     assert(store.readTimeSeries(qQ) === rawStore.readTimeSeries(qQ))
     assert(store.readSeries(qQ).queryExecution.executedPlan.toString
       .contains("samples_rollup"), "migrated rollup serves quantile again")
+    // ...and the sum-of-squares partial: stddev serves and matches raw
+    assert(store.readTimeSeries(sdQ) === rawStore.readTimeSeries(sdQ))
+    assert(store.readSeries(sdQ).queryExecution.executedPlan.toString
+      .contains("samples_rollup"), "migrated rollup serves stddev again")
   }
 
   test("parquet: hinted rollup read keeps read()'s broadcast tier above the inline limit") {
