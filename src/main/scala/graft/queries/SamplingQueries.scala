@@ -178,6 +178,39 @@ object SamplingQueries {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** SM3: temperature-scaled language mixing — sm1 with the keep-rates
+    * DERIVED from the corpus instead of hand-tuned: rate_l =
+    * (n_min/n_l)^(1−α) with α=0.5, the standard multilingual temperature
+    * sampler (rarest language keeps 100%, dominant ones are damped toward
+    * sqrt-proportional presence). Self-calibrating: re-running after the
+    * corpus shifts re-balances with no config change. Shape: one bounded
+    * count aggregation (≤ |langs| rows), rates broadcast back, then a
+    * map-side hash-threshold filter — the pk2 two-phase pattern, nothing
+    * corpus-sized sorted or shuffled. Cross-engine determinism: sqrt is
+    * IEEE-correctly-rounded (pow(x, 0.5) is not guaranteed to be), and
+    * the uniform draw is an exact integer/65536 ratio, so the comparison
+    * is bit-identical in both engines. */
+  private val sm3Temperature = withOracle("sm3_temperature_mix",
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |r AS (SELECT lang,
+      |             sqrt((SELECT min(n) FROM c)::DOUBLE / n) AS keep_rate FROM c)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substring(md5('temp:' || d.lang || ':' || d.doc_id), 1, 4))::INTEGER
+      |        / 65536.0 < keep_rate""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
+      .select(col("lang"), sqrt(col("n_min").cast("double") / col("n")).as("keep_rate"))
+    val u = conv(substring(md5(concat(lit("temp:"), col("lang"), lit(":"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") / 65536.0
+    docs.join(broadcast(rates), "lang")
+      .where(u < col("keep_rate"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets, sh1Shuffle)
+    Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets, sh1Shuffle,
+      sm3Temperature)
 }

@@ -150,6 +150,12 @@ class HttpApiSpec extends AnyFunSuite {
         Some(ReadHints(stepMs = 2000L, func = "quantile"))))).head
       assert(raw.head.samples === fixture.head.samples)
 
+      // stddev is wire-unsafe for the same reason as rate (stddev over
+      // bucket stddevs diverges): stripped by default, raw samples back
+      val sd = HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, m,
+        Some(ReadHints(stepMs = 2000L, func = "stddev_over_time"))))).head
+      assert(sd.head.samples === fixture.head.samples)
+
       // hints apply per-query inside a positional BATCH too (the batched
       // path is one unioned Spark job; each member keeps its own hint)
       val batched = HttpApi.remoteRead(url, Seq(
