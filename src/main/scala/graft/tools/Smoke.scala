@@ -88,6 +88,19 @@ object Smoke {
       Some(graft.model.ReadHints(stepMs = 2000L, func = "max_over_time"))))
     println(s"HINTED read (max/2s): ${hinted.head.samples} (raw had ${afterCompact.head.samples.size})")
 
+    // stddev hint served from the write-side rollup's sum_sq partial
+    locally {
+      val r = new ParquetStore(spark, s"$tmp/sdstore", rollupStepMs = 1000L)
+      r.write(PromFile.read(spark, s"$tmp/shard0.bin"))
+      val q = Query(1700000000000L, 1700000005000L,
+        Seq(Matcher("__name__", MatchType.Re, "http_.+")),
+        Some(graft.model.ReadHints(stepMs = 2000L, func = "stddev_over_time")))
+      val sd = r.readTimeSeries(q)
+      val usedRollup = r.readSeries(q).queryExecution.executedPlan
+        .toString.contains("samples_rollup")
+      println(s"STDDEV-HINT: ${sd.head.samples} rollup-served=$usedRollup")
+    }
+
     // multimodal: resize + frame sampling over the documents fixture
     val media = graft.ext.Multimodal.asMedia(spark, "/root/testdata/sf0.001")
     val rz = graft.ext.Multimodal.resize(media, maxBytes = 64)
