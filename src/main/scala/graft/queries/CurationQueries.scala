@@ -180,5 +180,36 @@ object CurationQueries {
       .where(col("status") =!= "unchanged")
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2)
+  /** CK1: document chunking — fixed 200-char windows with 50-char overlap
+    * (stride 150), the context-window prep stage for RAG indexing and
+    * long-document training. Emits (doc_id, chunk_idx, start, chunk_len,
+    * chunk_hash): the hash verifies the actual substring content
+    * cross-engine without hauling chunk text through the gate. Map-only:
+    * explode(sequence(...)) is pipelined inside the scan stage exactly
+    * like mm3's frame generator — per-row expansion, no shuffle, scales
+    * linearly; chunk counts derive from length(text) so the operator is
+    * self-contained. Every document yields ≥1 chunk (an empty text is one
+    * empty chunk — the dataloader's empty-doc marker). */
+  private val ck1 = withOracle("ck1_chunking",
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+      |u AS (SELECT doc_id, t,
+      |             unnest(range(0, CAST(ceil(greatest(length(t) - 50, 1) / 150.0) AS BIGINT))) AS gs
+      |      FROM d)
+      |SELECT doc_id, gs AS chunk_idx, 1 + gs * 150 AS start,
+      |       length(substring(t, CAST(1 + gs * 150 AS INT), 200)) AS chunk_len,
+      |       md5(substring(t, CAST(1 + gs * 150 AS INT), 200)) AS chunk_hash
+      |FROM u""".stripMargin) { (s, dir) =>
+    val t = coalesce(col("text"), lit(""))
+    val nChunks = ceil(greatest(length(t) - 50, lit(1)).cast("double") / 150.0).cast("int")
+    val chunk = col("t").substr(col("chunk_idx").cast("int") * 150 + 1, lit(200))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx").cast("long") * 150 + 1).as("start"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk.cast("binary")).as("chunk_hash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1)
 }
