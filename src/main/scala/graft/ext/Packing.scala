@@ -55,6 +55,13 @@ object Packing {
         lit(0L).as("offset"), lit(0L).as("first_block"), lit(0L).as("last_block"),
         lit(false).as("spans_boundary"))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // an id span past Long.MaxValue would overflow both `hi - lo` here and
+    // the `id - lo` bucket expression below, silently mis-bucketing (and
+    // therefore mis-offsetting) the extremes — fail loudly instead; ids
+    // that wide need pre-normalizing (they are not the dense-surrogate
+    // shape this bucketing balances for anyway)
+    require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
+      s"id span [$lo, $hi] exceeds Long.MaxValue; normalize ids before packing")
     // ceil-div on the (non-negative) span so bucket ids stay < buckets;
     // integer DIV throughout — doubles lose bits past 2^53
     val width = math.max(1L, (hi - lo) / buckets + 1L)

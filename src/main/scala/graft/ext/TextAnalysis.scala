@@ -24,8 +24,13 @@ object TextAnalysis {
     * the word array — runs at scan throughput; shared by the batch gate
     * (t5) and the streaming curation front door, so the two paths can
     * never drift. */
-  def gopherPasses(text: Column): Column = {
-    val ws = words(text)
+  def gopherPasses(text: Column): Column = gopherPassesWs(words(text))
+
+  /** The same gate over a precomputed word array — for pipelines (cur1)
+    * that already carry `words(text)` for other stages. ONE definition of
+    * the thresholds: every consumer (t5, the streaming front door, the
+    * curation DAG) gates the same document set. */
+  def gopherPassesWs(ws: Column): Column = {
     val n = size(ws)
     val denom = greatest(n, lit(1))
     val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom

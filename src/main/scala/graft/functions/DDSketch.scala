@@ -170,6 +170,18 @@ case class DDHistAgg(child: Expression, alpha: Double = DDOps.DefaultAlpha,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[DDHist] with UnaryLike[Expression] {
   require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+  // SQL-reachable via GraftFunctions: fail at analysis, not with a
+  // mid-job ClassCastException from executors (same contract as
+  // DDQuantile's check; AbstractDataType is sql-private in Spark 4, so no
+  // ImplicitCastInputTypes here — callers cast numerics explicitly)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dd_hist expects a DOUBLE value column (cast numerics), got ${other.sql}")
+    }
   override def createAggregationBuffer(): DDHist = new DDHist(alpha)
   override def update(buf: DDHist, input: InternalRow): DDHist = {
     val v = child.eval(input)
@@ -197,6 +209,14 @@ case class DDHistAgg(child: Expression, alpha: Double = DDOps.DefaultAlpha,
 case class DDHistMergeAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[DDHist] with UnaryLike[Expression] {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dd_hist_merge expects binary sketch bytes, got ${other.sql}")
+    }
   override def createAggregationBuffer(): DDHist = new DDHist(0.0)
   override def update(buf: DDHist, input: InternalRow): DDHist = {
     val v = child.eval(input)

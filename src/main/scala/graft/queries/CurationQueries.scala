@@ -66,20 +66,13 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         words(col("text")).as("ws"))
 
-    // t5's gopher gate, over the shared words array
-    val ws = col("ws")
-    val nWords = size(ws)
-    val denom = greatest(nWords, lit(1))
-    val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom
-    val alphaRatio = size(filter(ws, _.rlike("[a-z]"))).cast("double") / denom
-    val symbolRatio =
-      size(filter(ws, x => x.contains("#") || x.contains("..."))).cast("double") / denom
-    val ok = nWords.between(50, 100000) && meanLen.between(3, 10) &&
-      alphaRatio >= 0.8 && symbolRatio <= 0.1
-
+    // t5's gopher gate (the one shared definition), over the shared words
+    // array — gopherPassesWs so `ws` is computed once for gate + token
+    // count + shingles
     val gop = pool.select(col("doc_id"), col("lang"), col("ws"),
       md5(col("text").cast("binary")).as("ch"),
-      nWords.as("n_tokens"), ok.as("ok"))
+      size(col("ws")).as("n_tokens"),
+      graft.ext.TextAnalysis.gopherPassesWs(col("ws")).as("ok"))
 
     // d1's keeper election within the pool (groupBy + join, not a window:
     // partial-agg on uniform hash keys — a window over ch has no map-side

@@ -99,37 +99,49 @@ object DedupQueries {
   private val signatureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
 
-  private def signatureTable(s: SparkSession, dir: String): DataFrame = {
+  /** TTL-memoized persisted frame per (session, dir) — the shared
+    * lifecycle for every corpus-derived table that multiple jobs in one
+    * operator (or repeated runs in a serving session) would otherwise
+    * recompute: one persisted copy, refreshed after the TTL, never bound
+    * to a stopped session. */
+  private def memoizedPersisted(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val key = (s, dir)
-    val hit = signatureCache.get(key)
+    val hit = cache.get(key)
     if (hit != null && System.currentTimeMillis() - hit._2 < SignatureTtlMs) hit._1
-    else signatureCache.synchronized {
-      val again = signatureCache.get(key)
+    else cache.synchronized {
+      val again = cache.get(key)
       if (again != null && System.currentTimeMillis() - again._2 < SignatureTtlMs) again._1
       else {
         if (again != null) again._1.unpersist(blocking = false)
         // drop entries whose session has been stopped — their persisted
         // frames are unusable and would pin the map forever
-        signatureCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
-        val df = docShingles(s, dir)
-          .withColumn("sig", minhash_signature(col("sh"), MinhashK))
-          .persist()
-        signatureCache.put(key, (df, System.currentTimeMillis()))
+        cache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+        val df = build.persist()
+        cache.put(key, (df, System.currentTimeMillis()))
         df
       }
     }
   }
 
-  /** Drop any cached signature table for `dir` (all sessions); the next
-    * dedup run re-reads the corpus. Call after rewriting the corpus dir —
-    * the analogue of ParquetStore.invalidateIndex after an o.o.b. rewrite. */
-  def invalidateSignatures(dir: String): Unit = signatureCache.synchronized {
-    signatureCache.entrySet().removeIf { e =>
-      val matches = e.getKey._2 == dir
-      if (matches && !e.getKey._1.sparkContext.isStopped)
-        e.getValue._1.unpersist(blocking = false)
-      matches
+  private def signatureTable(s: SparkSession, dir: String): DataFrame =
+    memoizedPersisted(signatureCache, s, dir) {
+      docShingles(s, dir).withColumn("sig", minhash_signature(col("sh"), MinhashK))
     }
+
+  /** Drop any cached corpus-derived frame for `dir` (all sessions, both
+    * the signature table and d8's bench n-gram set); the next dedup run
+    * re-reads the corpus. Call after rewriting the corpus dir — the
+    * analogue of ParquetStore.invalidateIndex after an o.o.b. rewrite. */
+  def invalidateSignatures(dir: String): Unit = signatureCache.synchronized {
+    for (cache <- Seq(signatureCache, benchNgramCache))
+      cache.entrySet().removeIf { e =>
+        val matches = e.getKey._2 == dir
+        if (matches && !e.getKey._1.sparkContext.isStopped)
+          e.getValue._1.unpersist(blocking = false)
+        matches
+      }
     // the signature frame reads through the memoized table frame — a
     // rewritten corpus must drop both or the rebuild re-reads stale files
     Tables.invalidate(dir)
@@ -455,11 +467,19 @@ object DedupQueries {
     * join removes false positives, so the output — and the oracle — is
     * byte-identical to d7's. The one-row driver collect materializes the
     * sketch, like s3's bounded centroid collect. */
+  private val benchNgramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
+
   private val d8ContaminationBloom = withOracle("d8_decontam_bloom",
     DecontaminationSql) { (s, dir) =>
     import graft.functions.{bloom_agg, bloom_might_contain}
     val ng = docNgrams(s, dir)
-    val bench = ng.where(col("doc_id") % 100 < 5).select("g").distinct()
+    // memoized + persisted: the bench set feeds TWO jobs — the eager
+    // driver-side bloom_agg collect and the lazy verification join —
+    // which would otherwise each scan and shingle the benchmark docs
+    val bench = memoizedPersisted(benchNgramCache, s, dir) {
+      docNgrams(s, dir).where(col("doc_id") % 100 < 5).select("g").distinct()
+    }
     val bloom = bench
       .agg(bloom_agg(xxhash64(col("g")), expectedItems = 1L << 20, fpp = 0.01).as("bf"))
       .head.getAs[Array[Byte]](0)

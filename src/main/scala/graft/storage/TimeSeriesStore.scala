@@ -382,9 +382,7 @@ final class ParquetStore(spark: SparkSession, root: String,
 
   @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
   @volatile private var cachedIndexSize: Long = -1L
-  @volatile private var rollupFirstLastOk: Option[Boolean] = None
-  @volatile private var rollupHistOk: Option[Boolean] = None
-  @volatile private var rollupSumSqOk: Option[Boolean] = None
+  @volatile private var rollupCapsOk: Option[(Boolean, Boolean, Boolean)] = None
 
   /** Total dictionary cardinality, memoized with the snapshot (the
     * materializing count() already computes it). */
@@ -402,43 +400,39 @@ final class ParquetStore(spark: SparkSession, root: String,
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** True when EVERY rollup file carries the first/last partials — the
-    * columns exist under a merged-footer read AND no row reads them as
-    * null (a mixed old+new dir exposes the columns but nulls them for
-    * pre-migration files; min/max(struct) would then prefer the
-    * null-field structs and silently corrupt derived hints). The null
-    * probe is one column-pruned scan bounded by rollup size (fold× smaller
-    * than raw), memoized per store instance until [[invalidateIndex]];
-    * rollupPartials never emits null first_ts, so null ⟺ old file.
-    * `Compact.run` migrates old/mixed dirs, after which this is true. */
-  private def rollupServesFirstLast(): Boolean = rollupFirstLastOk.getOrElse {
+  /** One-pass capability probe for every migration-gated rollup partial:
+    * a capability holds when its columns exist under a merged-footer read
+    * AND no row reads them as null (a mixed old+new dir exposes the
+    * columns but nulls them for pre-migration files — min/max(struct)
+    * would elect null-field structs, a partial `hist` would under-count
+    * quantiles, a partial `sum_sq` over full cnt would shrink variances).
+    * One column-pruned scan bounded by rollup size (fold× smaller than
+    * raw) computes all three booleans — a first stddev hint after a
+    * quantile hint must not rescan the table — memoized per store
+    * instance until [[invalidateIndex]]; rollupPartials never emits null
+    * partials, so null ⟺ old file. `Compact.run` migrates old/mixed dirs,
+    * after which all three are true. */
+  private def probeRollupCaps(): (Boolean, Boolean, Boolean) = rollupCapsOk.getOrElse {
     val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
-    val ok = Seq("first_ts", "first_v", "last_ts", "last_v").forall(merged.columns.contains) &&
-      merged.where(col("first_ts").isNull).isEmpty
-    rollupFirstLastOk = Some(ok)
-    ok
+    val cols = merged.columns.toSet
+    val flCols = Seq("first_ts", "first_v", "last_ts", "last_v").forall(cols)
+    val histCols = cols("hist")
+    val sqCols = cols("sum_sq")
+    def nulls(c: String, present: Boolean): org.apache.spark.sql.Column =
+      sum(if (present) when(col(c).isNull, 1L).otherwise(0L) else lit(0L))
+    val row = merged.agg(
+      nulls("first_ts", flCols).as("fl"),
+      nulls("hist", histCols).as("h"),
+      nulls("sum_sq", sqCols).as("sq")).head()
+    // null sum ⟺ empty table ⟺ no violating rows
+    def noNulls(i: Int) = row.isNullAt(i) || row.getLong(i) == 0L
+    val caps = (flCols && noNulls(0), histCols && noNulls(1), sqCols && noNulls(2))
+    rollupCapsOk = Some(caps)
+    caps
   }
-
-  /** Same capability probe for the quantile-sketch partials: every rollup
-    * file must carry a non-null `hist` (a mixed old+new dir would merge a
-    * PARTIAL sketch and silently under-count quantiles). `Compact.run`
-    * backfills old dirs from raw samples. */
-  private def rollupServesHist(): Boolean = rollupHistOk.getOrElse {
-    val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
-    val ok = merged.columns.contains("hist") && merged.where(col("hist").isNull).isEmpty
-    rollupHistOk = Some(ok)
-    ok
-  }
-
-  /** Same capability probe for the sum-of-squares partial: a mixed
-    * old+new dir would sum PARTIAL sum_sq over full cnt and silently
-    * shrink variances. `Compact.run` backfills old dirs from raw. */
-  private def rollupServesSumSq(): Boolean = rollupSumSqOk.getOrElse {
-    val merged = spark.read.option("mergeSchema", "true").parquet(rollupPath)
-    val ok = merged.columns.contains("sum_sq") && merged.where(col("sum_sq").isNull).isEmpty
-    rollupSumSqOk = Some(ok)
-    ok
-  }
+  private def rollupServesFirstLast(): Boolean = probeRollupCaps()._1
+  private def rollupServesHist(): Boolean = probeRollupCaps()._2
+  private def rollupServesSumSq(): Boolean = probeRollupCaps()._3
 
   override def write(batch: DataFrame): Unit = {
     val (samples, series) = prepare(batch)
@@ -498,15 +492,11 @@ final class ParquetStore(spark: SparkSession, root: String,
     }
 
     // own appends always carry the full rollup schema, so they can't flip
-    // the first/last or hist capability either way (old→mixed stays false,
-    // new stays true) — keep the memos so ingest doesn't re-probe per batch
-    val flOk = rollupFirstLastOk
-    val hOk = rollupHistOk
-    val sqOk = rollupSumSqOk
+    // any partial capability either way (old→mixed stays false, new stays
+    // true) — keep the memo so ingest doesn't re-probe per batch
+    val caps = rollupCapsOk
     invalidateIndex()
-    rollupFirstLastOk = flOk
-    rollupHistOk = hOk
-    rollupSumSqOk = sqOk
+    rollupCapsOk = caps
   }
 
   /** Serve an exploitable hint straight from the rollup table: matcher
@@ -658,9 +648,7 @@ final class ParquetStore(spark: SparkSession, root: String,
     cachedIndex.foreach(_._1.unpersist(blocking = false))
     cachedIndex = None
     cachedIndexSize = -1L
-    rollupFirstLastOk = None
-    rollupHistOk = None
-    rollupSumSqOk = None
+    rollupCapsOk = None
   }
 
   private def buildIndex(): DataFrame =

@@ -10,18 +10,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object DocStream {
 
-  /** Exact streaming dedup: emits each distinct document content exactly
-    * once for the lifetime of the query, keyed by content hash via
-    * `flatMapGroupsWithState`. Within a batch the min doc_id of a
-    * duplicate family is the deterministic keeper (same election rule as
-    * d1/d9); across batches the keyed state suppresses re-emission.
-    *
-    * State is ONE BOOLEAN per distinct content — bounded by corpus
-    * distinct-content cardinality, not stream volume, and keyed by a
-    * uniform 128-bit hash so the state store shards evenly. At 100 TB
-    * scale this runs on the RocksDB state store (spills past memory), and
-    * the checkpoint makes the seen-set survive restarts — the streaming
-    * equivalent of d9's persisted base content-hash index. */
   /** Streaming dataset-card: running per-(source, lang) document and
     * token counts over the arriving corpus — rp1's streaming analogue,
     * the live ingest dashboard a crawl pipeline watches. A plain
@@ -46,6 +34,18 @@ object DocStream {
   def curatedDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] =
     firstSeenDocs(spark, stream.where(graft.ext.TextAnalysis.gopherPasses(col("text"))))
 
+  /** Exact streaming dedup: emits each distinct document content exactly
+    * once for the lifetime of the query, keyed by content hash via
+    * `flatMapGroupsWithState`. Within a batch the min doc_id of a
+    * duplicate family is the deterministic keeper (same election rule as
+    * d1/d9); across batches the keyed state suppresses re-emission.
+    *
+    * State is ONE BOOLEAN per distinct content — bounded by corpus
+    * distinct-content cardinality, not stream volume, and keyed by a
+    * uniform 128-bit hash so the state store shards evenly. At 100 TB
+    * scale this runs on the RocksDB state store (spills past memory), and
+    * the checkpoint makes the seen-set survive restarts — the streaming
+    * equivalent of d9's persisted base content-hash index. */
   def firstSeenDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] = {
     import spark.implicits._
     stream

@@ -117,24 +117,30 @@ object Downsample {
       s"$path carries a file-stream-sink _spark_metadata log; batch appends would be " +
         "invisible to it. Rebuild the rollup once (graft.tools.Compact.run rewrites it " +
         "without the log) before restarting this sink.")
-    val fresh =
-      if (!fs.exists(hPath)) batch
-      else {
-        val Array(bounds) =
-          batch.agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi")).collect()
-        if (bounds.isNullAt(0)) return
-        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-        // explicit schema: an empty dir (a no-window first batch wrote only
-        // _SUCCESS) reads as an empty frame instead of failing inference
-        val existing = spark.read.schema(batch.schema).parquet(path)
-          .where(col("date").between(
-            to_date(timestamp_millis(lit(lo))), to_date(timestamp_millis(lit(hi)))))
-          .where(col("bucket_ms").between(lo, hi))
-          .select("fingerprint", "bucket_ms")
-        batch.join(existing, Seq("fingerprint", "bucket_ms"), "left_anti")
-      }
-    fresh.write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("date")
-      .option("compression", "zstd").parquet(path)
+    // the bounds agg and the anti-join write are two ACTIONS on the same
+    // foreachBatch frame — uncached, Spark would re-run the stateful
+    // window aggregation (and re-read the source) once per action
+    batch.persist()
+    try {
+      val fresh =
+        if (!fs.exists(hPath)) batch
+        else {
+          val Array(bounds) =
+            batch.agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi")).collect()
+          if (bounds.isNullAt(0)) return
+          val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+          // explicit schema: an empty dir (a no-window first batch wrote only
+          // _SUCCESS) reads as an empty frame instead of failing inference
+          val existing = spark.read.schema(batch.schema).parquet(path)
+            .where(col("date").between(
+              to_date(timestamp_millis(lit(lo))), to_date(timestamp_millis(lit(hi)))))
+            .where(col("bucket_ms").between(lo, hi))
+            .select("fingerprint", "bucket_ms")
+          batch.join(existing, Seq("fingerprint", "bucket_ms"), "left_anti")
+        }
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("date")
+        .option("compression", "zstd").parquet(path)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Stateful first-seen series detection — the streaming-native form of
