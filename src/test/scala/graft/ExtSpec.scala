@@ -106,6 +106,15 @@ class ExtSpec extends AnyFunSuite {
       "repeated d2 runs must reuse the memoized signature frame")
   }
 
+  test("d8 bench n-gram set is memoized: repeated decontamination runs add no cached frames") {
+    graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf).count()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf).count()
+    graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.size === n1,
+      "repeated d8 runs must reuse the memoized bench n-gram frame")
+  }
+
   test("d2 signature cache invalidation: a rewritten corpus is re-read, evicted frame unpersisted") {
     import graft.queries.DedupQueries
     // private corpus dir so invalidation here can't race other tests
