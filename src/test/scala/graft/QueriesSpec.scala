@@ -15,6 +15,27 @@ class QueriesSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.01"
 
+  test("every inventory query executes and returns a non-degenerate schema at sf0.001") {
+    // the driver's gate catches semantic drift at sf0.01; this catches
+    // plain runtime breakage (analysis errors, missing columns) inside
+    // the suite, before a gate round burns on it
+    val tiny = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, tiny)
+        assert(df.columns.nonEmpty, s"$name: no columns")
+        df.count() // forces full execution
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // every oracle key must name a real query (a typo'd key would make
+    // the driver record a silently-orphaned oracle)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    assert(SparkEntry.entry(spark).count() > 0, "flagship entry must return rows")
+  }
+
   test("salted aggregation equals direct aggregation (skewed key)") {
     import org.apache.spark.sql.functions._
     // 90% of rows on one hot key — the shape salting exists for
