@@ -35,7 +35,12 @@ object Shuffle {
     */
   def deterministicOrder(df: DataFrame, id: String, seed: String,
       hexDigits: Int = 2): DataFrame = {
-    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits in [1,8], got $hexDigits")
+    // Driver memory for the bucket-count collect scales as 16^hexDigits
+    // rows: 5 digits ≈ 1M tuples (~tens of MB) is the safe ceiling; beyond
+    // that the prefix sum itself would need to go distributed, which
+    // defeats the ≤bounded-driver-state design. 5 digits already yields
+    // ~100k-row task slices at 100 TB / ~1 KB rows.
+    require(hexDigits >= 1 && hexDigits <= 5, s"hexDigits in [1,5], got $hexDigits")
     // Sort on the 16-byte binary digest, not the 32-char hex string:
     // unsigned byte-wise binary comparison is exactly the lexicographic
     // order of the lowercase hex rendering (same permutation, the one the

@@ -33,7 +33,10 @@ object TextAnalysis {
   def gopherPassesWs(ws: Column): Column = {
     val n = size(ws)
     val denom = greatest(n, lit(1))
-    val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom
+    // accumulate in LongType: an IntegerType fold wraps negative past 2^31
+    // total characters and silently mis-gates (the oracle's list_sum never
+    // wraps)
+    val meanLen = aggregate(ws, lit(0L), (a, x) => a + length(x)).cast("double") / denom
     val alphaRatio = size(filter(ws, _.rlike("[a-z]"))).cast("double") / denom
     val symbolRatio =
       size(filter(ws, x => x.contains("#") || x.contains("..."))).cast("double") / denom

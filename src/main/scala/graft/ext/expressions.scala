@@ -371,4 +371,9 @@ object extfunctions {
     column(JaccardSim(expression(a), expression(b)))
   def lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
     column(LshBuckets(expression(emb), tables, bits))
+
+  /** Bounded exact top-k aggregate: k smallest of `v` (natural ascending
+    * ordering), returned sorted ascending — see [[BottomKAgg]]. */
+  def bottom_k(v: Column, k: Int): Column =
+    column(BottomKAgg(expression(v), k).toAggregateExpression())
 }

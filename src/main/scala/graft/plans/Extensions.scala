@@ -149,6 +149,9 @@ object GraftFunctions {
     },
     fn("dd_quantile", classOf[DDQuantile]) { a =>
       arity("dd_quantile", a, 2); DDQuantile(a(0), doubleArg("dd_quantile", a(1)))
+    },
+    fn("bottom_k", classOf[BottomKAgg]) { a =>
+      arity("bottom_k", a, 2); BottomKAgg(a(0), intArg("bottom_k", a(1)))
     }
   )
 

@@ -99,6 +99,14 @@ object DedupQueries {
   private val signatureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
 
+  /** One monitor guards every mutation of every memoized corpus-frame
+    * cache (signature table AND d8's bench n-gram set). Build and
+    * invalidation racing on different monitors could let a build that read
+    * pre-invalidation table state insert AFTER Tables.invalidate ran,
+    * serving stale data until the TTL — a single lock makes
+    * invalidate-then-rebuild linearizable. */
+  private val cacheLock = new Object
+
   /** TTL-memoized persisted frame per (session, dir) — the shared
     * lifecycle for every corpus-derived table that multiple jobs in one
     * operator (or repeated runs in a serving session) would otherwise
@@ -110,7 +118,7 @@ object DedupQueries {
     val key = (s, dir)
     val hit = cache.get(key)
     if (hit != null && System.currentTimeMillis() - hit._2 < SignatureTtlMs) hit._1
-    else cache.synchronized {
+    else cacheLock.synchronized {
       val again = cache.get(key)
       if (again != null && System.currentTimeMillis() - again._2 < SignatureTtlMs) again._1
       else {
@@ -134,7 +142,7 @@ object DedupQueries {
     * the signature table and d8's bench n-gram set); the next dedup run
     * re-reads the corpus. Call after rewriting the corpus dir — the
     * analogue of ParquetStore.invalidateIndex after an o.o.b. rewrite. */
-  def invalidateSignatures(dir: String): Unit = signatureCache.synchronized {
+  def invalidateSignatures(dir: String): Unit = cacheLock.synchronized {
     for (cache <- Seq(signatureCache, benchNgramCache))
       cache.entrySet().removeIf { e =>
         val matches = e.getKey._2 == dir

@@ -3,15 +3,14 @@ package graft.queries
 
 import graft.ext.extfunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
   * s1 is the exact brute-force baseline: broadcast the (small) query set,
-  * scan the corpus once, per-query top-k via TakeOrdered-style window —
-  * linear in corpus size, embarrassingly parallel, the right shape even at
-  * 100 TB when the query set is bounded.
+  * scan the corpus once, per-query top-k via the bounded [[perQueryTopK]]
+  * aggregate — linear in corpus size, embarrassingly parallel, the right
+  * shape even at 100 TB when the query set is bounded.
   *
   * s2 is the sub-linear scale path: random-hyperplane LSH — bucket the
   * corpus once (one custom-expression pass), then only score candidates
@@ -23,6 +22,21 @@ object SimilarityQueries {
 
   val TopK = 5
   val NQueries = 10
+
+  /** Exact per-query top-k of scored pairs via [[graft.ext.BottomKAgg]]:
+    * bottom-k on ascending (−score, vec_id) ≡ (score DESC, vec_id ASC) —
+    * the ordering every query here states. Partial aggregation bounds each
+    * task's contribution to k rows per query BEFORE the exchange, so the
+    * shuffle carries tasks×queries×k rows — unlike the `row_number` window
+    * formulation, whose exchange funnels the ENTIRE scored pair set into
+    * |queries| partitions (one task per query: maximal skew at 100 TB).
+    * Output: (query_id, vec_id, score) at full precision; −(−score)
+    * round-trips doubles exactly. */
+  private def perQueryTopK(pairs: DataFrame, score: Column, k: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
+      .agg(bottom_k(struct((-score).as("ns"), col("vec_id").as("vec_id")), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.vec_id").as("vec_id"), (-col("t.ns")).as("score"))
 
   private val cosExact =
     """list_dot_product(q.v, e.v) /
@@ -49,13 +63,11 @@ object SimilarityQueries {
     val queries = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     val cos = dot_f(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
-    e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+    val pairs = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("cos_full", cos)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= TopK)
+    perQueryTopK(pairs, col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_full"), 4).as("cos"))
+        round(col("score"), 4).as("cos"))
   }
 
   /** Multi-table random-hyperplane LSH buckets: `tables` independent hash
@@ -83,15 +95,13 @@ object SimilarityQueries {
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
       .dropDuplicates("query_id", "vec_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
-    candidates
-      .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
-      // cosine_sim is fine here: candidates are already pruned to ~bucket
-      // size, so the per-pair norm cost is off the hot path
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= TopK)
+    // cosine_sim is fine here: candidates are already pruned to ~bucket
+    // size, so the per-pair norm cost is off the hot path
+    perQueryTopK(
+      candidates.withColumn("cos_full", cosine_sim(col("qv"), col("embedding"))),
+      col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_full"), 4).as("cos"))
+        round(col("score"), 4).as("cos"))
   }
 
   /** S3 IVF ANN — the classic inverted-file index: a KMeans coarse
@@ -131,13 +141,11 @@ object SimilarityQueries {
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .where(col("query_id") =!= col("vec_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
-    candidates
-      .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= TopK)
+    perQueryTopK(
+      candidates.withColumn("cos_full", cosine_sim(col("qv"), col("embedding"))),
+      col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_full"), 4).as("cos"))
+        round(col("score"), 4).as("cos"))
   }
 
   /** S4: int8 scalar quantization of the embedding column — per-vector
@@ -211,18 +219,29 @@ object SimilarityQueries {
     * Candidate stage scores the corpus on dequantized codes (at 100 TB
     * the scan reads the codes+extrema columns, ¼ the bytes of the float
     * array, and the full-precision vectors stay unread); the top 3k
-    * survivors per query are re-ranked at full precision. Both stages
-    * keep the corpus unshuffled: the query set broadcasts into the
-    * candidate scan, and the bounded survivor set (queries × 3k rows)
-    * broadcasts into the re-rank fetch. Quantized-candidate recall vs the
-    * exact s1 is pinned in ExtSpec (reconstruction error ≤ (mx−mn)/510
-    * per component barely perturbs cosine ordering; the 3× candidate
-    * pool absorbs what it does perturb). */
+    * survivors per query are re-ranked at full precision. The corpus is
+    * never shuffle-JOINED in either stage: the query set broadcasts into
+    * the candidate scan, and the bounded survivor set (queries × 3k rows)
+    * broadcasts into the re-rank fetch. The candidate stage's one
+    * exchange is the per-query top-k merge of the scored pairs (the same
+    * shape s1–s3 use); see [[graft.ext.extfunctions.bottom_k]] for the
+    * bounded-partial form that exchange takes. Every per-row quantity
+    * (query norm, dequantized vector, its norm) is hoisted out of the
+    * pair stage — the per-pair work is exactly one O(dim) dot product.
+    * Quantized-candidate recall vs the exact s1 is pinned in ExtSpec
+    * (reconstruction error ≤ (mx−mn)/510 per component barely perturbs
+    * cosine ordering; the 3× candidate pool absorbs what it does
+    * perturb). */
   private val s6Quantized = rowsOnly("s6_ann_quantized") { (s, dir) =>
     val e = Tables(s, dir, "embeddings")
     val v = transform(col("embedding"), _.cast("double"))
     // the stored candidate-stage layout (exactly what s4 materializes);
-    // two selects so `codes` sees the child's mn/mx, not lateral aliases
+    // two selects so `codes` sees the child's mn/mx, not lateral aliases.
+    // The dequantized vector and ITS norm live here too: per corpus row,
+    // before the pair join — at 100 TB both are write-side columns.
+    val scale = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise((col("mx") - col("mn")) / 255)
+    val deq = transform(col("codes"), c => col("mn") + c.cast("double") * scale)
     val coded = e
       .select(col("vec_id"), v.as("v"), array_min(v).as("mn"), array_max(v).as("mx"))
       .select(col("vec_id"), col("mn"), col("mx"),
@@ -230,34 +249,30 @@ object SimilarityQueries {
           when(col("mx") === col("mn"), lit(0))
             .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0).cast("int")))
           .as("codes"))
+      .select(col("vec_id"), deq.as("deq"))
+      .select(col("vec_id"), col("deq"), sqrt(ddot(col("deq"), col("deq"))).as("dnrm"))
+    // query norms hoisted into the broadcast frame, exactly as s1 does
     val queries = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), v.as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"))
 
-    val scale = when(col("mx") === col("mn"), lit(0.0))
-      .otherwise((col("mx") - col("mn")) / 255)
-    val deq = transform(col("codes"), c => col("mn") + c.cast("double") * scale)
     val candK = TopK * 3
-    val wA = Window.partitionBy("query_id").orderBy(col("cos_approx").desc, col("vec_id").asc)
-    val cands = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
-      .withColumn("deq", deq)
-      .withColumn("cos_approx", ddot(col("qv"), col("deq")) /
-        (sqrt(ddot(col("qv"), col("qv"))) * sqrt(ddot(col("deq"), col("deq")))))
-      .withColumn("rn", row_number().over(wA))
-      .where(col("rn") <= candK)
+    val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_approx", ddot(col("qv"), col("deq")) / (col("qnrm") * col("dnrm")))
+    val cands = perQueryTopK(scored, col("cos_approx"), candK)
       .select(col("query_id"), col("vec_id"))
 
     // re-rank at full precision: the corpus scan stays in place, the
-    // bounded candidate list broadcasts onto it
-    val wF = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
-    e.select(col("vec_id"), v.as("fv"))
+    // bounded candidate list broadcasts onto it; the full-precision norm
+    // is computed only for the ≤ queries×3k survivors, after the join
+    val reranked = e.select(col("vec_id"), v.as("fv"))
       .join(broadcast(cands), "vec_id")
+      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
       .join(broadcast(queries), "query_id")
-      .withColumn("cos_full", ddot(col("qv"), col("fv")) /
-        (sqrt(ddot(col("qv"), col("qv"))) * sqrt(ddot(col("fv"), col("fv")))))
-      .withColumn("rn", row_number().over(wF))
-      .where(col("rn") <= TopK)
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
+    perQueryTopK(reranked, col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_full"), 4).as("cos"))
+        round(col("score"), 4).as("cos"))
   }
 
   val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.{ExtOps, Multimodal}
+import graft.ext.extfunctions.bottom_k
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -419,5 +420,55 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L).getInt(1) === 0 && out(2L).getInt(2) === 0)
     assert(out(3L).getInt(1) === 2 && out(3L).getInt(2) === 1)
     assert(out(3L).getString(3) === "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+  }
+
+  test("bottom_k aggregate = row_number window selection, through a real exchange") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic pseudo-random scores incl. ties and ±0.0; 16 input
+    // partitions force partial buffers + serialize/merge across the shuffle
+    val df = spark.range(0, 2000, 1, 16)
+      .select((col("id") % 7).as("g"), col("id").as("vec_id"),
+        (sin(col("id") * 12.9898) * lit(1000)).cast("long").cast("double")
+          .divide(100).as("s"))
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("vec_id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 9)
+      .select("g", "vec_id", "s").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAgg = df.groupBy("g")
+      .agg(bottom_k(struct((-col("s")).as("ns"), col("vec_id").as("vec_id")), 9).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.vec_id"), (-col("t.ns")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAgg === viaWindow)
+    // the output array is sorted ascending by the struct ordering
+    val arr = df.where(col("g") === 0)
+      .agg(bottom_k(struct(col("s"), col("vec_id")), 5).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.map(_.getDouble(0)) === arr.map(_.getDouble(0)).sorted)
+    // groups smaller than k return all their rows
+    val small = Seq((1L, 1.0), (2L, 2.0)).toDF("vec_id", "s")
+      .agg(bottom_k(struct(col("s"), col("vec_id")), 100).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(small.length === 2)
+    // SQL registration path
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("bk_in")
+    val viaSql = spark.sql(
+      """SELECT g, t.vec_id AS vec_id, -t.ns AS s
+        |FROM (SELECT g, explode(bottom_k(struct(-s AS ns, vec_id), 9)) AS t
+        |      FROM bk_in GROUP BY g)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql === viaWindow)
+  }
+
+  test("bottom_k plans as ObjectHashAggregate with partial aggregation (no all-rows exchange)") {
+    val df = spark.range(0, 1000, 1, 8)
+      .select((col("id") % 5).as("g"), col("id").as("vec_id"), rand(7).as("s"))
+    val plan = df.groupBy("g")
+      .agg(bottom_k(struct(col("s"), col("vec_id")), 5).as("top"))
+      .queryExecution.executedPlan.toString
+    // two ObjectHashAggregate spans (partial below the exchange, final above):
+    // each task ships at most groups×k rows of heap state, never its raw rows
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 }
