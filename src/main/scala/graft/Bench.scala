@@ -35,32 +35,70 @@ object Bench {
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
-    // JIT/codegen + parquet-footer warmup on the smallest SF (not timed).
-    // A failure here is tolerable (the timed run still executes) but never
-    // silent — a typo'd query name warming nothing would skew its timing.
+    // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):
+    // warming a different SF would JIT the code but leave this dir's
+    // footers/page cache cold for round 1 only — a phantom round-1-vs-2
+    // delta that min-of-3 then hides unevenly across queries. A failure
+    // here is tolerable (the timed run still executes) but never silent —
+    // a typo'd query name warming nothing would skew its timing.
     defs.foreach { d =>
-      try d.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup of ${d.name} failed: ${e.getMessage}")
       }
     }
 
+    // Machine-health calibration: a fixed single-threaded CPU workload
+    // (2^26 splitmix64 steps) timed before each round and after the last.
+    // The workload is constant, so any spread across the stamps is the
+    // MACHINE's (this sandbox exhibits bursty multi-second co-tenant
+    // stalls: a 0.9 s query observed at 75 s, CPU-pressure ≈ 0) — a run
+    // whose probe stamps disagree by ≫2× is degraded and its regressions
+    // are noise, detectable from the bench artifact alone. Nominal on
+    // this sandbox: ~250-500 ms.
+    def probeMs(): Double = {
+      var h = 0x9e3779b97f4a7c15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < (1 << 26)) { h = graft.ext.ExtOps.splitmix64(h); i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (h == 42L) System.err.println("") // consume h: defeat DCE
+      ms
+    }
+
+    // Ingest workload: 2M Prometheus-shaped samples through the full write
+    // path (fingerprint + new-series anti-join + partitioned sorted
+    // append), the BASELINE.md write envelope analogue. Built once; each
+    // timed round writes to a FRESH store dir.
+    import org.apache.spark.sql.functions._
+    val batch = spark.range(2_000_000).select(
+      map(lit("__name__"), lit("http_requests_total"),
+        lit("instance"), concat(lit("host-"), (col("id") % 200).cast("string"))).as("labels"),
+      (lit(1700000000000L) + (col("id") / 200).cast("long") * 15000L).as("timestamp_ms"),
+      (col("id") / 200 + (col("id") % 7)).cast("double").as("value"))
+
     // Three timed runs per query, min reported: the workload is
     // deterministic (identical plans and data run-to-run), so run-to-run
     // variance is the machine's — beyond the usual ±20% (page cache, JIT,
     // background IO), this sandbox exhibits BURSTY multi-second freezes
-    // (co-tenant steal: a 0.9 s query was observed at 75 s inside a stall
-    // window, CPU-pressure ≈ 0 throughout; a full-bench run showed one
-    // 0.6 s query at 8.5 s in ALL THREE back-to-back runs while a probe
-    // minutes later measured it steady at 0.64 s). min is the standard
-    // least-noise estimator for deterministic work; the rounds are
-    // INTERLEAVED (whole query list × 3, not each query × 3) so one
-    // multi-second stall lands in different queries in different rounds
-    // and the per-query min discards it — back-to-back repeats would sit
-    // inside the same stall window all three times.
+    // (see probeMs above; a full-bench run once showed one 0.6 s query at
+    // 8.5 s in ALL THREE back-to-back runs while a probe minutes later
+    // measured it steady at 0.64 s). min is the standard least-noise
+    // estimator for deterministic work; the rounds are INTERLEAVED (whole
+    // query list × 3, not each query × 3) so one multi-second stall lands
+    // in different queries in different rounds and the per-query min
+    // discards it — back-to-back repeats would sit inside the same stall
+    // window all three times. The INGEST measurement is interleaved into
+    // the rounds for the same reason (it was single-shot through round 6,
+    // and a stall window once reported a 3.8× collapse that a steady-state
+    // Diag disproved).
     val order = defs.map(_.name)
-    val samples = (0 until 3).flatMap { _ =>
-      defs.map { d =>
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val ingestDirs = scala.collection.mutable.ArrayBuffer[String]()
+    val ingestSecs = scala.collection.mutable.ArrayBuffer[Double]()
+    val samples = (0 until 3).flatMap { round =>
+      probes += probeMs()
+      val qTimes = defs.map { d =>
         val t0 = System.nanoTime()
         try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -68,32 +106,27 @@ object Bench {
         }
         d.name -> (System.nanoTime() - t0) / 1e9
       }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_ingest_$round").toString
+      ingestDirs += dir
+      val store = new graft.storage.ParquetStore(spark, dir)
+      val ti = System.nanoTime()
+      store.write(batch)
+      ingestSecs += (System.nanoTime() - ti) / 1e9
+      qTimes
     }
+    probes += probeMs()
     val byName = samples.groupBy(_._1)
     val results = order.map(n => n -> byName(n).map(_._2).min)
-
-    // Write-path throughput: 2M Prometheus-shaped samples through the full
-    // ingest (fingerprint + new-series anti-join + partitioned sorted
-    // append), the BASELINE.md write envelope analogue.
-    import org.apache.spark.sql.functions._
-    val ingestRoot = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString
-    val store = new graft.storage.ParquetStore(spark, ingestRoot)
-    val batch = spark.range(2_000_000).select(
-      map(lit("__name__"), lit("http_requests_total"),
-        lit("instance"), concat(lit("host-"), (col("id") % 200).cast("string"))).as("labels"),
-      (lit(1700000000000L) + (col("id") / 200).cast("long") * 15000L).as("timestamp_ms"),
-      (col("id") / 200 + (col("id") % 7)).cast("double").as("value"))
-    val ti = System.nanoTime()
-    store.write(batch)
-    val ingestRate = 2e6 / ((System.nanoTime() - ti) / 1e9)
+    val ingestRate = 2e6 / ingestSecs.min
 
     // Storage efficiency vs BASELINE.md's ~5.3 B/sample (24 B raw at 4.5:1
     // under ClickHouse MergeTree): bytes of sample parquet on disk per
     // ingested sample. The samples table alone — the series dictionary is
     // amortized over the store's lifetime, exactly like the reference's
-    // time_series table.
+    // time_series table. Measured on round 0's dir (all rounds write
+    // identical data); the temp dirs are removed afterwards.
     val samplesBytes = {
-      val root = java.nio.file.Paths.get(ingestRoot, "samples")
+      val root = java.nio.file.Paths.get(ingestDirs.head, "samples")
       if (!java.nio.file.Files.exists(root)) 0L
       else {
         val s = java.nio.file.Files.walk(root)
@@ -103,11 +136,19 @@ object Bench {
       }
     }
     val bytesPerSample = samplesBytes / 2e6
+    ingestDirs.foreach { d =>
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
+    val ingestJson = ingestSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     // Secondary channel: a file, in case the caller parses neither.

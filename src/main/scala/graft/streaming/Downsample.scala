@@ -129,19 +129,29 @@ object Downsample {
             batch.agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi")).collect()
           if (bounds.isNullAt(0)) return
           val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-          // explicit schema: an empty dir (a no-window first batch wrote only
-          // _SUCCESS) reads as an empty frame instead of failing inference
-          val existing = spark.read.schema(batch.schema).parquet(path)
-            .where(col("date").between(
-              to_date(timestamp_millis(lit(lo))), to_date(timestamp_millis(lit(hi)))))
-            .where(col("bucket_ms").between(lo, hi))
-            .select("fingerprint", "bucket_ms")
-          batch.join(existing, Seq("fingerprint", "bucket_ms"), "left_anti")
+          batch.join(existingKeys(spark, batch.schema, path, lo, hi),
+            Seq("fingerprint", "bucket_ms"), "left_anti")
         }
       fresh.write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("date")
         .option("compression", "zstd").parquet(path)
     } finally batch.unpersist(blocking = false)
   }
+
+  /** The existence probe's key scan: date partitions + bucket range the
+    * batch spans, projected to the join keys — so the probe reads two long
+    * columns, never the wide partial columns (the DDSketch bytes dominate
+    * row width; a probe that read them would pay the whole table's sketch
+    * IO per micro-batch). Plan-asserted in PlanSpec. Explicit schema: an
+    * empty dir (a no-window first batch wrote only _SUCCESS) reads as an
+    * empty frame instead of failing inference. */
+  private[graft] def existingKeys(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, path: String,
+      lo: Long, hi: Long): DataFrame =
+    spark.read.schema(schema).parquet(path)
+      .where(col("date").between(
+        to_date(timestamp_millis(lit(lo))), to_date(timestamp_millis(lit(hi)))))
+      .where(col("bucket_ms").between(lo, hi))
+      .select("fingerprint", "bucket_ms")
 
   /** Stateful first-seen series detection — the streaming-native form of
     * the new-fingerprint check (clickhouse.go:437-447): keyed state per

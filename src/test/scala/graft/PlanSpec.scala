@@ -122,6 +122,54 @@ class PlanSpec extends AnyFunSuite {
       "rh2: the DDSketch partial must be column-pruned from a rate hint")
   }
 
+  test("rollup partials pruning: each hint pays only for the partials it reads") {
+    // rollupPartials computes cnt/min/max/sum + sum_sq + first/last packs +
+    // a DDSketch — but each serving plan must column-prune everything its
+    // hint func doesn't read, or every rollup query pays the sketch build
+    // (the dominant partial cost: a hashmap + serialization per group).
+    // rh2 (rate) was locked in round 5 (a665a96); this extends the
+    // contract to the rest of the family. Pruning evidence: the pruned
+    // aggregate's expression names cannot appear anywhere in the final
+    // physical plan.
+    val rh3 = plan("rh3_last_rollup").split("== Initial Plan ==").head
+    assert(!rh3.contains("dd_hist"), "rh3 (last): sketch partial must be pruned")
+    assert(!rh3.contains("sum_sq"), "rh3 (last): sum-of-squares partial must be pruned")
+    val rh5 = plan("rh5_stddev_rollup").split("== Initial Plan ==").head
+    assert(!rh5.contains("dd_hist"), "rh5 (stddev): sketch partial must be pruned")
+    assert(!rh5.contains("ts_val_encode"), "rh5 (stddev): first/last packs must be pruned")
+    val rh1 = plan("rh1_hinted_read").split("== Initial Plan ==").head
+    assert(!rh1.contains("dd_hist"), "rh1 (max, hintedDownsample): sketch pruned")
+    assert(!rh1.contains("sum_sq"), "rh1 (max, hintedDownsample): sum_sq pruned")
+    assert(!rh1.contains("ts_val_encode"), "rh1 (max, hintedDownsample): first/last pruned")
+    // rh4 (quantile) is the one plan that SHOULD carry the sketch
+    val rh4 = plan("rh4_quantile_rollup").split("== Initial Plan ==").head
+    assert(rh4.contains("dd_hist"), "rh4 (quantile): sketch partial must survive pruning")
+  }
+
+  test("streaming rollup sink probe: reads only join keys, bucket+date pruned") {
+    // appendRollupIdempotent's existence probe must never read the wide
+    // partial columns of the on-disk rollup (the sketch bytes dominate row
+    // width) — only (fingerprint, bucket_ms), with the date partition and
+    // bucket range pushed to the scan.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_planspec_sink_").toString +
+      "/samples_rollup"
+    val rows = graft.storage.Storage.rollupPartials(
+      spark.range(1000).select(
+        (col("id") % 7).as("fingerprint"),
+        (lit(1700000000000L) + col("id") * 60000L).as("timestamp_ms"),
+        col("id").cast("double").as("value")), 3600000L)
+      .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
+    rows.write.partitionBy("date").parquet(root)
+    val probe = graft.streaming.Downsample.existingKeys(
+      spark, rows.schema, root, 1700000000000L, 1700030000000L)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<fingerprint:bigint,bucket_ms:bigint>"),
+      s"probe must read exactly the two key columns:\n$p")
+    assert(p.contains("PartitionFilters: [isnotnull(date"), s"date partitions must prune:\n$p")
+    assert(p.contains("GreaterThanOrEqual(bucket_ms"), s"bucket range must push down:\n$p")
+  }
+
   test("rollup partials and merge hash-aggregate (no SortAggregate from first/last)") {
     // min/max over the ts_val_encode decimal pack must keep every rollup
     // aggregation in HashAggregateExec; the struct formulation it replaces
