@@ -164,6 +164,32 @@ object ExtOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Positional word n-gram hashes: out(i) = hash64 of the space-joined n
+    * words starting at i (length = words−n+1; empty when words < n). The
+    * POSITIONAL counterpart of [[shingleSet]] — span-level dedup (d10)
+    * needs every occurrence with its offset, not the distinct set. Emits
+    * longs, not gram strings: the exploded (pos, hash) stream is 16
+    * bytes/row through the duplicate-detection exchange instead of the
+    * n-word text. FNV-64 collisions mark a false duplicate position at
+    * ~n²/2⁶⁵ probability — negligible against a 64-bit keyspace. */
+  def gramHashes(ws: ArrayData, n: Int): ArrayData = {
+    val count = ws.numElements()
+    if (count < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](count - n + 1)
+    var i = 0
+    while (i <= count - n) {
+      var s = ws.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = hash64(s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH bucket ids, all hash tables in one pass.
     * Hyperplane components are ±1 derived from splitmix64 — identical to
     * evaluating `tables`×`bits` aggregate(zip_with) dot products, but one
@@ -318,6 +344,16 @@ case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "repetition_stats"
 }
 
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(ws: Any): Any =
+    ExtOps.gramHashes(ws.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.gramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
 case class LshBuckets(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(emb: Any): Any =
@@ -371,6 +407,10 @@ object extfunctions {
     column(JaccardSim(expression(a), expression(b)))
   def lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
     column(LshBuckets(expression(emb), tables, bits))
+
+  /** Positional n-gram hashes of a word array — see [[GramHashes]]. */
+  def gram_hashes(ws: Column, n: Int): Column =
+    column(GramHashes(expression(ws), n))
 
   /** Bounded exact top-k aggregate: k smallest of `v` (natural ascending
     * ordering), returned sorted ascending — see [[BottomKAgg]]. */

@@ -152,6 +152,9 @@ object GraftFunctions {
     },
     fn("bottom_k", classOf[BottomKAgg]) { a =>
       arity("bottom_k", a, 2); BottomKAgg(a(0), intArg("bottom_k", a(1)))
+    },
+    fn("gram_hashes", classOf[GramHashes]) { a =>
+      arity("gram_hashes", a, 2); GramHashes(a(0), intArg("gram_hashes", a(1)))
     }
   )
 

@@ -501,7 +501,78 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Minimum duplicated-span length (words) for d10. Lee et al. use 50
+    * BPE tokens on web corpora; the synthetic gate corpus carries
+    * shorter repeats, so the gate runs at 5 — the operator is
+    * length-parameterized either way. */
+  val SpanWords = 5
+
+  /** D10: substring-level exact dedup — maximal duplicated SPANS inside
+    * otherwise-distinct documents (the ExactSubstr operator of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * public design), in its sorted-n-gram-run formulation: a word position
+    * is duplicated iff the n-gram starting there occurs more than once in
+    * the corpus (any doc, including its own); maximal runs of consecutive
+    * duplicated positions are the reported spans [span_start,
+    * span_end = last_pos + n). Document-granular dedup (d1/d2/d9) cannot
+    * see these — boilerplate headers, license blocks, syndicated
+    * paragraphs embedded in otherwise-unique documents.
+    *
+    * Scale shape (no suffix array, nothing corpus-sized on one task):
+    *   1. one scan explodes positional gram HASHES (16 bytes/row, the
+    *      [[graft.ext.GramHashes]] kernel — never the gram text);
+    *   2. duplicated grams = hash-groupBy count>1 — partial aggregation
+    *      collapses repeats map-side, the exchange keys on the uniform
+    *      64-bit hash (the d1 shape at token granularity);
+    *   3. membership join back is UNHINTED: AQE broadcasts the duplicated-
+    *      gram set while it is small and shuffle-joins (with skew
+    *      splitting) once it is not;
+    *   4. the run merge windows per (doc_id) — state bounded by one
+    *      document's duplicated positions, the exchange uniform in docs.
+    * The gram stream is derived twice (count + join-back), like d7/d8's
+    * shared n-gram frame; at 100 TB the gram table is a write-side
+    * materialization, exactly as the d2 signature cache plays there. */
+  def substringSpans(s: SparkSession, dir: String, n: Int): DataFrame =
+    substringSpansOf(Tables(s, dir, "documents"), n)
+
+  /** [[substringSpans]] over any (doc_id, text) frame. */
+  def substringSpansOf(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(gram_hashes(col("ws"), n)).as(Seq("pos", "g")))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dupG, "g")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "span_start", "span_end", "n_dup_grams")
+  }
+
+  private val d10Substring = withOracle("d10_substring_dedup",
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$SpanWords], ' ') AS gram
+       |  FROM w, unnest(range(0, greatest(len(ws) - $SpanWords + 1, 0))) AS t(i)),
+       |d AS (
+       |  SELECT doc_id, pos FROM g
+       |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM d)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanWords AS span_end,
+       |       count(*) AS n_dup_grams
+       |FROM r GROUP BY doc_id, island""".stripMargin) { (s, dir) =>
+    substringSpans(s, dir, SpanWords)
+  }
+
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
-      d8ContaminationBloom, d9Incremental)
+      d8ContaminationBloom, d9Incremental, d10Substring)
 }

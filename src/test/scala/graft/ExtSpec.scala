@@ -422,6 +422,49 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L).getString(3) === "two mails <EMAIL> <EMAIL> one phone <PHONE>")
   }
 
+  test("d10 substring dedup: hand-built goldens + brute-force property") {
+    import spark.implicits._
+    // doc 1 and 2 share an 8-word licence block at different offsets; doc 2
+    // additionally repeats a 3-gram internally (below n=3 run merging only
+    // via consecutive positions); doc 3 is clean
+    val licence = "licensed under the apache license version two zero"
+    val df = Seq(
+      (1L, s"alpha beta gamma $licence delta epsilon"),
+      (2L, s"$licence foo bar foo bar foo bar baz"),
+      (3L, "completely unique text with no repeated spans anywhere at all")
+    ).toDF("doc_id", "text")
+    val n = 3
+    val got = graft.queries.DedupQueries.substringSpansOf(df, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // brute-force oracle in plain Scala: dup position = its n-gram string
+    // occurs >1 times across all docs; maximal consecutive runs
+    val docs = Seq(
+      1L -> s"alpha beta gamma $licence delta epsilon",
+      2L -> s"$licence foo bar foo bar foo bar baz",
+      3L -> "completely unique text with no repeated spans anywhere at all")
+    val wss = docs.map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    val allGrams = wss.flatMap { case (_, ws) => ws.sliding(n).filter(_.size == n).map(_.mkString(" ")) }
+    val counts = allGrams.groupBy(identity).view.mapValues(_.size).toMap
+    val want = wss.flatMap { case (id, ws) =>
+      val dupPos = ws.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.size == n && counts(g.mkString(" ")) > 1 => i
+      }.toSeq
+      // merge consecutive
+      val runs = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (s0, e0) => (id, s0.toLong, (e0 + n).toLong, (e0 - s0 + 1).toLong) }
+    }.toSet
+    assert(got === want)
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L), "shared licence block found in both docs")
+    assert(!got.exists(_._1 == 3L), "clean doc reports no spans")
+    // doc 2's internal repeat ("foo bar foo" family) is found without any
+    // cross-doc copy — same-doc repetition counts, as in a suffix array
+    assert(got.count(_._1 == 2L) >= 2)
+  }
+
   test("bottom_k aggregate = row_number window selection, through a real exchange") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
