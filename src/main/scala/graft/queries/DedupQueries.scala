@@ -254,6 +254,48 @@ object DedupQueries {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_id"))
   }
 
+  /** Incremental keeper election — the daily-ingest form of [[keepList]].
+    * A full recompute re-runs CC over the corpus-wide pair set; this
+    * instead CONTRACTS the already-converged base: every base component
+    * collapses to its keeper id (the component minimum, so contraction
+    * preserves the min-label algebra), new edges are rewritten onto those
+    * supernodes, and CC runs only on the contracted graph — O(new edges +
+    * touched components), proportional to the day's data. Feed `newPairs`
+    * from [[minhashPairsIncremental]] (pairs touching ≥1 new doc; its
+    * bucket pruning is the same day-sized bound).
+    *
+    * Inputs: `baseKeepers` = the previous keep-list (doc_id, keep_id);
+    * `newPairs` = near-dup pairs with at least one endpoint outside the
+    * base; `newDocs` = all new doc ids (isolated ones keep themselves).
+    * Output: the full updated keep-list over base ∪ new — provably equal
+    * to `keepList(basePairs ∪ newPairs, allDocs)` (ExtSpec property);
+    * untouched base components pass through unjoined-unchanged. */
+  def keepListIncremental(baseKeepers: DataFrame, newPairs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val reps = baseKeepers.select(col("doc_id"), col("keep_id"))
+    // rewrite each endpoint to its base keeper (new docs represent
+    // themselves); drop edges that collapse inside one base component
+    val contracted = newPairs
+      .join(reps.select(col("doc_id").as("doc_a"), col("keep_id").as("ra")), Seq("doc_a"), "left")
+      .join(reps.select(col("doc_id").as("doc_b"), col("keep_id").as("rb")), Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val nodes = contracted.select(col("doc_a").as("doc_id"))
+      .union(contracted.select(col("doc_b").as("doc_id"))).distinct()
+    // CC on the contracted graph only; supernode labels are already
+    // component minima, so the merged minimum is the true corpus minimum
+    val superComp = keepList(contracted, nodes)
+      .select(col("doc_id").as("super"), col("keep_id").as("merged"))
+    val baseOut = baseKeepers
+      .join(superComp.withColumnRenamed("super", "keep_id"), Seq("keep_id"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("keep_id")).as("keep_id"))
+    val newOut = newDocs.select("doc_id")
+      .join(superComp.withColumnRenamed("super", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("doc_id")).as("keep_id"))
+    baseOut.union(newOut)
+  }
+
   /** Exact near-dup pairs (doc_a, doc_b) — d3's pair set, reused by the d6
     * oracle anchor. */
   private def exactPairs(s: SparkSession, dir: String): DataFrame = {

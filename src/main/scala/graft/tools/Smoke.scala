@@ -152,6 +152,26 @@ object Smoke {
       q2.stop()
     }
 
+    // substring-level dedup: duplicated-span extents on the fixture corpus
+    graft.SparkEntry.queries("d10_substring_dedup")(spark, "/root/testdata/sf0.001")
+      .orderBy($"doc_id", $"span_start").show(3, false)
+
+    // incremental keeper election: contracted-graph CC over a day's pairs
+    locally {
+      val dir = "/root/testdata/sf0.001"
+      val docs = graft.queries.Tables(spark, dir, "documents").select("doc_id")
+      val pairs = graft.queries.DedupQueries.minhashPairs(spark, dir)
+        .select("doc_a", "doc_b")
+      val baseKeepers = graft.queries.DedupQueries.keepList(
+        pairs.where($"doc_a" % 2 === 1 && $"doc_b" % 2 === 1),
+        docs.where($"doc_id" % 2 === 1))
+      val inc = graft.queries.DedupQueries.keepListIncremental(baseKeepers,
+        pairs.where($"doc_a" % 2 === 0 || $"doc_b" % 2 === 0),
+        docs.where($"doc_id" % 2 === 0))
+      val merged = inc.where($"doc_id" =!= $"keep_id").count()
+      println(s"KEEPLIST-INC: rows=${inc.count()} dedupedDocs=$merged")
+    }
+
     // dataset-card report over the documents fixture + the snapshot diff
     graft.SparkEntry.queries("rp1_corpus_stats")(spark, "/root/testdata/sf0.001")
       .orderBy($"source", $"lang").show(3, false)

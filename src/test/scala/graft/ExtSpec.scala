@@ -422,6 +422,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L).getString(3) === "two mails <EMAIL> <EMAIL> one phone <PHONE>")
   }
 
+  test("incremental keep-list = full recompute over base ∪ new pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, sf, "documents").select("doc_id")
+    val baseDocs = docs.where(col("doc_id") % 2 === 1)
+    val newDocs = docs.where(col("doc_id") % 2 === 0)
+    val pairs = graft.queries.DedupQueries.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b")
+    val basePairs = pairs.where(col("doc_a") % 2 === 1 && col("doc_b") % 2 === 1)
+    val newPairs = pairs.where(col("doc_a") % 2 === 0 || col("doc_b") % 2 === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = toMap(graft.queries.DedupQueries.keepList(pairs, docs))
+    val baseKeepers = graft.queries.DedupQueries.keepList(basePairs, baseDocs)
+    val inc = toMap(graft.queries.DedupQueries.keepListIncremental(
+      baseKeepers, newPairs, newDocs))
+    assert(inc === full)
+    // the increment genuinely merged something: at least one base doc's
+    // keeper changed (or a new doc adopted a base keeper) — otherwise this
+    // property would pass vacuously on a pair-free corpus
+    val baseMap = toMap(baseKeepers)
+    assert(baseMap.exists { case (d, k) => full(d) != k } ||
+      full.exists { case (d, k) => d % 2 == 0 && k % 2 == 1 },
+      "fixture should contain at least one cross-parity near-dup component")
+  }
+
   test("d10 substring dedup: hand-built goldens + brute-force property") {
     import spark.implicits._
     // doc 1 and 2 share an 8-word licence block at different offsets; doc 2
