@@ -172,9 +172,42 @@ object DedupQueries {
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
 
+  /** (doc_id, shingle set, MinHash signature) for any (doc_id, text)
+    * frame — the per-batch form of [[signatureTable]] (no memoization: a
+    * micro-batch is consumed once). */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles(col("ws"), 2).as("sh"))
+      .withColumn("sig", minhash_signature(col("sh"), MinhashK))
+
+  /** Verified near-dup pairs between a bounded probe frame and an
+    * accumulated base signature table — the LSH probe of the streaming
+    * near-dup front door (DocStream). The base is scanned ONCE map-side
+    * against the probe's broadcast band keys (the base is never shuffled
+    * before candidate pruning — the d8 shape with band buckets in place
+    * of a Bloom sketch); only candidate pairs enter the exact-Jaccard
+    * verify. No bucket cap: candidates are bounded by |probe| × bucket
+    * co-location, and the probe side is a micro-batch. */
+  def probePairsAgainst(probeSigs: DataFrame, baseSigs: DataFrame): DataFrame = {
+    val pBand = bandedKeys(probeSigs).select(
+      col("doc_id").as("new_id"), col("band"), col("band_hash"))
+    val cand = bandedKeys(baseSigs)
+      .join(broadcast(pBand), Seq("band", "band_hash"))
+      .select(col("new_id"), col("doc_id").as("base_id"))
+      .distinct()
+    cand
+      .join(probeSigs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(baseSigs.select(col("doc_id").as("base_id"), col("sh").as("sh_b")), "base_id")
+      .where(jaccard_sim(col("sh_n"), col("sh_b")) >= JaccardThreshold)
+      .select(col("new_id"), col("base_id"))
+  }
+
   def minhashPairs(s: SparkSession, dir: String,
-      maxBucket: Int): DataFrame = {
-    val d = signatureTable(s, dir)
+      maxBucket: Int): DataFrame =
+    minhashPairsOfSigs(signatureTable(s, dir), maxBucket)
+
+  /** [[minhashPairs]] over any (doc_id, sh, sig) signature frame. */
+  def minhashPairsOfSigs(d: DataFrame, maxBucket: Int): DataFrame = {
     val banded = bandedKeys(d)
     // Candidate pairs via bucket grouping, not a self-join: the (band, hash)
     // exchange is computed once and REUSED (count pass and collect pass hash

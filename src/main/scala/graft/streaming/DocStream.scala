@@ -34,6 +34,81 @@ object DocStream {
   def curatedDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] =
     firstSeenDocs(spark, stream.where(graft.ext.TextAnalysis.gopherPasses(col("text"))))
 
+  /** Streaming NEAR-dup curation — the streaming form of
+    * `minhashPairsIncremental` + keeper election, extending
+    * [[firstSeenDocs]] past exact-hash equality. Per micro-batch:
+    *
+    *   1. MinHash signatures of the batch (the same shingle/signature
+    *      kernels as batch d2 — no batch/stream drift);
+    *   2. within-batch near-dup components over the batch's LSH pairs
+    *      ([[graft.queries.DedupQueries.minhashPairsOfSigs]] + min-label
+    *      CC — micro-batch-sized inputs);
+    *   3. LSH probe of the batch against the ACCUMULATED base signature
+    *      table ([[graft.queries.DedupQueries.probePairsAgainst]]): the
+    *      base scans once map-side against broadcast batch band keys —
+    *      the base is never shuffled, so per-batch cost tracks batch
+    *      size, not corpus size;
+    *   4. acceptance: one keeper (min doc_id) per within-batch component,
+    *      and NO member of a component any of whose members verified
+    *      against the base (that family is already represented);
+    *   5. accepted (doc_id, sh, sig) rows append to the base table —
+    *      the persisted state, exactly d9's base content-hash index at
+    *      near-dup granularity.
+    *
+    * REPLAY-IDEMPOTENT by construction: a replayed accepted document
+    * finds itself in the base (Jaccard 1 ≥ threshold), its component is
+    * suppressed, and no second row lands — the same checkpoint-wipe
+    * upgrade path as the rollup sink, with the self-match playing the
+    * anti-join's role. State is signatures only (~0.6 kB/doc), never
+    * text: the base table is the dedup index, not a copy of the corpus. */
+  def startNearDupSink(stream: DataFrame, basePath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) => nearDupBatch(batch, basePath))
+      .start()
+
+  private[graft] def nearDupBatch(batch: DataFrame, basePath: String): Unit = {
+    import graft.queries.DedupQueries
+    val spark = batch.sparkSession
+    // signatures feed three jobs (banding, within-batch pairs, verify) —
+    // persist the micro-batch's frame rather than re-shingling per job
+    val sigs = DedupQueries.signaturesOf(
+      batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))).persist()
+    try {
+      val hPath = new org.apache.hadoop.fs.Path(basePath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base =
+        if (fs.exists(hPath)) spark.read.schema(sigs.schema).parquet(basePath)
+        else sigs.limit(0)
+      acceptNearDup(sigs, base)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "zstd").parquet(basePath)
+    } finally sigs.unpersist(blocking = false)
+  }
+
+  /** The acceptance decision of [[startNearDupSink]] step 4, as a frame:
+    * accepted (doc_id, sh, sig) rows of `batchSigs` given `baseSigs`. */
+  private[graft] def acceptNearDup(batchSigs: DataFrame, baseSigs: DataFrame): DataFrame = {
+    import graft.queries.DedupQueries
+    val batchPairs = DedupQueries
+      .minhashPairsOfSigs(batchSigs, DedupQueries.MaxLshBucket)
+      .select("doc_a", "doc_b")
+    val comp = DedupQueries.keepList(batchPairs, batchSigs.select("doc_id"))
+    val baseMatched = DedupQueries.probePairsAgainst(batchSigs, baseSigs)
+      .select(col("new_id").as("doc_id")).distinct()
+    val killedComps = comp.join(baseMatched, "doc_id")
+      .select("keep_id").distinct()
+    comp.where(col("doc_id") === col("keep_id"))
+      .join(killedComps, Seq("keep_id"), "left_anti")
+      .select("doc_id")
+      .join(batchSigs, "doc_id")
+  }
+
   /** Exact streaming dedup: emits each distinct document content exactly
     * once for the lifetime of the query, keyed by content hash via
     * `flatMapGroupsWithState`. Within a batch the min doc_id of a

@@ -178,6 +178,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup curation = batch incremental dedup on the same split") {
+    // Two micro-batches (odd docs, then even docs) of the fixture corpus
+    // through the near-dup sink; expected accepted set derived
+    // INDEPENDENTLY from the batch machinery: the full corpus-wide
+    // verified LSH pair set (d2) filtered per batch + keeper election +
+    // base-family suppression — the orchestration under test (per-batch
+    // signatures, persisted base, broadcast band probe) shares none of it.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (odd, even) = docs.partition(_._1 % 2 == 1)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup_").toString
+    val basePath = s"$root/neardup_base"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.startNearDupSink(
+      stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      basePath, s"$root/ckpt", Trigger.AvailableNow())
+    stream.addData(odd: _*)
+    q.processAllAvailable()
+    q.stop()
+    val q2 = graft.streaming.DocStream.startNearDupSink(
+      stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      basePath, s"$root/ckpt", Trigger.AvailableNow())
+    stream.addData(even: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(basePath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // independent expectation from the batch pair set
+    val pairs = graft.queries.DedupQueries.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def components(ids: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      // union-find in plain Scala
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    val oddIds = odd.map(_._1).toSet
+    val compA = components(oddIds, pairs.filter(p => oddIds(p._1) && oddIds(p._2)))
+    val acceptedA = compA.collect { case (d, k) if d == k => d }.toSet
+    val evenIds = even.map(_._1).toSet
+    val compB = components(evenIds, pairs.filter(p => evenIds(p._1) && evenIds(p._2)))
+    val baseMatchedB = pairs.collect {
+      case (a, b) if evenIds(a) && acceptedA(b) => a
+      case (a, b) if evenIds(b) && acceptedA(a) => b
+    }.toSet
+    val killed = baseMatchedB.map(compB)
+    val acceptedB = compB.collect { case (d, k) if d == k && !killed(k) => d }.toSet
+    assert(got === (acceptedA ++ acceptedB))
+    assert(acceptedA.size < oddIds.size || acceptedB.size < evenIds.size,
+      "fixture should suppress at least one near-duplicate")
+    // replay idempotence: re-feeding an accepted doc self-matches the base
+    val q3 = graft.streaming.DocStream.startNearDupSink(
+      stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      basePath, s"$root/ckpt2", Trigger.AvailableNow())
+    stream.addData(odd.take(3): _*)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(basePath).count() === got.size.toLong,
+      "replayed accepted docs must not land a second base row")
+  }
+
   test("stateful new-series detection emits each fingerprint once") {
     val (stream, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 1, 2.0), ("m2", T0, 3.0)))
