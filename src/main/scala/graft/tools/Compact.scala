@@ -23,11 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object Compact {
 
+  /** Rollup retention policy: buckets younger than `horizonMs` keep the
+    * table's native step; older buckets are re-merged to `coarseStepMs`
+    * (must be a multiple of the native step; the partials algebra makes
+    * the coarsening EXACT — cnt/sum/sum_sq add, min/max combine,
+    * first/last pack-merge, sketches merge), or DROPPED when
+    * `coarseStepMs <= 0`. This bounds a year-long stream's partial-row
+    * count: a 15 s-step rollup coarsened to 1 h past 30 days carries
+    * 240× fewer rows for the tail than an unbounded table.
+    *
+    * Resolution contract: hinted reads at steps that are multiples of
+    * `coarseStepMs` are UNCHANGED over the whole range (ToolsSpec pins
+    * this); hints finer than the coarse step over the aged range can only
+    * be answered at coarse alignment — the caller's re-filter (hints are
+    * advisory, bucket-aligned semantics) sees coarser buckets there, the
+    * same trade every downsampling TSDB retention makes.
+    * `nowMs` is injectable for deterministic tests. */
+  case class RollupRetention(horizonMs: Long, coarseStepMs: Long,
+      nowMs: Option[Long] = None)
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(
-      sys.error("usage: Compact <storeRoot> [rollupStepMs] [filesPerDay]"))
+      sys.error("usage: Compact <storeRoot> [rollupStepMs] [filesPerDay] [retentionMs coarseStepMs]"))
     val stepOverride = args.lift(1).map(_.toLong)
     val filesPerDay = args.lift(2).map(_.toInt).getOrElse(1)
+    val retention = args.lift(3).map(_.toLong).map(h =>
+      RollupRetention(h, args.lift(4).map(_.toLong).getOrElse(0L)))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -36,7 +57,7 @@ object Compact {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.Engine.install(spark)
-    run(spark, root, stepOverride, filesPerDay)
+    run(spark, root, stepOverride, filesPerDay, retention)
     spark.stop()
   }
 
@@ -47,7 +68,7 @@ object Compact {
     *   days are RANGE-split by fingerprint — each file covers a disjoint
     *   fingerprint range, so point lookups still touch one file per day. */
   def run(spark: SparkSession, root: String, rollupStepMs: Option[Long] = None,
-      filesPerDay: Int = 1): Unit = {
+      filesPerDay: Int = 1, retention: Option[RollupRetention] = None): Unit = {
     val stage = s"$root/.compact_stage"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -128,7 +149,20 @@ object Compact {
           graft.storage.Storage.rollupPartials(
             samples.select("fingerprint", "timestamp_ms", "value"), step)
         }
-      compacted
+      // retention: native-step rows inside the horizon; aged buckets
+      // re-merged to the coarse step (exact partials algebra) or dropped
+      val retained = retention match {
+        case None => compacted
+        case Some(r) =>
+          val cut = r.nowMs.getOrElse(System.currentTimeMillis()) - r.horizonMs
+          val recent = compacted.where(col("bucket_ms") >= cut)
+          if (r.coarseStepMs <= 0) recent
+          else recent.unionByName(
+            graft.storage.Storage
+              .mergeRollup(compacted.where(col("bucket_ms") < cut), r.coarseStepMs)
+              .withColumnRenamed("timestamp_ms", "bucket_ms"))
+      }
+      retained
         .withColumn("date", to_date(timestamp_millis(col("bucket_ms"))))
         .select(col("fingerprint"), col("bucket_ms"), col("cnt"), col("min_v"),
           col("max_v"), col("sum_v"), col("sum_sq"), col("first_ts"), col("first_v"),

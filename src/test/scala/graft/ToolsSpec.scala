@@ -204,6 +204,67 @@ class ToolsSpec extends AnyFunSuite {
       s"; recentProgress=${q.recentProgress.map(_.json).mkString("\n")}")
   }
 
+  test("rollup retention: native step inside horizon, exact coarse merge past it, hinted reads stable") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_retention_").toString
+    val store = new ParquetStore(spark, root, rollupStepMs = 1000L)
+    val day = 86400000L
+    // integer-valued doubles: partial sums are exact regardless of merge
+    // order, so before/after comparisons can demand byte equality
+    def batch(off: Long) = spark.range(20).select(
+      map(lit("__name__"), lit("m"), lit("i"), (col("id") % 2).cast("string")).as("labels"),
+      (lit(T0) + lit(off) + col("id") * 500L).as("timestamp_ms"),
+      (col("id") + off % 97).cast("double").as("value"))
+    // two batches per range -> multiple partial rows per (fp, bucket)
+    store.write(batch(0)); store.write(batch(250))            // aged range
+    store.write(batch(day)); store.write(batch(day + 250))    // recent range
+    val hq = Query(0L, Long.MaxValue, Seq.empty,
+      Some(ReadHints(stepMs = 60000L, func = "avg")))
+    val before = store.readTimeSeries(hq)
+    val cut0 = T0 + day + 10000L - day / 2
+    // materialize pre-compaction facts NOW — the swap below replaces the
+    // files under any lazy frame
+    val rollupRows = spark.read.parquet(s"$root/samples_rollup")
+    val unmergedBefore = rollupRows.groupBy("fingerprint", "bucket_ms").count()
+      .where(col("count") > 1).count()
+    val agedRowsBefore = rollupRows.where(col("bucket_ms") < cut0).count()
+    assert(unmergedBefore > 0, "fixture needs unmerged partial rows")
+
+    graft.tools.Compact.run(spark, root, retention = Some(
+      graft.tools.Compact.RollupRetention(horizonMs = day / 2, coarseStepMs = 60000L,
+        nowMs = Some(T0 + day + 10000L))))
+    store.invalidateIndex()
+
+    val after = spark.read.parquet(s"$root/samples_rollup")
+    val cut = T0 + day + 10000L - day / 2
+    // inside the horizon: native 1000 ms buckets, exactly 1 row per key
+    val recent = after.where(col("bucket_ms") >= cut)
+    assert(recent.count() > 0)
+    assert(recent.where(pmod(col("bucket_ms"), lit(60000L)) === 0).count() === 0,
+      "recent buckets stay at native step (T0 is deliberately 60 s-misaligned)")
+    assert(after.groupBy("fingerprint", "bucket_ms").count()
+      .where(col("count") > 1).count() === 0, "compaction leaves 1 row per (fp, bucket)")
+    // past the horizon: every bucket 60 s-aligned, row count collapsed
+    val aged = after.where(col("bucket_ms") < cut)
+    assert(aged.count() > 0)
+    assert(aged.where(pmod(col("bucket_ms"), lit(60000L)) =!= 0).count() === 0,
+      "aged buckets must be coarse-aligned")
+    assert(aged.count() < agedRowsBefore)
+    // hinted read at a multiple of the coarse step: byte-identical
+    assert(store.readTimeSeries(hq) === before)
+    // the hint still serves from the rollup, not raw
+    assert(store.readSeries(hq).queryExecution.executedPlan.toString
+      .contains("samples_rollup"))
+
+    // drop mode: coarseStepMs=0 discards the aged range entirely
+    graft.tools.Compact.run(spark, root, retention = Some(
+      graft.tools.Compact.RollupRetention(horizonMs = day / 2, coarseStepMs = 0L,
+        nowMs = Some(T0 + day + 10000L))))
+    store.invalidateIndex()
+    assert(spark.read.parquet(s"$root/samples_rollup")
+      .where(col("bucket_ms") < cut).count() === 0)
+  }
+
   test("ext functions are SQL-registered") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
