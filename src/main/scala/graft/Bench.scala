@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline operator queries on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},
+  * "ingest_samples_per_sec":…,"ingest_rounds_sec":[…],"probe_ms":[…],
+  * "bytes_per_sample":…,"sf":…}` — `probe_ms` stamps machine health
+  * around each timed round so a degraded co-tenant window is detectable
+  * from the artifact alone; ingest is interleaved min-of-3 like the
+  * queries.
   *
   * Timing forces full materialization via the `noop` sink — `count()`
   * would let Catalyst prune computed columns and under-report.
