@@ -628,6 +628,119 @@ object DedupQueries {
       .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
+  /** Merged (non-overlapping) duplicated-span extents per doc: adjacent
+    * d10 spans whose extents overlap (gap between runs < n tokens) union
+    * into one interval — the coverage geometry d11/d12 consume. Second
+    * gaps-and-islands pass, per-doc window state = one doc's spans. */
+  def mergedSpanExtents(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("doc_id").orderBy("span_start")
+    substringSpansOf(docs, n)
+      .withColumn("prev_max",
+        max("span_end").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("span_start") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum("new_isl").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("span_start").as("s"), max("span_end").as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** The shared d10 CTE chain (positional grams → duplicated positions →
+    * maximal runs → merged extents) — d11/d12's oracles build on it. */
+  private def spanOracleCtes(L: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$L], ' ') AS gram
+       |  FROM w, unnest(range(0, greatest(len(ws) - $L + 1, 0))) AS t(i)),
+       |d AS (
+       |  SELECT doc_id, pos FROM g
+       |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM d),
+       |sp AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + $L AS e
+       |  FROM r GROUP BY doc_id, island),
+       |x AS (
+       |  SELECT doc_id, s, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM sp),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM x),
+       |mi AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM m GROUP BY doc_id, isl)""".stripMargin
+
+  /** D11: duplicated-span coverage — the per-doc fraction of tokens inside
+    * any duplicated span, THE decision signal of ExactSubstr dedup (gate
+    * on coverage > threshold to drop boilerplate-heavy docs; report it on
+    * a dataset card). Overlapping span extents (runs closer than n) are
+    * union-merged first, so a token is never counted twice. Same plan
+    * family as d10 plus one bounded per-doc window and a broadcast-sized
+    * join back to the corpus' word counts. */
+  private val d11Coverage = withOracle("d11_span_coverage",
+    s"""${spanOracleCtes(SpanWords)},
+       |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM mi GROUP BY doc_id)
+       |SELECT w.doc_id, len(w.ws) AS n_words,
+       |       coalesce(cov.dup_tokens, 0) AS dup_tokens,
+       |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / greatest(len(w.ws), 1), 6) AS coverage
+       |FROM w LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val cov = mergedSpanExtents(docs, SpanWords)
+      .groupBy("doc_id").agg(sum(col("e") - col("s")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("n_words"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .select(col("doc_id"), col("n_words"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / greatest(col("n_words"), lit(1L)), 6)
+          .as("coverage"))
+  }
+
+  /** D12: substring scrub — the TRANSFORM of ExactSubstr dedup: every
+    * token inside a duplicated span removed (all occurrences, the Lee et
+    * al. policy), remaining tokens rejoined. The merged extents collect
+    * into one bounded array per affected doc (spans per doc, not corpus
+    * rows) and the word filter is a map-side higher-order function over
+    * the existing word array — the corpus text is scanned once and never
+    * shuffled; clean docs pass through a left join untouched. Output is
+    * counts + an md5 of the scrubbed text (engine-portable; the full
+    * string would bloat the gate dump). */
+  private val d12Scrub = withOracle("d12_substring_scrub",
+    s"""${spanOracleCtes(SpanWords)},
+       |cv AS (SELECT doc_id, flatten(list(range(s, e))) AS covered FROM mi GROUP BY doc_id)
+       |SELECT w.doc_id, len(w.ws) AS n_words,
+       |       len(w.ws) - coalesce(len(cv.covered), 0) AS kept_tokens,
+       |       md5(coalesce(array_to_string(
+       |         list_transform(
+       |           list_filter(range(0, len(w.ws)),
+       |                       i -> NOT list_contains(coalesce(cv.covered, []), i)),
+       |           i -> w.ws[i + 1]), ' '), '')) AS scrubbed_hash
+       |FROM w LEFT JOIN cv USING (doc_id)""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val iv = mergedSpanExtents(docs, SpanWords)
+      .groupBy("doc_id").agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .join(iv, Seq("doc_id"), "left")
+      // null iv = clean doc: keep every word (a null short-circuits the
+      // HOF predicate to null, which filter() would read as drop-all)
+      .withColumn("kept", when(col("iv").isNull, col("ws"))
+        .otherwise(filter(col("ws"), (_, i) =>
+          !exists(col("iv"), x =>
+            i.cast("long") >= x.getField("s") && i.cast("long") < x.getField("e")))))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("scrubbed_hash"))
+  }
+
   private val d10Substring = withOracle("d10_substring_dedup",
     s"""WITH w AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
@@ -649,5 +762,5 @@ object DedupQueries {
 
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
-      d8ContaminationBloom, d9Incremental, d10Substring)
+      d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub)
 }

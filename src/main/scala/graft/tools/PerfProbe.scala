@@ -17,6 +17,17 @@ object PerfProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (install) graft.plans.Engine.install(spark)
+    // same machine-health stamp as Bench: ~250 ms nominal here; a stamp
+    // ≫2× that means the probe itself ran in a degraded window and its
+    // numbers indict the machine, not the code
+    def calib(): Unit = {
+      var h = 0x9e3779b97f4a7c15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < (1 << 26)) { h = graft.ext.ExtOps.splitmix64(h); i += 1 }
+      if (h != 42L) println(f"CALIB ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+    calib()
     args.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
@@ -25,6 +36,7 @@ object PerfProbe {
         println(f"PROBE $name run$i install=$install ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
+    calib()
     spark.stop()
   }
 }

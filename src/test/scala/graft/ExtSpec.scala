@@ -490,6 +490,64 @@ class ExtSpec extends AnyFunSuite {
     assert(got.count(_._1 == 2L) >= 2)
   }
 
+  test("d11/d12: span coverage and scrub agree with a brute-force token-set oracle") {
+    import spark.implicits._
+    val licence = "licensed under the apache license version two zero"
+    val rows = Seq(
+      (1L, s"alpha beta gamma $licence delta epsilon"),
+      (2L, s"$licence foo bar foo bar foo bar baz"),
+      (3L, "completely unique text with no repeated spans anywhere at all"),
+      (4L, licence)) // fully covered -> coverage 1.0, scrub to empty
+    val df = rows.toDF("doc_id", "text")
+    val n = 3
+    // brute force: covered = union of [p, p+n) over positions whose n-gram
+    // occurs >1 times corpus-wide
+    val wss = rows.map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    val counts = wss.flatMap { case (_, ws) =>
+      ws.sliding(n).filter(_.size == n).map(_.mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val covered = wss.map { case (id, ws) =>
+      id -> ws.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.size == n && counts(g.mkString(" ")) > 1 => i until (i + n)
+      }.flatten.toSet
+    }.toMap
+
+    val cov = graft.queries.DedupQueries.mergedSpanExtents(df, n)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2))).toMap
+    for ((id, ws) <- wss) {
+      val got = cov.getOrElse(id, Array.empty[(Long, Long)])
+        .flatMap { case (s, e) => s until e }.toSet
+      assert(got.map(_.toInt) === covered(id), s"doc $id covered-token set")
+      // merged intervals are disjoint and non-adjacent-overlapping
+      val sorted = cov.getOrElse(id, Array.empty[(Long, Long)]).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 > e1, s"doc $id intervals must be disjoint")
+        case _ =>
+      }
+    }
+    // scrubbed text = words outside the covered set, in order (the d12
+    // word-filter shape over this toy frame)
+    val got12 = {
+      val iv = graft.queries.DedupQueries.mergedSpanExtents(df, n)
+      df.select($"doc_id", graft.ext.TextAnalysis.words($"text").as("ws"))
+        .join(iv.groupBy("doc_id").agg(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct($"s", $"e")).as("iv")), Seq("doc_id"), "left")
+        .withColumn("kept", org.apache.spark.sql.functions.when($"iv".isNull, $"ws")
+          .otherwise(org.apache.spark.sql.functions.filter($"ws", (_, i) =>
+            !org.apache.spark.sql.functions.exists($"iv", x =>
+              i.cast("long") >= x.getField("s") && i.cast("long") < x.getField("e")))))
+        .select($"doc_id", org.apache.spark.sql.functions.concat_ws(" ", $"kept").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    for ((id, ws) <- wss) {
+      val want = ws.zipWithIndex.collect { case (w, i) if !covered(id)(i) => w }.mkString(" ")
+      assert(got12(id) === want, s"doc $id scrubbed text")
+    }
+    assert(got12(4L) === "", "fully-duplicated doc scrubs to empty")
+  }
+
   test("bottom_k aggregate = row_number window selection, through a real exchange") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
