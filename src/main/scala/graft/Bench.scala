@@ -53,23 +53,15 @@ object Bench {
       }
     }
 
-    // Machine-health calibration: a fixed single-threaded CPU workload
-    // (2^26 splitmix64 steps) timed before each round and after the last.
-    // The workload is constant, so any spread across the stamps is the
+    // Machine-health calibration stamp before each round and after the
+    // last (graft.tools.MachineProbe — the one shared workload PerfProbe
+    // also prints, so stamps are comparable across artifacts). The
+    // workload is constant, so any spread across the stamps is the
     // MACHINE's (this sandbox exhibits bursty multi-second co-tenant
     // stalls: a 0.9 s query observed at 75 s, CPU-pressure ≈ 0) — a run
     // whose probe stamps disagree by ≫2× is degraded and its regressions
-    // are noise, detectable from the bench artifact alone. Nominal on
-    // this sandbox: ~250-500 ms.
-    def probeMs(): Double = {
-      var h = 0x9e3779b97f4a7c15L
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < (1 << 26)) { h = graft.ext.ExtOps.splitmix64(h); i += 1 }
-      val ms = (System.nanoTime() - t0) / 1e6
-      if (h == 42L) System.err.println("") // consume h: defeat DCE
-      ms
-    }
+    // are noise, detectable from the bench artifact alone.
+    def probeMs(): Double = graft.tools.MachineProbe.stampMs()
 
     // Ingest workload: 2M Prometheus-shaped samples through the full write
     // path (fingerprint + new-series anti-join + partitioned sorted

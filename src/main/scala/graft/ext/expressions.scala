@@ -107,6 +107,21 @@ object ExtOps {
     out
   }
 
+  /** The space-joined n-gram starting at word `i` — ONE definition of
+    * gram-string construction (separator, join order) shared by
+    * [[repetitionStats]], [[shingleSet]] and [[gramHashes]]: d2/d7
+    * shingles, t6 repetition signals and d10 span hashes must all agree
+    * on what an n-gram IS for the oracle-parity story to hold. */
+  @inline private def gramAt(ws: ArrayData, i: Int, n: Int): UTF8String = {
+    var s = ws.getUTF8String(i)
+    var j = 1
+    while (j < n) {
+      s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
+      j += 1
+    }
+    s
+  }
+
   /** n-gram repetition statistics in one O(words) hashmap pass:
     * (total n-gram instances, instances whose n-gram occurs more than
     * once, occurrences of the most frequent n-gram) — the Gopher-rule
@@ -122,13 +137,7 @@ object ExtOps {
     val freq = new java.util.HashMap[UTF8String, Int](math.min(count, 1 << 20) * 2)
     var i = 0
     while (i <= count - n) {
-      var s = ws.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
-        j += 1
-      }
-      freq.merge(s, 1, (a, b) => a + b)
+      freq.merge(gramAt(ws, i, n), 1, (a, b) => a + b)
       i += 1
     }
     var dup = 0L; var top = 0L
@@ -152,13 +161,7 @@ object ExtOps {
     val seen = new java.util.LinkedHashSet[UTF8String](math.min(count, 1 << 20) * 2)
     var i = 0
     while (i <= count - n) {
-      var s = ws.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
-        j += 1
-      }
-      seen.add(s)
+      seen.add(gramAt(ws, i, n))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
@@ -178,13 +181,7 @@ object ExtOps {
     val out = new Array[Long](count - n + 1)
     var i = 0
     while (i <= count - n) {
-      var s = ws.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = UTF8String.concat(s, UTF8String.fromString(" "), ws.getUTF8String(i + j))
-        j += 1
-      }
-      out(i) = hash64(s)
+      out(i) = hash64(gramAt(ws, i, n))
       i += 1
     }
     new GenericArrayData(out)

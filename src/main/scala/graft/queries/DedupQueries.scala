@@ -180,19 +180,23 @@ object DedupQueries {
       .select(col("doc_id"), shingles(col("ws"), 2).as("sh"))
       .withColumn("sig", minhash_signature(col("sh"), MinhashK))
 
-  /** Verified near-dup pairs between a bounded probe frame and an
-    * accumulated base signature table — the LSH probe of the streaming
-    * near-dup front door (DocStream). The base is scanned ONCE map-side
-    * against the probe's broadcast band keys (the base is never shuffled
-    * before candidate pruning — the d8 shape with band buckets in place
-    * of a Bloom sketch); only candidate pairs enter the exact-Jaccard
-    * verify. No bucket cap: candidates are bounded by |probe| × bucket
-    * co-location, and the probe side is a micro-batch. */
+  /** Verified near-dup pairs between a probe frame and an accumulated
+    * base signature table — the LSH probe of the streaming near-dup
+    * front door (DocStream). The candidate join is UNHINTED: for a
+    * normal micro-batch AQE broadcasts the probe's band keys and the
+    * base scans once map-side, never shuffling; for a backlog-sized
+    * first batch (the checkpoint-wipe replay path, Trigger.AvailableNow
+    * over history) a forced broadcast would blow the driver, so AQE
+    * falls back to shuffling both sides on the uniform band key — the
+    * same no-hint policy minhashPairsOfSigs states for its verify
+    * joins. Only candidate pairs enter the exact-Jaccard verify. No
+    * bucket cap: candidates are bounded by |probe| × bucket
+    * co-location. */
   def probePairsAgainst(probeSigs: DataFrame, baseSigs: DataFrame): DataFrame = {
     val pBand = bandedKeys(probeSigs).select(
       col("doc_id").as("new_id"), col("band"), col("band_hash"))
     val cand = bandedKeys(baseSigs)
-      .join(broadcast(pBand), Seq("band", "band_hash"))
+      .join(pBand, Seq("band", "band_hash"))
       .select(col("new_id"), col("doc_id").as("base_id"))
       .distinct()
     cand
@@ -742,18 +746,9 @@ object DedupQueries {
   }
 
   private val d10Substring = withOracle("d10_substring_dedup",
-    s"""WITH w AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-       |g AS (
-       |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$SpanWords], ' ') AS gram
-       |  FROM w, unnest(range(0, greatest(len(ws) - $SpanWords + 1, 0))) AS t(i)),
-       |d AS (
-       |  SELECT doc_id, pos FROM g
-       |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)),
-       |r AS (
-       |  SELECT doc_id, pos,
-       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM d)
+    // shares spanOracleCtes with d11/d12 — one source of truth for the
+    // gram/run definitions; DuckDB skips the unreferenced sp/x/m/mi tail
+    s"""${spanOracleCtes(SpanWords)}
        |SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanWords AS span_end,
        |       count(*) AS n_dup_grams
        |FROM r GROUP BY doc_id, island""".stripMargin) { (s, dir) =>

@@ -31,9 +31,20 @@ object SimilarityQueries {
     * formulation, whose exchange funnels the ENTIRE scored pair set into
     * |queries| partitions (one task per query: maximal skew at 100 TB).
     * Output: (query_id, vec_id, score) at full precision; −(−score)
-    * round-trips doubles exactly. */
+    * round-trips doubles exactly.
+    *
+    * UNDEFINED scores are excluded before ranking: a zero-norm vector
+    * makes cosine 0/0 = NaN, and a null embedding a null score — negation
+    * would rank NaN last (where a DESC window ranks it first) and struct
+    * ordering would rank null best (where a DESC window ranks it last),
+    * so rather than inherit either accident, the contract here is
+    * explicit: a pair whose similarity is undefined is not a neighbor.
+    * Deterministic, and the only divergence from the window/oracle
+    * formulation is on corpora containing zero-norm or null vectors. */
   private def perQueryTopK(pairs: DataFrame, score: Column, k: Int): DataFrame =
-    pairs.groupBy(col("query_id"))
+    pairs
+      .where(score.isNotNull && !isnan(score))
+      .groupBy(col("query_id"))
       .agg(bottom_k(struct((-score).as("ns"), col("vec_id").as("vec_id")), k).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.vec_id").as("vec_id"), (-col("t.ns")).as("score"))

@@ -44,10 +44,12 @@ object DocStream {
     *      ([[graft.queries.DedupQueries.minhashPairsOfSigs]] + min-label
     *      CC — micro-batch-sized inputs);
     *   3. LSH probe of the batch against the ACCUMULATED base signature
-    *      table ([[graft.queries.DedupQueries.probePairsAgainst]]): the
-    *      base scans once map-side against broadcast batch band keys —
-    *      the base is never shuffled, so per-batch cost tracks batch
-    *      size, not corpus size;
+    *      table ([[graft.queries.DedupQueries.probePairsAgainst]]): for
+    *      a normal micro-batch AQE broadcasts the batch's band keys and
+    *      the base scans once map-side without shuffling, so per-batch
+    *      cost tracks batch size, not corpus size (a backlog-sized
+    *      replay batch instead shuffle-joins on the uniform band key —
+    *      no forced broadcast to blow up on);
     *   4. acceptance: one keeper (min doc_id) per within-batch component,
     *      and NO member of a component any of whose members verified
     *      against the base (that family is already represented);

@@ -47,8 +47,15 @@ object Compact {
       sys.error("usage: Compact <storeRoot> [rollupStepMs] [filesPerDay] [retentionMs coarseStepMs]"))
     val stepOverride = args.lift(1).map(_.toLong)
     val filesPerDay = args.lift(2).map(_.toInt).getOrElse(1)
-    val retention = args.lift(3).map(_.toLong).map(h =>
-      RollupRetention(h, args.lift(4).map(_.toLong).getOrElse(0L)))
+    // the pair is required together: defaulting a missing coarseStepMs to
+    // 0 would silently select DROP mode — a destructive policy must be
+    // spelled out (pass an explicit 0 to drop aged buckets)
+    val retention = args.lift(3).map(_.toLong).map { h =>
+      val coarse = args.lift(4).map(_.toLong).getOrElse(sys.error(
+        "retentionMs requires an explicit coarseStepMs (0 = DROP aged buckets; " +
+          "n = re-merge them to n ms buckets)"))
+      RollupRetention(h, coarse)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -154,6 +161,23 @@ object Compact {
       val retained = retention match {
         case None => compacted
         case Some(r) =>
+          if (r.coarseStepMs > 0) {
+            // enforce the documented multiple-of-native-step contract —
+            // a non-multiple coarse step would floor native buckets
+            // across boundaries and silently break the hinted-read
+            // stability ToolsSpec pins. Native step: as passed, or
+            // inferred from the bucket keys exactly like the backfill.
+            val native = rollupStepMs.getOrElse {
+              @annotation.tailrec
+              def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+              val bs = rollup.select("bucket_ms").distinct().limit(10000)
+                .collect().map(r0 => math.abs(r0.getLong(0))).filter(_ != 0)
+              if (bs.isEmpty) 1L else bs.reduce(gcd)
+            }
+            require(r.coarseStepMs % native == 0,
+              s"retention coarseStepMs=${r.coarseStepMs} must be a multiple of the " +
+                s"rollup's native step (${native} ms)")
+          }
           val cut = r.nowMs.getOrElse(System.currentTimeMillis()) - r.horizonMs
           val recent = compacted.where(col("bucket_ms") >= cut)
           if (r.coarseStepMs <= 0) recent

@@ -1,0 +1,19 @@
+package graft.tools
+
+/** Fixed single-threaded CPU workload (2^26 splitmix64 steps, ~240 ms
+  * nominal on this sandbox) used as the machine-health stamp by Bench
+  * (`probe_ms` in the JSON artifact) and PerfProbe (`CALIB` lines). ONE
+  * definition: the stamps are only comparable across artifacts while the
+  * workload stays byte-identical — a stamp ≫2× nominal means that moment
+  * sat in a degraded co-tenant window and nearby timings are noise. */
+object MachineProbe {
+  def stampMs(): Double = {
+    var h = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 26)) { h = graft.ext.ExtOps.splitmix64(h); i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (h == 42L) System.err.println("") // consume h: defeat DCE
+    ms
+  }
+}

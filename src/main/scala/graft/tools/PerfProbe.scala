@@ -17,16 +17,11 @@ object PerfProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (install) graft.plans.Engine.install(spark)
-    // same machine-health stamp as Bench: ~250 ms nominal here; a stamp
-    // ≫2× that means the probe itself ran in a degraded window and its
-    // numbers indict the machine, not the code
-    def calib(): Unit = {
-      var h = 0x9e3779b97f4a7c15L
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < (1 << 26)) { h = graft.ext.ExtOps.splitmix64(h); i += 1 }
-      if (h != 42L) println(f"CALIB ${(System.nanoTime() - t0) / 1e6}%.0f ms")
-    }
+    // same machine-health stamp as Bench's probe_ms (one shared
+    // workload, MachineProbe): a stamp ≫2× nominal means the probe
+    // itself ran in a degraded window and its numbers indict the
+    // machine, not the code
+    def calib(): Unit = println(f"CALIB ${MachineProbe.stampMs()}%.0f ms")
     calib()
     args.foreach { name =>
       (1 to 3).foreach { i =>
