@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus curation pipeline as ONE declarative DAG:
   * quality gate → exact dedup keeper election → benchmark decontamination →
+  * duplicated-span coverage (the ExactSubstr signal, reported per doc) →
   * deterministic split assignment, emitting the per-document manifest a
   * training dataloader consumes. Each stage exists (and is oracle-checked)
-  * standalone — t5, d1, d7/d8, sp1 — this operator is their composition,
-  * the artifact a user of the engine actually ships.
+  * standalone — t5, d1, d7/d8, d11, sp1 — this operator is their
+  * composition, the artifact a user of the engine actually ships.
   *
   * Scale shape (the point of composing in one DAG instead of four jobs):
   * the tokenized words array is computed ONCE and feeds the quality gate,
@@ -24,11 +25,11 @@ object CurationQueries {
   import QueryDef._
 
   private val cur1 = withOracle("cur1_curation_manifest",
-    """WITH pool AS (
+    s"""WITH pool AS (
       |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 >= 5),
       |w AS (
       |  SELECT doc_id, lang, text,
-      |         string_split_regex(lower(trim(text)), '\s+') AS ws
+      |         string_split_regex(lower(trim(text)), '\\s+') AS ws
       |  FROM pool),
       |gop AS (
       |  SELECT doc_id, lang, text, len(ws) AS n_tokens,
@@ -46,19 +47,24 @@ object CurationQueries {
       |                          i -> array_to_string(ws[i:i+3], ' ')))) AS g
       |  FROM w),
       |bw AS (
-      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
       |  FROM documents WHERE doc_id % 100 < 5),
       |bench AS (
       |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)),
       |                           i -> array_to_string(ws[i:i+3], ' ')))) AS g
       |  FROM bw),
-      |contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (g))
+      |contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (g)),
+      |${graft.queries.DedupQueries.spanCtes(graft.queries.DedupQueries.SpanWords, "pool")},
+      |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM sp_mi GROUP BY doc_id)
       |SELECT gop.doc_id, gop.lang, gop.n_tokens,
+      |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / greatest(gop.n_tokens, 1), 6)
+      |         AS span_cov,
       |       CASE WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'e666' THEN 'train'
       |            WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'f333' THEN 'val'
       |            ELSE 'test' END AS split
       |FROM gop
       |JOIN keep ON md5(gop.text) = keep.ch AND gop.doc_id = keep.keep_id
+      |LEFT JOIN cov ON gop.doc_id = cov.doc_id
       |WHERE gop.ok
       |  AND gop.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
@@ -88,13 +94,29 @@ object CurationQueries {
       .join(broadcast(bench), "g")
       .select("doc_id").distinct()
 
+    // d11's duplicated-span coverage over the pool — REPORTED, not gated:
+    // an exact-dup family's keeper legitimately carries coverage ≈ 1.0
+    // (its twin duplicates every gram), so a hard coverage gate here
+    // would undo the keeper election above. The manifest carries the
+    // signal; a scrub stage (d12) or a corpus-level threshold consumes it.
+    val cov = graft.queries.DedupQueries
+      .mergedSpanExtents(docs.where(col("doc_id") % 100 >= 5)
+        .select(col("doc_id"), col("text")), graft.queries.DedupQueries.SpanWords)
+      .groupBy("doc_id").agg(sum(col("e") - col("s")).as("dup_tokens"))
+
     // sp1's deterministic split hash
     val p = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
     gop.where(col("ok"))
       .join(keep, "ch").where(col("doc_id") === col("keep_id"))
       .join(contam, Seq("doc_id"), "left_anti")
+      .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         when(p < "e666", "train").when(p < "f333", "val").otherwise("test").as("split"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("dup_tokens").cast("double") /
+          greatest(col("n_tokens").cast("long"), lit(1L)), 6).as("span_cov"),
+        col("split"))
   }
 
   /** RP1: the dataset-card report — per-(source, lang) doc counts,

@@ -652,36 +652,40 @@ object DedupQueries {
       .select("doc_id", "s", "e")
   }
 
-  /** The shared d10 CTE chain (positional grams → duplicated positions →
-    * maximal runs → merged extents) — d11/d12's oracles build on it. */
-  private def spanOracleCtes(L: Int): String =
-    s"""WITH w AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-       |g AS (
+  /** The shared span CTE chain (positional grams → duplicated positions →
+    * maximal runs → merged extents), composable into a larger WITH: names
+    * are `sp_`-prefixed and the corpus source is a parameter, so d10/d11/
+    * d12 chain it over `documents` while cur1 chains it over its candidate
+    * pool alongside its own CTEs. Emits `sp_w` (doc_id, ws), `sp_r`
+    * (duplicated positions + island) and `sp_mi` (merged extents). */
+  private[queries] def spanCtes(L: Int, source: String = "documents"): String =
+    s"""sp_w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $source),
+       |sp_g AS (
        |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$L], ' ') AS gram
-       |  FROM w, unnest(range(0, greatest(len(ws) - $L + 1, 0))) AS t(i)),
-       |d AS (
-       |  SELECT doc_id, pos FROM g
-       |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)),
-       |r AS (
+       |  FROM sp_w, unnest(range(0, greatest(len(ws) - $L + 1, 0))) AS t(i)),
+       |sp_d AS (
+       |  SELECT doc_id, pos FROM sp_g
+       |  WHERE gram IN (SELECT gram FROM sp_g GROUP BY gram HAVING count(*) > 1)),
+       |sp_r AS (
        |  SELECT doc_id, pos,
        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM d),
-       |sp AS (
+       |  FROM sp_d),
+       |sp_sp AS (
        |  SELECT doc_id, min(pos) AS s, max(pos) + $L AS e
-       |  FROM r GROUP BY doc_id, island),
-       |x AS (
+       |  FROM sp_r GROUP BY doc_id, island),
+       |sp_x AS (
        |  SELECT doc_id, s, e,
        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-       |  FROM sp),
-       |m AS (
+       |  FROM sp_sp),
+       |sp_m AS (
        |  SELECT doc_id, s, e,
        |         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY doc_id ORDER BY s
        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-       |  FROM x),
-       |mi AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM m GROUP BY doc_id, isl)""".stripMargin
+       |  FROM sp_x),
+       |sp_mi AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM sp_m GROUP BY doc_id, isl)""".stripMargin
 
   /** D11: duplicated-span coverage — the per-doc fraction of tokens inside
     * any duplicated span, THE decision signal of ExactSubstr dedup (gate
@@ -691,12 +695,12 @@ object DedupQueries {
     * family as d10 plus one bounded per-doc window and a broadcast-sized
     * join back to the corpus' word counts. */
   private val d11Coverage = withOracle("d11_span_coverage",
-    s"""${spanOracleCtes(SpanWords)},
-       |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM mi GROUP BY doc_id)
-       |SELECT w.doc_id, len(w.ws) AS n_words,
+    s"""WITH ${spanCtes(SpanWords)},
+       |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM sp_mi GROUP BY doc_id)
+       |SELECT sp_w.doc_id, len(sp_w.ws) AS n_words,
        |       coalesce(cov.dup_tokens, 0) AS dup_tokens,
-       |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / greatest(len(w.ws), 1), 6) AS coverage
-       |FROM w LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
+       |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / greatest(len(sp_w.ws), 1), 6) AS coverage
+       |FROM sp_w LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val cov = mergedSpanExtents(docs, SpanWords)
       .groupBy("doc_id").agg(sum(col("e") - col("s")).as("dup_tokens"))
@@ -719,16 +723,16 @@ object DedupQueries {
     * counts + an md5 of the scrubbed text (engine-portable; the full
     * string would bloat the gate dump). */
   private val d12Scrub = withOracle("d12_substring_scrub",
-    s"""${spanOracleCtes(SpanWords)},
-       |cv AS (SELECT doc_id, flatten(list(range(s, e))) AS covered FROM mi GROUP BY doc_id)
-       |SELECT w.doc_id, len(w.ws) AS n_words,
-       |       len(w.ws) - coalesce(len(cv.covered), 0) AS kept_tokens,
+    s"""WITH ${spanCtes(SpanWords)},
+       |cv AS (SELECT doc_id, flatten(list(range(s, e))) AS covered FROM sp_mi GROUP BY doc_id)
+       |SELECT sp_w.doc_id, len(sp_w.ws) AS n_words,
+       |       len(sp_w.ws) - coalesce(len(cv.covered), 0) AS kept_tokens,
        |       md5(coalesce(array_to_string(
        |         list_transform(
-       |           list_filter(range(0, len(w.ws)),
+       |           list_filter(range(0, len(sp_w.ws)),
        |                       i -> NOT list_contains(coalesce(cv.covered, []), i)),
-       |           i -> w.ws[i + 1]), ' '), '')) AS scrubbed_hash
-       |FROM w LEFT JOIN cv USING (doc_id)""".stripMargin) { (s, dir) =>
+       |           i -> sp_w.ws[i + 1]), ' '), '')) AS scrubbed_hash
+       |FROM sp_w LEFT JOIN cv USING (doc_id)""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val iv = mergedSpanExtents(docs, SpanWords)
       .groupBy("doc_id").agg(collect_list(struct(col("s"), col("e"))).as("iv"))
@@ -746,12 +750,12 @@ object DedupQueries {
   }
 
   private val d10Substring = withOracle("d10_substring_dedup",
-    // shares spanOracleCtes with d11/d12 — one source of truth for the
-    // gram/run definitions; DuckDB skips the unreferenced sp/x/m/mi tail
-    s"""${spanOracleCtes(SpanWords)}
+    // shares spanCtes with d11/d12/cur1 — one source of truth for the
+    // gram/run definitions; DuckDB skips the unreferenced interval tail
+    s"""WITH ${spanCtes(SpanWords)}
        |SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanWords AS span_end,
        |       count(*) AS n_dup_grams
-       |FROM r GROUP BY doc_id, island""".stripMargin) { (s, dir) =>
+       |FROM sp_r GROUP BY doc_id, island""".stripMargin) { (s, dir) =>
     substringSpans(s, dir, SpanWords)
   }
 

@@ -122,6 +122,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(a).contains("argument"), msgs(a))
   }
 
+  test("every kernel in the registration table resolves in the session registry") {
+    // samples above exercise semantics; this guards COMPLETENESS — a new
+    // kernel added to the Column API but forgotten in GraftFunctions.all
+    // would silently lack a SQL name (and rawsql access)
+    val reg = org.apache.spark.sql.graftbridge.functionRegistry(spark)
+    graft.plans.GraftFunctions.all.foreach { case (ident, _, _) =>
+      assert(reg.functionExists(ident), s"${ident.funcName} not registered")
+    }
+    assert(graft.plans.GraftFunctions.all.size >= 21)
+  }
+
   test("GraftExtensions installs functions and the nanos pushdown rule at build time") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
