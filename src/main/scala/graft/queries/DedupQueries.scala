@@ -411,6 +411,64 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
   }
 
+  /** SemDeDup clustering fan-out (k) and the within-cluster cosine
+    * threshold (d5's, so the k=1 degenerate case IS d5's pair set —
+    * the ExtSpec equality property). */
+  val SemK = 8
+  val SemThreshold = 0.4
+
+  /** Within-cluster exact-cosine pair candidates — the SemDeDup candidate
+    * generator (Abbas et al. 2023, arXiv:2303.09540): a KMeans coarse
+    * partition (deterministic seed) bounds the quadratic exact-cosine
+    * pass to within-cluster pairs. Every emitted pair is verified with
+    * the EXACT cosine (same formula as d5), so sem pairs ⊆ d5 pairs by
+    * construction — clustering only costs recall (cross-cluster dups),
+    * never precision; with k=1 the pair sets are equal (ExtSpec).
+    *
+    * Scale shape: the published recipe sizes k ∝ √n so expected cluster
+    * size stays bounded — the pair join is an equi-join on `cell` whose
+    * per-key cost is cluster², linear-ish in corpus for bounded clusters.
+    * Centroid training is a write-side one-off (like s3's IVF cells:
+    * store `cell` as a partition column); serving-side dedup reads only
+    * its own cell — embarrassingly parallel across cells. */
+  def semDedupPairs(s: SparkSession, dir: String, k: Int = SemK): DataFrame = {
+    val e0 = Tables(s, dir, "embeddings")
+    // k=1 is the degenerate no-clustering case (one cell = all pairs —
+    // the ExtSpec ≡-d5 anchor); KMeans itself requires k >= 2
+    val celled =
+      if (k == 1) e0.select(col("vec_id"), col("embedding"), lit(0).as("cell"))
+      else {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = e0.withColumn("features", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(k).setSeed(42).setMaxIter(5).fit(e)
+        model.transform(e)
+          .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      }
+    val assigned = celled.withColumn("nrm",
+      sqrt(dot_f(col("embedding"), col("embedding"))))
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val cos = dot_f(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b, Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(cos >= SemThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** SEM1: SemDeDup keeper manifest — semantic-duplicate families from
+    * within-cluster cosine pairs, collapsed to one keeper per family via
+    * the shared component election ([[keepList]], min-id keeper).
+    * KMeans isn't ANSI-expressible → rows-only; the subset/equality
+    * properties vs the oracle-checked d5 are pinned in ExtSpec. */
+  private val sem1SemDedup = rowsOnly("sem1_semdedup") { (s, dir) =>
+    keepList(semDedupPairs(s, dir),
+      Tables(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("keep_id"))
+  }
+
   /** D7: train/eval n-gram decontamination — flag training documents that
     * share word 4-grams with a benchmark set (here: the deterministic 5%
     * of docs with `doc_id % 100 < 5`; production uses the eval suites and
@@ -761,5 +819,6 @@ object DedupQueries {
 
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
-      d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub)
+      d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub,
+      sem1SemDedup)
 }

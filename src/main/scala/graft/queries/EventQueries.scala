@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — sessionization, ordered
+  * funnels and cohort retention, the clickstream/telemetry operators a user
+  * of the engine runs alongside the metric queries (q5-q9).
+  *
+  * Scale design shared by all three: the ONLY wide exchange is on
+  * `user_id` — the natural key, so at 100 TB each of these is one shuffle
+  * (or zero if the event log is already bucketed by user) followed by
+  * bounded per-user work. Nothing here windows or sorts the corpus
+  * globally, and per-user event counts are the bounded quantity (human
+  * users generate KBs/day) — the same per-group-bounded assumption as
+  * a1's series assembly.
+  */
+object EventQueries {
+
+  import QueryDef._
+
+  /** 30 minutes of inactivity closes a session — the conventional web
+    * analytics default. */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** EV1: gap-based sessionization — the lag/flag/running-sum idiom:
+    * a session opens at the first event and at every event more than
+    * [[SessionGapMs]] after its predecessor; the running sum of open
+    * flags numbers sessions within a user. Both windows share one
+    * (user_id, ts, event_id) partial order, so Spark plans a single
+    * Exchange+Sort feeding both lag and the running sum. Session value
+    * totals are summed as exact integer cents (the q8 cross-engine rule:
+    * double-sum order differs between engines; integer sums don't). */
+  private val ev1Sessionize = withOracle("ev1_sessionize",
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > $SessionGapMs
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM g)
+       |SELECT user_id, session_no,
+       |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+       |       count(*) AS n_events,
+       |       round(sum(cast(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+       |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+      .withColumn("ns",
+        when(col("prev_ms").isNull
+          || unix_millis(col("ts")) - col("prev_ms") > SessionGapMs, 1).otherwise(0))
+      .withColumn("session_no",
+        sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("sum_value"))
+  }
+
+  /** The ordered funnel's step sequence (see [[ev2Funnel]]). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** EV2: ordered funnel — how many users completed view → click →
+    * purchase IN ORDER (each step strictly after the previous step's
+    * completion). One groupBy(user) collects the user's events time-sorted
+    * (bounded per user), then a single `aggregate` fold advances a
+    * (stage, last_ts) accumulator on the first event matching the next
+    * step — greedy earliest-completion, provably identical to the
+    * oracle's min-after-min CTE chain. The per-user stage then explodes
+    * into per-step rows and counts — no self-joins over the event log
+    * (the oracle's 3-join form would be 3 corpus-sized joins at scale;
+    * this is one shuffle + a fold). */
+  private val ev2Funnel = withOracle("ev2_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""".stripMargin) { (s, dir) =>
+    val steps = array(FunnelSteps.map(lit): _*)
+    val perUser = Tables(s, dir, "events")
+      .where(col("event_type").isin(FunnelSteps: _*))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id").as("eid"),
+        col("event_type").as("et")))).as("evs"))
+      .select(aggregate(col("evs"),
+        struct(lit(0).as("stage"), lit(Long.MinValue).as("t")),
+        (acc, e) =>
+          when(acc.getField("stage") < FunnelSteps.size
+            && e.getField("et") === element_at(steps, acc.getField("stage") + 1)
+            && (acc.getField("stage") === 0 || e.getField("t") > acc.getField("t")),
+            struct((acc.getField("stage") + 1).as("stage"), e.getField("t").as("t")))
+            .otherwise(acc)).getField("stage").as("stage"))
+    perUser.where(col("stage") >= 1)
+      .select(explode(sequence(lit(1), col("stage"))).as("sn"))
+      .groupBy(col("sn"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("sn").cast("long").as("step_no"),
+        element_at(steps, col("sn")).as("step"), col("n_users"))
+  }
+
+  /** EV3: cohort retention — users bucketed by first-seen day; for each
+    * (cohort, day-offset) the count of distinct users active that day.
+    * The first-seen day comes from a min-over-user window rather than a
+    * groupBy+self-join (the textbook form): one exchange on user_id serves
+    * both the cohort assignment and the distinct count's partial, vs the
+    * join form's two scans + join exchange. */
+  private val ev3Retention = withOracle("ev3_retention",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1)
+      |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+      |       datediff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset,
+      |       count(DISTINCT e.user_id) AS n_active
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+    Tables(s, dir, "events")
+      .withColumn("d0", min(to_date(col("ts"))).over(w))
+      .groupBy(
+        date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(to_date(col("ts")), col("d0")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val all: Seq[QueryDef] = Seq(ev1Sessionize, ev2Funnel, ev3Retention)
+}

@@ -158,6 +158,32 @@ class ExtSpec extends AnyFunSuite {
     assert(kl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
   }
 
+  test("semdedup: cluster-bounded pairs ⊆ exact cosine pairs; k=1 is the full pair set") {
+    val exact = graft.SparkEntry.queries("d5_dedup_embedding")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = graft.queries.DedupQueries.semDedupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val degenerate = graft.queries.DedupQueries.semDedupPairs(spark, sf, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair is verified with the exact d5 cosine, so clustering can
+    // only LOSE pairs (cross-cluster dups), never invent them
+    assert(degenerate === exact)
+    assert(clustered.subsetOf(exact))
+    assert(clustered.nonEmpty, "fixture should contain within-cluster semantic dups")
+  }
+
+  test("semdedup keeper manifest: total, deterministic, keepers self-kept") {
+    val m1 = graft.SparkEntry.queries("sem1_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m2 = graft.SparkEntry.queries("sem1_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(m1.size.toLong === n)          // every vector classified
+    assert(m1 === m2)                     // seeded KMeans → reproducible manifest
+    m1.values.foreach(k => assert(m1(k) === k, s"keeper $k must keep itself"))
+    assert(m1.exists { case (id, keep) => id != keep }, "fixture should contain dups")
+  }
+
   test("int8 quantization: dequantized vectors reconstruct within (mx-mn)/510 per component") {
     val rows = graft.SparkEntry.queries("s4_quantize_int8")(spark, sf).collect()
     val orig = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -122,6 +122,22 @@ class PlanSpec extends AnyFunSuite {
       "rh2: the DDSketch partial must be column-pruned from a rate hint")
   }
 
+  test("ev1/ev3: one user_id exchange serves the window AND the downstream rollup") {
+    // the event-analytics family's scale contract: the only corpus-sized
+    // exchange is on user_id (the natural key). ev1's session rollup keys
+    // (user_id, session_no) are a superset of the window partitioning, so
+    // EnsureRequirements must reuse it (subset-key satisfies clustering) —
+    // a second corpus-sized exchange would double the shuffle at 100 TB
+    for (name <- Seq("ev1_sessionize", "ev3_retention")) {
+      val p = plan(name).split("== Initial Plan ==").head
+      assert("events\\.parquet".r.findAllIn(p).size <= 1,
+        s"$name must scan events exactly once")
+      val nEx = "(?m)^\\s*\\+?- Exchange ".r.findAllIn(p).size
+      val bound = if (name == "ev1_sessionize") 1 else 2
+      assert(nEx <= bound, s"$name: $nEx exchanges, expected <= $bound")
+    }
+  }
+
   test("rollup partials pruning: each hint pays only for the partials it reads") {
     // rollupPartials computes cnt/min/max/sum + sum_sq + first/last packs +
     // a DDSketch — but each serving plan must column-prune everything its

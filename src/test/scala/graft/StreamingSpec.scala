@@ -268,4 +268,57 @@ class StreamingSpec extends AnyFunSuite {
         """{"__name__":"m1"}""", """{"__name__":"m2"}""", """{"__name__":"m3"}"""))
     } finally q.stop()
   }
+
+  test("streaming sessionization = batch gap-split sessions on the real corpus") {
+    // real sf0.001 events through the native-session_window stream; the
+    // expectation is computed INDEPENDENTLY (plain Scala gap-split over
+    // the same rows) — shares nothing with either implementation. A
+    // far-future sentinel advances the final watermark past every real
+    // session so append mode emits them all.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val gapMs = graft.queries.EventQueries.SessionGapMs
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val maxTs = rows.map(_._2.getTime).max
+    val sentinel = (-1L, new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), 0.0)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = stream.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("ts"), col("_3").as("value"))
+    stream.addData(rows.toSeq :+ sentinel: _*)
+    val q = graft.streaming.EventStream.sessionize(df)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out").where(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSet
+
+    val expected = rows.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(_._2.getTime)
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+        case (acc, (_, ts, v)) =>
+          val t = ts.getTime
+          acc match {
+            // session_window's half-open rule: diff >= gap starts anew
+            case cur :: rest if t - cur.head._1 < gapMs =>
+              ((t, v) :: cur) :: rest
+            case _ => List((t, v)) :: acc
+          }
+      }
+      sessions.map { s =>
+        val cents = s.map(e => math.round(e._2 * 100)).sum
+        (uid, s.last._1, s.head._1 + gapMs, s.size.toLong, cents / 100.0)
+      }
+    }.toSet
+    assert(got === expected)
+    assert(expected.size > rows.map(_._1).distinct.size,
+      "fixture should split at least one user into multiple sessions")
+  }
 }
