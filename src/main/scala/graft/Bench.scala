@@ -37,7 +37,10 @@ object Bench {
     // anchor (the scale path is keepList over d2's LSH pairs); s3 includes
     // a KMeans *training* step — the serving-side scale path for ANN is
     // s2. None belongs in the per-query latency table.
-    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf")
+    // sem1 embeds the same KMeans training one-off as s3 (its serving-side
+    // scale cost is the within-cell pair join, benched via d5/s2's shapes)
+    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf",
+      "sem1_semdedup")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):
@@ -62,6 +65,12 @@ object Bench {
     // whose probe stamps disagree by ≫2× is degraded and its regressions
     // are noise, detectable from the bench artifact alone.
     def probeMs(): Double = graft.tools.MachineProbe.stampMs()
+    // The single-thread stamp misses a co-tenant stealing CORES (each
+    // thread still gets one full core → nominal stamp, yet every 32-way
+    // query runs uniformly slow; observed r7: probes ~240 ms, board ×1.35).
+    // The parallel stamp saturates the requested parallelism, so
+    // probe_par/nominal ≈ the oversubscription factor the QUERIES saw.
+    def probeParMs(): Double = graft.tools.MachineProbe.stampParMs(cpus.toInt)
 
     // Ingest workload: 2M Prometheus-shaped samples through the full write
     // path (fingerprint + new-series anti-join + partitioned sorted
@@ -91,10 +100,12 @@ object Bench {
     // Diag disproved).
     val order = defs.map(_.name)
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val probesPar = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestDirs = scala.collection.mutable.ArrayBuffer[String]()
     val ingestSecs = scala.collection.mutable.ArrayBuffer[Double]()
     val samples = (0 until 3).flatMap { round =>
       probes += probeMs()
+      probesPar += probeParMs()
       val qTimes = defs.map { d =>
         val t0 = System.nanoTime()
         try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -112,6 +123,7 @@ object Bench {
       qTimes
     }
     probes += probeMs()
+    probesPar += probeParMs()
     val byName = samples.groupBy(_._1)
     val results = order.map(n => n -> byName(n).map(_._2).min)
     val ingestRate = 2e6 / ingestSecs.min
@@ -143,9 +155,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
+    val probeParJson = probesPar.map(p => f"$p%.0f").mkString("[", ",", "]")
     val ingestJson = ingestSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     // Secondary channel: a file, in case the caller parses neither.

@@ -40,12 +40,27 @@ object SimilarityQueries {
     * so rather than inherit either accident, the contract here is
     * explicit: a pair whose similarity is undefined is not a neighbor.
     * Deterministic, and the only divergence from the window/oracle
-    * formulation is on corpora containing zero-norm or null vectors. */
+    * formulation is on corpora containing zero-norm or null vectors.
+    *
+    * The guard lives INSIDE the aggregate child (`when` → null → skipped
+    * by bottom_k's SQL null convention), NOT as a `.where` above the
+    * scored frame: a Filter node here is catastrophic — predicate
+    * pushdown clones the score expression into the join condition
+    * (3× per-pair evaluation) and null-intolerance constraint inference
+    * derives isnotnull(norm) filters that sink to the parquet scans with
+    * the WHOLE norm expression tree substituted in. For s6's interpreted
+    * higher-order-function chain that meant re-evaluating the full
+    * quantize→dequantize→norm pipeline per row inside scan filters — an
+    * 8× query-level regression. Three references to `score` below also
+    * stop CollapseProject folding the scoring projection into the
+    * aggregate, so the score is computed exactly once per pair. */
   private def perQueryTopK(pairs: DataFrame, score: Column, k: Int): DataFrame =
     pairs
-      .where(score.isNotNull && !isnan(score))
       .groupBy(col("query_id"))
-      .agg(bottom_k(struct((-score).as("ns"), col("vec_id").as("vec_id")), k).as("top"))
+      .agg(bottom_k(
+        when(score.isNotNull && !isnan(score),
+          struct((-score).as("ns"), col("vec_id").as("vec_id"))),
+        k).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.vec_id").as("vec_id"), (-col("t.ns")).as("score"))
 
@@ -254,7 +269,11 @@ object SimilarityQueries {
       .otherwise((col("mx") - col("mn")) / 255)
     val deq = transform(col("codes"), c => col("mn") + c.cast("double") * scale)
     val coded = e
-      .select(col("vec_id"), v.as("v"), array_min(v).as("mn"), array_max(v).as("mx"))
+      // v in its own select: array_min/array_max over the alias, not three
+      // independent copies of the cast-transform per row
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
       .select(col("vec_id"), col("mn"), col("mx"),
         transform(col("v"), x =>
           when(col("mx") === col("mn"), lit(0))

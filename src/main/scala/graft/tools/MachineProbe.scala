@@ -16,4 +16,26 @@ object MachineProbe {
     if (h == 42L) System.err.println("") // consume h: defeat DCE
     ms
   }
+
+  /** Parallel variant: wall-clock ms for `threads` concurrent copies of
+    * the same workload. The single-thread stamp is blind to a co-tenant
+    * STEALING CORES (one thread still gets a full core and reads nominal
+    * while every 32-way query runs 1.3-2× slow — observed in the r7
+    * bench: probes 236-257 ms, board-wide ×1.35 inflation); this stamp
+    * inflates in exactly that mode. Nominal ≈ the single stamp when
+    * `threads` ≤ free cores; stamp/nominal ≈ oversubscription factor. */
+  def stampParMs(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var h = 0x9e3779b97f4a7c15L + i
+        var j = 0
+        while (j < (1 << 26)) { h = graft.ext.ExtOps.splitmix64(h); j += 1 }
+        if (h == 42L) System.err.println("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
 }
