@@ -37,10 +37,11 @@ object Bench {
     // anchor (the scale path is keepList over d2's LSH pairs); s3 includes
     // a KMeans *training* step — the serving-side scale path for ANN is
     // s2. None belongs in the per-query latency table.
-    // sem1 embeds the same KMeans training one-off as s3 (its serving-side
-    // scale cost is the within-cell pair join, benched via d5/s2's shapes)
+    // sem1/s7 embed the same KMeans training one-off as s3 (sem1's
+    // serving-side scale cost is the within-cell pair join, benched via
+    // d5/s2's shapes; s7's is a map-only projection)
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf",
-      "sem1_semdedup")
+      "sem1_semdedup", "s7_ivf_assign")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -142,5 +142,38 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
-  val all: Seq[QueryDef] = Seq(ev1Sessionize, ev2Funnel, ev3Retention)
+  /** EV4: daily/weekly active users per day. The textbook WAU is a range
+    * self-join (`du.d BETWEEN day-6 AND day`) — corpus × 7 pairs through
+    * a join at 100 TB. Spark-first shape: distinct (day, user) once (the
+    * only corpus-sized exchange, on the natural key), then each active
+    * day FANS OUT map-side into the ≤7 window-ending days it supports
+    * (`explode(sequence(d, d+6))`) and a two-level distinct count folds
+    * it back — the fan-out factor is a constant 7, every aggregation is
+    * partial before its exchange, and no join ever sees the corpus.
+    * Window-ending days with no activity of their own (including the ≤6
+    * phantom days the fan-out projects past the corpus edge) are dropped
+    * by the final inner join with the DAU frame — the oracle's day list. */
+  private val ev4ActiveUsers = withOracle("ev4_active_users",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM du),
+      |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+      |wau AS (SELECT days.d, count(DISTINCT du.user_id) AS wau
+      |        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      |        GROUP BY 1)
+      |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
+      |FROM dau JOIN wau USING (d)""".stripMargin) { (s, dir) =>
+    val du = Tables(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
+
+  val all: Seq[QueryDef] = Seq(ev1Sessionize, ev2Funnel, ev3Retention, ev4ActiveUsers)
 }

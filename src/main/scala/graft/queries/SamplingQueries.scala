@@ -210,7 +210,59 @@ object SamplingQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** SM4: token-budget mixing — sample each language down to a TOKEN
+    * budget (here 25% of the corpus's total tokens) split by priority
+    * weight, the "assemble exactly B tokens of training data with this
+    * language mix" operator (sm3 balances document COUNTS; training
+    * budgets are token-denominated). target_l = B·w_l/Σw; keep_rate_l =
+    * min(1, target_l / tokens_l) — an over-budgeted rare language keeps
+    * everything (the clamp) and the excess is simply unspent, matching
+    * the published data-mixture recipes' behavior.
+    *
+    * Shape: one partial-agg exchange to ≤|langs| token-count rows, two
+    * 1-row corpus aggregates, rates broadcast back, then a map-side
+    * hash-threshold filter — nothing corpus-sized is sorted or shuffled
+    * (pk2/sm3's two-phase pattern). Determinism: the uniform draw is an
+    * exact integer/65536 ratio and every rate arithmetic step is IEEE
+    * double division/multiplication in the same order on both engines —
+    * bit-identical, so the keep decision is too. Tokens = t1's
+    * whitespace tokenizer (engine parity already proven there). */
+  private val sm4TokenBudget = withOracle("sm4_token_budget",
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         len(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |c AS (SELECT lang, CAST(sum(t) AS DOUBLE) AS toks,
+      |             CASE lang WHEN 'en' THEN 1.0 ELSE 2.0 END AS w
+      |      FROM tok GROUP BY lang),
+      |tot AS (SELECT sum(w) AS sum_w, sum(toks) AS total_toks FROM c),
+      |r AS (SELECT lang,
+      |             least(1.0, ((total_toks * 0.25 * w) / sum_w) / toks) AS keep_rate
+      |      FROM c CROSS JOIN tot)
+      |SELECT d.doc_id, d.lang, d.t AS n_tokens
+      |FROM tok d JOIN r USING (lang)
+      |WHERE ('0x' || substring(md5('budget:' || d.lang || ':' || d.doc_id), 1, 4))::INTEGER
+      |        / 65536.0 < keep_rate""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(graft.ext.TextAnalysis.words(col("text"))).as("t"))
+    val c = tok.groupBy("lang")
+      .agg(sum(col("t")).cast("double").as("toks"))
+      .withColumn("w", when(col("lang") === "en", 1.0).otherwise(2.0))
+    val tot = c.agg(sum(col("w")).as("sum_w"), sum(col("toks")).as("total_toks"))
+    val rates = c.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(lit(1.0),
+          col("total_toks") * 0.25 * col("w") / col("sum_w") / col("toks"))
+          .as("keep_rate"))
+    val u = conv(substring(md5(concat(lit("budget:"), col("lang"), lit(":"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") / 65536.0
+    tok.join(broadcast(rates), "lang")
+      .where(u < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("t").as("n_tokens"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets, sh1Shuffle,
-      sm3Temperature)
+      sm3Temperature, sm4TokenBudget)
 }

@@ -305,5 +305,65 @@ object SimilarityQueries {
         round(col("score"), 4).as("cos"))
   }
 
-  val all: Seq[QueryDef] = Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized)
+  /** Argmin-cell assignment as a pure map-side expression: the bounded
+    * centroid table rides into the scan as a LITERAL array-of-structs and
+    * each vector folds to its nearest cell (squared L2) in one projection
+    * — no join, no exchange, the shape that assigns a 100 TB ingest batch
+    * to IVF cells at scan throughput. Ties break to the lowest cell id
+    * (strict less-than keeps the first argmin). The fold's element order
+    * and the (x−y)² accumulation order are fixed, so the result is
+    * bit-reproducible against any same-order reimplementation (pinned in
+    * ExtSpec vs plain Scala). d2 is evaluated twice per centroid
+    * (condition + kept struct) — 2× of an O(dim) fold over ≤nlist
+    * centroids, well off the hot path. */
+  private[graft] def nearestCell(v: Column, cents: Seq[Array[Double]]): Column = {
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    val best = aggregate(centArr,
+      struct(lit(-1).as("cell"), lit(Double.MaxValue).as("d2")),
+      (acc, ct) => {
+        val d2 = aggregate(
+          zip_with(v, ct.getField("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+        when(d2 < acc.getField("d2"),
+          struct(ct.getField("cell").as("cell"), d2.as("d2"))).otherwise(acc)
+      })
+    best.getField("cell")
+  }
+
+  /** Deterministic base-corpus centroids (seeded KMeans on the base slice
+    * `vec_id % 10 < 8` — d9's snapshot split). Exposed so ExtSpec can
+    * recompute the identical centroid set for its independent argmin. */
+  private[graft] def ivfCentroids(s: SparkSession, dir: String,
+      nlist: Int = 16): Seq[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = Tables(s, dir, "embeddings")
+      .where(col("vec_id") % 10 < 8)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5).fit(base)
+    model.clusterCenters.map(_.toArray).toSeq
+  }
+
+  /** S7: incremental IVF cell assignment — the index-MAINTENANCE step s3
+    * implies but daily ingest actually needs (d9's incremental shape for
+    * the ANN family): centroids are a write-side one-off trained on the
+    * base snapshot; each NEW batch (vec_id % 10 >= 8 here) is assigned to
+    * its cell entirely map-side via [[nearestCell]] — zero exchanges,
+    * zero retraining, O(batch × nlist × dim). The assignment becomes the
+    * partition column s3 reads. KMeans isn't ANSI-expressible → rows-only;
+    * equality with a plain-Scala same-formula argmin, totality and
+    * determinism are pinned in ExtSpec. */
+  private val s7IvfAssign = rowsOnly("s7_ivf_assign") { (s, dir) =>
+    val cents = ivfCentroids(s, dir)
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"),
+        nearestCell(transform(col("embedding"), _.cast("double")), cents)
+          .cast("long").as("cell"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized, s7IvfAssign)
 }

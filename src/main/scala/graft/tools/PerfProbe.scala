@@ -17,11 +17,14 @@ object PerfProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (install) graft.plans.Engine.install(spark)
-    // same machine-health stamp as Bench's probe_ms (one shared
-    // workload, MachineProbe): a stamp ≫2× nominal means the probe
-    // itself ran in a degraded window and its numbers indict the
-    // machine, not the code
-    def calib(): Unit = println(f"CALIB ${MachineProbe.stampMs()}%.0f ms")
+    // same machine-health stamps as Bench's probe_ms/probe_par_ms (one
+    // shared workload, MachineProbe): a single stamp ≫2× nominal means a
+    // degraded window; a PAR stamp ≫ the single stamp means a co-tenant
+    // is stealing cores (the mode that slows every 32-way query while
+    // the single-thread stamp reads nominal) — either way the numbers
+    // indict the machine, not the code
+    def calib(): Unit = println(
+      f"CALIB ${MachineProbe.stampMs()}%.0f ms  PAR32 ${MachineProbe.stampParMs(32)}%.0f ms")
     calib()
     args.foreach { name =>
       (1 to 3).foreach { i =>

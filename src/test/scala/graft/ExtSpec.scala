@@ -184,6 +184,35 @@ class ExtSpec extends AnyFunSuite {
     assert(m1.exists { case (id, keep) => id != keep }, "fixture should contain dups")
   }
 
+  test("s7 incremental IVF assign: map-side argmin = plain-Scala same-formula argmin; total, deterministic") {
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(spark, sf)
+    val got = graft.SparkEntry.queries("s7_ivf_assign")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got2 = graft.SparkEntry.queries("s7_ivf_assign")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === got2) // seeded KMeans + pure fold => reproducible
+
+    // independent argmin: same formula, same fold order (strict < keeps
+    // the FIRST min — the tie-break the expression documents), so the
+    // comparison is exact double equality, not approximate
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where("vec_id % 10 >= 8").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val expected = vecs.map { case (id, v) =>
+      var bestCell = -1L; var bestD = Double.MaxValue
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; bestCell = i.toLong }
+      }
+      id -> bestCell
+    }.toMap
+    assert(got === expected)
+    assert(got.keySet === vecs.map(_._1).toSet)       // every new vector assigned
+    assert(got.values.forall(c => c >= 0 && c < 16))  // to a real cell
+    assert(got.values.toSet.size > 1, "fixture should spread across cells")
+  }
+
   test("int8 quantization: dequantized vectors reconstruct within (mx-mn)/510 per component") {
     val rows = graft.SparkEntry.queries("s4_quantize_int8")(spark, sf).collect()
     val orig = spark.read.parquet(s"$sf/embeddings.parquet")
