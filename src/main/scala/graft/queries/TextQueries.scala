@@ -272,7 +272,69 @@ object TextQueries {
         round(col("score"), 4).as("score"), round(col("thresh"), 4).as("thresh"))
   }
 
+  /** T9: n-gram LM quality scoring — the CCNet-shape perplexity filter
+    * with the LM trained in-pipeline: bigram counts from a deterministic
+    * reference half (`doc_id % 2 = 0`), count-pruned (≥3) to bound the
+    * model, then every ≥2-word document scored by its mean Laplace
+    * log-probability ln((c2+1)/(c1+V)). The marginals c1 are derived from
+    * the PRUNED bigram table so the model is self-consistent, and V is
+    * its distinct-continuation vocabulary. Low scores = text unlike the
+    * reference distribution — the standard LM quality gate.
+    *
+    * Scale shape: LM construction is one partial-agg exchange over the
+    * reference half's bigrams (uniform keys); the pruning threshold is
+    * the model-size knob (a harsher cut → broadcastable LM; CCNet ships
+    * pruned LMs for exactly this reason). Scoring is two left equi-joins
+    * on uniform token keys + one partial-agg fold back to per-doc rows —
+    * AQE broadcasts the pruned model when it fits, and nothing
+    * corpus-sized is ever sorted or windowed. round(4) masks the
+    * partial-agg summation-order and last-ulp ln() divergence between
+    * engines (the t2/s5 precedent). */
+  private val t9LmScore = withOracle("t9_lm_score",
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM w WHERE len(ws) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b
+      |       WHERE doc_id % 2 = 0 GROUP BY w1, w2 HAVING count(*) >= 3),
+      |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM c2),
+      |s AS (SELECT b.doc_id,
+      |             ln((coalesce(c2.c2, 0) + 1.0)
+      |                / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) AS lp
+      |      FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |      CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+      |FROM s GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = words(col("text"))
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+    val b = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = b.where(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= 3)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c2.agg(countDistinct(col("w2")).as("v"))
+    val lp = log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+    b.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, p1PiiScrub)
+      t8QualityGate, t9LmScore, p1PiiScrub)
 }
