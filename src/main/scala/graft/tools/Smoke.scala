@@ -193,6 +193,29 @@ object Smoke {
         .mkString(", "))
       q.stop()
     }
+
+    // streaming funnel: state carries stage across micro-batches
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val st = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+      val q = graft.streaming.EventStream.funnel(spark,
+          st.toDF().select($"_1".as("user_id"), $"_2".as("ts"),
+            $"_3".as("event_id"), $"_4".as("event_type")))
+        .toDF("user_id", "stage")
+        .writeStream.format("memory").queryName("smoke_funnel")
+        .outputMode("update").start()
+      st.addData((1L, t(0), 1L, "view"), (1L, t(1), 2L, "click"), (2L, t(0), 3L, "view"))
+      q.processAllAvailable()
+      st.addData((1L, t(2), 4L, "purchase"), (2L, t(3), 5L, "error"))
+      q.processAllAvailable()
+      val stages = spark.table("smoke_funnel").groupBy($"user_id")
+        .agg(max($"stage").as("s")).collect()
+        .map(r => s"u${r.getLong(0)}=stage${r.getInt(1)}").sorted.mkString(", ")
+      println("FUNNEL: " + stages) // expect u1=stage3 (completed), u2=stage1
+      q.stop()
+    }
     spark.stop()
   }
 }

@@ -269,6 +269,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: cross-batch state fold = independent whole-history fold") {
+    // real sf0.001 events through three TIME-SPLIT micro-batches (the
+    // ordering contract the operator documents); expectation = a plain
+    // Scala greedy fold over each user's full time-sorted history —
+    // independent of both the streaming and the batch (ev2) code paths
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val steps = graft.queries.EventQueries.FunnelSteps
+    // carry Spark's own unix_micros so the test's ordering and fold use
+    // EXACTLY the operator's clock (ms-truncated getTime could order
+    // same-millisecond events differently)
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id") < 64)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(e => (e._5, e._3, e._4))
+      // earliest slice only: the full history funnels every user to
+      // completion (stage spread = 1), which would let any
+      // constant-stage implementation pass the parity check; 150 events
+      // leave this fixture's 15 users spread across all four stages
+      .take(150)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val df = stream.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("ts"),
+        col("_3").as("event_id"), col("_4").as("event_type"))
+    val q = graft.streaming.EventStream.funnel(spark, df)
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { batch =>
+        stream.addData(batch.toSeq.map(e => (e._1, e._2, e._3, e._4)): _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("funnel_out")
+        .groupBy("user_id").agg(max(col("stage")).as("stage"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+
+      val expected = rows.groupBy(_._1).map { case (uid, es) =>
+        var stage = 0; var lastT = Long.MinValue
+        es.sortBy(e => (e._5, e._3, e._4)).foreach { case (_, _, _, et, t) =>
+          if (stage < steps.size && et == steps(stage) && (stage == 0 || t > lastT)) {
+            stage += 1; lastT = t
+          }
+        }
+        uid -> stage
+      }
+      assert(got === expected)
+      assert(got.values.exists(_ == steps.size),
+        "fixture should contain at least one completed funnel")
+      assert(got.values.toSet.size > 1, "fixture should spread across stages")
+    } finally q.stop()
+  }
+
   test("streaming sessionization = batch gap-split sessions on the real corpus") {
     // real sf0.001 events through the native-session_window stream; the
     // expectation is computed INDEPENDENTLY (plain Scala gap-split over
