@@ -127,6 +127,14 @@ object Bench {
     probesPar += probeParMs()
     val byName = samples.groupBy(_._1)
     val results = order.map(n => n -> byName(n).map(_._2).min)
+    // median alongside the min: for a deterministic workload min is the
+    // least-noise point estimate, but median−min is the in-run stall
+    // exposure per query — a query whose median ≫ min sat in a degraded
+    // moment during some round even if its min looks healthy
+    val medians = order.map { n =>
+      val xs = byName(n).map(_._2).sorted
+      n -> xs(xs.length / 2)
+    }
     val ingestRate = 2e6 / ingestSecs.min
 
     // Storage efficiency vs BASELINE.md's ~5.3 B/sample (24 B raw at 4.5:1
@@ -154,12 +162,13 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
     val probeParJson = probesPar.map(p => f"$p%.0f").mkString("[", ",", "]")
     val ingestJson = ingestSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     // Secondary channel: a file, in case the caller parses neither.

@@ -143,16 +143,19 @@ object EventQueries {
   }
 
   /** EV4: daily/weekly active users per day. The textbook WAU is a range
-    * self-join (`du.d BETWEEN day-6 AND day`) — corpus × 7 pairs through
-    * a join at 100 TB. Spark-first shape: distinct (day, user) once (the
-    * only corpus-sized exchange, on the natural key), then each active
-    * day FANS OUT map-side into the ≤7 window-ending days it supports
-    * (`explode(sequence(d, d+6))`) and a two-level distinct count folds
-    * it back — the fan-out factor is a constant 7, every aggregation is
-    * partial before its exchange, and no join ever sees the corpus.
-    * Window-ending days with no activity of their own (including the ≤6
-    * phantom days the fan-out projects past the corpus edge) are dropped
-    * by the final inner join with the DAU frame — the oracle's day list. */
+    * self-join (`du.d BETWEEN day-6 AND day`, the oracle below) — corpus
+    * × 7 pairs through a JOIN at 100 TB, plus a second scan for DAU.
+    * Spark-first shape: ONE corpus scan, each event fanned out map-side
+    * into the ≤7 window-ending days it supports WITH the day-offset
+    * retained, then a single (window-day, user) aggregation keeps
+    * `min(offset)` — a pair exists iff the user was active in the
+    * window, and min(offset) = 0 iff they were active ON the day itself.
+    * The final bounded fold counts wau = all pairs, dau = min-offset-0
+    * pairs, and `dau > 0` restricts to observed days (the oracle's day
+    * list — phantom days past the corpus edge have no offset-0 pair).
+    * Fan-out factor is a constant 7, both aggregations are partial
+    * before their exchange, and NO join or second scan exists — one
+    * corpus-sized exchange total, carrying per-task distinct partials. */
   private val ev4ActiveUsers = withOracle("ev4_active_users",
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
       |days AS (SELECT DISTINCT d FROM du),
@@ -162,16 +165,15 @@ object EventQueries {
       |        GROUP BY 1)
       |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
       |FROM dau JOIN wau USING (d)""".stripMargin) { (s, dir) =>
-    val du = Tables(s, dir, "events")
-      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
-    val wau = du
-      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d"),
-        col("user_id"))
-      .distinct()
-      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, "d")
-      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+    val pairs = Tables(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .select(col("user_id"), col("d"), explode(sequence(lit(0), lit(6))).as("off"))
+      .groupBy(date_add(col("d"), col("off")).as("wd"), col("user_id"))
+      .agg(min(col("off")).as("minoff"))
+    pairs.groupBy(col("wd"))
+      .agg(count(when(col("minoff") === 0, 1)).as("dau"), count(lit(1)).as("wau"))
+      .where(col("dau") > 0)
+      .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"))
   }
 

@@ -122,6 +122,13 @@ class PlanSpec extends AnyFunSuite {
       "rh2: the DDSketch partial must be column-pruned from a rate hint")
   }
 
+  test("ev4: one events scan, no join — fan-out + min-offset replaces the range self-join") {
+    val p = plan("ev4_active_users").split("== Initial Plan ==").head
+    assert("events\\.parquet".r.findAllIn(p).size <= 1,
+      s"ev4 must scan events exactly once:\n$p")
+    assert(!p.contains("Join"), s"ev4 must not join:\n$p")
+  }
+
   test("ev1/ev3: one user_id exchange serves the window AND the downstream rollup") {
     // the event-analytics family's scale contract: the only corpus-sized
     // exchange is on user_id (the natural key). ev1's session rollup keys
