@@ -226,5 +226,78 @@ object CurationQueries {
         md5(chunk.cast("binary")).as("chunk_hash"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1)
+  /** CUR2: the training-MIX assembly pipeline as one DAG — the second
+    * half of curation, downstream of cur1's cleaning: LM quality gate
+    * (t9's scorer, shared verbatim — one definition, no drift) →
+    * token-budget language mixing (sm4's shape at 50% of the surviving
+    * tokens, en damped) → deterministic epoch order (sh1's two-pass
+    * rank, seed "cur2") → packed global token offsets (pk1's distributed
+    * prefix sum over the SHUFFLED order — the order the dataloader
+    * actually consumes). Emits the per-document manifest row a training
+    * job reads: (doc_id, lang, n_tokens, pos, offset).
+    *
+    * Scale composition notes: the LM gate and the budget filter are both
+    * pushed below the ordering/packing stages by construction (they
+    * filter before rank); the only corpus-sized exchanges are the LM
+    * scoring joins (uniform token keys), the rank bucketing (uniform by
+    * digest), and the pos-join that decorates offsets back onto the
+    * manifest (dense uniform key). Docs with <2 words are unscorable and
+    * dropped — a ≤1-token doc has no place in a training mix. */
+  private val cur2 = withOracle("cur2_training_mix",
+    s"""WITH ${TextQueries.lmScoreCtes},
+       |tok AS (
+       |  SELECT doc_id, lang, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+       |  FROM documents),
+       |gate AS (
+       |  SELECT tok.doc_id, tok.lang, tok.n_tokens
+       |  FROM tok JOIN sc USING (doc_id) WHERE sc.lm_score >= -3.4),
+       |c AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS toks,
+       |             CASE lang WHEN 'en' THEN 1.0 ELSE 2.0 END AS w
+       |      FROM gate GROUP BY lang),
+       |tot AS (SELECT sum(w) AS sum_w, sum(toks) AS total_toks FROM c),
+       |r AS (SELECT lang,
+       |             least(1.0, ((total_toks * 0.5 * w) / sum_w) / toks) AS keep_rate
+       |      FROM c CROSS JOIN tot),
+       |kept AS (
+       |  SELECT g.doc_id, g.lang, g.n_tokens
+       |  FROM gate g JOIN r USING (lang)
+       |  WHERE ('0x' || substring(md5('cur2mix:' || g.lang || ':' || g.doc_id), 1, 4))::INTEGER
+       |          / 65536.0 < keep_rate),
+       |ord AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         row_number() OVER (ORDER BY md5('cur2:' || doc_id), doc_id) - 1 AS pos
+       |  FROM kept)
+       |SELECT doc_id, lang, n_tokens, pos,
+       |       CAST(coalesce(sum(n_tokens) OVER (ORDER BY pos
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |FROM ord""".stripMargin) { (s, dir) =>
+    val sc = TextQueries.lmScores(s, dir)
+    val tok = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"), size(words(col("text"))).as("n_tokens"))
+    val gate = tok.join(sc.select(col("doc_id"), col("lm_score")), "doc_id")
+      .where(col("lm_score") >= -3.4)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val c = gate.groupBy("lang")
+      .agg(sum(col("n_tokens")).cast("double").as("toks"))
+      .withColumn("w", when(col("lang") === "en", 1.0).otherwise(2.0))
+    val tot = c.agg(sum(col("w")).as("sum_w"), sum(col("toks")).as("total_toks"))
+    val rates = c.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(lit(1.0),
+          col("total_toks") * 0.5 * col("w") / col("sum_w") / col("toks"))
+          .as("keep_rate"))
+    val u = conv(substring(md5(concat(lit("cur2mix:"), col("lang"), lit(":"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") / 65536.0
+    val kept = gate.join(broadcast(rates), "lang")
+      .where(u < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val ordered = graft.ext.Shuffle.deterministicOrder(kept, "doc_id", "cur2")
+    val offsets = graft.ext.Packing
+      .packOffsets(ordered, "pos", col("n_tokens"), blockSize = 2048L, buckets = 64)
+      .select(col("pos"), col("offset"))
+    ordered.join(offsets, "pos")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pos"), col("offset"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ext.TextAnalysis._
 import graft.ext.extfunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator inventory over the `documents` table. */
@@ -290,8 +291,11 @@ object TextQueries {
     * corpus-sized is ever sorted or windowed. round(4) masks the
     * partial-agg summation-order and last-ulp ln() divergence between
     * engines (the t2/s5 precedent). */
-  private val t9LmScore = withOracle("t9_lm_score",
-    """WITH w AS (
+  /** The t9 LM CTE chain as oracle-SQL text, parameterized by the final
+    * select — shared verbatim between t9 and cur2 so the two gates can
+    * never drift. */
+  private[graft] def lmScoreCtes: String =
+    """w AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
       |  FROM documents),
       |b AS (
@@ -307,9 +311,13 @@ object TextQueries {
       |             ln((coalesce(c2.c2, 0) + 1.0)
       |                / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) AS lp
       |      FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
-      |      CROSS JOIN v)
-      |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
-      |FROM s GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      |      CROSS JOIN v),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+      |       FROM s GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc LM scores (doc_id, n_bigrams, lm_score) — t9's body, exposed
+    * so cur2 composes the identical scorer (one definition, no drift). */
+  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), ws.as("ws"))
@@ -332,6 +340,12 @@ object TextQueries {
       .select(col("doc_id"), lp.as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+  }
+
+  private val t9LmScore = withOracle("t9_lm_score",
+    s"""WITH $lmScoreCtes
+       |SELECT doc_id, n_bigrams, lm_score FROM sc""".stripMargin) { (s, dir) =>
+    lmScores(s, dir)
   }
 
   val all: Seq[QueryDef] =
