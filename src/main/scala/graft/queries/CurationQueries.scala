@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ext.TextAnalysis._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus curation pipeline as ONE declarative DAG:
@@ -242,7 +243,19 @@ object CurationQueries {
     * scoring joins (uniform token keys), the rank bucketing (uniform by
     * digest), and the pos-join that decorates offsets back onto the
     * manifest (dense uniform key). Docs with <2 words are unscorable and
-    * dropped — a ≤1-token doc has no place in a training mix. */
+    * dropped — a ≤1-token doc has no place in a training mix.
+    *
+    * The kept-mix frame is PERSISTED (TTL-memoized like d2's signature
+    * table, registered for the same invalidation sweep): the ordering and
+    * packing stages each run small driver-side planning actions
+    * (bucket-count collects), and without a materialization point each
+    * action would re-execute the whole LM-scoring subtree — measured 4×
+    * the t9 cost. Selection is the natural checkpoint of a mix pipeline;
+    * at 100 TB this is the manifest table a real pipeline writes anyway. */
+  private val cur2KeptCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
+  DedupQueries.registerCorpusCache(cur2KeptCache)
+
   private val cur2 = withOracle("cur2_training_mix",
     s"""WITH ${TextQueries.lmScoreCtes},
        |tok AS (
@@ -288,9 +301,11 @@ object CurationQueries {
           .as("keep_rate"))
     val u = conv(substring(md5(concat(lit("cur2mix:"), col("lang"), lit(":"),
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") / 65536.0
-    val kept = gate.join(broadcast(rates), "lang")
-      .where(u < col("keep_rate"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val kept = DedupQueries.memoizedPersisted(cur2KeptCache, s, dir) {
+      gate.join(broadcast(rates), "lang")
+        .where(u < col("keep_rate"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }
     val ordered = graft.ext.Shuffle.deterministicOrder(kept, "doc_id", "cur2")
     val offsets = graft.ext.Packing
       .packOffsets(ordered, "pos", col("n_tokens"), blockSize = 2048L, buckets = 64)

@@ -107,12 +107,23 @@ object DedupQueries {
     * invalidate-then-rebuild linearizable. */
   private val cacheLock = new Object
 
+  /** Registry of every memoized corpus-frame cache (this object's two
+    * plus any registered by other query families, e.g. cur2's kept-mix
+    * frame) — [[invalidateSignatures]] sweeps them uniformly so a corpus
+    * rewrite can't serve any stale persisted frame. */
+  private val corpusFrameCaches = scala.collection.mutable.ArrayBuffer[
+    java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]]()
+
+  private[graft] def registerCorpusCache(
+      c: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)])
+      : Unit = cacheLock.synchronized { corpusFrameCaches += c }
+
   /** TTL-memoized persisted frame per (session, dir) — the shared
     * lifecycle for every corpus-derived table that multiple jobs in one
     * operator (or repeated runs in a serving session) would otherwise
     * recompute: one persisted copy, refreshed after the TTL, never bound
     * to a stopped session. */
-  private def memoizedPersisted(
+  private[graft] def memoizedPersisted(
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val key = (s, dir)
@@ -143,7 +154,7 @@ object DedupQueries {
     * re-reads the corpus. Call after rewriting the corpus dir — the
     * analogue of ParquetStore.invalidateIndex after an o.o.b. rewrite. */
   def invalidateSignatures(dir: String): Unit = cacheLock.synchronized {
-    for (cache <- Seq(signatureCache, benchNgramCache))
+    for (cache <- corpusFrameCaches)
       cache.entrySet().removeIf { e =>
         val matches = e.getKey._2 == dir
         if (matches && !e.getKey._1.sparkContext.isStopped)
@@ -614,6 +625,9 @@ object DedupQueries {
     * sketch, like s3's bounded centroid collect. */
   private val benchNgramCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
+
+  registerCorpusCache(signatureCache)
+  registerCorpusCache(benchNgramCache)
 
   private val d8ContaminationBloom = withOracle("d8_decontam_bloom",
     DecontaminationSql) { (s, dir) =>

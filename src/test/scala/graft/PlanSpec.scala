@@ -122,6 +122,20 @@ class PlanSpec extends AnyFunSuite {
       "rh2: the DDSketch partial must be column-pruned from a rate hint")
   }
 
+  test("t9: LM scoring plans with no window and no corpus-sized gather") {
+    // the scale contract: model build + scoring are aggregations and
+    // equi-joins only — a Window or a corpus-sized single-partition
+    // funnel would mean one task does the work at 100 TB. The ONE
+    // allowed SinglePartition exchange is the model's 1-row
+    // vocabulary-count aggregate (bounded by the pruned LM, not the
+    // corpus), and no Sort may feed a single partition anywhere.
+    val p = plan("t9_lm_score").split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"t9 must not window:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"t9: only the 1-row vocab aggregate may gather:\n$p")
+    assert(!p.contains("Sort "), s"t9 must not sort anything:\n$p")
+  }
+
   test("ev4: one events scan, no join — fan-out + min-offset replaces the range self-join") {
     val p = plan("ev4_active_users").split("== Initial Plan ==").head
     assert("events\\.parquet".r.findAllIn(p).size <= 1,
