@@ -24,6 +24,28 @@ object EventQueries {
     * analytics default. */
   val SessionGapMs: Long = 30L * 60 * 1000
 
+  /** The four operators are frame-parameterized (any (user_id, ts, …)
+    * event frame, not just the `events` table): the gate queries below
+    * bind them to the test corpus, Diag's `events` mode drives them at
+    * 50 M synthetic rows, and a library user points them at their own
+    * log. */
+  def sessionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+      .withColumn("ns",
+        when(col("prev_ms").isNull
+          || unix_millis(col("ts")) - col("prev_ms") > SessionGapMs, 1).otherwise(0))
+      .withColumn("session_no",
+        sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("sum_value"))
+  }
+
   /** EV1: gap-based sessionization — the lag/flag/running-sum idiom:
     * a session opens at the first event and at every event more than
     * [[SessionGapMs]] after its predecessor; the running sum of open
@@ -50,20 +72,7 @@ object EventQueries {
        |       count(*) AS n_events,
        |       round(sum(cast(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
        |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables(s, dir, "events")
-      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
-      .withColumn("ns",
-        when(col("prev_ms").isNull
-          || unix_millis(col("ts")) - col("prev_ms") > SessionGapMs, 1).otherwise(0))
-      .withColumn("session_no",
-        sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_no")
-      .agg(
-        min(unix_millis(col("ts"))).as("start_ms"),
-        max(unix_millis(col("ts"))).as("end_ms"),
-        count(lit(1)).as("n_events"),
-        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("sum_value"))
+    sessionsOf(Tables(s, dir, "events"))
   }
 
   /** The ordered funnel's step sequence (see [[ev2Funnel]]). */
@@ -96,8 +105,12 @@ object EventQueries {
       |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""".stripMargin) { (s, dir) =>
+    funnelOf(Tables(s, dir, "events"))
+  }
+
+  def funnelOf(ev: DataFrame): DataFrame = {
     val steps = array(FunnelSteps.map(lit): _*)
-    val perUser = Tables(s, dir, "events")
+    val perUser = ev
       .where(col("event_type").isin(FunnelSteps: _*))
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(
@@ -133,8 +146,12 @@ object EventQueries {
       |       count(DISTINCT e.user_id) AS n_active
       |FROM events e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    retentionOf(Tables(s, dir, "events"))
+  }
+
+  def retentionOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
-    Tables(s, dir, "events")
+    ev
       .withColumn("d0", min(to_date(col("ts"))).over(w))
       .groupBy(
         date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
@@ -165,7 +182,11 @@ object EventQueries {
       |        GROUP BY 1)
       |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
       |FROM dau JOIN wau USING (d)""".stripMargin) { (s, dir) =>
-    val pairs = Tables(s, dir, "events")
+    activeUsersOf(Tables(s, dir, "events"))
+  }
+
+  def activeUsersOf(ev: DataFrame): DataFrame = {
+    val pairs = ev
       .select(to_date(col("ts")).as("d"), col("user_id"))
       .select(col("user_id"), col("d"), explode(sequence(lit(0), lit(6))).as("off"))
       .groupBy(date_add(col("d"), col("off")).as("wd"), col("user_id"))

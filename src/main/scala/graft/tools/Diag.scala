@@ -25,6 +25,10 @@ object Diag {
       shuffleRank(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("events")) {
+      eventScale(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -91,6 +95,40 @@ object Diag {
     * (what sh1 runs) on an n-row corpus. The naive plan funnels every row
     * through ONE task; the two-pass plan keeps all cores busy. SCALE.md
     * cites the measured row. */
+  /** Event-analytics family at a size sf0.1 can't show (default 50 M
+    * events, ~50 k users, 30 days): times each frame-parameterized
+    * operator (EventQueries.sessionsOf/funnelOf/retentionOf/
+    * activeUsersOf) on a synthetic log to verify the claimed shapes hold
+    * when the per-user bound (~1 k events) meets a wide corpus — the
+    * shuffle is one user_id (or (wd,user)) exchange and throughput should
+    * track scan rate, not degrade superlinearly. */
+  private def eventScale(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val users = math.max(1000L, n / 1000)
+    val types = array(lit("view"), lit("click"), lit("purchase"), lit("error"))
+    // hash-scattered event times over 30 days so sessions and cohorts are
+    // non-trivial; deterministic, no rand()
+    val ev = spark.range(n).select(
+      (col("id") % users).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(xxhash64(col("id")), lit(30L * 24 * 3600 * 1000000L))).as("ts"),
+      element_at(types, (pmod(xxhash64(col("id"), lit(7)), lit(4)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(13)), lit(1000)) / 10.0).as("value"))
+    import graft.queries.EventQueries._
+    for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        ("sessionsOf", sessionsOf(ev)), ("funnelOf", funnelOf(ev)),
+        ("retentionOf", retentionOf(ev)), ("activeUsersOf", activeUsersOf(ev)))) {
+      val t = time(sink(q))
+      println(f"[events] $name%-14s n=$n%,d users=$users%,d: $t%.1f s " +
+        f"(${n / t / 1e6}%.1f M events/s)")
+    }
+  }
+
   private def shuffleRank(spark: SparkSession, n: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
