@@ -314,5 +314,93 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pos"), col("offset"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2)
+  /** RP3: distribution drift between corpus snapshots — per-language PSI
+    * (population stability index) of the token-count distribution, NEW
+    * batch (d9's split, `doc_id % 10 >= 8`) vs the curated BASE. The
+    * standard "is today's ingest statistically like yesterday's corpus"
+    * monitor: PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 investigate.
+    * Deciles come from the BASE distribution (the reference population);
+    * both sides are bucketed against those cuts and
+    * psi = Σ_b (p_new − p_base)·ln(p_new/p_base) with Laplace-smoothed
+    * proportions (+0.5 / +5.0) so empty buckets stay finite. Languages
+    * with no base presence have no reference distribution and are
+    * omitted (they surface in rp2's added-set instead).
+    *
+    * Scale shape: the decile aggregate is the one corpus-touching pass
+    * (exact percentile_disc pins oracle semantics — the dd_quantile
+    * partials swap is the same one-liner as t8 at 100 TB); cuts are
+    * ≤ langs×9 and broadcast; bucketing is map-side; every downstream
+    * frame is bounded by langs×2×10. round(4) masks summation-order and
+    * ln ulp divergence (the t2/s5/t9 precedent). */
+  private val rp3 = withOracle("rp3_dist_drift",
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         len(string_split_regex(lower(trim(text)), '\s+')) AS t,
+      |         doc_id % 10 >= 8 AS is_new
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT lang, quantile_disc(t, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+      |  FROM tok WHERE NOT is_new GROUP BY lang),
+      |bk AS (
+      |  SELECT tok.lang, tok.is_new, len(list_filter(cuts.cs, c -> c <= tok.t)) AS b
+      |  FROM tok JOIN cuts USING (lang)),
+      |cnt AS (SELECT lang, is_new, b, count(*) AS n FROM bk GROUP BY 1, 2, 3),
+      |tot AS (SELECT lang, is_new, sum(n) AS tot FROM cnt GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT c.lang, gb.b, gs.is_new
+      |  FROM cuts c
+      |  CROSS JOIN (SELECT unnest(range(10)) AS b) gb
+      |  CROSS JOIN (SELECT unnest([true, false]) AS is_new) gs),
+      |p AS (
+      |  SELECT g.lang, g.b, g.is_new,
+      |         (coalesce(cnt.n, 0) + 0.5) / (coalesce(tot.tot, 0) + 5.0) AS p
+      |  FROM grid g
+      |  LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.is_new = g.is_new AND cnt.b = g.b
+      |  LEFT JOIN tot ON tot.lang = g.lang AND tot.is_new = g.is_new),
+      |nt AS (
+      |  SELECT lang,
+      |         CAST(coalesce(sum(CASE WHEN NOT is_new THEN tot END), 0) AS BIGINT) AS n_base,
+      |         CAST(coalesce(sum(CASE WHEN is_new THEN tot END), 0) AS BIGINT) AS n_new
+      |  FROM tot GROUP BY lang),
+      |psi AS (
+      |  SELECT pb.lang, round(sum((pn.p - pb.p) * ln(pn.p / pb.p)), 4) AS psi
+      |  FROM p pb JOIN p pn ON pb.lang = pn.lang AND pb.b = pn.b
+      |  WHERE NOT pb.is_new AND pn.is_new
+      |  GROUP BY pb.lang)
+      |SELECT c.lang, nt.n_base, nt.n_new, psi.psi
+      |FROM cuts c JOIN nt USING (lang) JOIN psi USING (lang)""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(words(col("text"))).as("t"),
+      (col("doc_id") % 10 >= 8).as("is_new"))
+    val cuts = tok.where(!col("is_new")).groupBy("lang").agg(
+      array((1 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY t)")): _*).as("cs"))
+    val bk = tok.join(broadcast(cuts), "lang")
+      .select(col("lang"), col("is_new"),
+        size(filter(col("cs"), c => c <= col("t"))).as("b"))
+    val cnt = bk.groupBy("lang", "is_new", "b").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("lang", "is_new").agg(sum(col("n")).as("tot"))
+    val grid = cuts.select("lang")
+      .crossJoin(s.range(10).select(col("id").cast("int").as("b")))
+      .crossJoin(s.range(2).select((col("id") === 1).as("is_new")))
+    val p = grid
+      .join(cnt, Seq("lang", "is_new", "b"), "left")
+      .join(tot, Seq("lang", "is_new"), "left")
+      .select(col("lang"), col("b"), col("is_new"),
+        ((coalesce(col("n"), lit(0L)) + 0.5) /
+          (coalesce(col("tot"), lit(0L)) + 5.0)).as("p"))
+    val pb = p.where(!col("is_new")).select(col("lang"), col("b"), col("p").as("pb"))
+    val pn = p.where(col("is_new")).select(col("lang"), col("b"), col("p").as("pn"))
+    val psi = pb.join(pn, Seq("lang", "b"))
+      .groupBy("lang")
+      .agg(round(sum((col("pn") - col("pb")) * log(col("pn") / col("pb"))), 4).as("psi"))
+    val nt = tot.groupBy("lang").agg(
+      coalesce(sum(when(!col("is_new"), col("tot"))), lit(0L)).as("n_base"),
+      coalesce(sum(when(col("is_new"), col("tot"))), lit(0L)).as("n_new"))
+    cuts.select("lang").join(nt, "lang").join(psi, "lang")
+      .select(col("lang"), col("n_base"), col("n_new"), col("psi"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3)
 }
