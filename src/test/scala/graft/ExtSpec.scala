@@ -123,6 +123,10 @@ class ExtSpec extends AnyFunSuite {
     spark.read.parquet(s"$sf/documents.parquet").limit(30)
       .write.parquet(s"$dir/documents.parquet")
     val before = DedupQueries.minhashPairs(spark, dir).count()
+    // prime the span cache too: its keys are dir-suffixed ("#spans<n>"),
+    // pinning that the invalidation sweep matches parameterized keys
+    val spanDocsBefore = DedupQueries
+      .substringSpans(spark, dir, 5).select("doc_id").distinct().count()
     val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     // rewrite the corpus out-of-band: without invalidation the TTL'd cache
     // would keep serving the 30-doc signature frame
@@ -133,6 +137,9 @@ class ExtSpec extends AnyFunSuite {
       "invalidation must unpersist the evicted signature frame")
     assert(DedupQueries.minhashPairs(spark, dir).count() === 0L,
       s"post-invalidation run must see the rewritten 1-doc corpus (before: $before pairs)")
+    assert(DedupQueries.substringSpans(spark, dir, 5)
+      .select("doc_id").distinct().count() <= 1L,
+      s"span cache must also be swept (before: $spanDocsBefore docs)")
   }
 
   test("keep-list CC: LSH pairs and exact pairs elect identical keepers") {
