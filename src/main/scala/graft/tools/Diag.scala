@@ -29,6 +29,10 @@ object Diag {
       eventScale(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("docs")) {
+      docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -127,6 +131,63 @@ object Diag {
       println(f"[events] $name%-14s n=$n%,d users=$users%,d: $t%.1f s " +
         f"(${n / t / 1e6}%.1f M events/s)")
     }
+  }
+
+  /** Dedup family at a corpus sf0.1 can't show (default 1 M docs, ~60
+    * tokens each, 10 k-word vocabulary): 10% of docs are planted EXACT
+    * duplicates (content copied from doc_id − 5) and a further 10%
+    * near-duplicates (same seed text with the last 6 of 60 tokens
+    * rewritten — Jaccard ≈ 0.8 on bigram shingles, above d2's 0.7
+    * threshold). Times d1 (exact content-hash groups), the signature
+    * build, LSH candidate pairs, and keeper election — the flagship
+    * family's shapes where the corpus is 2 000× the gate fixture. */
+  private def docScale(spark: SparkSession, n: Long): Unit = {
+    import graft.ext.TextAnalysis.{shingles, words}
+    import graft.ext.extfunctions.minhash_signature
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+
+    // seed chooses the content source: id%10==7 docs copy id−5's seed
+    // ((id−5)%10==2 keeps its own, so both draw the same token stream —
+    // exact dup); id%10==3 docs share id−3's seed for the first 54
+    // tokens but write their tail from their OWN id — near dup
+    val seed = when(col("id") % 10 === 7, col("id") - 5)
+      .when(col("id") % 10 === 3, col("id") - 3)
+      .otherwise(col("id"))
+    val tok = (src: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(xxhash64(src * 61 + i), lit(10000)))
+    val text = concat_ws(" ", concat(
+      transform(sequence(lit(1), lit(54)), i => tok(col("seed"), i)),
+      transform(sequence(lit(55), lit(60)),
+        i => tok(when(col("id") % 10 === 3, col("id")).otherwise(col("seed")), i))))
+    val docs = spark.range(n)
+      .withColumn("seed", seed)
+      .select(col("id").as("doc_id"), text.as("text"))
+
+    val tD1 = time(sink(docs
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)))
+    println(f"[docs] d1 exact groups      n=$n%,d: $tD1%.1f s (${n / tD1 / 1e6}%.2f M docs/s)")
+
+    val sigs = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles(col("ws"), 2).as("sh"))
+      .withColumn("sig", minhash_signature(col("sh"), DedupQueries.MinhashK))
+      .persist()
+    val tSig = time(sink(sigs))
+    val pairs = DedupQueries.minhashPairsOfSigs(sigs, DedupQueries.MaxLshBucket)
+      .select("doc_a", "doc_b").persist()
+    val tPairs = time(sink(pairs))
+    val nPairs = pairs.count()
+    val tKeep = time(sink(DedupQueries.keepList(pairs, docs.select("doc_id"))))
+    println(f"[docs] signature build      n=$n%,d: $tSig%.1f s (${n / tSig / 1e6}%.2f M docs/s)")
+    println(f"[docs] LSH candidate pairs  n=$n%,d: $tPairs%.1f s ($nPairs%,d pairs)")
+    println(f"[docs] keeper election      n=$n%,d: $tKeep%.1f s")
+    sigs.unpersist(blocking = false); pairs.unpersist(blocking = false)
   }
 
   private def shuffleRank(spark: SparkSession, n: Long): Unit = {
