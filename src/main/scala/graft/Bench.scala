@@ -39,9 +39,11 @@ object Bench {
     // s2. None belongs in the per-query latency table.
     // sem1/s7 embed the same KMeans training one-off as s3 (sem1's
     // serving-side scale cost is the within-cell pair join, benched via
-    // d5/s2's shapes; s7's is a map-only projection)
+    // d5/s2's shapes; s7's is a map-only projection); bpe1 is tokenizer
+    // TRAINING (12 iterative dictionary-sized jobs) — serving-side
+    // tokenization is t1, which stays benched
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf",
-      "sem1_semdedup", "s7_ivf_assign")
+      "sem1_semdedup", "s7_ivf_assign", "bpe1_merges")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -348,7 +348,27 @@ object TextQueries {
     lmScores(s, dir)
   }
 
+  /** BPE1: learned tokenizer merges — the tokenizer-TRAINING step (t1's
+    * counting is serving-side). 12 BPE merge rules learned from the
+    * corpus word-frequency dictionary via [[graft.ext.Bpe]]: one corpus
+    * pass builds the dictionary, every iteration is dictionary-sized
+    * (pair partial-agg + 1-row argmax collect + map-side merge fold).
+    * Iterative argmax isn't ANSI-expressible → rows-only; exact equality
+    * with a plain-Scala textbook implementation (same tie-break, same
+    * greedy leftmost application) is pinned in ExtSpec. */
+  private val bpe1Merges = rowsOnly("bpe1_merges") { (s, dir) =>
+    import s.implicits._
+    val dict = Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    graft.ext.Bpe.merges(dict, 12)
+      .toDF("step", "left", "right", "merged", "pair_count")
+      .select(col("step").cast("long").as("step"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, t9LmScore, p1PiiScrub)
+      t8QualityGate, t9LmScore, bpe1Merges, p1PiiScrub)
 }

@@ -191,6 +191,47 @@ class ExtSpec extends AnyFunSuite {
     assert(m1.exists { case (id, keep) => id != keep }, "fixture should contain dups")
   }
 
+  test("bpe merges = textbook single-machine reference, exactly") {
+    import org.apache.spark.sql.functions._
+    val wordCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+
+    // textbook reference: per-word symbol sequences (NOT re-keyed by
+    // sequence — mirrors the distributed form's one-row-per-word), pair
+    // counts over every adjacent occurrence, argmax with the same
+    // (count desc, left asc, right asc) tie-break (ASCII tokens, so
+    // String ordering = Spark's UTF-8 binary ordering), greedy leftmost
+    // non-overlapping application
+    var seqs = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ graft.ext.Bpe.Eow, c)
+    }
+    val expected = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (step <- 1 to 12) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      seqs.foreach { case (sq, c) =>
+        sq.iterator.sliding(2).withPartial(false)
+          .foreach { p => pc((p.head, p(1))) += c }
+      }
+      val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      expected += ((step, a, b, a + b, c))
+      seqs = seqs.map { case (sq, cnt) =>
+        (sq.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }, cnt)
+      }
+    }
+    val got = graft.SparkEntry.queries("bpe1_merges")(spark, sf)
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === expected.toSeq)
+    assert(got.exists(_._3 == graft.ext.Bpe.Eow) || got.exists(_._2.length > 1),
+      "12 steps should produce at least one multi-char or EOW merge")
+  }
+
   test("s7 incremental IVF assign: map-side argmin = plain-Scala same-formula argmin; total, deterministic") {
     val cents = graft.queries.SimilarityQueries.ivfCentroids(spark, sf)
     val got = graft.SparkEntry.queries("s7_ivf_assign")(spark, sf)
