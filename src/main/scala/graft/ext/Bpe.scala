@@ -37,14 +37,28 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
+  /** Serving-side encode: apply learned merge rules, in rule order, to a
+    * words-array column — each word becomes its BPE symbol sequence
+    * (chars + [[Eow]], folded through every rule). Pure map-side column
+    * expression (rule count is small and fixed, so the chained folds stay
+    * one projection); the training loop above is the write-side one-off
+    * that produces `rules`. */
+  def encodeWords(ws: Column, rules: Seq[(String, String)]): Column =
+    transform(ws, w => {
+      val chars = concat(
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+        array(lit(Eow)))
+      rules.foldLeft(chars) { case (sym, (a, b)) => mergeSym(sym, a, b) }
+    })
+
   /** Learn `steps` merge rules from a (word, cnt) frequency dictionary.
     * Returns one row per rule: (step, left, right, merged, pair_count).
     * Stops early if no adjacent pair remains. */
   def merges(dict: DataFrame, steps: Int): Seq[(Int, String, String, String, Long)] = {
-    // chars via SQL-form substring (the DSL overload takes only Int
-    // positions; the lambda index is a Column)
-    var vocab = dict.selectExpr("cnt",
-      s"concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('$Eow')) AS sym")
+    var vocab = dict.select(col("cnt"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+        array(lit(Eow))).as("sym"))
       .localCheckpoint()
 
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()

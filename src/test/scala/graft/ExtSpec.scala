@@ -232,6 +232,41 @@ class ExtSpec extends AnyFunSuite {
       "12 steps should produce at least one multi-char or EOW merge")
   }
 
+  test("bpe encode: column fold = reference application of the learned rules") {
+    import org.apache.spark.sql.functions._
+    val dict = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rules = graft.ext.Bpe.merges(dict, 12).map(m => (m._2, m._3))
+
+    val sample = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 25)
+      .select(col("doc_id"), graft.ext.TextAnalysis.words(col("text")).as("ws"))
+    val got = sample
+      .select(col("doc_id"), graft.ext.Bpe.encodeWords(col("ws"), rules).as("enc"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toVector).toVector)
+      .toMap
+
+    def refEncode(w: String): Vector[String] =
+      rules.foldLeft(w.map(_.toString).toVector :+ graft.ext.Bpe.Eow) {
+        case (sym, (a, b)) =>
+          sym.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+      }
+    val expected = sample.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).map(refEncode).toVector)
+      .toMap
+    assert(got === expected)
+    // the learned rules actually compress: some word must encode to
+    // fewer symbols than chars+1
+    assert(expected.values.flatten.exists(e => e.exists(_.length > 1)))
+  }
+
   test("s7 incremental IVF assign: map-side argmin = plain-Scala same-formula argmin; total, deterministic") {
     val cents = graft.queries.SimilarityQueries.ivfCentroids(spark, sf)
     val got = graft.SparkEntry.queries("s7_ivf_assign")(spark, sf)
