@@ -191,6 +191,40 @@ class ExtSpec extends AnyFunSuite {
     assert(m1.exists { case (id, keep) => id != keep }, "fixture should contain dups")
   }
 
+  test("sm4 token budget: kept token mass tracks each language's share; clamped langs keep all") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tok = docs.select(col("lang"),
+      size(graft.ext.TextAnalysis.words(col("text"))).cast("long").as("t"),
+      col("doc_id"))
+    val byLang = tok.groupBy("lang").agg(sum(col("t")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = byLang.map { case (l, _) => l -> (if (l == "en") 1.0 else 2.0) }
+    val sumW = w.values.sum
+    val totalToks = byLang.values.sum.toDouble
+    val kept = graft.SparkEntry.queries("sm4_token_budget")(spark, sf)
+      .groupBy("lang").agg(sum(col("n_tokens")).as("kt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (l, toks) =>
+      val target = totalToks * 0.25 * w(l) / sumW
+      val rate = math.min(1.0, target / toks)
+      if (rate >= 1.0)
+        assert(kept(l) === toks, s"$l under budget must keep everything")
+      else {
+        // hash-threshold sampling hits the target in expectation; the
+        // realized mass carries sampling noise ∝ 1/√n_kept_docs — en's
+        // damped rate keeps only a handful of sf0.01 docs (observed
+        // rel 0.28), so the bound is wide; the deterministic hash makes
+        // the realized value reproducible, so this can never flake
+        val rel = math.abs(kept.getOrElse(l, 0L) - target) / target
+        assert(rel < 0.45, f"$l kept ${kept.getOrElse(l, 0L)} vs target $target%.0f (rel $rel%.2f)")
+      }
+    }
+    val totalKept = kept.values.sum.toDouble
+    assert(totalKept < totalToks * 0.6,
+      "the mix must be a real subsample, not the whole corpus")
+  }
+
   test("bpe merges = textbook single-machine reference, exactly") {
     import org.apache.spark.sql.functions._
     val wordCounts = spark.read.parquet(s"$sf/documents.parquet")
