@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
 object Diag {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // SPARK_GRAFT_SHUFFLE: scale-mode experiments raise this to hold
+      // rows-per-task constant on a fixed-core box (e.g. the 200 M-event
+      // sessionization sort-spill boundary, SCALE.md §7)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
