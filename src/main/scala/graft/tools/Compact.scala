@@ -211,4 +211,31 @@ object Compact {
     if (hasRollup) swap("samples_rollup")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
+
+  /** Compact the streaming near-dup BASE signature table
+    * (graft.streaming.DocStream.startNearDupSink appends one small file
+    * set per micro-batch — a day of 5 s triggers leaves ~17 k file
+    * groups whose footers alone dominate the probe's scan planning).
+    * Rewrite range-partitioned and sorted by doc_id into `files` files
+    * with the same staged atomic swap the store tables use.
+    * Content-preserving by construction: the sink's replay idempotence
+    * means the base carries no duplicate doc_ids to collapse, so this
+    * is purely a file-layout rewrite (ToolsSpec pins set equality and
+    * that the LSH probe answers identically afterwards). */
+  def nearDupBase(spark: SparkSession, basePath: String, files: Int = 8): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val stage = new org.apache.hadoop.fs.Path(basePath + ".compact_stage")
+    spark.read.parquet(basePath)
+      .repartitionByRange(files, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(stage.toString)
+    val old = new org.apache.hadoop.fs.Path(basePath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(base, old)
+    fs.rename(stage, base)
+    fs.delete(old, true)
+  }
 }

@@ -216,6 +216,22 @@ object Smoke {
       println("FUNNEL: " + stages) // expect u1=stage3 (completed), u2=stage1
       q.stop()
     }
+
+    // near-dup base compaction: two appended file groups -> one rewrite
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("smoke_ndbase_").toString + "/base"
+      val rows = Seq((1L, Seq("a b", "b c"), Seq(1L, 2L)), (2L, Seq("c d"), Seq(3L, 4L)))
+      rows.foreach { r =>
+        Seq(r).toDF("doc_id", "sh", "sig")
+          .write.mode("append").parquet(base)
+      }
+      graft.tools.Compact.nearDupBase(spark, base, files = 1)
+      println("NDCOMPACT: rows=" + spark.read.parquet(base).count() +
+        " files=" + {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+          try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+        })
+    }
     spark.stop()
   }
 }

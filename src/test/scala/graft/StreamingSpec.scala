@@ -247,6 +247,33 @@ class StreamingSpec extends AnyFunSuite {
     q3.stop()
     assert(spark.read.parquet(basePath).count() === got.size.toLong,
       "replayed accepted docs must not land a second base row")
+
+    // base compaction: three sink sessions appended three file groups;
+    // the rewrite is layout-only — same rows, fewer files, and the LSH
+    // probe answers identically against the compacted base
+    def parquetFiles(): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(basePath))
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val filesBefore = parquetFiles()
+    val rowsBefore = spark.read.parquet(basePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic probe set (limit() would pick layout-dependent rows)
+    val probeBefore = graft.queries.DedupQueries.probePairsAgainst(
+      spark.read.parquet(basePath).where(col("doc_id") < 20),
+      spark.read.parquet(basePath))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.tools.Compact.nearDupBase(spark, basePath, files = 2)
+    assert(parquetFiles() <= 2 && parquetFiles() < filesBefore,
+      s"compaction must shrink $filesBefore files to <= 2")
+    assert(spark.read.parquet(basePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === rowsBefore)
+    val probeAfter = graft.queries.DedupQueries.probePairsAgainst(
+      spark.read.parquet(basePath).where(col("doc_id") < 20),
+      spark.read.parquet(basePath))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAfter === probeBefore, "probe must answer identically post-compaction")
   }
 
   test("stateful new-series detection emits each fingerprint once") {
