@@ -21,8 +21,12 @@ object Verify {
     // and gets every query.
     val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    // local-use: restrict to a comma-separated subset for fast iteration
+    // on one query (the driver sets nothing and gets every query)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (!skip.contains(name)) {
+      if (!skip.contains(name) && only.forall(_.contains(name))) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.TextAnalysis._
 import graft.ext.extfunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator inventory over the `documents` table. */
@@ -120,7 +120,9 @@ object TextQueries {
     val ws = words(col("text"))
     val nWords = size(ws)
     val denom = greatest(nWords, lit(1))
-    val meanLen = aggregate(ws, lit(0), (a, x) => a + length(x)).cast("double") / denom
+    // LongType accumulator: an IntegerType fold wraps negative past 2^31
+    // total characters (the gate kernel was fixed the same way)
+    val meanLen = aggregate(ws, lit(0L), (a, x) => a + length(x)).cast("double") / denom
     val alphaRatio = size(filter(ws, _.rlike("[a-z]"))).cast("double") / denom
     val stops = Stopwords("en")
     val stopRatio = size(filter(ws, _.isin(stops: _*))).cast("double") / denom
@@ -368,7 +370,72 @@ object TextQueries {
         col("merged"), col("pair_count"))
   }
 
+  /** T10: C4-style line-level cleaning (Raffel et al. 2020 §2.2, public):
+    * keep lines with ≥5 words that end in terminal punctuation and don't
+    * contain the policy token "javascript"; drop whole pages containing a
+    * curly brace (code) or left with fewer than 3 surviving lines. The
+    * corpus is single-line word soup, so (the p1 precedent) the gate
+    * synthesizes the line structure deterministically in BOTH engines:
+    * 8-word lines, with punctuation / policy / brace markers planted as
+    * pure functions of (doc_id, line index) — what's under test is the
+    * real rule engine: line split, per-line predicates, page predicates,
+    * reassembly.
+    *
+    * Scale shape: ONE projection of higher-order functions over the word
+    * array — no exchange, no join, no window at any corpus size (plan
+    * contract in PlanSpec). Page rejection is emitted as a `page_kept`
+    * flag rather than a `.where` so the whole operator stays a single
+    * map-side pass and the expensive line arrays are never cloned into a
+    * pushed-down filter (the s6 lesson, commit eb31328); a consumer
+    * composes `.where(col("page_kept"))` downstream. */
+  private val t10C4Clean = withOracle("t10_c4_clean",
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
+      |           i -> array_to_string(ws[i*8+1 : i*8+8], ' ')
+      |                || CASE WHEN (doc_id + 3*i) % 10 = 7 THEN ' javascript' ELSE '' END
+      |                || CASE WHEN (doc_id * 7 + i) % 37 = 0 THEN ' {' ELSE '' END
+      |                || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+      |  FROM w),
+      |k AS (
+      |  SELECT doc_id, lines,
+      |         list_filter(lines, x -> len(string_split(x, ' ')) >= 5
+      |                               AND ends_with(x, '.')
+      |                               AND NOT contains(x, 'javascript')) AS kept
+      |  FROM l)
+      |SELECT doc_id,
+      |       len(lines) AS n_lines,
+      |       len(kept) AS n_kept,
+      |       (len(list_filter(lines, x -> contains(x, '{'))) = 0 AND len(kept) >= 3)
+      |         AS page_kept,
+      |       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+      |FROM k""".stripMargin) { (s, dir) =>
+    val ws = words(col("text"))
+    val nl = greatest(floor((size(ws) + lit(7)) / lit(8)), lit(1)).cast("int")
+    val mkLine = (i: Column) => concat(
+      concat_ws(" ", slice(ws, i * 8 + 1, lit(8))),
+      when((col("doc_id") + lit(3) * i) % 10 === 7, " javascript").otherwise(""),
+      when((col("doc_id") * 7 + i) % 37 === 0, " {").otherwise(""),
+      when((col("doc_id") + i) % 3 =!= 0, ".").otherwise(""))
+    val keepLine = (l: Column) =>
+      size(split(l, " ")) >= 5 && l.endsWith(".") && !l.contains("javascript")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), nl - 1), mkLine).as("lines"))
+      .select(col("doc_id"), col("lines"),
+        filter(col("lines"), keepLine).as("kept"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (!exists(col("lines"), _.contains("{")) && size(col("kept")) >= 3)
+          .as("page_kept"),
+        array_join(col("kept"), "\n").as("cleaned"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, t9LmScore, bpe1Merges, p1PiiScrub)
+      t8QualityGate, t9LmScore, t10C4Clean, bpe1Merges, p1PiiScrub)
 }

@@ -295,6 +295,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t10 C4 clean is map-only: no exchange, no join, no sort, no filter") {
+    val p = plan("t10_c4_clean")
+    assert(!p.contains("Exchange"), s"t10 must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Sort"), s"t10 is a pure projection:\n$p")
+    // page rejection is a projected flag, NOT a Filter — a .where over the
+    // computed line arrays would clone the HOF chain into a pushed-down
+    // predicate (the s6 lesson, commit eb31328). Match the operator node
+    // only (the plan text also says "PushedFilters:" and "filter(" HOFs).
+    assert("(?m)^[\\s+*-]*(\\(\\d+\\) )?Filter ".r.findFirstIn(p).isEmpty,
+      s"t10 must not plan a Filter operator:\n$p")
+  }
+
   test("s4 quantization is map-only: no exchange, no join, no sort") {
     val p = plan("s4_quantize_int8")
     assert(!p.contains("Exchange"), s"s4 must not shuffle:\n$p")

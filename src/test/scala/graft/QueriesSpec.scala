@@ -77,4 +77,27 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(a - n).toDouble / n < 0.1, s"$name: exact=$n hll=$a")
     }
   }
+
+  test("t10 C4 clean: every surviving line satisfies every rule, page flags honest") {
+    val rows = SparkEntry.queries("t10_c4_clean")(spark, dir).collect()
+    assert(rows.length > 0)
+    val kept = rows.filter(_.getAs[Boolean]("page_kept"))
+    val dropped = rows.filterNot(_.getAs[Boolean]("page_kept"))
+    // planted markers must exercise both outcomes
+    assert(kept.nonEmpty && dropped.nonEmpty, s"degenerate split: ${kept.length} kept")
+    for (r <- rows) {
+      val lines = r.getAs[String]("cleaned").split("\n").filter(_.nonEmpty)
+      assert(lines.length == r.getAs[Long]("n_kept"))
+      for (l <- lines) {
+        assert(l.endsWith("."), s"no terminal punctuation: '$l'")
+        assert(l.split(" ").length >= 5, s"short line survived: '$l'")
+        assert(!l.contains("javascript"), s"policy token survived: '$l'")
+      }
+      // a kept page has >= 3 surviving lines and no brace anywhere
+      if (r.getAs[Boolean]("page_kept")) {
+        assert(r.getAs[Long]("n_kept") >= 3)
+        assert(!r.getAs[String]("cleaned").contains("{"))
+      }
+    }
+  }
 }
