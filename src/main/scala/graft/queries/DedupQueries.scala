@@ -851,8 +851,77 @@ object DedupQueries {
     substringSpans(s, dir, SpanWords)
   }
 
+  /** D13: corpus-wide duplicated-LINE removal (the MassiveText / C4
+    * "repeated lines" rule, Rae et al. 2021 §A1.2): any line occurring more
+    * than `DupLineMax` times across the corpus is boilerplate and is
+    * removed from EVERY document; survivors are reassembled in order. The
+    * granularity between d1 (whole document) and d10 (n-gram span): real
+    * corpora repeat nav/footer/subscribe lines verbatim across otherwise
+    * distinct pages. The word-soup corpus repeats nothing, so (the p1/t10
+    * precedent) boilerplate lines are planted deterministically in both
+    * engines over the same synthesized 8-word line structure.
+    *
+    * Scale shape: line counts are a line-keyed partial aggregation —
+    * precisely the heavy boilerplate lines collapse to one row per task
+    * before the exchange; the duplicated set is the count>K sliver, which
+    * AQE broadcasts at runtime (not forced — it is corpus-derived, not
+    * schema-bounded). The only corpus-sized exchanges are that count agg
+    * (uniform keys) and the doc-keyed reassembly, whose kept-line election
+    * is a null-guarded `collect_list(when(...))` INSIDE the aggregate —
+    * never a `.where` over computed columns (the s6 lesson). At 100 TB the
+    * documented swap is d8's composition: a Bloom of the duplicated set
+    * probed inside a map-side `filter(lines, ...)` HOF (doc row in, doc
+    * row out, no explode), with the exact verify join only on
+    * Bloom-positive lines. */
+  val DupLineMax = 2
+  private val d13LineDedup = withOracle("d13_line_dedup",
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |n AS (
+       |  SELECT doc_id, ws,
+       |         greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1) AS nl FROM w),
+       |l AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, nl)) AS i,
+       |         unnest(list_transform(range(0, nl),
+       |           i -> CASE WHEN (doc_id * 31 + i * 17) % 6 = 0
+       |                     THEN 'boiler plate notice ' || CAST((doc_id + i) % 3 AS VARCHAR)
+       |                     ELSE array_to_string(ws[i*8+1 : i*8+8], ' ') END)) AS line
+       |  FROM n),
+       |c AS (SELECT line, count(*) AS cnt FROM l GROUP BY 1)
+       |SELECT doc_id,
+       |       count(*) AS n_lines,
+       |       CAST(sum(CASE WHEN cnt > $DupLineMax THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       |       coalesce(array_to_string(list(line ORDER BY i) FILTER (WHERE cnt <= $DupLineMax),
+       |                chr(10)), '') AS deduped
+       |FROM l JOIN c USING (line)
+       |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = words(col("text"))
+    val nl = greatest(floor((size(ws) + lit(7)) / lit(8)), lit(1)).cast("int")
+    val mkLine = (i: Column) =>
+      when((col("doc_id") * 31 + i * 17) % 6 === 0,
+        concat(lit("boiler plate notice "), ((col("doc_id") + i) % 3).cast("string")))
+      .otherwise(concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))
+    val exploded = Tables(s, dir, "documents")
+      .select(col("doc_id"), transform(sequence(lit(0), nl - 1), mkLine).as("lines"))
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
+    val dup = exploded.groupBy("line").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > DupLineMax)
+    exploded.join(dup, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_dup_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("cnt").isNull,
+              struct(col("i"), col("line"))))),
+            _.getField("line")),
+          "\n").as("deduped"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
       d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub,
-      sem1SemDedup)
+      d13LineDedup, sem1SemDedup)
 }

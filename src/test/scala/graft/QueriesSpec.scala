@@ -78,6 +78,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d13 line dedup: boilerplate gone everywhere, survivors preserved in order") {
+    val rows = SparkEntry.queries("d13_line_dedup")(spark, dir).collect()
+    assert(rows.length > 0)
+    assert(rows.map(_.getAs[Long]("n_dup_lines")).sum > 0, "nothing was removed")
+    for (r <- rows) {
+      val deduped = r.getAs[String]("deduped")
+      assert(!deduped.contains("boiler plate notice"), s"boilerplate survived: $deduped")
+      val nKept = deduped.split("\n").count(_.nonEmpty)
+      assert(nKept == r.getAs[Long]("n_lines") - r.getAs[Long]("n_dup_lines"),
+        s"doc ${r.getAs[Long]("doc_id")}: kept $nKept of ${r.getAs[Long]("n_lines")}")
+    }
+  }
+
   test("t10 C4 clean: every surviving line satisfies every rule, page flags honest") {
     val rows = SparkEntry.queries("t10_c4_clean")(spark, dir).collect()
     assert(rows.length > 0)
