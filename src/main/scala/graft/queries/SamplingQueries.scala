@@ -262,7 +262,88 @@ object SamplingQueries {
       .select(col("doc_id"), col("lang"), col("t").as("n_tokens"))
   }
 
+  /** SM5: DSIR — data selection via importance resampling (Xie et al.
+    * 2023, public): score every document by how much its hashed n-gram
+    * feature distribution looks like a TARGET domain rather than the raw
+    * corpus, then keep the top scorers. Features are word bigrams hashed
+    * into `DsirBuckets` buckets (md5 prefix — engine-portable, the sm1
+    * rule); the target here is the `lang='en'` slice standing in for
+    * "quality domain" (DSIR's target is e.g. Wikipedia). Bucket
+    * importance weight = ln of the Laplace-smoothed probability ratio
+    * p_target(b)/p_raw(b); a document's score is the mean weight over its
+    * bigram instances; kept = score at or above the 70th percentile
+    * (deterministic top-fraction — the paper's Gumbel tie-break exists to
+    * sample WITHOUT replacement fairly; a rank cut is the reproducible
+    * batch form).
+    *
+    * Scale shape: feature hashing is map-side; the two distribution
+    * estimates are ≤`DsirBuckets`-row partial aggregations; the weight
+    * table is domain-bounded (≤256 rows — broadcast forced, the
+    * schema-bounded rule); scoring is a map-side probe + per-doc partial
+    * agg (doc-local combining, one ≤1-row-per-doc exchange); the
+    * percentile threshold is a 1-row aggregate broadcast back (pk2/t8
+    * shape). Nothing corpus-sized is sorted, windowed, or collected.
+    * round(4) masks partial-agg summation-order ULP (t9 precedent);
+    * the ratio algebra is stated identically in both engines. */
+  val DsirBuckets = 256
+  private val sm5Dsir = withOracle("sm5_dsir_resample",
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+       |  FROM w WHERE len(ws) >= 2),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substring(md5(w1 || ' ' || w2), 1, 4))::INTEGER % $DsirBuckets AS bucket
+       |  FROM b),
+       |t AS (SELECT bucket, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+       |r AS (SELECT bucket, count(*) AS cr FROM f GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM f WHERE lang = 'en'),
+       |nr AS (SELECT count(*) AS n FROM f),
+       |wt AS (SELECT r.bucket,
+       |              ln(((coalesce(t.ct, 0) + 1.0) / (nt.n + $DsirBuckets)) /
+       |                 ((r.cr + 1.0) / (nr.n + $DsirBuckets))) AS lw
+       |       FROM r LEFT JOIN t USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+       |s AS (SELECT f.doc_id, count(*) AS n_feats, round(avg(wt.lw), 4) AS score
+       |      FROM f JOIN wt USING (bucket) GROUP BY 1),
+       |q AS (SELECT quantile_disc(score, 0.70) AS th FROM s)
+       |SELECT doc_id, n_feats, score FROM s, q WHERE s.score >= q.th""".stripMargin) {
+    (s, dir) =>
+    val ws = graft.ext.TextAnalysis.words(col("text"))
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+    val feats = base.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("bigram")), 1, 4), 16, 10).cast("long")
+          % DsirBuckets).as("bucket"))
+    val t = feats.where(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val r = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val nt = feats.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
+    val nr = feats.agg(count(lit(1)).as("nr"))
+    val wt = r.join(t, Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(DsirBuckets))) /
+            ((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets)))).as("lw"))
+    val scored = feats.join(broadcast(wt), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), round(avg(col("lw")), 4).as("score"))
+    val th = scored.agg(
+      expr("percentile_disc(0.70) WITHIN GROUP (ORDER BY score)").as("th"))
+    scored.crossJoin(broadcast(th))
+      .where(col("score") >= col("th"))
+      .select(col("doc_id"), col("n_feats"), col("score"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets, sh1Shuffle,
-      sm3Temperature, sm4TokenBudget)
+      sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

@@ -78,6 +78,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sm5 DSIR: keeps ~30%, and target-language docs score above the rest") {
+    import org.apache.spark.sql.functions._
+    val kept = SparkEntry.queries("sm5_dsir_resample")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count().toDouble
+    val frac = kept.count() / nDocs
+    // >= 70th percentile with ties → at least 30%, not wildly more
+    assert(frac >= 0.29 && frac <= 0.45, s"kept fraction $frac")
+    // the importance weights are trained to prefer the target (en) slice,
+    // so en documents must survive the cut at a higher rate than the rest
+    val keptRate = kept.join(docs.select("doc_id", "lang"), "doc_id")
+      .where(col("lang") === "en").count().toDouble /
+      docs.where(col("lang") === "en").count()
+    val restRate = kept.join(docs.select("doc_id", "lang"), "doc_id")
+      .where(col("lang") =!= "en").count().toDouble /
+      docs.where(col("lang") =!= "en").count()
+    assert(keptRate > restRate,
+      s"en kept at $keptRate <= rest at $restRate — importance weights inverted?")
+  }
+
   test("d13 line dedup: boilerplate gone everywhere, survivors preserved in order") {
     val rows = SparkEntry.queries("d13_line_dedup")(spark, dir).collect()
     assert(rows.length > 0)
