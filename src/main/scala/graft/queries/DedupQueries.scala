@@ -902,11 +902,19 @@ object DedupQueries {
       when((col("doc_id") * 31 + i * 17) % 6 === 0,
         concat(lit("boiler plate notice "), ((col("doc_id") + i) % 3).cast("string")))
       .otherwise(concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))
-    val exploded = Tables(s, dir, "documents")
-      .select(col("doc_id"), transform(sequence(lit(0), nl - 1), mkLine).as("lines"))
+    lineDedupOf(Tables(s, dir, "documents")
+      .select(col("doc_id"), transform(sequence(lit(0), nl - 1), mkLine).as("lines")))
+  }
+
+  /** d13's count→prune→reassemble over any (doc_id, lines array<string>)
+    * frame — frame-parameterized so Diag can time it on synthetic corpora
+    * (and so a caller with REAL multi-line text splits on '\n' instead of
+    * the gate's synthesized structure). */
+  def lineDedupOf(docLines: DataFrame, dupLineMax: Long = DupLineMax): DataFrame = {
+    val exploded = docLines
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
     val dup = exploded.groupBy("line").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > DupLineMax)
+      .where(col("cnt") > dupLineMax)
     exploded.join(dup, Seq("line"), "left")
       .groupBy("doc_id")
       .agg(

@@ -311,9 +311,15 @@ object SamplingQueries {
        |      FROM f JOIN wt USING (bucket) GROUP BY 1),
        |q AS (SELECT quantile_disc(score, 0.70) AS th FROM s)
        |SELECT doc_id, n_feats, score FROM s, q WHERE s.score >= q.th""".stripMargin) {
-    (s, dir) =>
+    (s, dir) => dsirOf(Tables(s, dir, "documents"))
+  }
+
+  /** sm5's scorer+cut over any (doc_id, lang, text) frame —
+    * frame-parameterized so Diag can time it on synthetic corpora. */
+  def dsirOf(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
     val ws = graft.ext.TextAnalysis.words(col("text"))
-    val base = Tables(s, dir, "documents")
+    val base = docs
       .select(col("doc_id"), col("lang"), ws.as("ws"))
       .where(size(col("ws")) >= 2)
     val feats = base.select(col("doc_id"), col("lang"),
@@ -323,10 +329,10 @@ object SamplingQueries {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("bigram")), 1, 4), 16, 10).cast("long")
           % DsirBuckets).as("bucket"))
-    val t = feats.where(col("lang") === "en")
+    val t = feats.where(col("lang") === targetLang)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
     val r = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val nt = feats.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
+    val nt = feats.where(col("lang") === targetLang).agg(count(lit(1)).as("nt"))
     val nr = feats.agg(count(lit(1)).as("nr"))
     val wt = r.join(t, Seq("bucket"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))

@@ -412,6 +412,12 @@ object TextQueries {
       |         AS page_kept,
       |       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
       |FROM k""".stripMargin) { (s, dir) =>
+    c4CleanOf(Tables(s, dir, "documents"))
+  }
+
+  /** t10's rule engine over any (doc_id, text) frame — frame-parameterized
+    * so Diag can time it on synthetic corpora sf0.1 can't represent. */
+  def c4CleanOf(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val nl = greatest(floor((size(ws) + lit(7)) / lit(8)), lit(1)).cast("int")
     val mkLine = (i: Column) => concat(
@@ -421,7 +427,7 @@ object TextQueries {
       when((col("doc_id") + i) % 3 =!= 0, ".").otherwise(""))
     val keepLine = (l: Column) =>
       size(split(l, " ")) >= 5 && l.endsWith(".") && !l.contains("javascript")
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         transform(sequence(lit(0), nl - 1), mkLine).as("lines"))
       .select(col("doc_id"), col("lines"),

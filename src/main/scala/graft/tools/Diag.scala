@@ -37,6 +37,10 @@ object Diag {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("lines")) {
+      lineScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -192,6 +196,47 @@ object Diag {
     println(f"[docs] LSH candidate pairs  n=$n%,d: $tPairs%.1f s ($nPairs%,d pairs)")
     println(f"[docs] keeper election      n=$n%,d: $tKeep%.1f s")
     sigs.unpersist(blocking = false); pairs.unpersist(blocking = false)
+  }
+
+  /** Line-granularity curation family (t10 C4 clean, d13 duplicated-line
+    * removal, sm5 DSIR) at a corpus sf0.1 can't show (default 1 M docs of
+    * ~60 tokens). t10 is a pure projection and should track scan
+    * throughput; d13 pays a line-keyed count agg (boilerplate collapses
+    * map-side) + a doc-keyed reassembly; sm5 pays two ≤256-row bucket
+    * aggs, a map-side weight probe and one per-doc agg. ~17% of line
+    * slots are planted boilerplate (3 distinct lines corpus-wide), the
+    * d13 regime at its worst: heavy duplicate mass on very few keys. */
+  private def lineScale(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val langs = array(lit("en"), lit("de"), lit("es"))
+    val tok = (i: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(xxhash64(col("doc_id") * 61 + i), lit(10000)))
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      element_at(langs, (pmod(xxhash64(col("id"), lit(3)), lit(3)) + 1).cast("int")).as("lang"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(60)), i => tok(i))))
+
+    val tT10 = time(sink(graft.queries.TextQueries.c4CleanOf(docs)))
+    println(f"[lines] t10 C4 clean        n=$n%,d: $tT10%.1f s (${n / tT10 / 1e6}%.2f M docs/s)")
+
+    // the gate's planted-boilerplate line structure, at size
+    val ws = graft.ext.TextAnalysis.words(col("text"))
+    val nl = greatest(floor((size(ws) + lit(7)) / lit(8)), lit(1)).cast("int")
+    val mkLine = (i: org.apache.spark.sql.Column) =>
+      when((col("doc_id") * 31 + i * 17) % 6 === 0,
+        concat(lit("boiler plate notice "), ((col("doc_id") + i) % 3).cast("string")))
+      .otherwise(concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))
+    val docLines = docs.select(col("doc_id"),
+      transform(sequence(lit(0), nl - 1), mkLine).as("lines"))
+    val tD13 = time(sink(graft.queries.DedupQueries.lineDedupOf(docLines)))
+    println(f"[lines] d13 line dedup      n=$n%,d: $tD13%.1f s (${n / tD13 / 1e6}%.2f M docs/s)")
+
+    val tSm5 = time(sink(graft.queries.SamplingQueries.dsirOf(docs)))
+    println(f"[lines] sm5 DSIR resample   n=$n%,d: $tSm5%.1f s (${n / tSm5 / 1e6}%.2f M docs/s)")
   }
 
   private def shuffleRank(spark: SparkSession, n: Long): Unit = {
