@@ -910,11 +910,45 @@ object DedupQueries {
     * frame — frame-parameterized so Diag can time it on synthetic corpora
     * (and so a caller with REAL multi-line text splits on '\n' instead of
     * the gate's synthesized structure). */
-  def lineDedupOf(docLines: DataFrame, dupLineMax: Long = DupLineMax): DataFrame = {
+  def lineDedupOf(docLines: DataFrame, dupLineMax: Long = DupLineMax): DataFrame =
+    lineDedupAgainst(docLines,
+      docLines.select(posexplode(col("lines")).as(Seq("i", "line")))
+        .groupBy("line").agg(count(lit(1)).as("cnt")),
+      dupLineMax)
+
+  /** The accumulated (line, cnt) index for [[lineDedupIncremental]] — the
+    * base-side state a snapshot-over-snapshot pipeline maintains (and the
+    * streaming base table Compact-able like the near-dup base). */
+  def lineCountsOf(docLines: DataFrame): DataFrame =
+    docLines.select(posexplode(col("lines")).as(Seq("i", "line")))
+      .groupBy("line").agg(count(lit(1)).as("cnt"))
+
+  /** Incremental d13 for daily ingest: dedup the NEW batch against the
+    * combined line counts of the accumulated base index plus the batch
+    * itself, without ever re-exploding base documents. The base travels
+    * as its (line, cnt) index (the d9 move: a base reduced to the
+    * aggregate the decision needs), so each ingest pays O(batch lines +
+    * base-index rows touched) — the combined count is a union of the
+    * index with the batch's own partial counts, and only batch documents
+    * are reassembled. Equality with the full recompute restricted to
+    * batch docs is pinned in ExtSpec. */
+  def lineDedupIncremental(baseCounts: DataFrame, newDocLines: DataFrame,
+      dupLineMax: Long = DupLineMax): DataFrame = {
+    val combined = lineCountsOf(newDocLines)
+      .unionByName(baseCounts)
+      .groupBy("line").agg(sum(col("cnt")).as("cnt"))
+    lineDedupAgainst(newDocLines, combined, dupLineMax)
+  }
+
+  /** Shared tail: mark lines duplicated per `counts`, reassemble keepers.
+    * The dup set is the count>K sliver (AQE broadcasts it at runtime);
+    * kept-line election is a null-guarded collect_list INSIDE the
+    * aggregate — never a .where over computed columns (the s6 lesson). */
+  private def lineDedupAgainst(docLines: DataFrame, counts: DataFrame,
+      dupLineMax: Long): DataFrame = {
     val exploded = docLines
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
-    val dup = exploded.groupBy("line").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > dupLineMax)
+    val dup = counts.where(col("cnt") > dupLineMax)
     exploded.join(dup, Seq("line"), "left")
       .groupBy("doc_id")
       .agg(

@@ -314,34 +314,61 @@ object SamplingQueries {
     (s, dir) => dsirOf(Tables(s, dir, "documents"))
   }
 
-  /** sm5's scorer+cut over any (doc_id, lang, text) frame —
-    * frame-parameterized so Diag can time it on synthetic corpora. */
-  def dsirOf(docs: org.apache.spark.sql.DataFrame,
-      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
+  /** Hashed-bigram feature instances (doc_id, lang, bucket) — sm5's
+    * feature extractor, shared by training and scoring. */
+  private def dsirFeats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val ws = graft.ext.TextAnalysis.words(col("text"))
-    val base = docs
+    docs
       .select(col("doc_id"), col("lang"), ws.as("ws"))
       .where(size(col("ws")) >= 2)
-    val feats = base.select(col("doc_id"), col("lang"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1)))).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("bigram"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("bigram")), 1, 4), 16, 10).cast("long")
           % DsirBuckets).as("bucket"))
+  }
+
+  /** The trained DSIR importance-weight table (bucket, lw) — ≤
+    * [[DsirBuckets]] rows however big the corpus. In a deployed pipeline
+    * this is the artifact trained ONCE on a reference snapshot and then
+    * applied to every incoming batch via [[dsirScoreWith]] (the s7/d9
+    * incremental shape: state reduced to what the decision needs). */
+  def dsirWeightsOf(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
+    val feats = dsirFeats(docs)
     val t = feats.where(col("lang") === targetLang)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
     val r = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val nt = feats.where(col("lang") === targetLang).agg(count(lit(1)).as("nt"))
     val nr = feats.agg(count(lit(1)).as("nr"))
-    val wt = r.join(t, Seq("bucket"), "left")
+    r.join(t, Seq("bucket"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("bucket"),
         log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(DsirBuckets))) /
             ((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets)))).as("lw"))
-    val scored = feats.join(broadcast(wt), Seq("bucket"))
+  }
+
+  /** Score any (doc_id, lang, text) frame against a FROZEN weight table:
+    * a map-side probe (the ≤256-row weights broadcast into the scan) plus
+    * one per-doc partial agg — no distribution aggregation at all, the
+    * per-batch cost of DSIR in an incremental pipeline. A bucket absent
+    * from the weights (never seen at training) contributes weight 0, the
+    * smoothed-ratio prior. */
+  def dsirScoreWith(weights: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dsirFeats(docs).join(broadcast(weights), Seq("bucket"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), round(avg(col("lw")), 4).as("score"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(avg(coalesce(col("lw"), lit(0.0))), 4).as("score"))
+
+  /** sm5's full train+score+cut over any (doc_id, lang, text) frame —
+    * frame-parameterized so Diag can time it on synthetic corpora. */
+  def dsirOf(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
+    val scored = dsirScoreWith(dsirWeightsOf(docs, targetLang), docs)
     val th = scored.agg(
       expr("percentile_disc(0.70) WITHIN GROUP (ORDER BY score)").as("th"))
     scored.crossJoin(broadcast(th))

