@@ -43,6 +43,22 @@ package object functions {
   def dd_quantile(h: Column, q: Double): Column =
     col(DDQuantile(expression(h), q))
 
+  /** Misra–Gries frequent-items summary over a group's string terms →
+    * binary (constant-size mergeable partials; see [[MGOps]]). */
+  def freq_sketch(t: Column, capacity: Int = MGOps.DefaultCapacity): Column =
+    col(FreqSketchAgg(expression(t), capacity).toAggregateExpression())
+
+  /** Re-merge serialized [[freq_sketch]] summaries. */
+  def freq_sketch_merge(s: Column): Column =
+    col(FreqSketchMergeAgg(expression(s)).toAggregateExpression())
+
+  /** Summary counters as array<struct<term,est>>, (est desc, term asc);
+    * estimates under-count by at most n/(capacity+1). */
+  def freq_items(s: Column): Column = col(FreqItems(expression(s)))
+
+  /** Total values a summary processed (derives the error bound). */
+  def freq_n(s: Column): Column = col(FreqN(expression(s)))
+
   /** Bits for a Bloom filter holding `n` items at false-positive rate
     * `fpp` (standard m = -n·ln p / ln²2), clamped to ≥64. */
   def bloomNumBits(n: Long, fpp: Double): Long = {

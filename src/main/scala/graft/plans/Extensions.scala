@@ -150,6 +150,20 @@ object GraftFunctions {
     fn("dd_quantile", classOf[DDQuantile]) { a =>
       arity("dd_quantile", a, 2); DDQuantile(a(0), doubleArg("dd_quantile", a(1)))
     },
+    fn("freq_sketch", classOf[FreqSketchAgg]) { a =>
+      arity("freq_sketch", a, 1, 2)
+      if (a.length == 1) FreqSketchAgg(a(0))
+      else FreqSketchAgg(a(0), intArg("freq_sketch", a(1)))
+    },
+    fn("freq_sketch_merge", classOf[FreqSketchMergeAgg]) { a =>
+      arity("freq_sketch_merge", a, 1); FreqSketchMergeAgg(a(0))
+    },
+    fn("freq_items", classOf[FreqItems]) { a =>
+      arity("freq_items", a, 1); FreqItems(a(0))
+    },
+    fn("freq_n", classOf[FreqN]) { a =>
+      arity("freq_n", a, 1); FreqN(a(0))
+    },
     fn("bottom_k", classOf[BottomKAgg]) { a =>
       arity("bottom_k", a, 2); BottomKAgg(a(0), intArg("bottom_k", a(1)))
     },

@@ -441,7 +441,49 @@ object TextQueries {
         array_join(col("kept"), "\n").as("cleaned"))
   }
 
+  /** FI1: exact corpus-wide top-20 terms by frequency — the vocabulary
+    * heavy-hitter report (and the oracle anchor for the sketch variant).
+    * One term-keyed partial-agg exchange (counts collapse map-side, the
+    * exchange is vocabulary-sized, not corpus-sized) + TakeOrdered top-k.
+    * Deterministic tie-break on the term. */
+  private val fi1TopTerms = withOracle("fi1_top_terms",
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+      |r AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rn FROM c)
+      |SELECT term, n FROM r WHERE rn <= 20""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+  }
+
+  /** FI1 sketch variant: the same top-20 through a Misra–Gries summary
+    * ([[graft.functions.MGOps]]) — the 100 TB shape where even the
+    * vocabulary-keyed exchange is too much (or the terms are n-grams and
+    * "vocabulary" explodes): per-partition summaries of `capacity`
+    * counters merge as constant-size partials, like a3's HLL and q9's
+    * DDSketch. Not ANSI-expressible → rows-only; SketchSpec pins the MG
+    * guarantees (exact when distinct ≤ capacity — this corpus's regime —
+    * and coverage + under-count bound beyond it, any merge order). The
+    * sketch self-reports its bound: err_bound = n/(capacity+1). */
+  private val fi1TopTermsSketch = rowsOnly("fi1_top_terms_sketch") { (s, dir) =>
+    import graft.functions.{freq_sketch, freq_items, freq_n}
+    val sk = Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("term"))
+      .agg(freq_sketch(col("term")).as("sk"))
+      .select(slice(freq_items(col("sk")), 1, 20).as("items"),
+        (freq_n(col("sk")) / (graft.functions.MGOps.DefaultCapacity + 1))
+          .as("err_bound"))
+    sk.select(posexplode(col("items")).as(Seq("rank", "item")), col("err_bound"))
+      .select(col("item.term").as("term"), col("item.est").as("est"),
+        col("rank").cast("long").as("rank"), col("err_bound"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, t9LmScore, t10C4Clean, bpe1Merges, p1PiiScrub)
+      t8QualityGate, t9LmScore, t10C4Clean, fi1TopTerms, fi1TopTermsSketch,
+      bpe1Merges, p1PiiScrub)
 }

@@ -91,6 +91,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(q.getDouble(0) - 499.5) / 499.5 < 0.02)
   }
 
+  test("freq_sketch aggregates compose from SQL: sketch → merge → items/n") {
+    spark.range(3000).selectExpr("concat('t', id % 50) AS term", "id % 4 AS g")
+      .createOrReplaceTempView("freq_terms")
+    // 50 distinct terms, capacity 256 → exact regime: 60 each
+    val r = one(
+      """SELECT freq_n(s) AS n, freq_items(s)[0].est AS top_est,
+        |       size(freq_items(s)) AS n_terms
+        |FROM (SELECT freq_sketch_merge(p) AS s
+        |      FROM (SELECT g, freq_sketch(term) AS p FROM freq_terms GROUP BY g))""".stripMargin)
+    assert(r.getLong(0) === 3000L)
+    assert(r.getLong(1) === 60L)
+    assert(r.getInt(2) === 50)
+  }
+
   test("bloom_agg/bloom_might_contain compose from SQL: no false negatives, prunes strangers") {
     spark.range(1000).selectExpr("concat('member ', id) AS g")
       .createOrReplaceTempView("bloom_members")

@@ -115,4 +115,61 @@ class SketchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(qPlan.contains("dd_hist"), "quantile hints do build the sketch")
   }
+
+  test("freq_sketch is EXACT and byte-deterministic when distinct <= capacity") {
+    import graft.functions.{freq_sketch, freq_items}
+    // gate-corpus regime: the soup vocabulary is far under 256
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = docs.select(explode(
+      graft.ext.TextAnalysis.words(col("text"))).as("term"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size <= 256, "fixture vocabulary must be under capacity")
+    def run(parts: Int): (Map[String, Long], Seq[Array[Byte]]) = {
+      val sk = terms.repartition(parts).agg(freq_sketch(col("term")).as("sk"))
+      val items = sk.select(explode(freq_items(col("sk"))).as("it"))
+        .select(col("it.term"), col("it.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (items, sk.collect().map(_.getAs[Array[Byte]]("sk")).toSeq)
+    }
+    val (m1, b1) = run(1)
+    val (m7, b7) = run(7)
+    assert(m1 === exact, "single-partition summary must be exact")
+    assert(m7 === exact, "multi-partition merge must stay exact under capacity")
+    assert(java.util.Arrays.equals(b1.head, b7.head),
+      "sorted-by-term serialization must be partitioning-independent here")
+  }
+
+  test("freq_sketch MG guarantees hold past capacity, under any merge order") {
+    import graft.functions.{freq_sketch, freq_items, freq_n}
+    // adversarial regime: 10k distinct terms >> capacity 64, with 20
+    // planted heavy hitters owning half the mass
+    val k = 64
+    val df = spark.range(200000).select(
+      when(col("id") % 2 === 0, concat(lit("hot"), col("id") % 20))
+        .otherwise(concat(lit("tail"), pmod(xxhash64(col("id")), lit(10000))))
+        .as("term"))
+    val exact = df.groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1) // every estimate under-counts by at most this
+    for (parts <- Seq(1, 4, 13)) {
+      val sk = df.repartition(parts).agg(freq_sketch(col("term"), k).as("sk"))
+      val items = sk.select(explode(freq_items(col("sk"))).as("it"))
+        .select(col("it.term"), col("it.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(items.size <= k)
+      val nSk = sk.select(freq_n(col("sk"))).collect().head.getLong(0)
+      assert(nSk == n, "summary must count every processed value")
+      // coverage: every true heavy hitter above the bound is present
+      for ((t, c) <- exact if c > bound)
+        assert(items.contains(t), s"parts=$parts: heavy '$t' ($c > $bound) missing")
+      // estimates never overcount and under-count by at most the bound
+      for ((t, est) <- items) {
+        assert(est <= exact(t), s"parts=$parts: '$t' overcounted $est > ${exact(t)}")
+        assert(est >= exact(t) - bound,
+          s"parts=$parts: '$t' est $est below ${exact(t)} - $bound")
+      }
+    }
+  }
 }
