@@ -402,5 +402,90 @@ object CurationQueries {
       .select(col("lang"), col("n_base"), col("n_new"), col("psi"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3)
+  /** CUR3: the LINE-granularity prep pipeline as one DAG — C4 clean (t10's
+    * rule engine, page drops included) feeding corpus-wide duplicated-line
+    * removal (d13's count→prune) over only the SURVIVING lines, reassembled
+    * into the final per-doc text with the stage counters a curation report
+    * needs. Each stage is oracle-checked standalone (t10, d13); this is
+    * their composition — the "clean then deduplicate what survived"
+    * ordering every published pipeline (C4, MassiveText, RefinedWeb) uses,
+    * where dedup counts must NOT include lines the cleaner already killed.
+    *
+    * Scale shape: page rejection never plans a Filter over the computed
+    * line arrays — rejected pages collapse to zero rows INSIDE the explode
+    * (`posexplode(when(page_kept, lines))`: the s6 lesson applied to a
+    * pipeline join point). Downstream is exactly d13's shape: line-keyed
+    * partial-agg count, AQE-broadcast dup sliver, doc-keyed reassembly
+    * with the kept-line election inside the aggregate. */
+  private val cur3 = withOracle("cur3_line_prep",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN 'subscribe to our newsletter for updates and offers ' || text
+      |              ELSE text END AS text
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM d),
+      |l AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
+      |           i -> array_to_string(ws[i*8+1 : i*8+8], ' ')
+      |                || CASE WHEN (doc_id + 3*i) % 10 = 7 THEN ' javascript' ELSE '' END
+      |                || CASE WHEN (doc_id * 7 + i) % 37 = 0 THEN ' {' ELSE '' END
+      |                || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+      |  FROM w),
+      |k AS (
+      |  SELECT doc_id, lines,
+      |         list_filter(lines, x -> len(string_split(x, ' ')) >= 5
+      |                               AND ends_with(x, '.')
+      |                               AND NOT contains(x, 'javascript')) AS kept
+      |  FROM l),
+      |kl AS (
+      |  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+      |         unnest(range(0, len(kept))) AS i,
+      |         unnest(kept) AS line
+      |  FROM k
+      |  WHERE len(list_filter(lines, x -> contains(x, '{'))) = 0 AND len(kept) >= 3),
+      |c AS (SELECT line, count(*) AS cnt FROM kl GROUP BY 1)
+      |SELECT doc_id,
+      |       min(n_lines) AS n_lines,
+      |       min(n_kept) AS n_kept,
+      |       CAST(sum(CASE WHEN cnt > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+      |       coalesce(array_to_string(list(line ORDER BY i) FILTER (WHERE cnt <= 2),
+      |                chr(10)), '') AS final_text
+      |FROM kl JOIN c USING (line)
+      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    // every 4th doc gets a chunk-aligned boilerplate sentence planted in
+    // its TEXT (the corpus repeats nothing naturally): it survives the
+    // cleaner only where it draws terminal punctuation — so the dedup
+    // counts see exactly what the cleaner let through, pinning the
+    // clean-BEFORE-count ordering
+    val docs = Tables(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("subscribe to our newsletter for updates and offers "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val c4 = TextQueries.c4CleanOf(docs)
+    // rejected pages vanish inside the explode — no Filter over the HOF
+    // columns, no pushdown cloning (posexplode of an empty array emits
+    // nothing; `when` without otherwise gives null, also nothing)
+    val kl = c4.select(col("doc_id"), col("n_lines"), col("n_kept"),
+        posexplode(when(col("page_kept"), split(col("cleaned"), "\n")))
+          .as(Seq("i", "line")))
+    val dup = kl.groupBy("line").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > DedupQueries.DupLineMax)
+    kl.join(dup, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        min(col("n_lines")).as("n_lines"),
+        min(col("n_kept")).as("n_kept"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_dup_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("cnt").isNull,
+              struct(col("i"), col("line"))))),
+            _.getField("line")),
+          "\n").as("final_text"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3, cur3)
 }

@@ -78,6 +78,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cur3 line prep: dedup fires only on cleaner survivors, boilerplate gone") {
+    val rows = SparkEntry.queries("cur3_line_prep")(spark, dir).collect()
+    assert(rows.length > 0)
+    // only kept pages surface, and the planted boilerplate actually fired
+    assert(rows.forall(_.getAs[Long]("n_kept") >= 3))
+    assert(rows.map(_.getAs[Long]("n_dup_removed")).sum > 0, "dedup stage was vacuous")
+    for (r <- rows) {
+      val txt = r.getAs[String]("final_text")
+      assert(!txt.contains("subscribe to our newsletter"), s"boilerplate survived: $txt")
+      val kept = txt.split("\n").count(_.nonEmpty)
+      // final lines = cleaner survivors minus dedup removals
+      assert(kept == r.getAs[Long]("n_kept") - r.getAs[Long]("n_dup_removed"))
+    }
+  }
+
   test("sm5 DSIR: keeps ~30%, and target-language docs score above the rest") {
     import org.apache.spark.sql.functions._
     val kept = SparkEntry.queries("sm5_dsir_resample")(spark, dir)
