@@ -111,6 +111,59 @@ object DocStream {
       .join(batchSigs, "doc_id")
   }
 
+  /** Streaming LINE-frequency index maintenance — the streaming state
+    * behind d13's duplicated-line removal, completing the granularity
+    * ladder of streaming fronts (exact hash [[firstSeenDocs]] → near-dup
+    * [[startNearDupSink]] → line level). Per micro-batch the arriving
+    * docs' (line, cnt) partial counts append as a DELTA partition keyed
+    * by the micro-batch id; the queryable index is the delta sum
+    * ([[lineIndex]]) and arriving batches clean against it with
+    * [[graft.queries.DedupQueries.lineDedupIncremental]].
+    *
+    * REPLAY-IDEMPOTENT by construction, differently from the other two
+    * sinks: a replayed batch OVERWRITES its own `batch_id` partition
+    * directory instead of appending — the index never double-counts,
+    * with no read-side anti-join at all. State is
+    * (line, cnt) rows only, never documents; the delta layout compacts
+    * like the near-dup base (one `Compact`-style rewrite folds old
+    * partitions into one). */
+  def startLineCountSink(stream: DataFrame, basePath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => lineCountBatch(batch, id, basePath))
+      .start()
+
+  private[graft] def lineCountBatch(batch: DataFrame, batchId: Long,
+      basePath: String): Unit = {
+    // each delta lands in its own batch_id=<id> partition DIRECTORY,
+    // written with a plain overwrite of that directory alone — replay
+    // idempotence is structural (no dynamic-overwrite session conf to
+    // propagate into foreachBatch's cloned session), and partition
+    // discovery on basePath still reads batch_id as a column
+    graft.queries.DedupQueries.lineCountsOf(
+        batch.select(col("doc_id"), split(col("text"), "\n").as("lines")))
+      .write.option("compression", "zstd")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$basePath/batch_id=$batchId")
+  }
+
+  /** The accumulated (line, cnt) index over every delta partition —
+    * [[graft.queries.DedupQueries.lineDedupIncremental]]'s base side. */
+  def lineIndex(spark: SparkSession, basePath: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(basePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("line", "cnt")
+    } else spark.read.parquet(basePath)
+      .groupBy("line").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Exact streaming dedup: emits each distinct document content exactly
     * once for the lifetime of the query, keyed by content hash via
     * `flatMapGroupsWithState`. Within a batch the min doc_id of a

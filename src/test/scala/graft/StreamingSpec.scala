@@ -178,6 +178,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line-count index: cross-batch dedup parity + replay idempotence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // multi-line docs with boilerplate that only crosses the >2 threshold
+    // when batches COMBINE (nav: 2 in batch A + 1 in batch B)
+    val batchA = Seq(
+      (1L, "nav home\nalpha beta"), (2L, "nav home\ngamma delta"),
+      (3L, "promo line\nepsilon zeta"))
+    val batchB = Seq(
+      (10L, "nav home\nfresh ten"), (11L, "promo line\nfresh eleven"),
+      (12L, "promo line\nfresh twelve"))
+    val root = java.nio.file.Files.createTempDirectory("graft_linecnt_").toString
+    val basePath = s"$root/line_base"
+    // two micro-batches through ONE query run (a fresh MemoryStream query
+    // does not resume offsets from a prior run's checkpoint — it would
+    // replay everything as its own batch 0)
+    val stream = MemoryStream[(Long, String)]
+    val docsDf = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.DocStream.startLineCountSink(
+      docsDf, basePath, s"$root/ckpt",
+      Trigger.ProcessingTime("100 milliseconds"))
+    stream.addData(batchA: _*)
+    q.processAllAvailable()
+    stream.addData(batchB: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // index = batch-computed counts over the union
+    val all = (batchA ++ batchB).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val expected = graft.queries.DedupQueries.lineCountsOf(all)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def index = graft.streaming.DocStream.lineIndex(spark, basePath)
+    assert(index.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+
+    // a late batch-B doc cleaned against the index: 'nav home' (3 > 2)
+    // removed, 'promo line' (3 > 2) removed, fresh lines kept
+    val late = Seq((20L, "nav home\npromo line\nbrand new line")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val cleaned = graft.queries.DedupQueries.lineDedupIncremental(index, late)
+      .collect().head
+    assert(cleaned.getAs[Long]("n_dup_lines") == 2L)
+    assert(cleaned.getAs[String]("deduped") == "brand new line")
+
+    // replay idempotence: re-running batch B's delta write under ITS OWN
+    // batch id must not change the index — the partition overwrites
+    // itself (the id is read back rather than assumed: AvailableNow can
+    // commit a trailing no-data batch, shifting the numbering)
+    val bId = spark.read.parquet(basePath)
+      .agg(max(col("batch_id").cast("long"))).collect().head.getLong(0)
+    graft.streaming.DocStream.lineCountBatch(
+      batchB.toDF("doc_id", "text"), bId, basePath)
+    assert(index.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+  }
+
   test("streaming near-dup curation = batch incremental dedup on the same split") {
     // Two micro-batches (odd docs, then even docs) of the fixture corpus
     // through the near-dup sink; expected accepted set derived
