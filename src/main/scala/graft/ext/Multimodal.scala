@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as a partition-wise batch transform (the Scala
   * analogue of mapInPandas).
   *
-  * The actual codec is STUBBED — no image/audio libraries exist in this
-  * environment — with a deterministic fake that derives pseudo-metadata
-  * from the bytes. The Spark-side plumbing (schema, partitioning, batch
-  * iteration, typed Dataset round-trip) is real and tested; swapping
-  * `stubDecode` for a real JNI/ffmpeg decoder changes nothing upstream.
+  * Image decode is REAL for the containers the JDK ships codecs for
+  * (PNG/JPEG/BMP/GIF via `javax.imageio` — no external library needed):
+  * width/height/channels come from the decoded raster and the mean is over
+  * actual pixel samples. Payloads ImageIO does not recognize (exotic
+  * containers, audio, video) fall back to the deterministic stub, so the
+  * operator is total either way. The Spark-side shape (schema,
+  * partitioning, streaming per-partition iteration, typed Dataset
+  * round-trip) is identical for both paths.
   */
 object Multimodal {
 
@@ -25,9 +28,39 @@ object Multimodal {
       channels: Int,
       byte_mean: Double)
 
-  /** STUB decoder: deterministic pseudo image metadata from raw bytes.
-    * A real implementation would parse the container header; `???`-grade
-    * fake kept total and reproducible. */
+  // ImageIO defaults to spilling decode buffers through temp FILES; a
+  // 100 TB scan decoding millions of small images per executor must stay
+  // on-heap. Object init runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF...):
+    * `(width, height, bands, mean-over-all-pixel-samples)`, or None when no
+    * installed reader recognizes the container. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        val n = w.toLong * h * bands
+        Some((w, h, bands, if (n == 0) 0d else sum.toDouble / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decoder: deterministic pseudo image metadata from raw bytes —
+    * the fallback for containers the JDK has no codec for. */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     val n = bytes.length
     var sum = 0L
@@ -42,13 +75,15 @@ object Multimodal {
 
   /** Partition-wise feature extraction over the opaque binary column.
     * One decoder instance per partition (the expensive-init pattern for
-    * real codecs), streaming iterator in/out — constant memory per task. */
+    * real codecs), streaming iterator in/out — constant memory per task.
+    * Real ImageIO decode when the container is recognized; stub fallback
+    * otherwise. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codecs would be initialized once per partition here
       rows.map { r =>
-        val (w, h, c, mean) = stubDecode(r.media)
+        val (w, h, c, mean) = decodeImage(r.media).getOrElse(stubDecode(r.media))
         MediaFeature(r.doc_id, r.media.length, w, h, c, mean)
       }
     }
@@ -61,6 +96,42 @@ object Multimodal {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
+  }
+
+  /** Deterministic synthetic PNG keyed by `docId`: a solid
+    * `(4 + id%29) × (4 + id*7%23)` grayscale image with every sample equal
+    * to `id*37 % 256`. Decoding it with [[decodeImage]] must yield exactly
+    * those dimensions, 1 band, and an integer-valued mean — which is what
+    * makes mm2 oracle-checkable on REAL codec output: the oracle recomputes
+    * the generation parameters in SQL while Spark recovers them from the
+    * actual encoded bytes. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 29).toInt
+    val h = 4 + ((docId * 7) % 23).toInt
+    val g = ((docId * 37) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic PNG per document — the encode half of the mm2 round
+    * trip. Map-only (generation happens inside the partition iterator, no
+    * shuffle, no driver-side materialization), so the shape is the same
+    * as reading real image bytes from a media column. */
+  def asGeneratedImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, syntheticPng(id))))
   }
 
   case class ResizedRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: comparisons against a timestamp derived monotonically
   * from a raw int64-nanos column — `timestamp_micros(ts DIV 1000) cmp lit`
@@ -30,6 +30,28 @@ object NanosComparisonPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** Matches cast(a: TIMESTAMP_NTZ as TIMESTAMP) under a UTC session —
+    * where the cast is the IDENTITY on the underlying micros value, so a
+    * bound on the cast is the same bound on the raw NTZ column (which the
+    * parquet reader can push; the cast hides it otherwise). The newer
+    * testdata ships events.ts as native TIMESTAMP(MICROS) and
+    * `Tables.events` normalizes it with exactly this cast. Guarded on the
+    * session zone: in a DST zone wall-clock→instant is not monotone and
+    * the rewrite would be unsound. */
+  private object CastNtz {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case c @ Cast(a: Attribute, TimestampType, _, _)
+          if a.dataType == TimestampNTZType &&
+            java.time.ZoneId.of(c.timeZoneId.getOrElse(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+              .normalized() == java.time.ZoneOffset.UTC =>
+        Some(a)
+      case _ => None
+    }
+  }
+
+  private def ntz(l: Literal): Literal = Literal(l.value, TimestampNTZType)
+
   private def micros(l: Literal): Long = l.value.asInstanceOf[Long]
 
   /** Implied raw-long conjuncts for one comparison, if it has the shape. */
@@ -50,6 +72,21 @@ object NanosComparisonPushdown extends Rule[LogicalPlan] {
       Seq(LessThanOrEqual(a, Literal(micros(l) * 1000L + 999L, LongType)))
     case LessThanOrEqual(l @ Literal(_, TimestampType), ConvertedNanos(a)) =>
       Seq(GreaterThanOrEqual(a, Literal(micros(l) * 1000L, LongType)))
+    // identity-cast NTZ: exact bounds, same comparator, NTZ-typed literal
+    case GreaterThanOrEqual(CastNtz(a), l @ Literal(_, TimestampType)) =>
+      Seq(GreaterThanOrEqual(a, ntz(l)))
+    case GreaterThan(CastNtz(a), l @ Literal(_, TimestampType)) =>
+      Seq(GreaterThan(a, ntz(l)))
+    case LessThanOrEqual(CastNtz(a), l @ Literal(_, TimestampType)) =>
+      Seq(LessThanOrEqual(a, ntz(l)))
+    case LessThan(CastNtz(a), l @ Literal(_, TimestampType)) =>
+      Seq(LessThan(a, ntz(l)))
+    case EqualTo(CastNtz(a), l @ Literal(_, TimestampType)) =>
+      Seq(EqualTo(a, ntz(l)))
+    case GreaterThanOrEqual(l @ Literal(_, TimestampType), CastNtz(a)) =>
+      Seq(LessThanOrEqual(a, ntz(l)))
+    case LessThanOrEqual(l @ Literal(_, TimestampType), CastNtz(a)) =>
+      Seq(GreaterThanOrEqual(a, ntz(l)))
     case _ => Seq.empty
   }
 

@@ -58,8 +58,8 @@ object CurationQueries {
       |${graft.queries.DedupQueries.spanCtes(graft.queries.DedupQueries.SpanWords, "pool")},
       |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM sp_mi GROUP BY doc_id)
       |SELECT gop.doc_id, gop.lang, gop.n_tokens,
-      |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / greatest(gop.n_tokens, 1), 6)
-      |         AS span_cov,
+      |       (coalesce(cov.dup_tokens, 0) * 1000000) // greatest(gop.n_tokens, 1)
+      |         AS span_cov_ppm,
       |       CASE WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'e666' THEN 'train'
       |            WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'f333' THEN 'val'
       |            ELSE 'test' END AS split
@@ -115,8 +115,10 @@ object CurationQueries {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         when(p < "e666", "train").when(p < "f333", "val").otherwise("test").as("split"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("dup_tokens").cast("double") /
-          greatest(col("n_tokens").cast("long"), lit(1L)), 6).as("span_cov"),
+        // exact-integer parts-per-million, same arithmetic both engines —
+        // a rounded double ratio is engine-divergent at the last digit
+        expr("dup_tokens * 1000000L div greatest(cast(n_tokens AS BIGINT), 1L)")
+          .as("span_cov_ppm"),
         col("split"))
   }
 
@@ -369,13 +371,30 @@ object CurationQueries {
       |  GROUP BY pb.lang)
       |SELECT c.lang, nt.n_base, nt.n_new, psi.psi
       |FROM cuts c JOIN nt USING (lang) JOIN psi USING (lang)""".stripMargin) { (s, dir) =>
-    val tok = Tables(s, dir, "documents").select(
+    driftOf(s, Tables(s, dir, "documents"), TextQueries.sketchQuantilesEnabled(s))
+  }
+
+  /** rp3's body, parameterized by the quantile pass: exact
+    * `percentile_disc` (oracle-pinned) or DDSketch partials
+    * (`sketchQuantiles = true` / conf `spark.graft.sketchQuantiles`) —
+    * constant-size mergeable per-group state, the 100 TB path. The decile
+    * CUTS become α-approximate; every count downstream is still exact
+    * against those cuts. Accuracy property in QueriesSpec. */
+  def driftOf(s: SparkSession, docs: DataFrame,
+      sketchQuantiles: Boolean = false): DataFrame = {
+    val tok = docs.select(
       col("doc_id"), col("lang"),
       size(words(col("text"))).as("t"),
       (col("doc_id") % 10 >= 8).as("is_new"))
-    val cuts = tok.where(!col("is_new")).groupBy("lang").agg(
-      array((1 to 9).map(i =>
-        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY t)")): _*).as("cs"))
+    val cuts =
+      if (sketchQuantiles)
+        tok.where(!col("is_new")).groupBy("lang")
+          .agg(graft.functions.dd_hist(col("t").cast("double")).as("h"))
+          .select(col("lang"), array((1 to 9).map(i =>
+            graft.functions.dd_quantile(col("h"), i / 10.0)): _*).as("cs"))
+      else tok.where(!col("is_new")).groupBy("lang").agg(
+        array((1 to 9).map(i =>
+          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY t)")): _*).as("cs"))
     val bk = tok.join(broadcast(cuts), "lang")
       .select(col("lang"), col("is_new"),
         size(filter(col("cs"), c => c <= col("t"))).as("b"))

@@ -791,7 +791,8 @@ object DedupQueries {
        |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM sp_mi GROUP BY doc_id)
        |SELECT sp_w.doc_id, len(sp_w.ws) AS n_words,
        |       coalesce(cov.dup_tokens, 0) AS dup_tokens,
-       |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / greatest(len(sp_w.ws), 1), 6) AS coverage
+       |       (coalesce(cov.dup_tokens, 0) * 1000000) // greatest(len(sp_w.ws), 1)
+       |         AS coverage_ppm
        |FROM sp_w LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val cov = mergedSpanExtentsCached(s, dir, SpanWords)
@@ -800,9 +801,11 @@ object DedupQueries {
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      // coverage as exact-integer parts-per-million: a rounded double ratio
+      // is engine-divergent at the last digit (BigDecimal HALF_UP vs
+      // float-scaled rounding); integer division agrees everywhere
       .select(col("doc_id"), col("n_words"), col("dup_tokens"),
-        round(col("dup_tokens").cast("double") / greatest(col("n_words"), lit(1L)), 6)
-          .as("coverage"))
+        expr("dup_tokens * 1000000L div greatest(n_words, 1L)").as("coverage_ppm"))
   }
 
   /** D12: substring scrub — the TRANSFORM of ExactSubstr dedup: every

@@ -24,11 +24,25 @@ object MultimodalQueries {
       lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("prefix_hex"))
   }
 
-  /** MM2 stubbed decode via partition-wise typed transform (mapPartitions
-    * batch shape; see graft.ext.Multimodal). Deterministic fake features —
-    * rows-only here, exact goldens in ExtSpec. */
-  private val mm2Decode = rowsOnly("mm2_media_features") { (s, dir) =>
-    Multimodal.extractFeatures(Multimodal.asMedia(s, dir)).toDF()
+  /** MM2 real image decode via partition-wise typed transform (mapPartitions
+    * batch shape; see graft.ext.Multimodal). Each document gets a
+    * deterministic synthetic PNG (solid grayscale, dimensions and level
+    * derived from doc_id); Spark recovers width/height/bands/mean from the
+    * ACTUAL encoded bytes through `javax.imageio`, while the oracle
+    * recomputes the generation parameters in SQL — a true encode→decode
+    * round-trip check on a real codec. `n_bytes` (the PNG container size)
+    * is deliberately excluded: it is codec-version-dependent, not part of
+    * the decode contract. */
+  private val mm2Decode = withOracle("mm2_media_features",
+    """SELECT doc_id,
+      |       CAST(4 + doc_id % 29 AS INT) AS width,
+      |       CAST(4 + (doc_id * 7) % 23 AS INT) AS height,
+      |       CAST(1 AS INT) AS channels,
+      |       CAST((doc_id * 37) % 256 AS DOUBLE) AS byte_mean
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.asGeneratedImages(s, dir)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("byte_mean"))
   }
 
   /** MM3 frame sampling: the 1-row → N-frames generator shape (video

@@ -52,18 +52,31 @@ object Tables {
   def invalidate(dir: String): Unit =
     cache.keySet().removeIf(_._2 == dir)
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and convert to a microsecond
-    * TimestampType column — lossless here (all values are µs-aligned) and
-    * identical to DuckDB's TIMESTAMP_NS handling. */
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, needing the nanos-as-long legacy
+    * conf plus an explicit ns→µs conversion — or as plain TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ). Sniff the footer schema and
+    * normalize both to a session-UTC TimestampType column, so every
+    * downstream query sees one shape. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // time predicates on the converted column can't push down by themselves;
-    // this rule derives pushable raw-int64 bounds (see plans/Rules.scala)
+    // time predicates on a converted nanos column can't push down by
+    // themselves; this rule derives pushable raw-int64 bounds
+    // (see plans/Rules.scala). A native timestamp column pushes down as-is.
     graft.plans.Rules.install(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
-    // integer division — ns values exceed 2^53, double division loses bits
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: integer division — ns values exceed 2^53, double
+        // division loses bits
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType =>
+        // wall-clock micros; session tz is UTC everywhere, so this cast is
+        // the identity mapping DuckDB applies reading the same file
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

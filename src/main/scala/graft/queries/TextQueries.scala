@@ -249,10 +249,35 @@ object TextQueries {
     * at scan throughput; the corpus is never windowed or sorted (a
     * percent_rank-per-language window would sort 100 TB into ~30 language
     * partitions — maximal skew). The exact `percentile_disc` threshold
-    * aggregation is the oracle-pinned semantics; at 100 TB the
-    * one-line swap is `dd_quantile(dd_hist(score), 0.5)` /
-    * `approx_percentile` — mergeable fixed-size partials, same pairing as
-    * q9 ↔ q9_approx. */
+    * aggregation is the oracle-pinned semantics; `sketchQuantiles = true`
+    * (or conf `spark.graft.sketchQuantiles=true`) swaps it for
+    * `dd_quantile(dd_hist(score), 0.5)` — mergeable constant-size DDSketch
+    * partials (α = 1 %), the 100 TB path: per-group state stops growing
+    * with group size, same pairing as q9 ↔ q9_approx. Accuracy vs exact is
+    * a QueriesSpec property. */
+  def qualityGateOf(docs: DataFrame, sketchQuantiles: Boolean = false): DataFrame = {
+    val ws = words(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("lang"),
+      (size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1))).as("score"))
+    val th =
+      if (sketchQuantiles)
+        scored.groupBy("lang")
+          .agg(graft.functions.dd_quantile(
+            graft.functions.dd_hist(col("score")), 0.5).as("thresh"))
+      else scored.groupBy("lang")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY score)").as("thresh"))
+    scored.join(broadcast(th), "lang")
+      .where(col("score") >= col("thresh"))
+      .select(col("doc_id"), col("lang"),
+        round(col("score"), 4).as("score"), round(col("thresh"), 4).as("thresh"))
+  }
+
+  /** `spark.graft.sketchQuantiles=true` switches the percentile passes
+    * (t8, rp3) to DDSketch partials — the documented at-scale path. */
+  private[graft] def sketchQuantilesEnabled(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.sketchQuantiles").exists(_.toBoolean)
+
   private val t8QualityGate = withOracle("t8_quality_gate",
     """WITH s AS (
       |  SELECT doc_id, lang,
@@ -263,16 +288,7 @@ object TextQueries {
       |SELECT s.doc_id, s.lang, round(s.score, 4) AS score, round(th.thresh, 4) AS thresh
       |FROM s JOIN th USING (lang)
       |WHERE s.score >= th.thresh""".stripMargin) { (s, dir) =>
-    val ws = words(col("text"))
-    val scored = Tables(s, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      (size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1))).as("score"))
-    val th = scored.groupBy("lang")
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY score)").as("thresh"))
-    scored.join(broadcast(th), "lang")
-      .where(col("score") >= col("thresh"))
-      .select(col("doc_id"), col("lang"),
-        round(col("score"), 4).as("score"), round(col("thresh"), 4).as("thresh"))
+    qualityGateOf(Tables(s, dir, "documents"), sketchQuantilesEnabled(s))
   }
 
   /** T9: n-gram LM quality scoring — the CCNet-shape perplexity filter

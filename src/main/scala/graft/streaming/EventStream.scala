@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming event sessionization — batch ev1's streaming analogue, built
   * on Spark's NATIVE `session_window` rather than a hand-rolled
@@ -87,5 +87,116 @@ object EventStream {
           state.update(FunnelState(stage, lastT))
           (uid, stage)
       }
+  }
+
+  /** Per-user set of distinct active days (days since epoch, sorted) —
+    * the one piece of state both the live DAU/WAU card and the live
+    * retention card need. Bounded by days-active-per-user, not event
+    * volume: a year-long stream holds ≤365 ints per user. */
+  case class DaysState(days: Array[Int])
+
+  private def eventDays(stream: DataFrame): Dataset[(Long, Int)] = {
+    import stream.sparkSession.implicits._
+    stream.select(col("user_id").cast("long"),
+      unix_date(to_date(col("ts"))).cast("int")).as[(Long, Int)]
+  }
+
+  /** Streaming ev4 — live DAU/WAU per day, batch
+    * [[graft.queries.EventQueries.activeUsersOf]]'s update-mode analogue.
+    *
+    * Shape: `flatMapGroupsWithState` keyed by user emits EXACT COUNT
+    * DELTAS — when a user's set of active days gains day `d`, that is
+    * +1 DAU at `d`, and +1 WAU at each window-ending day `wd ∈ [d, d+6]`
+    * that no previously-known active day already covered — and a running
+    * `sum(delta)` per day downstream turns the delta stream into the
+    * card. The sums equal the batch distinct-counts at every prefix by
+    * construction (each (user, day) / (user, window) membership change
+    * is emitted exactly once, ±1), pinned in StreamingSpec.
+    *
+    * Why deltas instead of `countDistinct`: streaming distinct
+    * aggregation is unsupported (unbounded per-group state in the agg
+    * operator); here the distinctness lives in the keyed user state
+    * where it is NATURALLY bounded, and the downstream aggregation
+    * state is two longs per day. Late events are handled exactly — a
+    * replayed (user, day) is already in the set and emits nothing
+    * (idempotent), an out-of-order NEW day emits the same deltas batch
+    * recomputation would. Scale: one exchange on user_id (same key as
+    * sessionize/funnel), emission ≤7 rows per newly-active user-day,
+    * second exchange is day-keyed (tiny). */
+  def activeUsers(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    val deltas = eventDays(stream)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DaysState, (Int, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, events, state) =>
+          var days = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Int])
+          val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+          // ascending: an earlier new day must count as coverage for a
+          // later new day in the same batch, exactly as batch recompute sees
+          events.map(_._2).toArray.distinct.sorted.foreach { d =>
+            if (!days(d)) {
+              var off = 0
+              while (off < 7) {
+                val wd = d + off
+                val covered = (wd - 6 to wd).exists(days) // pre-add coverage
+                if (!covered || off == 0) {
+                  val (dau, wau) = out.getOrElse(wd, (0, 0))
+                  out(wd) = (if (off == 0) dau + 1 else dau,
+                    if (!covered) wau + 1 else wau)
+                }
+                off += 1
+              }
+              days += d
+            }
+          }
+          state.update(DaysState(days.toArray.sorted))
+          out.iterator.map { case (wd, (dau, wau)) => (wd, dau, wau) }
+      }
+      .toDF("wd", "dau_delta", "wau_delta")
+    deltas.groupBy(col("wd"))
+      .agg(sum(col("dau_delta")).as("dau"), sum(col("wau_delta")).as("wau"))
+      .where(col("dau") > 0) // batch contract: observed days only
+      .select(date_format(date_from_unix_date(col("wd")), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
+
+  /** Streaming ev3 — live cohort retention, batch
+    * [[graft.queries.EventQueries.retentionOf]]'s update-mode analogue.
+    *
+    * Same delta discipline as [[activeUsers]], with one extra wrinkle:
+    * a user's cohort is their FIRST-SEEN day, and a late event EARLIER
+    * than the known first-seen day re-buckets the whole user. The keyed
+    * state makes that exact rather than approximate — the group emits
+    * retractions (−1) for every (cohort, offset) pair the user
+    * previously contributed and fresh +1s under the new cohort, so the
+    * downstream running sum lands on precisely the batch answer, not a
+    * drifted one. Normal arrivals (day ≥ d0) touch only their own new
+    * offsets. Emission is bounded by the user's distinct-active-day
+    * count; state is the same day set as the DAU card. */
+  def retention(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    val deltas = eventDays(stream)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DaysState, (Int, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, events, state) =>
+          val oldDays = state.getOption.map(_.days).getOrElse(Array.empty[Int])
+          val newDays = (oldDays ++ events.map(_._2)).distinct.sorted
+          state.update(DaysState(newDays))
+          def pairs(ds: Array[Int]): Set[(Int, Int)] =
+            if (ds.isEmpty) Set.empty
+            else { val d0 = ds.head; ds.iterator.map(d => (d0, d - d0)).toSet }
+          val (oldP, newP) = (pairs(oldDays), pairs(newDays))
+          (newP -- oldP).iterator.map { case (c, o) => (c, o, 1) } ++
+            (oldP -- newP).iterator.map { case (c, o) => (c, o, -1) }
+      }
+      .toDF("cohort", "day_offset", "delta")
+    deltas.groupBy(col("cohort"), col("day_offset"))
+      .agg(sum(col("delta")).as("n_active"))
+      .where(col("n_active") > 0) // fully-retracted pairs vanish, as in batch
+      .select(
+        date_format(date_from_unix_date(col("cohort")), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_active"))
   }
 }

@@ -222,6 +222,44 @@ object Compact {
     * means the base carries no duplicate doc_ids to collapse, so this
     * is purely a file-layout rewrite (ToolsSpec pins set equality and
     * that the LSH probe answers identically afterwards). */
+  /** Compact the streaming line-count index
+    * (graft.streaming.DocStream.startLineCountSink appends one
+    * `batch_id=<id>` partition directory per micro-batch — same unbounded
+    * file-group growth as the near-dup base, with the extra twist that the
+    * per-line counts are ADDITIVE deltas). Fold every delta into one
+    * pre-aggregated (line, cnt) table, range-partitioned and sorted by
+    * line into `files` files, landed under the RESERVED `batch_id=-1`
+    * partition (real batch ids are ≥ 0) with the same staged atomic swap:
+    *
+    *  - [[graft.streaming.DocStream.lineIndex]] answers identically — it
+    *    re-aggregates whatever partitions exist (StreamingSpec pins
+    *    parity);
+    *  - the sink's replay-overwrite idempotence contract survives — a
+    *    post-restart batch N overwrites its OWN partition, never the
+    *    compacted one.
+    *
+    * Run against a cleanly stopped (or between-triggers) sink: a delta
+    * directory mid-write would be folded half-complete. Probe-side win is
+    * the same as nearDupBase: one sorted bounded file set instead of a
+    * directory per micro-batch forever. */
+  def lineCountBase(spark: SparkSession, basePath: String, files: Int = 8): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val stage = new org.apache.hadoop.fs.Path(basePath + ".compact_stage")
+    spark.read.parquet(basePath) // batch_id discovered as a partition column
+      .groupBy("line").agg(sum(col("cnt")).as("cnt"))
+      .repartitionByRange(files, col("line"))
+      .sortWithinPartitions("line")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$stage/batch_id=-1")
+    val old = new org.apache.hadoop.fs.Path(basePath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(base, old)
+    fs.rename(stage, base)
+    fs.delete(old, true)
+  }
+
   def nearDupBase(spark: SparkSession, basePath: String, files: Int = 8): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -452,6 +452,29 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("multimodal real decode: golden on hand-built RGB + gray PNG bytes") {
+    // RGB 3×2 with known per-channel values: mean over ALL samples
+    val rgb = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      rgb.setRGB(x, y, (10 << 16) | (20 << 8) | 90) // r=10 g=20 b=90
+    val bosRgb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bosRgb)
+    val Some((w, h, bands, mean)) = Multimodal.decodeImage(bosRgb.toByteArray)
+    assert((w, h, bands) === ((3, 2, 3)))
+    assert(mean === (10 + 20 + 90) / 3.0) // exact: every pixel identical
+    // gray synthetic round-trip: encode params recovered from real bytes
+    for (id <- Seq(0L, 1L, 17L, 255L, 10007L)) {
+      val Some((gw, gh, gb, gm)) = Multimodal.decodeImage(Multimodal.syntheticPng(id))
+      assert(gw === 4 + (id % 29).toInt, s"id=$id width")
+      assert(gh === 4 + ((id * 7) % 23).toInt, s"id=$id height")
+      assert(gb === 1, s"id=$id bands")
+      assert(gm === ((id * 37) % 256).toDouble, s"id=$id mean")
+    }
+    // non-image bytes: decode declines, total operator falls back to stub
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("jaccard_sim kernel is bit-identical to the intersect/union formulation") {
     import graft.ext.TextAnalysis.{words, shingles}
     import graft.ext.extfunctions.jaccard_sim

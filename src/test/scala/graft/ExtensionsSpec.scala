@@ -169,16 +169,32 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = s2.sql("SELECT simhash64(array('a', 'b')) AS h").collect().head
       assert(r.getLong(0) === spark.sql("SELECT simhash64(array('a', 'b'))").collect().head.getLong(0))
       // the injected optimizer rule derives a pushable raw-long bound from a
-      // timestamp predicate over timestamp_micros(ns DIV 1000)
-      // a real scan (a LocalRelation would be constant-folded away whole)
-      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = s2.read.parquet("/root/testdata/sf0.001/events.parquet")
+      // timestamp predicate over timestamp_micros(ns DIV 1000) — exercised
+      // on a synthesized raw-ns parquet (the shape older testdata shipped;
+      // a real scan: a LocalRelation would be constant-folded away whole)
+      val nsDir = java.nio.file.Files.createTempDirectory("graft_ns_").toString
+      s2.range(0, 100)
+        .select((org.apache.spark.sql.functions.lit(1699900000000000000L) +
+          org.apache.spark.sql.functions.col("id") * 1000000000L).as("ts"))
+        .write.mode("overwrite").parquet(nsDir)
+      val df = s2.read.parquet(nsDir)
         .withColumn("ts_us", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
         .where("ts_us >= TIMESTAMP'2023-11-14 00:00:00'")
       // 2023-11-14T00:00:00Z = 1699920000 s → derived raw-ns bound
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("1699920000000000000"),
         s"expected derived raw-ns bound in:\n$optimized")
+      // and the NTZ-identity-cast case on the real events table when the
+      // current testdata ships native TIMESTAMP(MICROS): the rule conjoins
+      // a bound directly on the raw NTZ attribute (no cast around it)
+      val rawTs = s2.read.parquet("/root/testdata/sf0.001/events.parquet").schema("ts")
+      if (rawTs.dataType == org.apache.spark.sql.types.TimestampNTZType) {
+        val dfn = graft.queries.Tables.events(s2, "/root/testdata/sf0.001")
+          .where("ts >= TIMESTAMP'2023-11-14 00:00:00'")
+        val on = dfn.queryExecution.optimizedPlan.toString
+        assert("""ts#\d+ >= 2023-11-14""".r.findFirstIn(on).nonEmpty,
+          s"expected derived raw-NTZ bound in:\n$on")
+      }
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -46,13 +46,22 @@ class PlanSpec extends AnyFunSuite {
   test("q5 range scan: time + type predicates pushed to parquet") {
     val p = plan("q5_range_scan")
     assert(p.contains("PushedFilters: [IsNotNull"))
-    // the NanosComparisonPushdown rule derives raw-int64 bounds from the
-    // timestamp_micros(ts DIV 1000) comparisons — these must reach the scan
-    // (PushedFilters renders truncated, so check the derived conjuncts and
-    // the leading pushed bound)
+    // the pushdown rule derives raw-column bounds from the comparison over
+    // the normalizing conversion — raw int64 nanos bounds when events.ts
+    // ships as TIMESTAMP(NANOS)-as-long, raw NTZ bounds when it ships as
+    // native TIMESTAMP(MICROS) — and these must reach the scan
+    // (PushedFilters renders truncated, so check the derived conjuncts)
     assert(p.contains("GreaterThanOrEqual(ts"))
-    assert("""\(ts#\d+L? >= \d{15,}\)""".r.findFirstIn(p).nonEmpty)
-    assert("""\(ts#\d+L? <= \d{15,}\)""".r.findFirstIn(p).nonEmpty)
+    import org.apache.spark.sql.types.LongType
+    val rawIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    if (rawIsLong) {
+      assert("""\(ts#\d+L? >= \d{15,}\)""".r.findFirstIn(p).nonEmpty)
+      assert("""\(ts#\d+L? <= \d{15,}\)""".r.findFirstIn(p).nonEmpty)
+    } else {
+      assert("""\(ts#\d+ >= 2024-01-02""".r.findFirstIn(p).nonEmpty, p.take(2000))
+      assert("""\(ts#\d+ <= 2024-01-05""".r.findFirstIn(p).nonEmpty)
+    }
   }
 
   test("q1 agg runs inside whole-stage codegen with partial aggregation") {

@@ -36,6 +36,63 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0, "flagship entry must return rows")
   }
 
+  test("t8 sketch-quantile mode: threshold within DDSketch α of exact, no percentile pass") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val exact = graft.queries.TextQueries.qualityGateOf(docs, sketchQuantiles = false)
+      .select("lang", "thresh").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sk = graft.queries.TextQueries.qualityGateOf(docs, sketchQuantiles = true)
+    val skTh = sk.select("lang", "thresh").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(skTh.keySet === exact.keySet)
+    for ((lang, t) <- exact) {
+      // DDSketch guarantee: reported quantile within α=1% RELATIVE error of
+      // a value at the true rank; +round(4) slack on both sides
+      assert(math.abs(skTh(lang) - t) <= 0.011 * math.max(t, skTh(lang)) + 2e-4,
+        s"lang=$lang sketch=${skTh(lang)} exact=$t")
+    }
+    // the sketch path must not plan an exact percentile aggregate
+    val p = sk.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"), "sketch mode still plans percentile")
+    assert(p.contains("dd_hist") || p.contains("dd_quantile"))
+  }
+
+  test("rp3 sketch-quantile mode: counts exact, PSI close where closeness is meaningful") {
+    import org.apache.spark.sql.functions._
+    def byLang(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // real corpus: integer token counts tie heavily AT the decile cuts, so
+    // an α-shifted cut legitimately moves a whole tied group one bucket —
+    // PSI closeness is not a sound property here. What IS exact regardless
+    // of where cuts land: the language set and the per-side totals.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val exact = byLang(graft.queries.CurationQueries.driftOf(spark, docs, false))
+    val sk = graft.queries.CurationQueries.driftOf(spark, docs, true)
+    val got = byLang(sk)
+    assert(got.keySet === exact.keySet)
+    for ((lang, (nb, nn, _)) <- exact)
+      assert((got(lang)._1, got(lang)._2) === ((nb, nn)), s"lang=$lang totals")
+    val p = sk.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"), "sketch mode still plans percentile")
+    // tie-free synthetic corpus (every token count unique within a lang):
+    // an α-shifted cut moves AT MOST one doc per bucket boundary, so the
+    // sketch PSI must track the exact PSI tightly
+    import spark.implicits._
+    val synth = (1 to 400).map { i =>
+      (i.toLong, if (i % 2 == 0) "aa" else "bb", Seq.fill(10 + i)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val se = byLang(graft.queries.CurationQueries.driftOf(spark, synth, false))
+    val ss = byLang(graft.queries.CurationQueries.driftOf(spark, synth, true))
+    assert(ss.keySet === se.keySet)
+    for ((lang, (nb, nn, psi)) <- se) {
+      val (gb, gn, gpsi) = ss(lang)
+      assert((gb, gn) === ((nb, nn)), s"synth lang=$lang totals")
+      assert(math.abs(gpsi - psi) <= 0.05, s"synth lang=$lang psi sketch=$gpsi exact=$psi")
+    }
+  }
+
   test("salted aggregation equals direct aggregation (skewed key)") {
     import org.apache.spark.sql.functions._
     // 90% of rows on one hot key — the shape salting exists for

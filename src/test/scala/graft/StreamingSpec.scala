@@ -231,6 +231,27 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.DocStream.lineCountBatch(
       batchB.toDF("doc_id", "text"), bId, basePath)
     assert(index.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+
+    // compaction: per-batch delta dirs fold into ONE sorted bounded file
+    // set under the reserved batch_id=-1 partition; the index answers
+    // identically and the layout is what a probe wants
+    graft.tools.Compact.lineCountBase(spark, basePath, files = 2)
+    assert(index.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === expected,
+      "post-compaction index parity")
+    val partDirs = new java.io.File(basePath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(partDirs === Array("batch_id=-1"), partDirs.mkString(","))
+    // a post-restart delta (next batch id) lands beside the compacted
+    // partition and the union is still exact
+    val batchC = Seq((30L, "nav home\npost compact line"))
+    graft.streaming.DocStream.lineCountBatch(
+      batchC.toDF("doc_id", "text"), bId + 1, basePath)
+    val allC = (batchA ++ batchB ++ batchC).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val expectedC = graft.queries.DedupQueries.lineCountsOf(allC)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(index.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === expectedC,
+      "post-compaction append parity")
   }
 
   test("streaming near-dup curation = batch incremental dedup on the same split") {
@@ -348,6 +369,75 @@ class StreamingSpec extends AnyFunSuite {
       val names = rows.map(_.getAs[String]("labels")).sorted
       assert(names === Array(
         """{"__name__":"m1"}""", """{"__name__":"m2"}""", """{"__name__":"m3"}"""))
+    } finally q.stop()
+  }
+
+  test("streaming DAU/WAU card = batch ev4 at every prefix (replay + late days)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 09:00:00")), (3L, ts("2024-01-05 09:00:00")))
+    val batch2 = Seq(
+      (1L, ts("2024-01-03 10:00:00")), // replay of an already-known day
+      (2L, ts("2024-01-09 08:00:00")), // jump past a 7-day window
+      (3L, ts("2024-01-02 07:00:00")), // out-of-order EARLIER day
+      (4L, ts("2024-01-09 12:00:00")))
+    def batchCard(rows: Seq[(Long, java.sql.Timestamp)]) =
+      graft.queries.EventQueries.activeUsersOf(rows.toDF("user_id", "ts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = stream.toDF().select(col("_1").as("user_id"), col("_2").as("ts"))
+    val q = graft.streaming.EventStream.activeUsers(spark, df)
+      .writeStream.format("memory").queryName("dau_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      def card = spark.table("dau_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(card === batchCard(batch1), "prefix parity after batch 1")
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(card === batchCard(batch1 ++ batch2), "parity after late/replay batch")
+    } finally q.stop()
+  }
+
+  test("streaming retention card = batch ev3, incl. cohort re-bucket on late event") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-04 09:00:00")), (3L, ts("2024-01-05 09:00:00")))
+    val batch2 = Seq(
+      (1L, ts("2024-01-04 10:30:00")), // replay day
+      (3L, ts("2024-01-02 07:00:00")), // EARLIER than user 3's known first day:
+      (2L, ts("2024-01-06 07:00:00")), //   cohort must move 01-05 → 01-02
+      (4L, ts("2024-01-06 12:00:00")))
+    def batchCard(rows: Seq[(Long, java.sql.Timestamp)]) =
+      graft.queries.EventQueries.retentionOf(rows.toDF("user_id", "ts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = stream.toDF().select(col("_1").as("user_id"), col("_2").as("ts"))
+    val q = graft.streaming.EventStream.retention(spark, df)
+      .writeStream.format("memory").queryName("ret_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      def card = spark.table("ret_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(card === batchCard(batch1), "prefix parity after batch 1")
+      // user 3 currently cohorted at 2024-01-05
+      assert(card.exists { case (c, o, _) => c == "2024-01-05" && o == 0L })
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val fin = card
+      assert(fin === batchCard(batch1 ++ batch2), "parity after re-bucket batch")
+      // the old cohort row was RETRACTED, not left to drift
+      assert(!fin.exists { case (c, _, _) => c == "2024-01-05" })
     } finally q.stop()
   }
 
