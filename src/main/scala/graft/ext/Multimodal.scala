@@ -134,6 +134,87 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, syntheticPng(id))))
   }
 
+  case class AudioMeta(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      mean_sample: Double)
+
+  /** Real WAV decode via the JDK's `javax.sound.sampled` (RIFF/PCM — no
+    * external codec): container-reported rate/channels/frame-count plus
+    * the mean over the actual decoded 16-bit samples. None when no
+    * installed reader recognizes the container. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < data.length) { // 16-bit little-endian signed PCM
+          sum += ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort
+          i += 2
+        }
+        val n = data.length / 2
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          if (n == 0) 0d else sum.toDouble / n))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic WAV keyed by `docId`: 16-bit PCM, rate
+    * `8000·(1 + id%3)`, `1 + id%2` channels, `100 + id%400` frames, every
+    * sample equal to `id%100 − 50` — so [[decodeWav]] must recover exactly
+    * those parameters and an integer-valued mean, which is what makes the
+    * audio card oracle-checkable on REAL codec output (the mm2 pattern). */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val rate = 8000 * (1 + (docId % 3).toInt)
+    val channels = 1 + (docId % 2).toInt
+    val frames = 100 + (docId % 400).toInt
+    val a = ((docId % 100) - 50).toShort
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      pcm(2 * i) = (a & 0xff).toByte
+      pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true, false) // signed, little-endian
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic WAV per document (map-only, like [[asGeneratedImages]]). */
+  def asGeneratedAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, syntheticWav(id))))
+  }
+
+  /** Partition-wise audio metadata extraction — the audio analogue of
+    * [[extractFeatures]]: real JDK decode, constant memory per task. */
+  def extractAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, frames, mean) = decodeWav(r.media).getOrElse {
+          val (w, h, c, m) = stubDecode(r.media) // total on non-audio bytes
+          (w, c, h.toLong, m)
+        }
+        AudioMeta(r.doc_id, rate, ch, frames, mean)
+      }
+    }
+  }
+
   case class ResizedRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)
 
   /** Resize — the binary→binary transform of image pipelines: payload in,

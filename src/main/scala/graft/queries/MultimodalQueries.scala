@@ -60,6 +60,21 @@ object MultimodalQueries {
     Multimodal.sampleFrames(Multimodal.asMedia(s, dir)).toDF()
   }
 
+  /** MM4 audio metadata: the mm2 pattern for sound — deterministic
+    * synthetic WAVs (16-bit PCM, rate/channels/frames/level derived from
+    * doc_id), decoded for REAL through `javax.sound.sampled`, with the
+    * oracle recomputing the generation parameters in SQL. A true
+    * encode→decode round trip on the JDK's actual RIFF/PCM codec. */
+  private val mm4Audio = withOracle("mm4_audio_meta",
+    """SELECT doc_id,
+      |       CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+      |       CAST(1 + doc_id % 2 AS INT) AS channels,
+      |       100 + doc_id % 400 AS n_frames,
+      |       CAST(doc_id % 100 - 50 AS DOUBLE) AS mean_sample
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.extractAudioMeta(Multimodal.asGeneratedAudio(s, dir)).toDF()
+  }
+
   /** X10 instance fan-out: clone each series for N instances with a
     * templated label (faker.go:106-151) — explode, no custom generator.
     * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
@@ -76,5 +91,5 @@ object MultimodalQueries {
           ((col("event_id") * 31 + col("i")) % 10)), 4).as("value"))
   }
 
-  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, x10Fanout)
+  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, mm4Audio, x10Fanout)
 }

@@ -475,6 +475,18 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("multimodal real audio decode: golden on synthesized WAV bytes") {
+    for (id <- Seq(0L, 1L, 5L, 149L, 10007L)) {
+      val Some((rate, ch, frames, mean)) = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      assert(rate === 8000 * (1 + (id % 3).toInt), s"id=$id rate")
+      assert(ch === 1 + (id % 2).toInt, s"id=$id channels")
+      assert(frames === 100 + (id % 400), s"id=$id frames")
+      assert(mean === ((id % 100) - 50).toDouble, s"id=$id mean")
+    }
+    // non-audio bytes: decode declines, operator totality via stub fallback
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("jaccard_sim kernel is bit-identical to the intersect/union formulation") {
     import graft.ext.TextAnalysis.{words, shingles}
     import graft.ext.extfunctions.jaccard_sim

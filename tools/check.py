@@ -82,17 +82,19 @@ def main():
             n_fail += 1
             print(f"{'ROWS_MISMATCH':>16}  {name}  got={len(got)} exp={len(exp)}")
             continue
-        bad = None
+        bad = []
         for i in range(len(got)):
             for c in got.columns:
                 if not cells_equal(got.at[i, c], exp.at[i, c]):
-                    bad = (i, c, got.at[i, c], exp.at[i, c])
+                    bad.append((i, c, got.at[i, c], exp.at[i, c]))
                     break
-            if bad:
+            if len(bad) >= 5:
                 break
         if bad:
             n_fail += 1
-            print(f"{'VALUE_MISMATCH':>16}  {name}  row={bad[0]} col={bad[1]} got={bad[2]!r} exp={bad[3]!r}")
+            print(f"{'VALUE_MISMATCH':>16}  {name}  {len(bad)}+ rows differ; first samples:")
+            for i, c, g, e in bad:
+                print(f"{'':>16}    row={i} col={c} got={g!r} exp={e!r}")
         else:
             n_pass += 1
             print(f"{'PASS':>16}  {name}  rows={len(got)}")
