@@ -386,21 +386,36 @@ object CurationQueries {
       col("doc_id"), col("lang"),
       size(words(col("text"))).as("t"),
       (col("doc_id") % 10 >= 8).as("is_new"))
-    val cuts =
-      if (sketchQuantiles)
-        tok.where(!col("is_new")).groupBy("lang")
-          .agg(graft.functions.dd_hist(col("t").cast("double")).as("h"))
-          .select(col("lang"), array((1 to 9).map(i =>
-            graft.functions.dd_quantile(col("h"), i / 10.0)): _*).as("cs"))
-      else tok.where(!col("is_new")).groupBy("lang").agg(
-        array((1 to 9).map(i =>
-          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY t)")): _*).as("cs"))
+    val cuts = decileCuts(tok.where(!col("is_new")), sketchQuantiles)
     val bk = tok.join(broadcast(cuts), "lang")
       .select(col("lang"), col("is_new"),
         size(filter(col("cs"), c => c <= col("t"))).as("b"))
     val cnt = bk.groupBy("lang", "is_new", "b").agg(count(lit(1)).as("n"))
+    psiFromBucketCounts(s, cnt)
+  }
+
+  /** The reference population's decile cuts per language over a
+    * `(lang, t)` frame — rp3's one corpus-touching pass, exposed so a
+    * STREAMING new-side can bucket against batch-computed base cuts
+    * (DocStream.driftCard). */
+  private[graft] def decileCuts(tok: DataFrame,
+      sketchQuantiles: Boolean): DataFrame =
+    if (sketchQuantiles)
+      tok.groupBy("lang")
+        .agg(graft.functions.dd_hist(col("t").cast("double")).as("h"))
+        .select(col("lang"), array((1 to 9).map(i =>
+          graft.functions.dd_quantile(col("h"), i / 10.0)): _*).as("cs"))
+    else tok.groupBy("lang").agg(
+      array((1 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY t)")): _*).as("cs"))
+
+  /** rp3's PSI fold over per-(lang, side, bucket) counts — everything
+    * downstream of the corpus-touching passes, bounded by langs×2×10.
+    * Shared verbatim between the batch monitor and the streaming card's
+    * read-time fold so the two can never drift. */
+  private[graft] def psiFromBucketCounts(s: SparkSession, cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy("lang", "is_new").agg(sum(col("n")).as("tot"))
-    val grid = cuts.select("lang")
+    val grid = cnt.where(!col("is_new")).select("lang").distinct()
       .crossJoin(s.range(10).select(col("id").cast("int").as("b")))
       .crossJoin(s.range(2).select((col("id") === 1).as("is_new")))
     val p = grid
@@ -417,7 +432,10 @@ object CurationQueries {
     val nt = tot.groupBy("lang").agg(
       coalesce(sum(when(!col("is_new"), col("tot"))), lit(0L)).as("n_base"),
       coalesce(sum(when(col("is_new"), col("tot"))), lit(0L)).as("n_new"))
-    cuts.select("lang").join(nt, "lang").join(psi, "lang")
+    // languages with a base presence — the ones that HAVE a reference
+    // distribution (others surface in rp2's added-set instead)
+    cnt.where(!col("is_new")).select("lang").distinct()
+      .join(nt, "lang").join(psi, "lang")
       .select(col("lang"), col("n_base"), col("n_new"), col("psi"))
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / data-mixing operators for training-corpus
@@ -146,13 +147,28 @@ object SamplingQueries {
       |            WHEN n_tokens <= q3 THEN 2
       |            ELSE 3 END AS bucket
       |FROM w, q""".stripMargin) { (s, dir) =>
-    val w = Tables(s, dir, "documents").select(
+    lengthBucketsOf(Tables(s, dir, "documents"),
+      TextQueries.sketchQuantilesEnabled(s))
+  }
+
+  /** pk2's body, parameterized by the quantile pass like t8/rp3: exact
+    * `percentile_disc` (oracle-pinned) or DDSketch partials — the same
+    * `spark.graft.sketchQuantiles` at-scale switch, one sketch reused for
+    * all three cuts. */
+  def lengthBucketsOf(docs: DataFrame, sketchQuantiles: Boolean = false): DataFrame = {
+    val w = docs.select(
       col("doc_id"),
       size(graft.ext.TextAnalysis.words(col("text"))).as("n_tokens"))
-    val q = w.agg(
-      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)").as("q1"),
-      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens)").as("q2"),
-      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens)").as("q3"))
+    val q =
+      if (sketchQuantiles)
+        w.agg(graft.functions.dd_hist(col("n_tokens").cast("double")).as("h"))
+          .select(graft.functions.dd_quantile(col("h"), 0.25).as("q1"),
+            graft.functions.dd_quantile(col("h"), 0.50).as("q2"),
+            graft.functions.dd_quantile(col("h"), 0.75).as("q3"))
+      else w.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)").as("q1"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens)").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens)").as("q3"))
     w.crossJoin(broadcast(q))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") <= col("q1"), 0)

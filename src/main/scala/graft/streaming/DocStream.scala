@@ -23,6 +23,25 @@ object DocStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(graft.ext.TextAnalysis.words(col("text")))).as("total_tokens"))
 
+  /** Streaming distribution-drift card — rp3's live analogue: the BASE
+    * snapshot's per-language decile cuts are computed batch-side
+    * ([[graft.queries.CurationQueries.decileCuts]], exact or DDSketch)
+    * and broadcast; each arriving document buckets against them map-side
+    * and a running per-(lang, bucket) count accumulates — state is
+    * langs×10 rows, bounded by schema, not stream volume. PSI itself is
+    * a read-time fold over the card + the base's bucket counts
+    * ([[graft.queries.CurationQueries.psiFromBucketCounts]] — the SAME
+    * code path as batch rp3, so the monitor can never drift from the
+    * report). Late documents still count (no watermark — cumulative
+    * card, the rp1 stance). StreamingSpec pins the composed result
+    * equal to batch rp3 on the identical split. */
+  def driftCard(stream: DataFrame, cuts: DataFrame): DataFrame =
+    stream.select(col("lang"),
+        size(graft.ext.TextAnalysis.words(col("text"))).as("t"))
+      .join(broadcast(cuts), "lang")
+      .select(col("lang"), size(filter(col("cs"), c => c <= col("t"))).as("b"))
+      .groupBy("lang", "b").agg(count(lit(1)).as("n"))
+
   /** The streaming curation front door: Gopher quality gate (the same
     * [[graft.ext.TextAnalysis.gopherPasses]] column the batch gate t5
     * runs — one definition, no batch/stream drift) THEN first-seen dedup.

@@ -93,6 +93,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pk2 sketch-quantile mode: monotone buckets, quartile-sized, no percentile pass") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sk = graft.queries.SamplingQueries.lengthBucketsOf(docs, sketchQuantiles = true)
+    val rows = sk.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length === docs.count())
+    // bucket must be a monotone function of n_tokens — exact for ANY cut
+    // placement, so it holds under α-approximate cuts where per-bucket
+    // equality would not (ties at the exact quartile values legitimately
+    // flip sides)
+    val byTokens = rows.sortBy(_._2)
+    byTokens.sliding(2).foreach {
+      case Array((_, t1, b1), (_, t2, b2)) =>
+        assert(b1 <= b2 || t1 == t2, s"bucket not monotone: ($t1,$b1) then ($t2,$b2)")
+      case _ =>
+    }
+    // quartile cuts within α of exact put each bucket near n/4
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert((0 to 3).forall(sizes.contains), s"empty bucket: $sizes")
+    val n = rows.length.toDouble
+    for ((b, s) <- sizes)
+      assert(s >= n * 0.10 && s <= n * 0.45, s"bucket $b size $s of $n")
+    val p = sk.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"), "sketch mode still plans percentile")
+  }
+
   test("salted aggregation equals direct aggregation (skewed key)") {
     import org.apache.spark.sql.functions._
     // 90% of rows on one hot key — the shape salting exists for

@@ -441,6 +441,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift card + read-time PSI fold = batch rp3 on the same split") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val expected = graft.queries.CurationQueries.driftOf(spark, docs, false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val base = docs.where(col("doc_id") % 10 < 8)
+    val fresh = docs.where(col("doc_id") % 10 >= 8)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // base cuts computed batch-side (what a deployment snapshots), then
+    // the NEW side arrives as a stream in two micro-batches
+    val cuts = graft.queries.CurationQueries.decileCuts(
+      base.select(col("lang"),
+        size(graft.ext.TextAnalysis.words(col("text"))).as("t")),
+      sketchQuantiles = false)
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().select(
+      col("_1").as("doc_id"), col("_2").as("lang"), col("_3").as("text"))
+    val q = graft.streaming.DocStream.driftCard(df, cuts)
+      .writeStream.format("memory").queryName("drift_card")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      val (b1, b2) = fresh.splitAt(fresh.length / 2)
+      stream.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // read-time fold: base bucket counts (same bucketing code on the
+      // batch frame) + the live card, through the SAME psi code as rp3
+      val baseCnt = graft.streaming.DocStream.driftCard(base, cuts)
+        .withColumn("is_new", lit(false))
+      val newCnt = spark.table("drift_card").withColumn("is_new", lit(true))
+      val got = graft.queries.CurationQueries.psiFromBucketCounts(
+        spark, baseCnt.unionByName(newCnt))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming funnel: cross-batch state fold = independent whole-history fold") {
     // real sf0.001 events through three TIME-SPLIT micro-batches (the
     // ordering contract the operator documents); expectation = a plain
