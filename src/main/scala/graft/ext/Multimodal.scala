@@ -240,6 +240,65 @@ object Multimodal {
     }
   }
 
+  /** Real image downscale via the JDK's `Graphics2D` (bilinear): longest
+    * side capped at `maxDim`, aspect preserved, re-encoded as PNG. None
+    * when the payload is not a decodable image; Some(original) when it
+    * already fits — so callers can tell "resized" from "not an image". */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else if (math.max(img.getWidth, img.getHeight) <= maxDim) Some(bytes)
+      else {
+        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+        val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+        val t = img.getType match {
+          case java.awt.image.BufferedImage.TYPE_CUSTOM =>
+            java.awt.image.BufferedImage.TYPE_INT_RGB
+          case other => other
+        }
+        val out = new java.awt.image.BufferedImage(nw, nh, t)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-wise REAL image resize — the production form of [[resize]]:
+    * recognized images downscale through [[resizeImage]] and report their
+    * actual new dimensions; non-image payloads keep the deterministic
+    * stride-subsample fallback so the operator stays total. Map-only like
+    * every transform in this family. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int = 256): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resizeImage(r.media, maxDim) match {
+          case Some(b) =>
+            val (w, h, _, _) = decodeImage(b).get
+            ResizedRow(r.doc_id, b, w, h)
+          case None =>
+            val n = r.media.length
+            val out =
+              if (n <= maxDim) r.media
+              else {
+                val stride = (n + maxDim - 1) / maxDim
+                Array.tabulate(n / stride)(i => r.media(i * stride))
+              }
+            val (w, h, _, _) = stubDecode(out)
+            ResizedRow(r.doc_id, out, w, h)
+        }
+      }
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Long, ts_ms: Long, luma: Double)
 
   /** Frame sampling — the 1-row → N-rows generator shape of video

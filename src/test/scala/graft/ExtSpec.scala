@@ -487,6 +487,35 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("multimodal real resize: bilinear downscale preserves aspect and content") {
+    // 28×16 solid gray 77 (id chosen for non-square dims via the synth
+    // formulas: 4+24%29=28 wide, 4+24*7%23=16 high... compute directly)
+    val id = Seq.range(0L, 700L).find(i =>
+      4 + (i % 29) == 28 && 4 + ((i * 7) % 23) == 16).get
+    val png = Multimodal.syntheticPng(id)
+    val g0 = ((id * 37) % 256).toInt
+    val Some(small) = Multimodal.resizeImage(png, maxDim = 7)
+    val Some((w, h, _, mean)) = Multimodal.decodeImage(small)
+    assert(w === 7, "longest side capped")
+    assert(h === 4, s"aspect preserved (28:16 -> 7:4), got $h")
+    assert(mean === g0.toDouble, "bilinear of a constant image is the constant")
+    // already-fits images pass through byte-identical
+    assert(Multimodal.resizeImage(small, 7).get eq small)
+    // deterministic
+    assert(java.util.Arrays.equals(small, Multimodal.resizeImage(png, 7).get))
+    // non-image bytes decline; the Dataset operator stays total via stub
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8"), 7).isEmpty)
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, png),
+      Multimodal.MediaRow(2L, "plain text payload".getBytes("UTF-8"))).toDS()
+    val rows = Multimodal.resizeImages(media, maxDim = 7).collect().sortBy(_.doc_id)
+    assert(rows(0).width === 7 && rows(0).height === 4)
+    assert(rows(1).media.length <= 7) // stub fallback honors the byte bound
+    val p = Multimodal.resizeImages(media, 7).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "resize must stay map-only")
+  }
+
   test("jaccard_sim kernel is bit-identical to the intersect/union formulation") {
     import graft.ext.TextAnalysis.{words, shingles}
     import graft.ext.extfunctions.jaccard_sim
