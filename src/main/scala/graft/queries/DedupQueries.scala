@@ -946,7 +946,17 @@ object DedupQueries {
   /** Shared tail: mark lines duplicated per `counts`, reassemble keepers.
     * The dup set is the count>K sliver (AQE broadcasts it at runtime);
     * kept-line election is a null-guarded collect_list INSIDE the
-    * aggregate — never a .where over computed columns (the s6 lesson). */
+    * aggregate — never a .where over computed columns (the s6 lesson).
+    *
+    * Shape note (r8, measured): a "positions-only" reassembly — inner-join
+    * the dup sliver, aggregate integer positions per doc, HOF-filter the
+    * original arrays map-side — replaces this text-carrying doc_id
+    * exchange with a sliver-sized one, but needs a THIRD evaluation of
+    * `docLines`; with the gate's computed line arrays that recompute cost
+    * exceeded the exchange saving (2.26 s → 3.04 s at sf0.1), so the
+    * one-pass aggregate stays. The trade flips only when `docLines` is a
+    * cheap projection AND the corpus text dwarfs the position sliver —
+    * revisit against a real multi-line corpus, not the synthesized one. */
   private def lineDedupAgainst(docLines: DataFrame, counts: DataFrame,
       dupLineMax: Long): DataFrame = {
     val exploded = docLines
