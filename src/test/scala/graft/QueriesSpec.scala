@@ -36,6 +36,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0, "flagship entry must return rows")
   }
 
+  test("Tables.events normalizes nanos-as-long and native-timestamp parquet identically") {
+    import org.apache.spark.sql.functions._
+    // the driver's events.parquet has shipped BOTH ways across rounds
+    // (TIMESTAMP(NANOS) read as long, then native TIMESTAMP(MICROS));
+    // whichever shape the current testdata has, synthesize the OTHER from
+    // it and pin that the normalized frames agree row-for-row
+    val dir = "/root/testdata/sf0.001"
+    val normalized = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_ns_").toString
+    // derive the raw-int64-nanos variant from the already-normalized frame
+    // (works whichever shape the source dir currently has)
+    graft.queries.Tables.events(spark, dir)
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val viaNanos = graft.queries.Tables.events(spark, tmp)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = normalized.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = viaNanos.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.length > 0 && a === b)
+  }
+
   test("t8 sketch-quantile mode: threshold within DDSketch α of exact, no percentile pass") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
