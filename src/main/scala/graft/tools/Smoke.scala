@@ -217,6 +217,66 @@ object Smoke {
       q.stop()
     }
 
+    // real codecs (r8): PNG decode round-trip, WAV metadata, bilinear resize
+    locally {
+      val png = graft.ext.Multimodal.syntheticPng(17L)
+      val Some((w, h, c, m)) = graft.ext.Multimodal.decodeImage(png)
+      println(s"IMG-DECODE: ${png.length} B png -> ${w}x$h c=$c mean=$m")
+      val Some(rz) = graft.ext.Multimodal.resizeImage(png, maxDim = 8)
+      val Some((rw, rh, _, rm)) = graft.ext.Multimodal.decodeImage(rz)
+      println(s"IMG-RESIZE: -> ${rw}x$rh mean=$rm (constant preserved=${rm == m})")
+      val wav = graft.ext.Multimodal.syntheticWav(17L)
+      val Some((rate, ch, frames, mean)) = graft.ext.Multimodal.decodeWav(wav)
+      println(s"WAV-DECODE: ${wav.length} B wav -> rate=$rate ch=$ch frames=$frames mean=$mean")
+      graft.SparkEntry.queries("mm4_audio_meta")(spark, "/root/testdata/sf0.001").show(2, false)
+    }
+
+    // sketch-quantile mode (r8): the at-scale percentile swap, flag-driven
+    locally {
+      spark.conf.set("spark.graft.sketchQuantiles", "true")
+      try {
+        val t8 = graft.SparkEntry.queries("t8_quality_gate")(spark, "/root/testdata/sf0.001")
+        println(s"SKETCH-T8: kept=${t8.count()} planHasPercentile=" +
+          t8.queryExecution.executedPlan.toString.toLowerCase.contains("percentile"))
+      } finally spark.conf.unset("spark.graft.sketchQuantiles")
+    }
+
+    // live drift card (r8): stream new-side docs against batch base cuts
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val cuts = graft.queries.CurationQueries.decileCuts(
+        docs.where($"doc_id" % 10 < 8).select($"lang",
+          size(graft.ext.TextAnalysis.words($"text")).as("t")), sketchQuantiles = false)
+      val st = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+      val q = graft.streaming.DocStream.driftCard(
+          st.toDF().select($"_1".as("lang"), $"_2".as("text")), cuts)
+        .writeStream.format("memory").queryName("smoke_drift").outputMode("complete").start()
+      st.addData(("en", "one two three"), ("en", "four"))
+      q.processAllAvailable()
+      println("DRIFT-CARD: " + spark.table("smoke_drift").collect()
+        .map(r => s"${r.getString(0)}/b${r.getInt(1)}=${r.getLong(2)}").sorted.mkString(", "))
+      q.stop()
+    }
+
+    // live DAU/WAU + retention cards (r8): delta-state streaming ev3/ev4
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val st = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val q = graft.streaming.EventStream.activeUsers(spark,
+          st.toDF().select($"_1".as("user_id"), $"_2".as("ts")))
+        .writeStream.format("memory").queryName("smoke_dau").outputMode("complete").start()
+      st.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+        (1L, ts("2024-01-03 09:00:00")))
+      q.processAllAvailable()
+      println("DAU-CARD: " + spark.table("smoke_dau").collect()
+        .map(r => s"${r.getString(0)}:dau=${r.getLong(1)},wau=${r.getLong(2)}")
+        .sorted.mkString(", "))
+      q.stop()
+    }
+
     // near-dup base compaction: two appended file groups -> one rewrite
     locally {
       val base = java.nio.file.Files.createTempDirectory("smoke_ndbase_").toString + "/base"
