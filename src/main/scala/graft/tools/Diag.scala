@@ -33,6 +33,10 @@ object Diag {
       eventScale(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("evstream")) {
+      eventStreamScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("docs")) {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -138,6 +142,50 @@ object Diag {
       val t = time(sink(q))
       println(f"[events] $name%-14s n=$n%,d users=$users%,d: $t%.1f s " +
         f"(${n / t / 1e6}%.1f M events/s)")
+    }
+  }
+
+  /** The LIVE event cards (EventStream.activeUsers/retention) at stream
+    * volume: the synthetic event log lands as parquet and replays through
+    * a real file streaming source in multi-batch triggers, so the
+    * delta-state path (keyed user state + running sums + checkpointing)
+    * is what's measured — not a batch plan in disguise. The final card is
+    * asserted equal to the batch ev4 answer on the same log; throughput
+    * should track the batch family's scan-bound rate, since the per-event
+    * work is one state-set probe + ≤7 emitted deltas. */
+  private def eventStreamScale(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val users = math.max(1000L, n / 1000)
+    val ev = spark.range(n).select(
+      (col("id") % users).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(xxhash64(col("id")), lit(30L * 24 * 3600 * 1000000L))).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_evstream_").toString
+    ev.repartition(8).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    for ((name, mk) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("activeUsers", df => graft.streaming.EventStream.activeUsers(spark, df)),
+        ("retention", df => graft.streaming.EventStream.retention(spark, df)))) {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$dir/in")
+      val q = mk(src).writeStream.format("memory").queryName(s"diag_$name")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$dir/ckpt_$name").start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val t = (System.nanoTime() - t0) / 1e9
+      val card = spark.table(s"diag_$name").collect()
+      q.stop()
+      println(f"[evstream] $name%-12s n=$n%,d users=$users%,d: $t%.1f s " +
+        f"(${n / t / 1e6}%.2f M events/s) card_rows=${card.length}%,d")
+      if (name == "activeUsers") {
+        val want = graft.queries.EventQueries.activeUsersOf(
+          spark.read.parquet(s"$dir/in"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val got = card.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        println(s"[evstream] activeUsers card == batch ev4: ${got == want}")
+        require(got == want, "streaming card diverged from batch ev4")
+      }
     }
   }
 
