@@ -42,8 +42,10 @@ object Bench {
     // d5/s2's shapes; s7's is a map-only projection); bpe1 is tokenizer
     // TRAINING (12 iterative dictionary-sized jobs) — serving-side
     // tokenization is t1, which stays benched
-    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "s3_ann_ivf",
-      "sem1_semdedup", "s7_ivf_assign", "bpe1_merges")
+    // sp2 embeds the same exact pair set as d6 (its oracle anchor; the
+    // scale path keys the split off keepList over d2's LSH pairs)
+    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
+      "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign", "bpe1_merges")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -348,7 +348,7 @@ object DedupQueries {
 
   /** Exact near-dup pairs (doc_a, doc_b) — d3's pair set, reused by the d6
     * oracle anchor. */
-  private def exactPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def exactPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docShingles(s, dir)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -358,7 +358,11 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  private val d6KeepList = withOracle("d6_dedup_keeplist",
+  /** The exact-Jaccard keeper-election CTE chain (shingle → pairs →
+    * transitive closure → min-label keeper), shared verbatim between the
+    * d6 oracle and sp2's family-split oracle so the two cannot drift.
+    * Ends with `k(doc_id, keep_id)`. */
+  private[graft] def keepListCtes: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)),
@@ -376,9 +380,13 @@ object DedupQueries {
        |  SELECT a, b FROM edges
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |c AS (SELECT a AS doc_id, least(min(b), a) AS keep FROM reach GROUP BY a)
-       |SELECT docs.doc_id, coalesce(c.keep, docs.doc_id) AS keep_id
-       |FROM documents docs LEFT JOIN c USING (doc_id)""".stripMargin) { (s, dir) =>
+       |c AS (SELECT a AS doc_id, least(min(b), a) AS keep FROM reach GROUP BY a),
+       |k AS (SELECT docs.doc_id, coalesce(c.keep, docs.doc_id) AS keep_id
+       |      FROM documents docs LEFT JOIN c USING (doc_id))""".stripMargin
+
+  private val d6KeepList = withOracle("d6_dedup_keeplist",
+    s"""$keepListCtes
+       |SELECT doc_id, keep_id FROM k""".stripMargin) { (s, dir) =>
     keepList(exactPairs(s, dir), Tables(s, dir, "documents"))
   }
 

@@ -91,6 +91,33 @@ object SamplingQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** SP2: LEAKAGE-SAFE split assignment — the sp1 hash split keyed by the
+    * near-dup FAMILY keeper instead of the document: every member of a
+    * near-dup family lands in the same split by construction, so a test
+    * document can never have a near-duplicate in train (the d6/d2 keeper
+    * election composed with sp1's deterministic md5 split — the leakage
+    * control every published dedup pipeline applies before splitting).
+    *
+    * Scale shape: the keeper election is d6's (at 100 TB: keepList over
+    * d2's LSH pairs — the pair source is pluggable; the gate form uses the
+    * exact pairs as its oracle anchor, same as d6, and is bench-excluded
+    * with it); the split itself is a map-side md5 over keep_id. The
+    * no-pair-crosses-splits invariant is pinned in ExtSpec over the exact
+    * pair set. */
+  private val sp2FamilySplit = withOracle("sp2_family_split",
+    s"""${DedupQueries.keepListCtes}
+       |SELECT doc_id, keep_id,
+       |       CASE WHEN substring(md5('famsplit:' || keep_id), 1, 4) < 'e666' THEN 'train'
+       |            WHEN substring(md5('famsplit:' || keep_id), 1, 4) < 'f333' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM k""".stripMargin) { (s, dir) =>
+    val keepers = DedupQueries.keepList(
+      DedupQueries.exactPairs(s, dir), Tables(s, dir, "documents"))
+    val p = substring(md5(concat(lit("famsplit:"), col("keep_id").cast("string"))), 1, 4)
+    keepers.select(col("doc_id"), col("keep_id"),
+      when(p < "e666", "train").when(p < "f333", "val").otherwise("test").as("split"))
+  }
+
   /** PK1: sequence-packing offsets — each document's global token offset
     * in the canonical (ORDER BY doc_id) concatenation, and the 2048-token
     * block span it occupies. The oracle states the semantics as the naive
@@ -394,6 +421,6 @@ object SamplingQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(sm1Stratified, sm2Quota, sp1Split, pk1Pack, pk2LengthBuckets, sh1Shuffle,
-      sm3Temperature, sm4TokenBudget, sm5Dsir)
+    Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
+      pk2LengthBuckets, sh1Shuffle, sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

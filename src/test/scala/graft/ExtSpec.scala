@@ -155,6 +155,18 @@ class ExtSpec extends AnyFunSuite {
     assert(viaExact.exists { case (id, keep) => id != keep }, "fixture should contain dups")
   }
 
+  test("sp2 family split: no near-dup pair ever crosses a split boundary") {
+    val split = graft.SparkEntry.queries("sp2_family_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = graft.SparkEntry.queries("d3_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    val leaks = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaks.isEmpty, s"near-dup pairs crossing splits: ${leaks.take(5).toSeq}")
+    // and the split is a genuine 3-way partition, not one degenerate bucket
+    assert(split.values.toSet.size === 3)
+  }
+
   test("keep-list CC: chain components converge to the global min keeper") {
     import spark.implicits._
     // path graph 1-2-3-4-5 needs multi-round propagation; 6 is isolated
