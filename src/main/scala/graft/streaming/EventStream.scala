@@ -95,6 +95,55 @@ object EventStream {
     * volume: a year-long stream holds ≤365 ints per user. */
   case class DaysState(days: Array[Int])
 
+  /** The PURE delta kernels of the live cards, extracted so the exactness
+    * argument is a property-testable function rather than a lambda inside
+    * a stateful operator (StreamingSpec checks them against brute-force
+    * recomputation over random day sets and batch splits). */
+  object DayDeltas {
+    /** DAU/WAU deltas for one user gaining `arriving` (possibly known,
+      * unordered, duplicated) days on top of `known`: per window-ending
+      * day wd, (dauDelta, wauDelta). Exact: a (user, day) membership adds
+      * +1 DAU at that day; a (user, window) membership adds +1 WAU at wd
+      * iff no previously-counted active day already covered [wd−6, wd]. */
+    def activeUsers(known: Set[Int], arriving: Seq[Int])
+        : (Set[Int], Map[Int, (Int, Int)]) = {
+      var days = known
+      val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      arriving.distinct.sorted.foreach { d =>
+        if (!days(d)) {
+          var off = 0
+          while (off < 7) {
+            val wd = d + off
+            val covered = (wd - 6 to wd).exists(days)
+            if (!covered || off == 0) {
+              val (dau, wau) = out.getOrElse(wd, (0, 0))
+              out(wd) = (if (off == 0) dau + 1 else dau,
+                if (!covered) wau + 1 else wau)
+            }
+            off += 1
+          }
+          days += d
+        }
+      }
+      (days, out.toMap)
+    }
+
+    /** Retention deltas: the (cohort, offset) pairs a user STOPS and
+      * STARTS contributing when their day set grows — a late
+      * earlier-than-d0 day re-buckets the whole user (retract + re-emit). */
+    def retention(known: Array[Int], arriving: Seq[Int])
+        : (Array[Int], Seq[(Int, Int, Int)]) = {
+      val newDays = (known ++ arriving).distinct.sorted
+      def pairs(ds: Array[Int]): Set[(Int, Int)] =
+        if (ds.isEmpty) Set.empty
+        else { val d0 = ds.head; ds.iterator.map(d => (d0, d - d0)).toSet }
+      val (oldP, newP) = (pairs(known), pairs(newDays))
+      val deltas = (newP -- oldP).toSeq.map { case (c, o) => (c, o, 1) } ++
+        (oldP -- newP).toSeq.map { case (c, o) => (c, o, -1) }
+      (newDays, deltas)
+    }
+  }
+
   private def eventDays(stream: DataFrame): Dataset[(Long, Int)] = {
     import stream.sparkSession.implicits._
     stream.select(col("user_id").cast("long"),
@@ -130,26 +179,8 @@ object EventStream {
       .flatMapGroupsWithState[DaysState, (Int, Int, Int)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, events, state) =>
-          var days = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Int])
-          val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
-          // ascending: an earlier new day must count as coverage for a
-          // later new day in the same batch, exactly as batch recompute sees
-          events.map(_._2).toArray.distinct.sorted.foreach { d =>
-            if (!days(d)) {
-              var off = 0
-              while (off < 7) {
-                val wd = d + off
-                val covered = (wd - 6 to wd).exists(days) // pre-add coverage
-                if (!covered || off == 0) {
-                  val (dau, wau) = out.getOrElse(wd, (0, 0))
-                  out(wd) = (if (off == 0) dau + 1 else dau,
-                    if (!covered) wau + 1 else wau)
-                }
-                off += 1
-              }
-              days += d
-            }
-          }
+          val known = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Int])
+          val (days, out) = DayDeltas.activeUsers(known, events.map(_._2).toSeq)
           state.update(DaysState(days.toArray.sorted))
           out.iterator.map { case (wd, (dau, wau)) => (wd, dau, wau) }
       }
@@ -181,15 +212,10 @@ object EventStream {
       .flatMapGroupsWithState[DaysState, (Int, Int, Int)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, events, state) =>
-          val oldDays = state.getOption.map(_.days).getOrElse(Array.empty[Int])
-          val newDays = (oldDays ++ events.map(_._2)).distinct.sorted
+          val known = state.getOption.map(_.days).getOrElse(Array.empty[Int])
+          val (newDays, deltas) = DayDeltas.retention(known, events.map(_._2).toSeq)
           state.update(DaysState(newDays))
-          def pairs(ds: Array[Int]): Set[(Int, Int)] =
-            if (ds.isEmpty) Set.empty
-            else { val d0 = ds.head; ds.iterator.map(d => (d0, d - d0)).toSet }
-          val (oldP, newP) = (pairs(oldDays), pairs(newDays))
-          (newP -- oldP).iterator.map { case (c, o) => (c, o, 1) } ++
-            (oldP -- newP).iterator.map { case (c, o) => (c, o, -1) }
+          deltas.iterator
       }
       .toDF("cohort", "day_offset", "delta")
     deltas.groupBy(col("cohort"), col("day_offset"))

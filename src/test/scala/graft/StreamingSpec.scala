@@ -372,6 +372,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DayDeltas kernels: folded deltas = brute-force card (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // one user's day stream: arbitrary day values, duplicates, arbitrary
+    // batch boundaries, arbitrary ORDER (late days) — the folded delta
+    // sums must equal the brute-force single-user card over the union
+    val gen = for {
+      days <- Gen.listOf(Gen.choose(0, 40))
+      cuts <- Gen.choose(1, 5)
+    } yield (days, cuts)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(gen) { case (days, cuts) =>
+        val batches = days.zipWithIndex
+          .groupBy(_._2 % cuts).toSeq.sortBy(_._1).map(_._2.map(_._1))
+        // activeUsers fold
+        var known = Set.empty[Int]
+        val sums = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+        batches.foreach { b =>
+          val (k2, out) = graft.streaming.EventStream.DayDeltas.activeUsers(known, b)
+          known = k2
+          out.foreach { case (wd, (da, wa)) =>
+            val (pd, pw) = sums.getOrElse(wd, (0, 0)); sums(wd) = (pd + da, pw + wa) }
+        }
+        val active = days.toSet
+        val wds = active.flatMap(d => d to d + 6)
+        val dauOk = wds.forall(wd =>
+          sums.getOrElse(wd, (0, 0))._1 == (if (active(wd)) 1 else 0))
+        val wauOk = wds.forall(wd =>
+          sums.getOrElse(wd, (0, 0))._2 ==
+            (if ((wd - 6 to wd).exists(active)) 1 else 0))
+        // retention fold: net deltas == the final (cohort, offset) pair set
+        var ds = Array.empty[Int]
+        val net = scala.collection.mutable.Map.empty[(Int, Int), Int]
+        batches.foreach { b =>
+          val (d2, deltas) = graft.streaming.EventStream.DayDeltas.retention(ds, b)
+          ds = d2
+          deltas.foreach { case (c, o, x) =>
+            net((c, o)) = net.getOrElse((c, o), 0) + x }
+        }
+        val want =
+          if (active.isEmpty) Set.empty[(Int, Int)]
+          else { val d0 = active.min; active.map(d => (d0, d - d0)) }
+        val retOk = net.filter(_._2 != 0).keySet == want &&
+          net.values.forall(v => v == 0 || v == 1)
+        dauOk && wauOk && retOk
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("stateful operators run on the RocksDB state store (the 100 TB provider)") {
     // the scale story for every keyed-state operator here says "RocksDB
     // state store past memory" — run one exact-dedup stream and one
