@@ -277,6 +277,19 @@ object Smoke {
       q.stop()
     }
 
+    // training-shard export: ordered docs -> numbered shard files -> read back
+    locally {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      val ordered = graft.ext.Shuffle.deterministicOrder(docs, "doc_id", "ep1")
+      val dir = java.nio.file.Files.createTempDirectory("smoke_shards_").toString
+      graft.sources.DocShards.write(ordered, "pos", dir, shards = 3)
+      val back = graft.sources.DocShards.read(spark, dir)
+      println(s"DOCSHARDS: ${back.count()} docs over " +
+        s"${new java.io.File(dir).listFiles().length} shards; head=" +
+        back.orderBy($"shard", $"rec_no").select($"doc_id").head.getLong(0))
+    }
+
     // near-dup base compaction: two appended file groups -> one rewrite
     locally {
       val base = java.nio.file.Files.createTempDirectory("smoke_ndbase_").toString + "/base"

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model._
-import graft.sources.{Exposition, PromFile, Prompb}
+import graft.sources.{DocShards, Exposition, PromFile, Prompb}
 import graft.storage.ParquetStore
 import graft.streaming.Ingest
 import org.apache.spark.sql.{Row, SparkSession}
@@ -60,6 +60,34 @@ class SourcesSpec extends AnyFunSuite {
     PromFile.write(fixture.toDS().repartition(2), dir)
     val back = PromFile.read(spark, dir)
     assert(back.count() === fixture.map(_.samples.size).sum)
+  }
+
+  test("doc shards: training-order export round-trips and preserves the order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val ordered = graft.ext.Shuffle.deterministicOrder(docs, "doc_id", "ep1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_docshards_").toString
+    DocShards.write(ordered, "pos", dir, shards = 4)
+    val back = DocShards.read(spark, dir)
+    // content round-trip (incl. multi-byte text)
+    val origSet = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val backRows = back.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(backRows.map(r => r._3 -> r._4).toMap === origSet)
+    assert(backRows.length === origSet.size)
+    // (shard, rec_no) reconstructs the training order exactly
+    val byOrder = backRows.sortBy(r => (r._1, r._2)).map(_._3).toSeq
+    val want = ordered.orderBy(col("pos")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byOrder === want)
+    // deterministic shard files: re-export is byte-identical
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_docshards2_").toString
+    DocShards.write(ordered, "pos", dir2, shards = 4)
+    def bytesOf(d: String) = new java.io.File(d).listFiles().sortBy(_.getName)
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(bytesOf(dir) === bytesOf(dir2))
   }
 
   test("exposition text format parse (S9)") {
