@@ -42,6 +42,25 @@ object DocStream {
       .select(col("lang"), size(filter(col("cs"), c => c <= col("t"))).as("b"))
       .groupBy("lang", "b").agg(count(lit(1)).as("n"))
 
+  /** Streaming decontamination gate — d7/d8's streaming front: arriving
+    * documents probe the benchmark's Bloom filter (built once batch-side
+    * with `bloom_agg` over the SAME 4-gram kernel d7/d8 use) map-side via
+    * an `exists` over the document's shingles. No false negatives: a
+    * document sharing any 4-gram with the benchmark is ALWAYS flagged, so
+    * the un-flagged stream is exactly clean and flows on; flagged
+    * documents quarantine for the exact batch adjudication (d8's verify
+    * join) — the standard stream-bloom + batch-exact split, keeping the
+    * streaming side zero-state and zero-join. `fpp` bounds the quarantine
+    * overhead, benchmark size bounds the filter (MB-scale for real
+    * benchmark suites), corpus size bounds nothing. */
+  def decontamGate(stream: DataFrame, bloom: Array[Byte]): DataFrame = {
+    import graft.ext.TextAnalysis.{shingles, words}
+    import graft.functions.bloom_might_contain
+    stream.withColumn("maybe_contaminated",
+      exists(shingles(words(col("text")), 4),
+        g => bloom_might_contain(lit(bloom), xxhash64(g))))
+  }
+
   /** The streaming curation front door: Gopher quality gate (the same
     * [[graft.ext.TextAnalysis.gopherPasses]] column the batch gate t5
     * runs — one definition, no batch/stream drift) THEN first-seen dedup.

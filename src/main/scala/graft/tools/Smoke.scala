@@ -277,6 +277,27 @@ object Smoke {
       q.stop()
     }
 
+    // streaming decontamination gate: bloom probe map-side, zero state
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.ext.TextAnalysis.{shingles, words}
+      val bloom = Seq("leaked benchmark question text here").toDF("text")
+        .select(explode(shingles(words($"text"), 4)).as("g"))
+        .agg(graft.functions.bloom_agg(xxhash64($"g")).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val st = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.DocStream.decontamGate(
+          st.toDF().select($"_1".as("doc_id"), $"_2".as("text")), bloom)
+        .select($"doc_id", $"maybe_contaminated")
+        .writeStream.format("memory").queryName("smoke_decontam")
+        .outputMode("append").start()
+      st.addData((1L, "totally novel writing"), (2L, "leaked benchmark question text here"))
+      q.processAllAvailable()
+      println("DECONTAM: " + spark.table("smoke_decontam").collect()
+        .map(r => s"${r.getLong(0)}=${r.getBoolean(1)}").sorted.mkString(", "))
+      q.stop()
+    }
+
     // training-shard export: ordered docs -> numbered shard files -> read back
     locally {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

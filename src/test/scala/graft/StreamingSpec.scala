@@ -372,6 +372,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontam gate: no false negatives vs batch d7 on the same bench") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.TextAnalysis.{shingles, words}
+    val sf = "/root/testdata/sf0.001"
+    // the gate queries' benchmark split (doc_id % 100 < 5) and its Bloom,
+    // built with the same kernels the batch operators use
+    val ng = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(shingles(words(col("text")), 4)).as("g"))
+    val bloom = ng.where(col("doc_id") % 100 < 5).select("g").distinct()
+      .agg(graft.functions.bloom_agg(xxhash64(col("g")),
+        expectedItems = 1L << 20, fpp = 0.01).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // batch truth: candidate docs sharing >=1 four-gram with the benchmark
+    val contaminated = graft.SparkEntry.queries("d7_decontamination")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 100 >= 5)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.DocStream.decontamGate(df, bloom)
+      .select("doc_id", "maybe_contaminated")
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      stream.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val flagged = spark.table("decontam_out").collect()
+        .filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+      assert(contaminated.subsetOf(flagged), // the load-bearing contract
+        s"false negatives: ${(contaminated -- flagged).take(5)}")
+      // fpp sanity: the quarantine is a sliver, not the stream
+      val clean = corpus.length - contaminated.size
+      val falsePos = (flagged -- contaminated).size
+      assert(falsePos <= math.max(5, clean / 20),
+        s"$falsePos false positives of $clean clean docs")
+    } finally q.stop()
+  }
+
   test("DayDeltas kernels: folded deltas = brute-force card (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // one user's day stream: arbitrary day values, duplicates, arbitrary
