@@ -485,6 +485,22 @@ class ExtSpec extends AnyFunSuite {
     }
     // non-image bytes: decode declines, total operator falls back to stub
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // JPEG: lossy codec — dimensions/bands exact, constant-image mean
+    // within compression tolerance (the codec-breadth claim is real
+    // javax.imageio coverage, not one container)
+    val jpgSrc = new java.awt.image.BufferedImage(
+      9, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 9) jpgSrc.setRGB(x, y, (80 << 16) | (80 << 8) | 80)
+    val bosJpg = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jpgSrc, "jpg", bosJpg))
+    val Some((jw, jh, jb, jm)) = Multimodal.decodeImage(bosJpg.toByteArray)
+    assert((jw, jh, jb) === ((9, 5, 3)))
+    assert(math.abs(jm - 80.0) <= 2.0, s"jpeg mean $jm")
+    // BMP: lossless, exact
+    val bosBmp = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jpgSrc, "bmp", bosBmp))
+    val Some((bw, bh, bb, bm)) = Multimodal.decodeImage(bosBmp.toByteArray)
+    assert((bw, bh, bb, bm) === ((9, 5, 3, 80.0)))
   }
 
   test("multimodal real audio decode: golden on synthesized WAV bytes") {
