@@ -171,18 +171,40 @@ object Bench {
     val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
     val probeParJson = probesPar.map(p => f"$p%.0f").mkString("[", ",", "]")
     val ingestJson = ingestSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Probe-normalized total: total × (nominal/measured serial stamp), so a
+    // cross-round comparison is not hostage to a co-tenant window (r8's
+    // "+25%" was a 1.37× degraded machine, proven only by hand-comparing
+    // stamps across artifacts). Nominal is pinned to the median serial
+    // stamp observed on a healthy run of this box (r7: 222–228 ms) and
+    // recorded in the artifact, so the normalization is reproducible.
+    val ProbeNominalMs = 225.0
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val probeMed = median(probes.toSeq)
+    val totalNorm = total * (ProbeNominalMs / probeMed)
+    // The full artifact lands IN THE REPO by default: /tmp does not
+    // outlive the sandbox, which truncated the committed bench record two
+    // rounds running.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
     // The stdout line is tail-captured by the caller with a bounded buffer:
-    // round 7's line (per-query medians + three probe arrays on top of the
-    // 87-query map) outran it and the parsed artifact lost everything. So
-    // the LINE carries exactly the contract schema (metric/value/unit/
-    // queries/sf + the two headline scalars) and a pointer to the full
-    // artifact; the FILE carries the whole payload including the
+    // rounds 7 AND 8 proved the ~4 KB full per-query map outruns it (the
+    // captured tail starts mid-map and the record parses as null). So the
+    // LINE keeps the contract schema but its `queries` map carries only the
+    // HEADLINE subset (~300 bytes — fits any buffer) plus a pointer to the
+    // full artifact; the FILE carries everything including the
     // stall-diagnosis stamps (medians, probe_ms, probe_par_ms, rounds).
+    val headline = Seq("q1_agg", "q5_range_scan", "a1_assembly",
+      "rh2_rate_rollup", "t8_quality_gate", "d2_dedup_minhash_lsh",
+      "d13_line_dedup", "s2_ann_lsh", "cur1_curation_manifest",
+      "cur2_training_mix")
+    val resMap = results.toMap
+    val qsHead = headline.filter(resMap.contains)
+      .map(k => "\"" + k + f"\":${resMap(k)}%.3f").mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_ms_median":$probeMed%.0f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_ms_median":$probeMed%.0f,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     println(line)

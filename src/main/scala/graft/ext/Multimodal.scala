@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * partitioning, streaming per-partition iteration, typed Dataset
   * round-trip) is identical for both paths.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class MediaFeature(
@@ -278,22 +278,160 @@ object Multimodal {
     * every transform in this family. */
   def resizeImages(media: Dataset[MediaRow], maxDim: Int = 256): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
+    def stubResize(docId: Long, bytes: Array[Byte]): ResizedRow = {
+      val n = bytes.length
+      val out =
+        if (n <= maxDim) bytes
+        else {
+          val stride = (n + maxDim - 1) / maxDim
+          Array.tabulate(n / stride)(i => bytes(i * stride))
+        }
+      val (w, h, _, _) = stubDecode(out)
+      ResizedRow(docId, out, w, h)
+    }
     media.mapPartitions { rows =>
       rows.map { r =>
-        resizeImage(r.media, maxDim) match {
-          case Some(b) =>
-            val (w, h, _, _) = decodeImage(b).get
-            ResizedRow(r.doc_id, b, w, h)
+        // decodeImage(b) re-decodes resizeImage's own PNG output — expected
+        // Some, but stay TOTAL if ImageIO ever round-trip-fails on an
+        // unusual color model: route through the stub, never throw
+        resizeImage(r.media, maxDim).flatMap(b =>
+          decodeImage(b).map { case (w, h, _, _) => ResizedRow(r.doc_id, b, w, h) })
+          .getOrElse(stubResize(r.doc_id, r.media))
+      }
+    }
+  }
+
+  case class VideoMeta(
+      doc_id: Long,
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      n_tracks: Int)
+
+  /** Real ISO-BMFF (mp4/mov) CONTAINER parse — pure-JDK byte walking of
+    * the public ISO/IEC 14496-12 box structure, no codec: major brand from
+    * `ftyp`, timescale + duration from `moov/mvhd` (both version 0 and
+    * version 1 layouts), track count from `moov/trak`. The honest boundary
+    * the JDK imposes: SAMPLES stay undecoded (no H.264 codec ships with
+    * Java), but duration/timescale/track topology — what a data pipeline
+    * filters and bins video corpora by — come from the actual bytes.
+    * Returns (brand, timescale, durationUnits, nTracks); None when the
+    * payload is not a well-formed BMFF file. */
+  def parseIsoBmff(bytes: Array[Byte]): Option[(String, Long, Long, Int)] =
+    try {
+      def u32(p: Int): Long =
+        ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+          ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+      def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+      var brand: String = null
+      var timescale = -1L
+      var duration = -1L
+      var tracks = 0
+      var malformed = false
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end && !malformed) {
+          var size = u32(p)
+          val typ = new String(bytes, p + 4, 4, "ISO-8859-1")
+          var hdr = 8
+          if (size == 1 && p + 16 <= end) { size = u64(p + 8); hdr = 16 }
+          else if (size == 0) size = (end - p).toLong // last box: to end
+          if (size < hdr || p + size > end) { malformed = true }
+          else {
+            typ match {
+              case "ftyp" if size >= hdr + 4 =>
+                brand = new String(bytes, p + hdr, 4, "ISO-8859-1")
+              case "moov" => walk(p + hdr, p + size.toInt)
+              case "mvhd" =>
+                val v = bytes(p + hdr) & 0xff
+                if (v == 1) { // 64-bit times: creation/modification are u64
+                  timescale = u32(p + hdr + 4 + 16)
+                  duration = u64(p + hdr + 4 + 20)
+                } else {
+                  timescale = u32(p + hdr + 4 + 8)
+                  duration = u32(p + hdr + 4 + 12)
+                }
+              case "trak" => tracks += 1
+              case _ => () // mdat, free, udta… — skipped by size, unread
+            }
+            p += size.toInt
+          }
+        }
+      }
+      walk(0, bytes.length)
+      if (malformed || brand == null || timescale <= 0 || duration < 0) None
+      else Some((brand, timescale, duration, tracks))
+    } catch { case _: Exception => None }
+
+  private def beU32(v: Long): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def beU64(v: Long): Array[Byte] = beU32(v >>> 32) ++ beU32(v & 0xffffffffL)
+  private def bmffBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    beU32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** Deterministic synthetic mp4 keyed by `docId`: full spec-shaped `ftyp`
+    * + `moov(mvhd + trak(tkhd)×n)` with timescale `600·(1 + id%4)`,
+    * duration `1000 + id%9000` units, `1 + id%3` tracks, brand `isom` —
+    * alternating mvhd version 0/1 by id parity so BOTH header layouts are
+    * exercised. [[parseIsoBmff]] must recover exactly those parameters,
+    * which is what makes mm5 oracle-checkable on a real container parse
+    * (the mm2/mm4 synthetic-fixture pattern). */
+  def syntheticMp4(docId: Long): Array[Byte] = {
+    val timescale = 600L * (1 + docId % 4)
+    val dur = 1000L + docId % 9000
+    val nTracks = (1 + docId % 3).toInt
+    val v1 = docId % 2 == 1
+    val ftyp = bmffBox("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ beU32(512) ++
+        "isomiso2mp41".getBytes("ISO-8859-1")) // compatible brands
+    // mvhd: FullBox(version, 0 flags), times, timescale, duration, then the
+    // fixed spec tail (rate 1.0, volume 1.0, reserved, unity matrix,
+    // pre_defined, next_track_ID)
+    val mvhdTimes =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ beU64(0) ++ beU64(0) ++
+        beU32(timescale) ++ beU64(dur)
+      else Array[Byte](0, 0, 0, 0) ++ beU32(0) ++ beU32(0) ++
+        beU32(timescale) ++ beU32(dur)
+    val unityMatrix = beU32(0x00010000L) ++ beU32(0) ++ beU32(0) ++
+      beU32(0) ++ beU32(0x00010000L) ++ beU32(0) ++
+      beU32(0) ++ beU32(0) ++ beU32(0x40000000L)
+    val mvhd = bmffBox("mvhd", mvhdTimes ++
+      beU32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ beU64(0) ++
+      unityMatrix ++ Array.fill[Byte](24)(0) ++ beU32(nTracks + 1L))
+    val traks = (1 to nTracks).map { i =>
+      val tkhd = bmffBox("tkhd", Array[Byte](0, 0, 0, 7) ++ // v0, enabled
+        beU32(0) ++ beU32(0) ++ beU32(i.toLong) ++ beU32(0) ++ beU32(dur) ++
+        beU64(0) ++ Array.fill[Byte](8)(0) ++ unityMatrix ++ beU32(0) ++ beU32(0))
+      bmffBox("trak", tkhd)
+    }
+    ftyp ++ bmffBox("moov", mvhd ++ traks.flatten) ++
+      bmffBox("mdat", Array.fill[Byte]((docId % 32).toInt)(0x5a))
+  }
+
+  /** One synthetic mp4 per document (map-only, like [[asGeneratedImages]]). */
+  def asGeneratedVideo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, syntheticMp4(id))))
+  }
+
+  /** Partition-wise video-container metadata — mm5: real BMFF parse with
+    * the deterministic stub fallback on unrecognized payloads, so the
+    * operator is total like the image/audio extractors. `duration_ms` is
+    * integer-exact (`units · 1000 div timescale`) — engine-portable, no
+    * float rounding. */
+  def extractVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseIsoBmff(r.media) match {
+          case Some((brand, ts, dur, tracks)) =>
+            VideoMeta(r.doc_id, brand, ts, dur * 1000L / ts, tracks)
           case None =>
-            val n = r.media.length
-            val out =
-              if (n <= maxDim) r.media
-              else {
-                val stride = (n + maxDim - 1) / maxDim
-                Array.tabulate(n / stride)(i => r.media(i * stride))
-              }
-            val (w, h, _, _) = stubDecode(out)
-            ResizedRow(r.doc_id, out, w, h)
+            val (w, h, c, _) = stubDecode(r.media)
+            VideoMeta(r.doc_id, "stub", w.toLong, h.toLong, c)
         }
       }
     }

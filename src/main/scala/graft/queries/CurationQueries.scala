@@ -58,8 +58,8 @@ object CurationQueries {
       |${graft.queries.DedupQueries.spanCtes(graft.queries.DedupQueries.SpanWords, "pool")},
       |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM sp_mi GROUP BY doc_id)
       |SELECT gop.doc_id, gop.lang, gop.n_tokens,
-      |       (coalesce(cov.dup_tokens, 0) * 1000000) // greatest(gop.n_tokens, 1)
-      |         AS span_cov_ppm,
+      |       CAST((coalesce(cov.dup_tokens, 0) * 1000000)
+      |            // greatest(gop.n_tokens, 1) AS BIGINT) AS span_cov_ppm,
       |       CASE WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'e666' THEN 'train'
       |            WHEN substring(md5('split:' || gop.doc_id), 1, 4) < 'f333' THEN 'val'
       |            ELSE 'test' END AS split

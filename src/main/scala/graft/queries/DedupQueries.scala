@@ -798,9 +798,9 @@ object DedupQueries {
     s"""WITH ${spanCtes(SpanWords)},
        |cov AS (SELECT doc_id, sum(e - s) AS dup_tokens FROM sp_mi GROUP BY doc_id)
        |SELECT sp_w.doc_id, len(sp_w.ws) AS n_words,
-       |       coalesce(cov.dup_tokens, 0) AS dup_tokens,
-       |       (coalesce(cov.dup_tokens, 0) * 1000000) // greatest(len(sp_w.ws), 1)
-       |         AS coverage_ppm
+       |       CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST((coalesce(cov.dup_tokens, 0) * 1000000)
+       |            // greatest(len(sp_w.ws), 1) AS BIGINT) AS coverage_ppm
        |FROM sp_w LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val cov = mergedSpanExtentsCached(s, dir, SpanWords)

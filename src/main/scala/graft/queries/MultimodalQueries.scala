@@ -75,6 +75,28 @@ object MultimodalQueries {
     Multimodal.extractAudioMeta(Multimodal.asGeneratedAudio(s, dir)).toDF()
   }
 
+  /** MM5 video-container metadata: the mm2/mm4 pattern for video, at the
+    * honest pure-JDK boundary — deterministic synthetic mp4s (spec-shaped
+    * ftyp + moov/mvhd/trak boxes, parameters derived from doc_id,
+    * alternating mvhd v0/v1 layouts), parsed for REAL by walking the
+    * ISO-BMFF box structure (public ISO/IEC 14496-12 — byte parsing, no
+    * codec), with the oracle recomputing the generation parameters in SQL.
+    * duration_ms is integer division on both engines (no float rounding),
+    * and every numeric output is CAST — no bare sum()s here, but the
+    * HUGEINT discipline applies to arithmetic-derived columns uniformly. */
+  private val mm5Video = withOracle("mm5_video_meta",
+    """SELECT doc_id,
+      |       'isom' AS brand,
+      |       CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+      |       CAST((1000 + doc_id % 9000) * 1000
+      |            // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+      |       CAST(1 + doc_id % 3 AS INT) AS n_tracks
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.extractVideoMeta(Multimodal.asGeneratedVideo(s, dir)).toDF()
+      .select(col("doc_id"), col("brand"), col("timescale"),
+        col("duration_ms"), col("n_tracks"))
+  }
+
   /** X10 instance fan-out: clone each series for N instances with a
     * templated label (faker.go:106-151) — explode, no custom generator.
     * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
@@ -91,5 +113,6 @@ object MultimodalQueries {
           ((col("event_id") * 31 + col("i")) % 10)), 4).as("value"))
   }
 
-  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, mm4Audio, x10Fanout)
+  val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, mm4Audio,
+    mm5Video, x10Fanout)
 }

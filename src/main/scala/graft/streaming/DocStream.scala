@@ -61,6 +61,76 @@ object DocStream {
         g => bloom_might_contain(lit(bloom), xxhash64(g))))
   }
 
+  /** Exact adjudication of [[decontamGate]]'s quarantined sliver — d7's
+    * verify join, batch-side: a flagged document is CONTAMINATED iff it
+    * shares a word 4-gram with the exact benchmark n-gram set (the same
+    * kernel the Bloom was built over, so Bloom false positives — and only
+    * they — come back clean). Returns (released, dropped): released rows
+    * re-enter the pipeline, dropped rows are true contamination. The join
+    * is unhinted like d8's verify join — AQE broadcasts the bench side
+    * while it is small and shuffles only the quarantine sliver once it
+    * is not; the sliver is fpp-bounded, never the corpus. */
+  def adjudicateQuarantine(quarantined: DataFrame, benchGrams: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import graft.ext.TextAnalysis.{shingles, words}
+    val contaminated = quarantined
+      .select(col("doc_id"), explode(shingles(words(col("text")), 4)).as("g"))
+      .join(benchGrams, "g")
+      .select("doc_id").distinct()
+    (quarantined.join(contaminated, Seq("doc_id"), "left_anti"),
+      quarantined.join(contaminated, Seq("doc_id"), "left_semi"))
+  }
+
+  /** The COMPLETE decontamination pipeline as one streaming sink —
+    * closes the loop the gate alone leaves open (a quarantine frame
+    * nothing consumes): per micro-batch, unflagged documents flow
+    * straight to `cleanPath`, flagged ones go through
+    * [[adjudicateQuarantine]]'s exact verify, the released sliver
+    * RE-ENTERS the clean output of the same batch, and true
+    * contamination lands in `droppedPath` (the audit trail a curation
+    * run must keep — silently vanishing documents is how decontam bugs
+    * hide). clean ∪ dropped = arriving stream, disjoint, and clean
+    * equals what batch d7 would keep — StreamingSpec reconciles all
+    * three against d7 on the gate corpus.
+    *
+    * REPLAY-IDEMPOTENT like [[startLineCountSink]]: each micro-batch
+    * OVERWRITES its own `batch_id=<id>` partition directory on both
+    * paths, so a replayed batch rewrites identical content instead of
+    * appending a duplicate. */
+  def startDecontamSink(stream: DataFrame, bloom: Array[Byte], benchGrams: DataFrame,
+      cleanPath: String, droppedPath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    decontamGate(stream, bloom).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        decontamBatch(batch, id, benchGrams, cleanPath, droppedPath)
+      }
+      .start()
+
+  private[graft] def decontamBatch(gated: DataFrame, batchId: Long,
+      benchGrams: DataFrame, cleanPath: String, droppedPath: String): Unit = {
+    // the gate column is computed once per row in the plan; persist the
+    // micro-batch so the clean/flagged split does not re-probe the Bloom
+    val g = gated.persist()
+    try {
+      val (released, dropped) =
+        adjudicateQuarantine(g.where(col("maybe_contaminated"))
+          .drop("maybe_contaminated"), benchGrams)
+      g.where(!col("maybe_contaminated")).drop("maybe_contaminated")
+        .unionByName(released)
+        .write.option("compression", "zstd")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$cleanPath/batch_id=$batchId")
+      dropped.write.option("compression", "zstd")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$droppedPath/batch_id=$batchId")
+    } finally g.unpersist(blocking = false)
+  }
+
   /** The streaming curation front door: Gopher quality gate (the same
     * [[graft.ext.TextAnalysis.gopherPasses]] column the batch gate t5
     * runs — one definition, no batch/stream drift) THEN first-seen dedup.
@@ -213,20 +283,40 @@ object DocStream {
     * uniform 128-bit hash so the state store shards evenly. At 100 TB
     * scale this runs on the RocksDB state store (spills past memory), and
     * the checkpoint makes the seen-set survive restarts — the streaming
-    * equivalent of d9's persisted base content-hash index. */
-  def firstSeenDocs(spark: SparkSession, stream: DataFrame): Dataset[(String, Long, String)] = {
+    * equivalent of d9's persisted base content-hash index.
+    *
+    * STATE SIZING CONTRACT: ~50 B/distinct content in RocksDB — a
+    * `ttlMs = 0` (never evict) query is bounded by corpus
+    * distinct-content cardinality, which for a crawl front grows
+    * without bound over years. `ttlMs > 0` evicts contents not RE-SEEN
+    * for that long of PROCESSING time (documents carry no event-time
+    * column, so the idle clock is wall time; each re-arrival of a dup
+    * re-arms it). Eviction drift (pinned in StreamingSpec): a dup of an
+    * evicted content is re-emitted — a dedup MISS, never a false drop —
+    * and the downstream batch index (d9's content-hash anti-join) is
+    * the exact backstop that catches the leaked sliver, the same
+    * stream-approximate + batch-exact split as the decontam gate. */
+  def firstSeenDocs(spark: SparkSession, stream: DataFrame,
+      ttlMs: Long = 0L): Dataset[(String, Long, String)] = {
     import spark.implicits._
+    val timeout =
+      if (ttlMs <= 0) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     stream
       .select(md5(col("text").cast("binary")).as("ch"),
         col("doc_id").cast("long").as("doc_id"), col("text"))
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, Long, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs) // dup re-seen: re-arm
+            Iterator.empty
+          } else {
             state.update(true)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             // min doc_id, not iterator head: batch shuffle order is not
             // deterministic, keeper election must be
             Iterator.single(rows.minBy(_._2))

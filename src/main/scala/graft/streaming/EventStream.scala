@@ -65,27 +65,60 @@ object EventStream {
     * fold is order-sensitive, so exact ev2 parity holds when batch
     * boundaries respect event time (the log-tail / replay case). A
     * cross-batch-late event can only UNDER-advance the funnel (a miss),
-    * never invent progress — the conservative failure mode. */
+    * never invent progress — the conservative failure mode.
+    *
+    * STATE SIZING CONTRACT: two numbers per DISTINCT user ever seen —
+    * `ttlMs = 0` (never evict) is safe only while the distinct-user
+    * population fits the state store (RocksDB: ~48 B/user ⇒ 1 B users
+    * ≈ 48 GB across the cluster, fine; an UNBOUNDED-key stream — e.g.
+    * user_id minted per request — is not). For long-lived queries set
+    * `ttlMs > 0`: a user idle past `ttlMs` of EVENT time (their last
+    * folded event + ttl, fired when the watermark passes it) is
+    * evicted, and on re-emergence the funnel RESTARTS from stage 0 —
+    * the conservative direction again (progress is forgotten, never
+    * invented), pinned in StreamingSpec's eviction test. */
   def funnel(spark: SparkSession, stream: DataFrame,
-      steps: Seq[String] = graft.queries.EventQueries.FunnelSteps)
+      steps: Seq[String] = graft.queries.EventQueries.FunnelSteps,
+      ttlMs: Long = 0L)
       : Dataset[(Long, Int)] = {
     import spark.implicits._
-    stream
+    val src = if (ttlMs <= 0) stream else stream.withWatermark("ts", "0 seconds")
+    val timeout =
+      if (ttlMs <= 0) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
+    // the raw `ts` column rides along (tuple slot 5): it carries the
+    // watermark tag EventTimeTimeout requires to be visible in the
+    // stateful operator's input — projecting it away fails analysis
+    src
       .select(col("user_id").cast("long"), unix_micros(col("ts")).as("t"),
-        col("event_id").cast("long"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+        col("event_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelState, (Long, Int)](GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[FunnelState, (Long, Int)](
+        OutputMode.Update(), timeout) {
         (uid, events, state) =>
-          var (stage, lastT) = state.getOption
-            .map(s => (s.stage, s.lastT)).getOrElse((0, Long.MinValue))
-          events.toSeq.sortBy(e => (e._2, e._3, e._4)).foreach { case (_, t, _, et) =>
-            if (stage < steps.size && et == steps(stage) && (stage == 0 || t > lastT)) {
-              stage += 1; lastT = t
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (stage, lastT) = state.getOption
+              .map(s => (s.stage, s.lastT)).getOrElse((0, Long.MinValue))
+            val evs = events.toSeq
+            evs.sortBy(e => (e._2, e._3, e._4)).foreach { case (_, t, _, et, _) =>
+              if (stage < steps.size && et == steps(stage) && (stage == 0 || t > lastT)) {
+                stage += 1; lastT = t
+              }
             }
+            state.update(FunnelState(stage, lastT))
+            if (ttlMs > 0) {
+              // idle-eviction deadline: last EVENT time seen for this user
+              // + ttl, clamped above the watermark (Spark rejects a stamp
+              // the watermark has already passed — reachable for a user
+              // whose only events are themselves ttl-late)
+              val maxTMs = evs.iterator.map(_._2).max / 1000L
+              state.setTimeoutTimestamp(
+                math.max(maxTMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.single((uid, stage))
           }
-          state.update(FunnelState(stage, lastT))
-          (uid, stage)
       }
   }
 
@@ -144,11 +177,30 @@ object EventStream {
     }
   }
 
-  private def eventDays(stream: DataFrame): Dataset[(Long, Int)] = {
+  /** (user_id, day, raw ts) — the ts column rides along because it carries
+    * the watermark tag EventTimeTimeout needs visible in the stateful
+    * operator's input; the kernels use only (user, day). */
+  private def eventDays(stream: DataFrame, ttlMs: Long)
+      : Dataset[(Long, Int, java.sql.Timestamp)] = {
     import stream.sparkSession.implicits._
-    stream.select(col("user_id").cast("long"),
-      unix_date(to_date(col("ts"))).cast("int")).as[(Long, Int)]
+    val src = if (ttlMs <= 0) stream else stream.withWatermark("ts", "0 seconds")
+    src.select(col("user_id").cast("long"),
+      unix_date(to_date(col("ts"))).cast("int"), col("ts"))
+      .as[(Long, Int, java.sql.Timestamp)]
   }
+
+  private def timeoutOf(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs <= 0) GroupStateTimeout.NoTimeout()
+    else GroupStateTimeout.EventTimeTimeout()
+
+  /** Idle-eviction deadline for the day-granular cards: end of the user's
+    * last active day + ttl, clamped above the current watermark (Spark
+    * rejects an already-passed stamp). */
+  private def armDayTtl(state: org.apache.spark.sql.streaming.GroupState[DaysState],
+      maxDay: Int, ttlMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max((maxDay + 1).toLong * 86400000L + ttlMs,
+        state.getCurrentWatermarkMs() + 1))
 
   /** Streaming ev4 — live DAU/WAU per day, batch
     * [[graft.queries.EventQueries.activeUsersOf]]'s update-mode analogue.
@@ -171,18 +223,44 @@ object EventStream {
     * (idempotent), an out-of-order NEW day emits the same deltas batch
     * recomputation would. Scale: one exchange on user_id (same key as
     * sessionize/funnel), emission ≤7 rows per newly-active user-day,
-    * second exchange is day-keyed (tiny). */
-  def activeUsers(spark: SparkSession, stream: DataFrame): DataFrame = {
+    * second exchange is day-keyed (tiny).
+    *
+    * STATE SIZING CONTRACT: one sorted int array of DISTINCT ACTIVE DAYS
+    * per distinct user — ≤365 ints/user-year, so `ttlMs = 0` (never
+    * evict) is bounded by users × active days, not stream volume; it is
+    * still monotone in the user population, so a years-long query over
+    * an open-world key space needs `ttlMs > 0`. Eviction drift contract
+    * (pinned in StreamingSpec): a user idle past `ttlMs` of event time
+    * is forgotten; if they re-emerge the card stays EXACT for their new
+    * days (a new day is +1 DAU regardless of history) and for every WAU
+    * window that does not straddle the idle gap — both counts can only
+    * OVER-count, and only when a (user, day) REPLAY arrives after
+    * eviction or a new day lands within 6 days of a forgotten one.
+    * Choose `ttlMs` ≥ 7 days + the source's max replay lag and the
+    * drift window is empty.
+    *
+    * With `ttlMs > 0` the query chains a watermarked stateful operator
+    * into the running-sum aggregation, which trips Spark's conservative
+    * global-watermark pattern check. Here the pattern is provably benign —
+    * the emitted delta rows carry NO event-time column, so the downstream
+    * sum can never classify one as late and drop it — set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * to run (StreamingSpec's eviction test does exactly this). */
+  def activeUsers(spark: SparkSession, stream: DataFrame, ttlMs: Long = 0L): DataFrame = {
     import spark.implicits._
-    val deltas = eventDays(stream)
+    val deltas = eventDays(stream, ttlMs)
       .groupByKey(_._1)
       .flatMapGroupsWithState[DaysState, (Int, Int, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutOf(ttlMs)) {
         (_, events, state) =>
-          val known = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Int])
-          val (days, out) = DayDeltas.activeUsers(known, events.map(_._2).toSeq)
-          state.update(DaysState(days.toArray.sorted))
-          out.iterator.map { case (wd, (dau, wau)) => (wd, dau, wau) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val known = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Int])
+            val (days, out) = DayDeltas.activeUsers(known, events.map(_._2).toSeq)
+            state.update(DaysState(days.toArray.sorted))
+            if (ttlMs > 0) armDayTtl(state, days.max, ttlMs)
+            out.iterator.map { case (wd, (dau, wau)) => (wd, dau, wau) }
+          }
       }
       .toDF("wd", "dau_delta", "wau_delta")
     deltas.groupBy(col("wd"))
@@ -204,23 +282,49 @@ object EventStream {
     * downstream running sum lands on precisely the batch answer, not a
     * drifted one. Normal arrivals (day ≥ d0) touch only their own new
     * offsets. Emission is bounded by the user's distinct-active-day
-    * count; state is the same day set as the DAU card. */
-  def retention(spark: SparkSession, stream: DataFrame): DataFrame = {
+    * count; state is the same day set as the DAU card.
+    *
+    * TOMBSTONE CONTRACT: a (cohort, offset) pair whose count retracts to
+    * exactly zero stays in the card as an explicit `n_active = 0` row —
+    * in update output mode that zeroed row is the ONLY signal an upsert
+    * sink gets to delete the stale positive it holds, so it is emitted,
+    * not filtered (batch ev3 has no such pairs at all; parity compares
+    * exclude the zeros). Pairs never touched have no row.
+    *
+    * STATE SIZING CONTRACT: same day-set state as [[activeUsers]] —
+    * bounded per user, monotone in users, so long-lived open-world
+    * streams need `ttlMs > 0`. Eviction drift (pinned in StreamingSpec):
+    * a re-emerging evicted user is treated as a NEW user — their new
+    * first-seen day becomes a fresh cohort (+1 where batch would count
+    * them in the old cohort at a large offset), and late replays of
+    * pre-eviction days re-emit. Retention cards read offsets up to a
+    * horizon H; choose `ttlMs` ≥ H + max replay lag and every drifted
+    * cell lies beyond what the card reports. For exact re-derivation,
+    * recompute from the event log with batch ev3 — the card is the live
+    * view, the log is the source of truth. `ttlMs > 0` needs the same
+    * benign-pattern conf as [[activeUsers]] (delta rows carry no
+    * event-time column). */
+  def retention(spark: SparkSession, stream: DataFrame, ttlMs: Long = 0L): DataFrame = {
     import spark.implicits._
-    val deltas = eventDays(stream)
+    val deltas = eventDays(stream, ttlMs)
       .groupByKey(_._1)
       .flatMapGroupsWithState[DaysState, (Int, Int, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutOf(ttlMs)) {
         (_, events, state) =>
-          val known = state.getOption.map(_.days).getOrElse(Array.empty[Int])
-          val (newDays, deltas) = DayDeltas.retention(known, events.map(_._2).toSeq)
-          state.update(DaysState(newDays))
-          deltas.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val known = state.getOption.map(_.days).getOrElse(Array.empty[Int])
+            val (newDays, deltas) = DayDeltas.retention(known, events.map(_._2).toSeq)
+            state.update(DaysState(newDays))
+            if (ttlMs > 0) armDayTtl(state, newDays.max, ttlMs)
+            deltas.iterator
+          }
       }
       .toDF("cohort", "day_offset", "delta")
     deltas.groupBy(col("cohort"), col("day_offset"))
       .agg(sum(col("delta")).as("n_active"))
-      .where(col("n_active") > 0) // fully-retracted pairs vanish, as in batch
+      // n_active = 0 rows are KEPT: the tombstone an upsert sink needs
+      // when a cohort re-bucket retracts a pair it previously upserted
       .select(
         date_format(date_from_unix_date(col("cohort")), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"), col("n_active"))

@@ -155,26 +155,55 @@ object Diag {
     * work is one state-set probe + ≤7 emitted deltas. */
   private def eventStreamScale(spark: SparkSession, n: Long): Unit = {
     import org.apache.spark.sql.functions._
+    // the 100 TB provider: state telemetry below is only meaningful on the
+    // store the scale story names (RocksDB spills past memory; the default
+    // HDFS-backed map does not)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val users = math.max(1000L, n / 1000)
+    val types = array(lit("view"), lit("click"), lit("purchase"), lit("other"))
     val ev = spark.range(n).select(
       (col("id") % users).as("user_id"),
+      col("id").as("event_id"),
       timestamp_micros(lit(1700000000000000L) +
-        pmod(xxhash64(col("id")), lit(30L * 24 * 3600 * 1000000L))).as("ts"))
+        pmod(xxhash64(col("id")), lit(30L * 24 * 3600 * 1000000L))).as("ts"),
+      element_at(types, (pmod(xxhash64(col("id"), lit(7)), lit(4)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(13)), lit(1000)) / 10.0).as("value"))
     val dir = java.nio.file.Files.createTempDirectory("graft_evstream_").toString
     ev.repartition(8).write.parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
-    for ((name, mk) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
-        ("activeUsers", df => graft.streaming.EventStream.activeUsers(spark, df)),
-        ("retention", df => graft.streaming.EventStream.retention(spark, df)))) {
+    import org.apache.spark.sql.DataFrame
+    for ((name, mode, mk) <- Seq[(String, String, DataFrame => DataFrame)](
+        ("activeUsers", "complete",
+          df => graft.streaming.EventStream.activeUsers(spark, df)),
+        ("retention", "complete",
+          df => graft.streaming.EventStream.retention(spark, df)),
+        ("funnel", "update",
+          df => graft.streaming.EventStream.funnel(spark, df).toDF("user_id", "stage")),
+        ("sessionize", "append",
+          df => graft.streaming.EventStream.sessionize(df)))) {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$dir/in")
       val q = mk(src).writeStream.format("memory").queryName(s"diag_$name")
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", s"$dir/ckpt_$name").start()
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val t = (System.nanoTime() - t0) / 1e9
       val card = spark.table(s"diag_$name").collect()
+      // state-store telemetry off the query's own progress: keyed rows +
+      // RocksDB on-disk bytes → bytes/user, the measured baseline the TTL
+      // sizing contracts quote (SCALE.md table)
+      for (op <- Option(q.lastProgress).toSeq.flatMap(_.stateOperators)) {
+        val cm = op.customMetrics
+        val sst = Option(cm.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L)
+        val mem = Option(cm.get("rocksdbTotalMemoryUsageBytes")).map(_.longValue)
+          .getOrElse(op.memoryUsedBytes)
+        println(f"[evstream] $name%-12s state[${op.operatorName}]: " +
+          f"rows=${op.numRowsTotal}%,d sst_bytes=$sst%,d mem_bytes=$mem%,d " +
+          f"bytes_per_key=${if (op.numRowsTotal > 0) sst.toDouble / op.numRowsTotal else 0d}%.1f")
+      }
       q.stop()
       println(f"[evstream] $name%-12s n=$n%,d users=$users%,d: $t%.1f s " +
         f"(${n / t / 1e6}%.2f M events/s) card_rows=${card.length}%,d")

@@ -515,6 +515,33 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("multimodal ISO-BMFF parse: goldens on synthesized mp4 (mvhd v0 AND v1)") {
+    // even ids → mvhd version 0, odd → version 1: both header layouts
+    for (id <- Seq(0L, 1L, 2L, 7L, 148L, 10007L)) {
+      val Some((brand, ts, dur, tracks)) =
+        Multimodal.parseIsoBmff(Multimodal.syntheticMp4(id))
+      assert(brand === "isom", s"id=$id brand")
+      assert(ts === 600L * (1 + id % 4), s"id=$id timescale")
+      assert(dur === 1000L + id % 9000, s"id=$id duration units")
+      assert(tracks === (1 + id % 3).toInt, s"id=$id tracks")
+    }
+    // non-BMFF bytes decline (the Dataset operator stays total via stub)
+    assert(Multimodal.parseIsoBmff("not a video container".getBytes).isEmpty)
+    assert(Multimodal.parseIsoBmff(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseIsoBmff(Multimodal.syntheticPng(3L)).isEmpty)
+    // TRUNCATED container (a real failure mode for crawled media): a box
+    // whose declared size overruns the payload must reject, not overread
+    val whole = Multimodal.syntheticMp4(5L)
+    assert(Multimodal.parseIsoBmff(whole.take(whole.length / 2)).isEmpty)
+    // size=0 terminal-box convention: last box runs to EOF
+    val lastToEof = whole.clone()
+    // find the mdat box header (last box) and zero its size field
+    val mdatAt = (0 until whole.length - 4).lastIndexWhere(i =>
+      whole(i) == 'm' && whole(i + 1) == 'd' && whole(i + 2) == 'a' && whole(i + 3) == 't')
+    for (k <- 0 until 4) lastToEof(mdatAt - 4 + k) = 0
+    assert(Multimodal.parseIsoBmff(lastToEof).nonEmpty, "size=0 last box parses")
+  }
+
   test("multimodal real resize: bilinear downscale preserves aspect and content") {
     // 28×16 solid gray 77 (id chosen for non-square dims via the synth
     // formulas: 4+24%29=28 wide, 4+24*7%23=16 high... compute directly)

@@ -90,6 +90,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(bytesOf(dir) === bytesOf(dir2))
   }
 
+  test("doc shards: failed export leaves no visible partial shard and no _SUCCESS") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val ordered = graft.ext.Shuffle.deterministicOrder(docs, "doc_id", "ep1")
+    // poison ONE row mid-stream: its task dies after having written part of
+    // its temp file — the commit protocol must leave that partial bytes
+    // INVISIBLE (temp name, never renamed), not a truncated shard-*.bin
+    val poisonId = ordered.orderBy(col("pos").desc).select("doc_id")
+      .head.getLong(0)
+    val boom = udf { (id: Long, text: String) =>
+      if (id == poisonId) throw new RuntimeException("poisoned row")
+      text
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_docshards_f_").toString
+    val poisoned = ordered.withColumn("text", boom(col("doc_id"), col("text")))
+    intercept[org.apache.spark.SparkException] {
+      DocShards.write(poisoned, "pos", dir, shards = 4)
+    }
+    assert(!DocShards.committed(spark, dir), "failed export must not stamp _SUCCESS")
+    // every VISIBLE shard decodes cleanly end-to-end (complete, committed
+    // by a task that finished before the job died) — no torn bytes
+    val visible = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin"))
+    visible.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val n = DocShards.decodeAll(bytes).size // throws/misaligns if torn
+      assert(n > 0)
+    }
+    // the retry (no poison) commits over whatever the failed run left
+    DocShards.write(ordered, "pos", dir, shards = 4)
+    assert(DocShards.committed(spark, dir))
+    assert(!new java.io.File(dir, "_temporary").exists(),
+      "committed export must clear _temporary")
+    val back = DocShards.read(spark, dir)
+    assert(back.count() === docs.count())
+  }
+
   test("exposition text format parse (S9)") {
     val text =
       """# HELP http_requests_total Counts

@@ -372,6 +372,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontam quarantine round-trip: released re-enters, dropped = batch d7") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.TextAnalysis.{shingles, words}
+    val sf = "/root/testdata/sf0.001"
+    val benchGrams = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 100 < 5)
+      .select(explode(shingles(words(col("text")), 4)).as("g")).distinct()
+      .persist()
+    val bloom = benchGrams
+      .agg(graft.functions.bloom_agg(xxhash64(col("g")),
+        expectedItems = 1L << 20, fpp = 0.01).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val contaminated = graft.SparkEntry.queries("d7_decontamination")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 100 >= 5)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decontam_rt_")
+    val (cleanDir, droppedDir, ckpt) =
+      (s"$tmp/clean", s"$tmp/dropped", s"$tmp/ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.DocStream.startDecontamSink(df, bloom, benchGrams,
+      cleanDir, droppedDir, ckpt, Trigger.ProcessingTime("1 second"))
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      stream.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val clean = spark.read.parquet(cleanDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val dropped = spark.read.parquet(droppedDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the three-way reconciliation the operator's contract promises
+      assert(dropped === contaminated, "dropped = exactly batch d7's set")
+      assert(clean === corpus.map(_._1).toSet -- contaminated,
+        "released Bloom false-positives re-entered; nothing else lost")
+      assert((clean & dropped).isEmpty)
+      assert(clean.size + dropped.size === corpus.length, "counts reconcile")
+    } finally { q.stop(); benchGrams.unpersist(blocking = false) }
+  }
+
   test("streaming decontam gate: no false negatives vs batch d7 on the same bench") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -572,8 +616,11 @@ class StreamingSpec extends AnyFunSuite {
     try {
       stream.addData(batch1: _*)
       q.processAllAvailable()
-      def card = spark.table("ret_out").collect()
+      // zero rows are the update-mode tombstones — parity vs batch (which
+      // never has zero-count pairs) compares the positive rows only
+      def all = spark.table("ret_out").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def card = all.filter(_._3 > 0)
       assert(card === batchCard(batch1), "prefix parity after batch 1")
       // user 3 currently cohorted at 2024-01-05
       assert(card.exists { case (c, o, _) => c == "2024-01-05" && o == 0L })
@@ -581,8 +628,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val fin = card
       assert(fin === batchCard(batch1 ++ batch2), "parity after re-bucket batch")
-      // the old cohort row was RETRACTED, not left to drift
+      // the old cohort row was RETRACTED, not left to drift...
       assert(!fin.exists { case (c, _, _) => c == "2024-01-05" })
+      // ...and the retraction is VISIBLE as an explicit n_active = 0
+      // tombstone, so an update-mode upsert sink can delete its stale row
+      assert(all.contains(("2024-01-05", 0L, 0L)),
+        s"expected zero-tombstone for the re-bucketed cohort, got $all")
     } finally q.stop()
   }
 
@@ -738,5 +789,149 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
     assert(expected.size > rows.map(_._1).distinct.size,
       "fixture should split at least one user into multiple sessions")
+  }
+
+  test("funnel TTL: evicted user RESTARTS from stage 0 on re-emergence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val twoDaysMs = 2L * 24 * 3600 * 1000
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val df = stream.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("ts"),
+        col("_3").as("event_id"), col("_4").as("event_type"))
+    val q = graft.streaming.EventStream.funnel(spark, df, ttlMs = twoDaysMs)
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      def stages = spark.table("funnel_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // user 1 advances to stage 1 on Jan 1
+      stream.addData((1L, ts("2024-01-01 10:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      assert(stages.contains((1L, 1)))
+      // watermark jumps to Mar 1 (batch N's watermark is set from batch
+      // N-1's max event time, so the timeout fires one batch later)
+      stream.addData((99L, ts("2024-03-01 10:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      stream.addData((98L, ts("2024-03-01 11:00:00"), 3L, "view"))
+      q.processAllAvailable() // user 1's state evicted here
+      // user 1 re-emerges with the stage-2 step: a retained state would
+      // advance 1 → 2; a restarted funnel ignores "click" at stage 0
+      stream.addData((1L, ts("2024-03-02 09:00:00"), 4L, "click"))
+      q.processAllAvailable()
+      val last1 = stages.filter(_._1 == 1L).last
+      assert(last1 === ((1L, 0)),
+        s"evicted user must restart from stage 0, got $last1")
+    } finally q.stop()
+  }
+
+  test("DAU/retention TTL: eviction + re-emergence matches the documented drift") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the TTL'd cards chain flatMapGroupsWithState → aggregation under a
+    // watermark, which trips Spark's conservative global-watermark pattern
+    // check; it is safe HERE because the emitted delta rows carry no
+    // event-time column, so the downstream sum can never drop them as
+    // late (see the operators' scaladoc) — disable the check for this test
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(ck)
+    spark.conf.set(ck, "false")
+    try dauRetentionTtlBody()
+    finally prev match {
+      case Some(v) => spark.conf.set(ck, v)
+      case None => spark.conf.unset(ck)
+    }
+  }
+
+  private def dauRetentionTtlBody(): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val twoDaysMs = 2L * 24 * 3600 * 1000
+    // -- DAU/WAU: a re-emerging evicted user's NEW day stays EXACT (a new
+    // day is +1 DAU regardless of history; the idle gap ≫ 7 days means no
+    // WAU window straddles it) — the drift window is only post-eviction
+    // REPLAYS, which the watermark's late-event filter drops here
+    val evs = MemoryStream[(Long, java.sql.Timestamp)]
+    val dfe = evs.toDF().select(col("_1").as("user_id"), col("_2").as("ts"))
+    val q = graft.streaming.EventStream.activeUsers(spark, dfe, ttlMs = twoDaysMs)
+      .writeStream.format("memory").queryName("dau_ttl_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"))),
+      Seq((2L, ts("2024-03-01 10:00:00"))),
+      Seq((3L, ts("2024-03-01 11:00:00"))), // user 1 evicted this batch
+      Seq((1L, ts("2024-03-02 09:00:00")))) // re-emergence, NEW day
+    try {
+      batches.foreach { b => evs.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("dau_ttl_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.queries.EventQueries.activeUsersOf(
+        batches.flatten.toDF("user_id", "ts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, "new-day re-emergence after eviction stays exact")
+    } finally q.stop()
+    // -- retention: the SAME re-emergence drifts exactly as documented —
+    // the forgotten user's new first-seen day becomes a fresh cohort
+    // instead of a far offset under the old one
+    val evs2 = MemoryStream[(Long, java.sql.Timestamp)]
+    val dfe2 = evs2.toDF().select(col("_1").as("user_id"), col("_2").as("ts"))
+    val q2 = graft.streaming.EventStream.retention(spark, dfe2, ttlMs = twoDaysMs)
+      .writeStream.format("memory").queryName("ret_ttl_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      batches.foreach { b => evs2.addData(b: _*); q2.processAllAvailable() }
+      val got = spark.table("ret_ttl_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter(_._3 > 0).toSet
+      // user 1 re-cohorted at their post-eviction first-seen day…
+      assert(got.contains(("2024-03-02", 0L, 1L)))
+      // …not at offset 61 under the original Jan 1 cohort (what batch ev3
+      // computes over the full log — the documented, horizon-bounded drift)
+      assert(!got.exists { case (c, o, _) => c == "2024-01-01" && o == 61L })
+      assert(got.contains(("2024-01-01", 0L, 1L)), "pre-eviction cohort row stays")
+    } finally q2.stop()
+  }
+
+  test("firstSeenDocs TTL: evicted content re-emits (dedup miss, never a false drop)") {
+    // ProcessingTimeTimeout makes the operator request a batch every
+    // trigger forever (to sweep future deadlines), so processAllAvailable
+    // never returns on a continuous query — the deterministic harness is
+    // Trigger.AvailableNow RESTARTS over one checkpoint: each restart's
+    // first batch fires every deadline that expired while the query was
+    // down (exactly the recovery semantics a production pause/resume has)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsd_ttl_").toString
+    def runStage(name: String): Set[Long] = {
+      // foreachBatch, not the memory sink: only checkpoint-recoverable
+      // sinks can resume the query across the pause
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = graft.streaming.DocStream.firstSeenDocs(spark, df, ttlMs = 1L)
+        .toDF("ch", "doc_id", "text")
+        .writeStream.queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => buf.add(r.getLong(1)))
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSet
+    }
+    stream.addData((1L, "hello"), (2L, "hello"), (3L, "other"))
+    assert(runStage("fsd_ttl_1") === Set(1L, 3L),
+      "within-batch dedup unchanged under TTL")
+    Thread.sleep(300) // both contents idle past the 1 ms TTL while down
+    stream.addData((4L, "third")) // restart sweeps the expired deadlines
+    assert(runStage("fsd_ttl_2") === Set(4L))
+    stream.addData((5L, "hello")) // dup of the now-EVICTED content…
+    assert(runStage("fsd_ttl_3") === Set(5L),
+      "…re-emits: the documented miss the batch index catches downstream")
   }
 }
