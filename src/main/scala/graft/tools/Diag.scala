@@ -185,13 +185,21 @@ object Diag {
           df => graft.streaming.EventStream.sessionize(df)))) {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$dir/in")
-      val q = mk(src).writeStream.format("memory").queryName(s"diag_$name")
-        .outputMode(mode)
-        .option("checkpointLocation", s"$dir/ckpt_$name").start()
+      // the CARDS (complete-mode day/cohort aggregates) are tiny and land
+      // in the memory sink for the parity check; the per-user emitters
+      // (funnel/sessionize) produce stream-volume output — noop sink, the
+      // same materialization-without-collection discipline as Bench
+      val isCard = mode == "complete"
+      val writer0 = mk(src).writeStream.outputMode(mode)
+        .option("checkpointLocation", s"$dir/ckpt_$name")
+      val q = (if (isCard) writer0.format("memory").queryName(s"diag_$name")
+               else writer0.format("noop")).start()
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val t = (System.nanoTime() - t0) / 1e9
-      val card = spark.table(s"diag_$name").collect()
+      val card =
+        if (isCard) spark.table(s"diag_$name").collect()
+        else Array.empty[org.apache.spark.sql.Row]
       // state-store telemetry off the query's own progress: keyed rows +
       // RocksDB on-disk bytes → bytes/user, the measured baseline the TTL
       // sizing contracts quote (SCALE.md table)
@@ -216,6 +224,9 @@ object Diag {
         require(got == want, "streaming card diverged from batch ev4")
       }
     }
+    // unload RocksDB providers BEFORE spark.stop(): their native logger
+    // callback segfaults if a maintenance thread logs during JVM teardown
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   /** Dedup family at a corpus sf0.1 can't show (default 1 M docs, ~60
