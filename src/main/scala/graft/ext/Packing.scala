@@ -91,4 +91,38 @@ object Packing {
         expr(s"(offset + greatest(__w, 1L) - 1L) DIV ${blockSize}L").as("last_block"))
       .withColumn("spans_boundary", col("first_block") =!= col("last_block"))
   }
+
+  /** The block-composition manifest — [[packOffsets]] inverted to the view
+    * the DATALOADER consumes: for every blockSize-token block, which
+    * document segments compose it. One row per (block, document) pair:
+    *
+    *   - `block_id`              the block (token range [b·B, (b+1)·B))
+    *   - `seg_start`/`seg_end`   the segment's IN-BLOCK token range
+    *     (end-exclusive); a document straddling a block edge appears in
+    *     each block it touches with the clipped range.
+    *
+    * Segments tile each block exactly — `[0, B)` for every interior block,
+    * `[0, tail)` for the last — with no overlaps and no gaps, which is the
+    * invariant an attention-mask builder needs (mask resets at every
+    * seg_start). Zero-weight documents occupy no tokens and emit no
+    * segment.
+    *
+    * Scale shape: [[packOffsets]]'s two-pass prefix sum (no global window),
+    * then a map-side `explode(sequence(first_block, last_block))` — fan-out
+    * per document is `⌈w/B⌉ + 1` rows, so the manifest is at most
+    * `docs + totalTokens/B` rows and no stage holds more than a partition's
+    * slice. */
+  def blockManifest(df: DataFrame, id: String, weight: Column,
+      blockSize: Long, buckets: Int = 256): DataFrame = {
+    val off = packOffsets(df, id, weight, blockSize, buckets)
+    off.where(col("weight") > 0L)
+      .select(col(id), col("offset"),
+        (col("offset") + col("weight")).as("__gend"),
+        explode(expr("sequence(first_block, last_block)")).as("block_id"))
+      .select(col("block_id"), col(id),
+        (greatest(col("offset"), col("block_id") * blockSize)
+          - col("block_id") * blockSize).as("seg_start"),
+        (least(col("__gend"), (col("block_id") + 1L) * blockSize)
+          - col("block_id") * blockSize).as("seg_end"))
+  }
 }

@@ -204,6 +204,40 @@ object SamplingQueries {
           .otherwise(3).as("bucket"))
   }
 
+  /** PK3: the block-composition manifest — pk1 INVERTED to the view a
+    * packed-pretraining dataloader actually consumes: one row per
+    * (block, document-segment), with the segment's in-block token range
+    * (end-exclusive). Segments tile every block gap- and overlap-free
+    * (the attention-mask-reset invariant, pinned in PackingSpec); a doc
+    * straddling block edges appears once per block it touches, clipped.
+    * The oracle states the semantics as the naive global running-sum
+    * window + per-doc block unnest; the Spark side is pk1's two-pass
+    * distributed prefix sum followed by a map-side
+    * `explode(sequence(first_block, last_block))` — fan-out is
+    * `⌈w/B⌉ + 1` rows per doc, so the manifest costs `docs + tokens/B`
+    * rows and nothing corpus-sized is ever sorted on one task. */
+  private val pk3BlockManifest = withOracle("pk3_block_manifest",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gstart
+      |  FROM w),
+      |s AS (SELECT doc_id, gstart, gstart + n_tokens AS gend
+      |      FROM o WHERE n_tokens > 0)
+      |SELECT CAST(b AS BIGINT) AS block_id, doc_id,
+      |       CAST(greatest(gstart, b * 2048) - b * 2048 AS BIGINT) AS seg_start,
+      |       CAST(least(gend, (b + 1) * 2048) - b * 2048 AS BIGINT) AS seg_end
+      |FROM s, unnest(range(gstart // 2048, (gend - 1) // 2048 + 1)) AS t(b)""".stripMargin) {
+    (s, dir) =>
+      graft.ext.Packing.blockManifest(
+        Tables(s, dir, "documents"), "doc_id",
+        size(graft.ext.TextAnalysis.words(col("text"))), blockSize = 2048L, buckets = 64)
+  }
+
   /** SH1: deterministic epoch shuffle — each document's position in the
     * pseudo-random training order for seed "ep1", a pure function of
     * (corpus, seed): reruns, engines, and any partitioning produce THE
@@ -422,5 +456,6 @@ object SamplingQueries {
 
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
-      pk2LengthBuckets, sh1Shuffle, sm3Temperature, sm4TokenBudget, sm5Dsir)
+      pk2LengthBuckets, pk3BlockManifest, sh1Shuffle, sm3Temperature,
+      sm4TokenBudget, sm5Dsir)
 }

@@ -76,6 +76,45 @@ class PackingSpec extends AnyFunSuite {
     assert(got(2L) === ((100L, 6L, 6L, false)))
   }
 
+  test("block manifest tiles every block gap- and overlap-free and matches brute force") {
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong * 3 + (i % 2), (i * 29 % 47).toLong) // irregular ids, some 0 weights
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "w")
+    val B = 32L
+    val got = Packing.blockManifest(df, "id", col("w"), B, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // brute force: concatenate in id order, clip every doc to each block
+    var acc = 0L
+    val expect = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val (s, e) = (acc, acc + w); acc += w
+      if (w == 0) Nil
+      else (s / B to (e - 1) / B).map(b =>
+        (b, id, math.max(s, b * B) - b * B, math.min(e, (b + 1) * B) - b * B))
+    }
+    assert(got.sorted === expect.sorted)
+
+    // tiling invariant: within each block, segments cover [0, blockFill)
+    // exactly once (attention-mask contract)
+    val total = rows.map(_._2).sum
+    got.groupBy(_._1).foreach { case (b, segs) =>
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"block $b does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1), (_, _, s2, _)) =>
+          assert(e1 === s2, s"gap/overlap in block $b")
+        case _ => ()
+      }
+      val fill = if (b == (total - 1) / B) total - b * B else B
+      assert(sorted.last._4 === fill, s"block $b fill mismatch")
+    }
+
+    // zero-weight docs emit no segment
+    val zeroIds = rows.filter(_._2 == 0).map(_._1).toSet
+    assert(got.forall(s => !zeroIds.contains(s._2)))
+  }
+
   test("plan contract: no single-partition window — the exchange keys on the bucket") {
     val df = spark.createDataFrame(Seq.tabulate(100)(i => (i.toLong, 1L))).toDF("id", "w")
     val plan = Packing.packOffsets(df, "id", col("w"), 64L, buckets = 8)
