@@ -74,4 +74,49 @@ object TextAnalysis {
     when(sEn >= sDe && sEn >= sEs, "en")
       .when(sDe >= sEs, "de")
       .otherwise("es")
+
+  /** One document's compression-ratio row: UTF-8 byte count, raw-DEFLATE
+    * compressed byte count (zlib level 6, no wrapper), and their ratio
+    * (`deflate_bytes / max(1, n_bytes)`). */
+  final case class CompressionRow(
+      doc_id: Long, n_bytes: Long, deflate_bytes: Long, ratio: Double)
+
+  /** Compression-ratio quality signal (the RefinedWeb/MassiveText-family
+    * repetitiveness detector from the other direction): boilerplate and
+    * template spam DEFLATE far below natural prose (LZ77 matches eat the
+    * repeats), while base64/garbage columns sit near ratio 1. Complements
+    * t6's n-gram fractions — DEFLATE's 32 KiB match window catches long-
+    * range within-doc repetition no fixed n-gram size sees.
+    *
+    * Shape: map-only over the corpus scan (no exchange), one `Deflater`
+    * instance per PARTITION (the mm2 expensive-init pattern — a Deflater
+    * allocates native zlib state; per-row allocation would thrash it),
+    * released on task completion. Deterministic for a fixed zlib level
+    * per JVM version — executors run one image, and the spec pins
+    * partitioning-invariance, so the signal is stable within any one
+    * deployment (pin the JVM across a corpus version for cross-run
+    * comparability, as with any library-versioned scorer). */
+  def compressionRatios(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, true)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
+        val buf = new Array[Byte](16 * 1024)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          d.reset()
+          d.setInput(bytes)
+          d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          CompressionRow(id, bytes.length.toLong, n,
+            math.rint(n.toDouble / math.max(1, bytes.length) * 10000) / 10000)
+        }
+      }
+      .toDF()
+  }
 }

@@ -498,8 +498,22 @@ object TextQueries {
         col("rank").cast("long").as("rank"), col("err_bound"))
   }
 
+  /** T11: compression-ratio quality signal — each document's raw-DEFLATE
+    * compressed size over its UTF-8 size ([[TextAnalysis.compressionRatios]]).
+    * Template spam and boilerplate land far below natural prose; encoded
+    * noise sits near 1. Complements t6: DEFLATE's 32 KiB window catches
+    * long-range within-doc repetition no fixed n-gram fraction sees.
+    * Map-only (one Deflater per partition, mm2's expensive-init shape; no
+    * exchange in the plan — contract in ExtSpec). DEFLATE output bytes are
+    * not ANSI-expressible → rows-only; ExtSpec pins the discriminative
+    * ordering (repetitive ≪ prose < high-entropy), bounds, empty-doc
+    * totality, and partitioning-invariance. */
+  private val t11Compression = rowsOnly("t11_compression_ratio") { (s, dir) =>
+    compressionRatios(Tables(s, dir, "documents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, t9LmScore, t10C4Clean, fi1TopTerms, fi1TopTermsSketch,
-      bpe1Merges, p1PiiScrub)
+      t8QualityGate, t9LmScore, t10C4Clean, t11Compression, fi1TopTerms,
+      fi1TopTermsSketch, bpe1Merges, p1PiiScrub)
 }

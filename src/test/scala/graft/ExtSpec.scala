@@ -933,6 +933,45 @@ class ExtSpec extends AnyFunSuite {
     assert(viaSql === viaWindow)
   }
 
+  test("compression ratio discriminates repetitive < prose < high-entropy and is partition-invariant") {
+    import graft.ext.TextAnalysis
+    // deterministic fixtures: pure repetition, natural-ish prose, and a
+    // seeded pseudo-random alphanumeric string (near-incompressible)
+    val rng = new scala.util.Random(42)
+    val noise = Iterator.continually(rng.alphanumeric.take(1)).flatten.take(2000).mkString
+    val rows = Seq(
+      (1L, "the cat sat on the mat " * 100),          // repetitive
+      (2L, ("the quick brown fox jumps over a lazy dog near the riverbank " +
+        "while seventeen sparrows argue about crumbs and territory ") * 10 +
+        noise.take(400)),                              // mixed prose
+      (3L, noise),                                     // high entropy
+      (4L, ""))                                        // empty — totality
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatios(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    val (rep, prose, ent, empty) = (got(1L), got(2L), got(3L), got(4L))
+    assert(rep._3 < prose._3 && prose._3 < ent._3,
+      s"ordering violated: $rep $prose $ent")
+    assert(rep._3 < 0.05, s"pure repetition should collapse: $rep")
+    assert(ent._3 > 0.6, s"seeded noise should stay near-incompressible: $ent")
+    got.values.foreach { case (nb, db, r) =>
+      assert(db > 0 && r > 0.0, "DEFLATE of any input (even empty) emits bytes")
+      assert(nb >= 0)
+    }
+    assert(empty._1 === 0L)
+
+    // partitioning-invariance: per-partition Deflater state never leaks
+    // across rows (reset per doc), so any layout yields identical rows
+    val repart = TextAnalysis.compressionRatios(df.repartition(7, col("text")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(repart === got)
+
+    // map-only contract: no exchange in the plan
+    val plan = TextAnalysis.compressionRatios(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"t11 must not shuffle:\n$plan")
+  }
+
   test("bottom_k plans as ObjectHashAggregate with partial aggregation (no all-rows exchange)") {
     val df = spark.range(0, 1000, 1, 8)
       .select((col("id") % 5).as("g"), col("id").as("vec_id"), rand(7).as("s"))
