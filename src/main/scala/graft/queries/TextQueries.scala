@@ -512,8 +512,29 @@ object TextQueries {
     compressionRatios(Tables(s, dir, "documents"))
   }
 
+  /** QC1: model-based quality classification ([[graft.ext.Classifier]]) —
+    * the GPT-3-family "train a cheap classifier to recognize the target
+    * distribution, score everything" stage (here: target = the corpus's
+    * `lang = 'en'` slice standing in for the curated reference corpus;
+    * the label column is pluggable — an LLM-judge or heuristic-gate label
+    * trains identically). Full-batch logistic regression over sm5's
+    * hashed-bigram buckets, trained by bounded-exchange gradient descent
+    * inside the engine; scoring is a frozen-weights map-side probe.
+    * Iterative float training isn't ANSI-expressible → rows-only; ExtSpec
+    * pins exact-algorithm parity vs a plain-Scala reference, monotone
+    * loss decrease, held-out accuracy over the class prior, and
+    * determinism. */
+  private val qc1LrQuality = rowsOnly("qc1_lr_quality") { (s, dir) =>
+    import graft.ext.Classifier
+    val docs = Tables(s, dir, "documents")
+    val labels = docs.select(col("doc_id"),
+      (col("lang") === "en").cast("double").as("y"))
+    val (w, _) = Classifier.train(Classifier.features(docs), labels)
+    Classifier.score(docs, w)
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
       t8QualityGate, t9LmScore, t10C4Clean, t11Compression, fi1TopTerms,
-      fi1TopTermsSketch, bpe1Merges, p1PiiScrub)
+      fi1TopTermsSketch, bpe1Merges, p1PiiScrub, qc1LrQuality)
 }

@@ -972,6 +972,52 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"t11 must not shuffle:\n$plan")
   }
 
+  test("LR quality classifier: parity with the plain-Scala reference, loss decreases, beats prior") {
+    import graft.ext.Classifier
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // deterministic hash split (sp1's shape): ~80/20 train/held-out
+    val split = docs.withColumn("heldout",
+      substring(md5(concat(lit("qc1:"), col("doc_id").cast("string"))), 1, 2) >= "cc")
+    val train = split.where(!col("heldout"))
+    val test = split.where(col("heldout"))
+    val labelsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), (col("lang") === "en").cast("double").as("y"))
+
+    val iters = 12
+    val (w, losses) = Classifier.train(Classifier.features(train), labelsOf(train), iters)
+
+    // 1. exact-algorithm parity vs the textbook reference on the SAME
+    //    features (bpe1's anchor pattern; tolerance covers partial-agg
+    //    summation-order ULP only)
+    val featRows = Classifier.features(train).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2)))
+      .groupBy(_._1).map { case (id, fs) => id -> fs.map(f => (f._2, f._3)).toSeq }
+    val ys = labelsOf(train).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refDocs = ys.keys.toSeq.sorted.map(id =>
+      (id, featRows.getOrElse(id, Seq.empty), ys(id)))
+    val (wRef, lossesRef) = Classifier.referenceTrain(refDocs, iters, 2.0)
+    w.zip(wRef).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"weight drift: $a vs $b")
+    }
+    losses.zip(lossesRef).foreach { case (a, b) => assert(math.abs(a - b) <= 1e-9) }
+
+    // 2. training loss strictly decreases (lr is in the stable regime)
+    losses.sliding(2).foreach { case Array(a, b) => assert(b < a, s"loss rose: $a -> $b") }
+
+    // 3. held-out accuracy beats the class prior (majority baseline)
+    val scored = Classifier.score(test, w).join(labelsOf(test), "doc_id")
+    val n = scored.count().toDouble
+    val acc = scored.where((col("predicted") && col("y") === 1.0) ||
+      (!col("predicted") && col("y") === 0.0)).count() / n
+    val prior = math.max(ys.values.sum / ys.size, 1.0 - ys.values.sum / ys.size)
+    assert(acc > prior, s"held-out accuracy $acc should beat prior $prior")
+
+    // 4. determinism: retraining yields the same weights
+    val (w2, _) = Classifier.train(Classifier.features(train), labelsOf(train), iters)
+    assert(w.toSeq === w2.toSeq)
+  }
+
   test("bottom_k plans as ObjectHashAggregate with partial aggregation (no all-rows exchange)") {
     val df = spark.range(0, 1000, 1, 8)
       .select((col("id") % 5).as("g"), col("id").as("vec_id"), rand(7).as("s"))
