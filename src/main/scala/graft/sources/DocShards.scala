@@ -72,63 +72,24 @@ object DocShards {
     * exactly as with a parquet directory. */
   def write(docs: DataFrame, posCol: String, dir: String, shards: Int): Unit = {
     val spark = docs.sparkSession
-    val serConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val driverFs = root.getFileSystem(serConf.value)
-    // clear a stale marker so a re-export is never half-old-half-new with
-    // a _SUCCESS claiming otherwise
-    driverFs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
+    val serConf = ShardIO.beginJob(spark, dir)
     docs.select(col("doc_id"), col("text"), col(posCol).as("__pos"))
       .repartitionByRange(shards, col("__pos"))
       .sortWithinPartitions("__pos")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val base = new org.apache.hadoop.fs.Path(dir)
-          val fs = base.getFileSystem(serConf.value)
-          val finalPath = new org.apache.hadoop.fs.Path(base, f"shard-$pid%05d.bin")
-          val tmpPath = new org.apache.hadoop.fs.Path(base,
-            f"_temporary/shard-$pid%05d.bin.attempt-${tc.taskAttemptId()}")
-          // mkdirs here, not on the driver: on a cluster the driver's
-          // mkdir proves nothing about the FS the executor resolves
-          fs.mkdirs(tmpPath.getParent)
-          val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true))
-          var renamed = false
-          try {
+          val pid = org.apache.spark.TaskContext.get().partitionId()
+          ShardIO.writeShard(dir, f"shard-$pid%05d.bin", serConf) { out =>
             it.foreach(r => out.write(encodeRecord(r.getLong(0), r.getString(1))))
-            out.close()
-            // commit: atomic rename onto the final name. A retry's target
-            // may exist from a prior attempt — delete-then-rename is safe
-            // because every attempt writes identical bytes (deterministic
-            // range partition + sort), so whichever attempt wins, the
-            // visible shard is the same; one retry covers the
-            // delete/rename interleave of a speculative twin.
-            if (!fs.rename(tmpPath, finalPath)) {
-              fs.delete(finalPath, false)
-              if (!fs.rename(tmpPath, finalPath))
-                throw new java.io.IOException(s"commit failed: $tmpPath -> $finalPath")
-            }
-            renamed = true
-          } finally {
-            if (!renamed) { // killed/failed attempt: leave no temp garbage
-              try out.close() catch { case _: Throwable => () }
-              try fs.delete(tmpPath, false) catch { case _: Throwable => () }
-            }
           }
         }
       }
-    driverFs.delete(new org.apache.hadoop.fs.Path(root, "_temporary"), true)
-    val success = driverFs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true)
-    success.close()
+    ShardIO.commitJob(spark, dir)
   }
 
   /** True iff `dir` holds a COMPLETE export ([[write]] ran to the end). */
-  def committed(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  def committed(spark: SparkSession, dir: String): Boolean =
+    ShardIO.committed(spark, dir)
 
   /** Read a shard directory back: (shard, rec_no, doc_id, text); global
     * training order = ORDER BY (shard, rec_no). */

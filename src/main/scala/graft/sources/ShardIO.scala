@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+/** The shard sinks' commit protocol ([[DocShards]], [[Warc]]), factored so
+  * every export format shares ONE atomicity story:
+  *
+  *   - executors write through the Hadoop `FileSystem` API (HDFS/S3A/local
+  *     alike — no shared-POSIX assumption) to an attempt-unique temp path
+  *     `_temporary/<name>.attempt-<id>`, so a speculative twin never
+  *     interleaves bytes with a running attempt;
+  *   - a finished attempt renames onto the final name (atomic on HDFS) —
+  *     a killed task leaves only invisible temp garbage, never a truncated
+  *     visible shard; deterministic shard names + deterministic bytes make
+  *     retries idempotent (whichever attempt wins, the shard is the same);
+  *   - the DRIVER clears `_temporary` and stamps `_SUCCESS` only after the
+  *     job completes — consumers check the marker, the parquet convention.
+  */
+object ShardIO {
+
+  /** Executor-side: write one shard via `body`, then commit it atomically
+    * under `dir/name`. Call from inside `foreachPartition`. */
+  def writeShard(dir: String, name: String, serConf: SerializableConfiguration)
+      (body: java.io.OutputStream => Unit): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    val base = new Path(dir)
+    val fs = base.getFileSystem(serConf.value)
+    val finalPath = new Path(base, name)
+    val attempt = if (tc != null) tc.taskAttemptId() else 0L
+    val tmpPath = new Path(base, s"_temporary/$name.attempt-$attempt")
+    // mkdirs here, not on the driver: on a cluster the driver's mkdir
+    // proves nothing about the FS the executor resolves
+    fs.mkdirs(tmpPath.getParent)
+    val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true))
+    var renamed = false
+    try {
+      body(out)
+      out.close()
+      // commit: atomic rename onto the final name. A retry's target may
+      // exist from a prior attempt — delete-then-rename is safe because
+      // every attempt writes identical bytes (deterministic partition +
+      // sort), so whichever attempt wins, the visible shard is the same.
+      if (!fs.rename(tmpPath, finalPath)) {
+        fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath))
+          throw new java.io.IOException(s"commit failed: $tmpPath -> $finalPath")
+      }
+      renamed = true
+    } finally {
+      if (!renamed) { // killed/failed attempt: leave no temp garbage
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(tmpPath, false) catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** Driver-side, before the job: clear a stale success marker so a
+    * re-export is never half-old-half-new with a `_SUCCESS` claiming
+    * otherwise. */
+  def beginJob(spark: SparkSession, dir: String): SerializableConfiguration = {
+    val serConf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    root.getFileSystem(serConf.value).delete(new Path(root, "_SUCCESS"), false)
+    serConf
+  }
+
+  /** Driver-side, after the job ran to the end: clear temp garbage and
+    * stamp the completion marker. */
+  def commitJob(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_temporary"), true)
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+  }
+
+  /** True iff `dir` holds a COMPLETE export (its write ran to the end). */
+  def committed(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** WARC/WET interchange (ISO 28500 / WARC 1.0 — the Common Crawl wire
+  * format, where a 100 TB text pipeline's input actually arrives):
+  *
+  *   - records are WET-style `WARC-Type: conversion` (extracted plain
+  *     text), framed by `Content-Length` with the spec's CRLF discipline
+  *     (blank line after headers, two CRLFs after the payload);
+  *   - `.warc.gz` uses the Common Crawl member-per-record convention:
+  *     each record is its OWN gzip member, members concatenated — any
+  *     RFC 1952 reader (`zcat`, `GZIPInputStream`) decodes the whole
+  *     file, and record boundaries coincide with member boundaries (what
+  *     makes the format seekable once offsets are indexed). Java's
+  *     `GZIPOutputStream` writes MTIME=0, so shard bytes stay
+  *     deterministic and task retries idempotent;
+  *   - the export shards through [[ShardIO]]'s atomic commit protocol
+  *     (attempt-unique temp + rename + `_SUCCESS`), range-partitioned by
+  *     `doc_id` and sorted within — deterministic names AND bytes;
+  *   - the read side mirrors [[DocShards]]: `binaryFile` source, one task
+  *     per shard (Common Crawl ships ~1 GiB WET files — the natural task
+  *     granule), gzip sniffed per file by magic, parse is strict
+  *     (structural truncation throws rather than silently yielding a
+  *     partial corpus — the committed-marker check is the cheap pre-test).
+  *
+  * Reference framing per ISO 28500 §4; no parser code is derived from any
+  * existing implementation. */
+object Warc {
+
+  private val Crlf = "\r\n"
+
+  /** One WET conversion record's serialized bytes. `date` must be a
+    * W3C/ISO-8601 UTC instant; fixed per export so retries are
+    * byte-identical. */
+  def encodeRecord(docId: Long, url: String, text: String,
+      date: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val header =
+      s"WARC/1.0$Crlf" +
+        s"WARC-Type: conversion$Crlf" +
+        s"WARC-Record-ID: <urn:graft:doc:$docId>$Crlf" +
+        s"WARC-Date: $date$Crlf" +
+        s"WARC-Target-URI: $url$Crlf" +
+        s"Content-Type: text/plain$Crlf" +
+        s"Content-Length: ${payload.length}$Crlf" +
+        Crlf
+    val head = header.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    // record terminator: CRLF CRLF
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** `bytes` as one standalone gzip member (RFC 1952; deterministic —
+    * Java's gzip header carries MTIME=0). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Decode a whole shard to its concatenated record bytes: multi-member
+    * gzip when the magic matches, identity otherwise. */
+  def inflate(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      // GZIPInputStream consumes concatenated members natively
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+      val bos = new ByteArrayOutputStream(bytes.length * 3)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } else bytes
+
+  /** Parse concatenated WARC records. Strict on structure: a truncated
+    * header, payload, or terminator throws (a torn shard must fail loudly,
+    * not pass as a smaller corpus). Records that are well-formed but not
+    * `conversion` type are skipped — real WET files interleave `warcinfo`
+    * headers. */
+  def parseAll(bytes: Array[Byte]): Iterator[(Long, String, String)] =
+    new Iterator[(Long, String, String)] {
+      private var pos = 0
+      private var nextRec: (Long, String, String) = _
+      advance()
+
+      private def line(): String = {
+        val start = pos
+        while (pos + 1 < bytes.length && !(bytes(pos) == '\r' && bytes(pos + 1) == '\n'))
+          pos += 1
+        if (pos + 1 >= bytes.length)
+          throw new IllegalArgumentException(s"truncated header line at $start")
+        val s = new String(bytes, start, pos - start, UTF_8)
+        pos += 2
+        s
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && pos < bytes.length) {
+          val version = line()
+          if (!version.startsWith("WARC/"))
+            throw new IllegalArgumentException(s"expected WARC version line, got '$version'")
+          var headers = Map.empty[String, String]
+          var h = line()
+          while (h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i < 0) throw new IllegalArgumentException(s"malformed header '$h'")
+            headers += h.substring(0, i).trim.toLowerCase -> h.substring(i + 1).trim
+            h = line()
+          }
+          val len = headers.getOrElse("content-length",
+            throw new IllegalArgumentException("missing Content-Length")).toInt
+          if (pos + len + 4 > bytes.length)
+            throw new IllegalArgumentException(s"truncated payload at $pos (need $len)")
+          val payload = new String(bytes, pos, len, UTF_8)
+          pos += len
+          if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+              bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n'))
+            throw new IllegalArgumentException(s"missing record terminator at $pos")
+          pos += 4
+          if (headers.get("warc-type").contains("conversion")) {
+            val id = headers.get("warc-record-id") match {
+              case Some(rid) if rid.startsWith("<urn:graft:doc:") && rid.endsWith(">") =>
+                rid.stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
+              case other =>
+                throw new IllegalArgumentException(s"unrecognized record id $other")
+            }
+            nextRec = (id, headers.getOrElse("warc-target-uri", ""), payload)
+          }
+        }
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (Long, String, String) = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** Export `docs` (doc_id, text, url columns) as `shards` WET files under
+    * `dir` — `warc-NNNNN.warc.gz` (member-per-record) or `.warc` when
+    * `gzip = false`. Atomic via [[ShardIO]]: on return, `_SUCCESS` exists
+    * and every visible shard is complete. */
+  def write(docs: DataFrame, dir: String, shards: Int, gzip: Boolean = true,
+      date: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = docs.sparkSession
+    val serConf = ShardIO.beginJob(spark, dir)
+    val ext = if (gzip) "warc.gz" else "warc"
+    docs.select(col("doc_id"), col("text"), col("url"))
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.get().partitionId()
+          ShardIO.writeShard(dir, f"warc-$pid%05d.$ext", serConf) { out =>
+            it.foreach { r =>
+              val rec = encodeRecord(r.getLong(0), r.getString(2), r.getString(1), date)
+              out.write(if (gzip) gzipMember(rec) else rec)
+            }
+          }
+        }
+      }
+    ShardIO.commitJob(spark, dir)
+  }
+
+  /** Read a WET shard directory back: (doc_id, url, text). One task per
+    * shard; `.warc` and `.warc.gz` shards may mix. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/warc-*")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(b => parseAll(inflate(b)))
+      .toDF("doc_id", "url", "text")
+  }
+
+  /** True iff `dir` holds a COMPLETE export. */
+  def committed(spark: SparkSession, dir: String): Boolean =
+    ShardIO.committed(spark, dir)
+
+  /** Deterministic provenance URLs for the test corpus (the `documents`
+    * table carries source+lang but no crawl URL — a real WET input has
+    * one per record). */
+  def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url",
+      concat(lit("https://"), col("source"), lit(".example/"),
+        col("lang"), lit("/"), col("doc_id")))
+}

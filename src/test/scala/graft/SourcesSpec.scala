@@ -1,7 +1,7 @@
 package graft
 
 import graft.model._
-import graft.sources.{DocShards, Exposition, PromFile, Prompb}
+import graft.sources.{DocShards, Exposition, PromFile, Prompb, Warc}
 import graft.storage.ParquetStore
 import graft.streaming.Ingest
 import org.apache.spark.sql.{Row, SparkSession}
@@ -126,6 +126,68 @@ class SourcesSpec extends AnyFunSuite {
       "committed export must clear _temporary")
     val back = DocShards.read(spark, dir)
     assert(back.count() === docs.count())
+  }
+
+  test("warc: WET export round-trips plain and gzip, deterministic bytes, zcat-compatible members") {
+    val docs = Warc.withUrls(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val orig = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("url"), r.getAs[String]("text")))).toMap
+
+    for (gzip <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_warc_$gzip").toString
+      Warc.write(docs, dir, shards = 3, gzip = gzip)
+      assert(Warc.committed(spark, dir))
+      val back = Warc.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(back === orig, s"round-trip mismatch (gzip=$gzip)")
+
+      // deterministic bytes: re-export is byte-identical (idempotent retry)
+      val dir2 = java.nio.file.Files.createTempDirectory(s"graft_warc2_$gzip").toString
+      Warc.write(docs, dir2, shards = 3, gzip = gzip)
+      def bytesOf(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("warc-")).sortBy(_.getName)
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      assert(bytesOf(dir) === bytesOf(dir2))
+    }
+
+    // member-per-record: any plain RFC 1952 reader decodes the whole .gz
+    // shard (the zcat contract), and member count == record count
+    val gzDir = java.nio.file.Files.createTempDirectory("graft_warc_gz").toString
+    Warc.write(docs, gzDir, shards = 1, gzip = true)
+    val shard = new java.io.File(gzDir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val raw = java.nio.file.Files.readAllBytes(shard.toPath)
+    val members = raw.indices.count(i =>
+      (raw(i) & 0xff) == 0x1f && i + 2 < raw.length && (raw(i + 1) & 0xff) == 0x8b
+        && (raw(i + 2) & 0xff) == 0x08)
+    assert(members >= orig.size, s"expected ≥${orig.size} gzip members, found $members")
+    val inflated = Warc.inflate(raw)
+    assert(Warc.parseAll(inflated).size === orig.size)
+  }
+
+  test("warc: torn shard fails loudly, skips non-conversion records") {
+    val docs = Warc.withUrls(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_torn").toString
+    Warc.write(docs, dir, shards = 1, gzip = false)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).head
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+
+    // truncating anywhere inside the last record must throw, never yield
+    // a silently smaller corpus
+    intercept[IllegalArgumentException] {
+      Warc.parseAll(java.util.Arrays.copyOf(bytes, bytes.length - 7)).size
+    }
+
+    // a warcinfo record interleaved ahead (real WET files start with one)
+    // is skipped, not an error
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\n" +
+      "hello\r\n\r\n").getBytes("UTF-8")
+    val mixed = info ++ bytes
+    assert(Warc.parseAll(mixed).size === 20)
   }
 
   test("exposition text format parse (S9)") {
