@@ -198,5 +198,57 @@ object EventQueries {
         col("dau"), col("wau"))
   }
 
-  val all: Seq[QueryDef] = Seq(ev1Sessionize, ev2Funnel, ev3Retention, ev4ActiveUsers)
+  /** EV5: heavy-hitter users — the abuse/bot/hot-key detector (and the
+    * skew probe: these are exactly the keys that would skew a user-keyed
+    * shuffle). Exact form: user-keyed partial agg (map-side combine
+    * collapses each task to its distinct users) + `TakeOrderedAndProject`
+    * for the top-k — no global sort. Deterministic tie-break on user_id. */
+  private val ev5HeavyUsers = withOracle("ev5_heavy_users",
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(cast(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        // exact cent summation (ev1's discipline): float partial-agg order
+        // can never move the rounded result
+        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("sum_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+  }
+
+  /** EV5 sketch form: the same heavy hitters from a Misra–Gries summary
+    * (fi1's frequent-items member applied to the event stream) — constant
+    * 256-counter mergeable partials instead of the user-keyed exchange:
+    * the 100 TB shape when even one shuffle of the event log is too much,
+    * and the batch anchor for the live streaming card
+    * ([[graft.streaming.EventStream.heavyHitters]]). Exact whenever
+    * distinct users ≤ capacity (the gate corpus's regime — pinned vs the
+    * exact form in StreamingSpec); beyond it, MG's self-reported
+    * `err_bound = n/(capacity+1)` under-count bound applies. */
+  private val ev5HeavyUsersSketch = rowsOnly("ev5_heavy_users_sketch") { (s, dir) =>
+    heavyHittersOf(Tables(s, dir, "events"), 10)
+  }
+
+  /** ev5's sketch body over any (user_id, …) event frame: one map-side
+    * pass into a 256-counter summary, top-k extracted from the merged
+    * sketch. */
+  def heavyHittersOf(ev: DataFrame, k: Int): DataFrame = {
+    import graft.functions.{freq_sketch, freq_items, freq_n}
+    ev.select(col("user_id").cast("string").as("u"))
+      .agg(freq_sketch(col("u")).as("sk"))
+      .select(slice(freq_items(col("sk")), 1, k).as("items"),
+        (freq_n(col("sk")) / (graft.functions.MGOps.DefaultCapacity + 1))
+          .as("err_bound"))
+      .select(posexplode(col("items")).as(Seq("rank", "item")), col("err_bound"))
+      .select(col("item.term").cast("long").as("user_id"),
+        col("item.est").as("est"),
+        col("rank").cast("long").as("rank"), col("err_bound"))
+  }
+
+  val all: Seq[QueryDef] = Seq(ev1Sessionize, ev2Funnel, ev3Retention,
+    ev4ActiveUsers, ev5HeavyUsers, ev5HeavyUsersSketch)
 }

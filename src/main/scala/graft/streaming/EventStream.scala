@@ -329,4 +329,30 @@ object EventStream {
         date_format(date_from_unix_date(col("cohort")), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"), col("n_active"))
   }
+
+  /** LIVE heavy-hitters card — batch ev5's update-mode analogue: the
+    * Misra–Gries summary ([[graft.functions]] `freq_sketch`) as the
+    * STREAMING AGGREGATION STATE. Each trigger merges the micro-batch's
+    * map-side partials into the one persistent 256-counter summary and
+    * re-emits the current top-k, so the card converges on exactly what
+    * batch ev5 computes over the same prefix (equal whenever distinct
+    * users ≤ capacity — pinned in StreamingSpec; beyond that, MG's
+    * under-count bound, self-reported as `err_bound`).
+    *
+    * Why this shape: the exact card would be a streaming
+    * `groupBy(user).count()` whose state grows with DISTINCT USERS
+    * forever (the NoTimeout anti-pattern the TTL'd cards exist to avoid);
+    * here the state is ONE constant-size sketch row however many users
+    * the stream ever sees — the frequent-items member of the same
+    * family as the HLL/DDSketch rollups, now exercised as streaming
+    * state. Zero wide exchange: partials combine map-side, one
+    * single-row state update per trigger. */
+  def heavyHitters(stream: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.{freq_sketch, freq_items, freq_n}
+    stream.select(col("user_id").cast("string").as("u"))
+      .agg(freq_sketch(col("u")).as("sk"))
+      .select(slice(freq_items(col("sk")), 1, k).as("items"),
+        (freq_n(col("sk")) / (graft.functions.MGOps.DefaultCapacity + 1))
+          .as("err_bound"))
+  }
 }

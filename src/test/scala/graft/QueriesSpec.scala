@@ -253,4 +253,22 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ev5 sketch heavy hitters equal the exact top-k in the under-capacity regime") {
+    // gate corpus: distinct users ≪ MG capacity → est counts are exact,
+    // so the sketch's (user, est) prefix equals the exact form's
+    // (user, n_events) — the anchor that makes ev5_sketch's rows-only
+    // status honest (fi1's pairing, applied to events)
+    val tiny = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("ev5_heavy_users")(spark, tiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val sketch = SparkEntry.queries("ev5_heavy_users_sketch")(spark, tiny)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // tie-break differs (the sketch orders tied terms lexically, the exact
+    // form numerically) — the count SEQUENCE and the (user, count) SET are
+    // the semantics
+    assert(sketch.map(_._2) === exact.map(_._2))
+    assert(sketch.toSet === exact.toSet)
+  }
 }

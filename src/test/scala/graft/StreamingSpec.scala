@@ -178,6 +178,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitters card converges on the batch ev5 answer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Long]
+    val df = stream.toDF().select(col("value").as("user_id"))
+    // skewed fixture: user u appears u+1 times, split across two batches
+    val all = (0L until 20L).flatMap(u => Seq.fill(u.toInt + 1)(u))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1: _*)
+    val q = graft.streaming.EventStream.heavyHitters(df, k = 5)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val row = spark.table("hh_out").head()
+      val items = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0).toLong -> r.getLong(1))
+      // 20 distinct users ≪ capacity → the MG state is exact: the card
+      // equals batch ev5 over the full prefix
+      assert(items === Seq(19L -> 20L, 18L -> 19L, 17L -> 18L, 16L -> 17L, 15L -> 16L))
+      assert(math.abs(row.getDouble(1) -
+        all.size.toDouble / (graft.functions.MGOps.DefaultCapacity + 1)) < 1e-12)
+    } finally q.stop()
+  }
+
   test("streaming line-count index: cross-batch dedup parity + replay idempotence") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
