@@ -43,9 +43,13 @@ object Bench {
     // TRAINING (12 iterative dictionary-sized jobs) — serving-side
     // tokenization is t1, which stays benched
     // sp2 embeds the same exact pair set as d6 (its oracle anchor; the
-    // scale path keys the split off keepList over d2's LSH pairs)
+    // scale path keys the split off keepList over d2's LSH pairs);
+    // qc1 is classifier TRAINING (12 iterative gradient jobs, bpe1's
+    // category) — serving-side scoring is a map-side probe + one doc agg,
+    // the sm5-scoring shape already benched
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
-      "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign", "bpe1_merges")
+      "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign", "bpe1_merges",
+      "qc1_lr_quality")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -362,4 +362,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)
     assert(p.contains("labels_fingerprint") || p.contains("fingerprint"))
   }
+
+  test("ev5: exact top-k plans as TakeOrderedAndProject over partial aggregation") {
+    val p = plan("ev5_heavy_users")
+    assert(p.contains("TakeOrderedAndProject"), s"ev5 must not global-sort:\n$p")
+    assert(!p.contains("SinglePartition") || p.contains("TakeOrderedAndProject"),
+      s"ev5: no single-partition sort stage:\n$p")
+    // sketch form: one 256-counter ObjectHashAggregate pair, no user-keyed
+    // exchange of the raw events
+    val ps = plan("ev5_heavy_users_sketch")
+    assert("ObjectHashAggregate".r.findAllIn(ps).size >= 2,
+      s"ev5 sketch must combine MG partials map-side:\n$ps")
+  }
+
+  test("pk3: block fan-out is a map-side Generate above the bucketed window — no extra exchange") {
+    val p = plan("pk3_block_manifest")
+    assert(p.contains("Generate explode"), s"pk3 needs the sequence explode:\n$p")
+    assert(p.contains("hashpartitioning(__bucket"), s"pk3 windows per bucket:\n$p")
+    assert(!p.contains("SinglePartition"), s"pk3 must never single-partition:\n$p")
+    // the explode must add no exchange of its own: plans print top-down,
+    // so nothing named Exchange may appear ABOVE the Generate in the final
+    // plan — only the prefix-sum exchanges below it
+    val finalPlan = p.split("== Initial Plan ==").head
+    val gen = finalPlan.indexOf("Generate explode")
+    assert(gen >= 0 && !finalPlan.substring(0, gen).contains("Exchange"),
+      s"pk3: exchange above the block fan-out:\n$p")
+  }
+
+  test("t11 compression ratio is map-only: no exchange in the plan") {
+    val p = plan("t11_compression_ratio")
+    assert(!p.contains("Exchange"), s"t11 must not shuffle:\n$p")
+  }
 }
