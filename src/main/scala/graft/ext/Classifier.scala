@@ -135,6 +135,32 @@ object Classifier {
       .withColumn("predicted", col("score") >= 0.5)
   }
 
+  /** STREAMING-SAFE scoring — the same margin as [[score]] as one map-side
+    * column (zero aggregation state, zero exchange): the per-doc margin
+    * `Σ_b w_b·(cnt_b/n) = (Σ_instances w[bucket])/n` folds over the bigram
+    * array with a HOF `aggregate`, so a doc stream scores row-by-row with
+    * the frozen weights — the batch/stream no-drift discipline (the SAME
+    * arithmetic the batch scorer runs, so a gate threshold means the same
+    * thing in both; StreamingSpec pins the parity). Use [[score]] for
+    * batch (the HOF evaluates interpreted — fine at stream rates, wasteful
+    * on a 100 TB scan where the explode+agg form stays codegen'd). */
+  def scoreColumn(text: org.apache.spark.sql.Column,
+      weights: Array[Double]): org.apache.spark.sql.Column = {
+    require(weights.length == Buckets + 1, s"got ${weights.length} weights")
+    val wLit = array(weights.toIndexedSeq.map(lit): _*)
+    val ws = TextAnalysis.words(text)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array())
+    val instanceSum = aggregate(bigrams, lit(0.0), (acc, bg) =>
+      acc + element_at(wLit,
+        (conv(substring(md5(bg), 1, 4), 16, 10).cast("long") % Buckets).cast("int") + 1))
+    val margin = when(size(bigrams) > 0, instanceSum / size(bigrams))
+      .otherwise(lit(0.0)) + lit(weights(Buckets))
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), 4)
+  }
+
   /** Plain-Scala reference implementation of the SAME algorithm (textbook
     * form, no Spark) — the bpe1-style equality anchor for the spec. */
   def referenceTrain(docs: Seq[(Long, Seq[(Int, Double)], Double)], iters: Int,

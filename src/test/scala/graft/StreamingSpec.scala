@@ -178,6 +178,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming classifier gate scores exactly as the batch scorer (frozen weights)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Classifier
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val labels = docs.select(col("doc_id"), (col("lang") === "en").cast("double").as("y"))
+    val (w, _) = Classifier.train(Classifier.features(docs), labels, iters = 4)
+
+    val batch = Classifier.score(docs, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .select(col("doc_id"), Classifier.scoreColumn(col("text"), w).as("score"))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    stream.addData(b1: _*)
+    val q = df.writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet === batch.keySet)
+      // same frozen weights, same arithmetic — only float fold order
+      // differs (HOF document-order vs per-bucket agg), masked by round(4)
+      // up to one ulp at the rounding edge
+      streamed.foreach { case (id, s) =>
+        assert(math.abs(s - batch(id)) <= 1e-4, s"doc $id: $s vs ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming heavy-hitters card converges on the batch ev5 answer") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
