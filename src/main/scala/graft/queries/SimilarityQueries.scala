@@ -364,6 +364,106 @@ object SimilarityQueries {
           .cast("long").as("cell"))
   }
 
+  /** PQ geometry: M subspaces × K centroids per codebook. dim 64 → subdim
+    * 4; codes are M small ints (≈M bytes stored) vs 64 float32s — a 16×
+    * candidate-stage layout cut, one tier past s4's 4×. */
+  val PqM = 16
+  val PqK = 16
+
+  /** Product-quantization codebooks (Jégou et al. 2011): an independent
+    * seeded KMeans per SUBSPACE over the corpus's subvectors. Training is
+    * the s3/sem1 category (a one-off index-build pass, bench-excluded);
+    * the artifact is M×K×subdim doubles — ~16 KB, a driver-side literal
+    * like s7's centroid set. */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String,
+      m: Int = PqM, k: Int = PqK): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val feats = e.select(array_to_vector(
+        slice(transform(col("embedding"), _.cast("double")), mi * sub + 1, sub))
+        .as("features"))
+      new KMeans().setK(k).setSeed(42L + mi).setMaxIter(5).fit(feats)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
+  /** S8: PQ ANN with asymmetric-distance scoring — the IVF-PQ candidate
+    * stage of billion-scale serving (FAISS's default layout), one
+    * compression tier past s6: the corpus is represented by M per-subspace
+    * centroid CODES (encode = [[nearestCell]] per subspace, a map-only
+    * projection exactly like s7's cell assignment — at 100 TB a write-side
+    * column), and a query scores a candidate WITHOUT touching its vector:
+    * each query precomputes its M×K inner-product LUT against the
+    * broadcast codebooks, and the per-pair work is M table lookups —
+    * `Σ_m lut[m][code_m]` ≈ ⟨q, x̂⟩. Subspaces are disjoint coordinates, so
+    * the reconstruction's norm is exact from per-centroid norms
+    * (`‖x̂‖² = Σ_m ‖c_m,code‖²`), also code-derived — the candidate scan
+    * reads codes ONLY. Top candK survivors re-rank at full precision
+    * (s6's discipline, wider pool for the lossier codes). The corpus is
+    * never shuffle-joined: queries+LUTs broadcast in, the bounded
+    * survivor set broadcasts into the re-rank fetch. KMeans training isn't
+    * ANSI-expressible → rows-only; recall-vs-s1, code-range totality and
+    * determinism are pinned in ExtSpec. */
+  private val s8AnnPq = rowsOnly("s8_ann_pq") { (s, dir) =>
+    val cb = pqCodebooks(s, dir)
+    val sub = cb(0)(0).length
+    // centroid squared norms per (subspace, code): the code-only norm table
+    val cn2Lit = array(cb.map(mk =>
+      array(mk.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+
+    val e = Tables(s, dir, "embeddings")
+    val v = transform(col("embedding"), _.cast("double"))
+    // encode: one argmin fold per subspace — the same nearestCell kernel
+    // s7 proves bit-reproducible, applied to each subvector slice
+    val codes = array((0 until PqM).map { mi =>
+      nearestCell(slice(v, mi * sub + 1, sub), cb(mi).toIndexedSeq)
+    }: _*)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val coded = e.select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"), col("codes"),
+        sqrt(aggregate(
+          transform(seqM, m => element_at(element_at(cn2Lit, m + 1),
+            element_at(col("codes"), m + 1) + 1)),
+          lit(0.0), _ + _)).as("rnrm"))
+
+    // queries carry their full vector, norm, and the M×K ADC lookup table
+    val queries = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), v.as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"),
+        transform(seqM, m =>
+          transform(sequence(lit(0), lit(PqK - 1)), k =>
+            ddot(slice(col("qv"), m * sub + 1, lit(sub)),
+              element_at(element_at(cbLit, m + 1), k + 1)))).as("lut"))
+
+    val candK = TopK * 5 // wider pool than s6: PQ codes are lossier
+    val adc = aggregate(
+      transform(seqM, m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1)),
+      lit(0.0), _ + _)
+    val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_adc", adc / (col("qnrm") * col("rnrm")))
+    val cands = perQueryTopK(scored, col("cos_adc"), candK)
+      .select(col("query_id"), col("vec_id"))
+
+    // full-precision re-rank, s6's exact shape
+    val reranked = e.select(col("vec_id"), v.as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
+      .join(broadcast(queries.select("query_id", "qv", "qnrm")), "query_id")
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
+    perQueryTopK(reranked, col("cos_full"), TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cos"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized, s7IvfAssign)
+    Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized, s7IvfAssign,
+      s8AnnPq)
 }

@@ -396,6 +396,29 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("PQ ANN: recall@5 vs brute force, valid codes, deterministic retrain") {
+    val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.SparkEntry.queries("s8_ann_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    // 16 codes of 16 centroids reconstruct 64 isotropic dims coarsely —
+    // lossier than s6's int8 — but the ADC candidate stage scans
+    // EVERYTHING (code bytes only) and re-ranks a 5× pool at full
+    // precision, so recall must land near s6's regime, not LSH/IVF's
+    // scanned-fraction regime
+    assert(recall >= 0.7, s"recall $recall")
+
+    // codebooks: deterministic across retrains (seeded per subspace),
+    // geometry as declared
+    import graft.queries.SimilarityQueries
+    val cb1 = SimilarityQueries.pqCodebooks(spark, sf)
+    val cb2 = SimilarityQueries.pqCodebooks(spark, sf)
+    assert(cb1.length === SimilarityQueries.PqM)
+    assert(cb1.forall(_.length === SimilarityQueries.PqK))
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("simhash: identical token sets collide, hamming reflects similarity") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
