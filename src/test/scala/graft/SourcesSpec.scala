@@ -190,6 +190,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(Warc.parseAll(mixed).size === 20)
   }
 
+  test("warc: Content-Length framing is immune to WARC-looking payload bytes") {
+    // a payload that contains CRLFs, header-shaped lines, and a full fake
+    // record head must ride through untouched — framing is length-based,
+    // never delimiter-based
+    val nasty = "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nfake\r\n\r\n" +
+      "Content-Length: 99999\r\n plus   binary ÿ bytes"
+    val rec = Warc.encodeRecord(7L, "https://x.example/7", nasty, "2026-01-01T00:00:00Z")
+    val got = Warc.parseAll(rec).toSeq
+    assert(got === Seq((7L, "https://x.example/7", nasty)))
+    // and in company, plain and gzipped
+    val rec2 = Warc.encodeRecord(8L, "https://x.example/8", "plain", "2026-01-01T00:00:00Z")
+    assert(Warc.parseAll(rec ++ rec2).toSeq.map(_._1) === Seq(7L, 8L))
+    assert(Warc.parseAll(Warc.inflate(
+      Warc.gzipMember(rec) ++ Warc.gzipMember(rec2))).toSeq.map(_._1) === Seq(7L, 8L))
+  }
+
   test("exposition text format parse (S9)") {
     val text =
       """# HELP http_requests_total Counts
