@@ -118,15 +118,30 @@ object Classifier {
   }
 
   /** Score `docs` with frozen `weights` (the d9/s7 incremental shape:
-    * train once, apply to every batch): map-side bucket probe + one
-    * per-doc partial agg. Output: doc_id, score = σ(margin) rounded to 4
-    * (partial-agg ULP masking, t9 precedent), predicted = score ≥ 0.5. */
+    * train once, apply to every batch). The margin over L1-normalized
+    * counts collapses algebraically — `Σ_b w_b·(cnt_b/n) = avg over
+    * bigram INSTANCES of w[bucket]` — so serving skips [[features]]'
+    * (doc, bucket) aggregation entirely: explode → map-side bucket probe
+    * → ONE per-doc partial-avg exchange (measured 4× over the
+    * features-based form at 1 M docs; the instance rows collapse to
+    * ~1 row/doc/task map-side because a scan task's rows are distinct
+    * docs). Output: doc_id, score = σ(margin) rounded to 4 (partial-agg
+    * ULP masking, t9 precedent), predicted = score ≥ 0.5. */
   def score(docs: DataFrame, weights: Array[Double]): DataFrame = {
     require(weights.length == Buckets + 1, s"got ${weights.length} weights")
     val wLit = array(weights.toIndexedSeq.map(lit): _*)
-    val margins = features(docs)
+    val ws = TextAnalysis.words(col("text"))
+    val margins = docs
+      .select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("bigram"))
       .groupBy("doc_id")
-      .agg(sum(element_at(wLit, col("bucket").cast("int") + 1) * col("x")).as("mf"))
+      .agg(avg(element_at(wLit,
+        (conv(substring(md5(col("bigram")), 1, 4), 16, 10).cast("long")
+          % Buckets).cast("int") + 1)).as("mf"))
     docs.select(col("doc_id"))
       .join(margins, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -41,6 +41,10 @@ object Diag {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("newops")) {
+      newOps(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("lines")) {
       lineScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -284,6 +288,56 @@ object Diag {
     println(f"[docs] LSH candidate pairs  n=$n%,d: $tPairs%.1f s ($nPairs%,d pairs)")
     println(f"[docs] keeper election      n=$n%,d: $tKeep%.1f s")
     sigs.unpersist(blocking = false); pairs.unpersist(blocking = false)
+  }
+
+  /** Round-9 additions at a corpus sf0.1 can't show: t11 compression
+    * ratio (map-only Deflater pass), qc1 classifier train-on-sample +
+    * score-the-corpus, pk3 block manifest, and the WARC gzip export/read
+    * round trip. Labels for qc1 carry a planted signal token so training
+    * exercises a realistic (separable) gradient path. */
+  private def newOps(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+
+    val base = concat_ws(" ", transform(sequence(lit(1), lit(60)),
+      i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    // y=1 docs open with a marker bigram — the separable-signal fixture
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 5 < 2, concat(lit("quality marker "), base))
+        .otherwise(base).as("text"))
+
+    val t11 = time(sink(graft.ext.TextAnalysis.compressionRatios(docs)))
+    println(f"[newops] t11 compression    n=$n%,d: $t11%.1f s (${n / t11 / 1e6}%.2f M docs/s)")
+
+    val nSample = math.min(n, 100000L)
+    val sample = docs.where(col("doc_id") < nSample)
+    val labels = sample.select(col("doc_id"),
+      (col("doc_id") % 5 < 2).cast("double").as("y"))
+    var w: Array[Double] = null
+    val tTrain = time {
+      w = graft.ext.Classifier.train(
+        graft.ext.Classifier.features(sample), labels)._1
+    }
+    val tScore = time(sink(graft.ext.Classifier.score(docs, w)))
+    println(f"[newops] qc1 train          n=$nSample%,d: $tTrain%.1f s (12 iters)")
+    println(f"[newops] qc1 score          n=$n%,d: $tScore%.1f s (${n / tScore / 1e6}%.2f M docs/s)")
+
+    val tPk3 = time(sink(graft.ext.Packing.blockManifest(
+      docs, "doc_id", size(graft.ext.TextAnalysis.words(col("text"))), 2048L, 256)))
+    println(f"[newops] pk3 block manifest n=$n%,d: $tPk3%.1f s (${n / tPk3 / 1e6}%.2f M docs/s)")
+
+    val nW = math.min(n, 200000L)
+    val wdocs = docs.where(col("doc_id") < nW)
+      .withColumn("url", concat(lit("https://x.example/"), col("doc_id")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_diag_warc").toString
+    val tWw = time(graft.sources.Warc.write(wdocs, dir, shards = 32, gzip = true))
+    val tWr = time(sink(graft.sources.Warc.read(spark, dir)))
+    val mb = new java.io.File(dir).listFiles().map(_.length()).sum / 1e6
+    println(f"[newops] warc gz write      n=$nW%,d: $tWw%.1f s ($mb%.0f MB on disk)")
+    println(f"[newops] warc gz read       n=$nW%,d: $tWr%.1f s (${nW / tWr / 1e6}%.2f M recs/s)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   /** Line-granularity curation family (t10 C4 clean, d13 duplicated-line
