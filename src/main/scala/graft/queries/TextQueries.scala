@@ -386,6 +386,27 @@ object TextQueries {
         col("merged"), col("pair_count"))
   }
 
+  /** TOK1: the corpus tokenized with the LEARNED tokenizer — bpe1's
+    * artifact put to work end-to-end: train the merge rules once
+    * (dictionary-sized iterations), broadcast them as a literal into a
+    * map-side `encodeWords` fold, count each doc's subword units. The
+    * per-doc unit count is what token-budget mixing (sm4) and packing
+    * (pk1/pk3) consume when the budget is denominated in REAL tokenizer
+    * units instead of t1's whitespace proxy. Training isn't
+    * ANSI-expressible → rows-only; the encode itself is pinned exact vs
+    * the textbook implementation in ExtSpec (train AND encode). */
+  private val tok1BpeTokens = rowsOnly("tok1_bpe_tokens") { (s, dir) =>
+    val dict = Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rules = graft.ext.Bpe.merges(dict, 12).map(r => (r._2, r._3))
+    val ws = words(col("text"))
+    Tables(s, dir, "documents").select(col("doc_id"),
+      size(ws).as("n_words"),
+      size(graft.ext.Bpe.encodeWords(ws, rules)).as("n_bpe_units"))
+  }
+
   /** T10: C4-style line-level cleaning (Raffel et al. 2020 §2.2, public):
     * keep lines with ≥5 words that end in terminal punctuation and don't
     * contain the policy token "javascript"; drop whole pages containing a
@@ -536,5 +557,5 @@ object TextQueries {
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
       t8QualityGate, t9LmScore, t10C4Clean, t11Compression, fi1TopTerms,
-      fi1TopTermsSketch, bpe1Merges, p1PiiScrub, qc1LrQuality)
+      fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, p1PiiScrub, qc1LrQuality)
 }

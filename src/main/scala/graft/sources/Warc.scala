@@ -188,6 +188,31 @@ object Warc {
   def committed(spark: SparkSession, dir: String): Boolean =
     ShardIO.committed(spark, dir)
 
+  /** STREAMING ingestion of a WET landing directory: shards appearing
+    * under `dir` are parsed as they arrive — the file-source stream over
+    * the binaryFile format, one task per new shard, each shard exactly
+    * once (the source checkpoints processed paths). This is the corpus
+    * front door at its realistic shape: a crawler drops `warc-*` shards,
+    * and the parse feeds straight into the streaming curation ladder
+    * (`DocStream.curatedDocs` → `decontamGate` →
+    * `Classifier.scoreColumn`). Same strict parse as [[read]]. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "warc-*")
+      .load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parseAll(inflate(b)))
+      .toDF("doc_id", "url", "text")
+  }
+
   /** Deterministic provenance URLs for the test corpus (the `documents`
     * table carries source+lang but no crawl URL — a real WET input has
     * one per record). */

@@ -178,6 +178,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WARC ingestion: shards parsed as they land, each exactly once") {
+    import graft.sources.Warc
+    val docs = Warc.withUrls(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 === 1)
+
+    val landing = java.nio.file.Files.createTempDirectory("graft_warc_land").toFile
+    def deliver(batch: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      // export to a staging dir, then move shards into the landing dir
+      // under batch-unique names — the crawler-drops-a-file shape
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_warc_stage_$tag").toFile
+      Warc.write(batch, tmp.toString, shards = 2, gzip = true)
+      tmp.listFiles().filter(_.getName.startsWith("warc-")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(landing, s"warc-$tag-${f.getName.stripPrefix("warc-")}").toPath)
+      }
+    }
+    deliver(half1, "a")
+    val q = Warc.readStream(spark, landing.toString)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("warc_stream_out").collect().map(_.getLong(0)).toSet
+      assert(after1 === half1.collect().map(_.getLong(0)).toSet)
+      deliver(half2, "b")
+      q.processAllAvailable()
+      val after2 = spark.table("warc_stream_out").collect().map(r => (r.getLong(0), r.getString(2)))
+      // union of both deliveries, no shard processed twice
+      assert(after2.length === docs.count())
+      val orig = docs.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      after2.foreach { case (id, text) => assert(orig(id) === text) }
+    } finally q.stop()
+  }
+
   test("streaming classifier gate scores exactly as the batch scorer (frozen weights)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
