@@ -439,6 +439,64 @@ object CurationQueries {
       .select(col("lang"), col("n_base"), col("n_new"), col("psi"))
   }
 
+  /** RP4: EMBEDDING-space drift — rp3's sibling for the representation
+    * axis: per label, the cosine between the base slice's centroid and
+    * the new batch's centroid (1 − cos is the drift), plus the raw L2
+    * centroid shift and slice sizes. Token-count PSI (rp3) catches
+    * length/stylistic drift; this catches semantic/topical drift the
+    * length distribution can't see — the pair a dataset card reports
+    * side by side. Same base/new convention as s7 (vec_id%10 ≥ 8 = new).
+    *
+    * Scale shape: ONE corpus pass (posexplode pipelined in the scan),
+    * a (label × dim)-bounded partial aggregation (map-side combine
+    * collapses each task to ≤ labels×dims rows), then everything
+    * downstream operates on ≤ labels×dims rows — the s5 shape with the
+    * cosine folded from per-dimension sums, never a list rebuilt. */
+  private val rp4 = withOracle("rp4_embedding_drift",
+    """WITH u AS (
+      |  SELECT label, vec_id % 10 >= 8 AS is_new,
+      |         generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, pos,
+      |         avg(x) FILTER (WHERE NOT is_new) AS cb,
+      |         avg(x) FILTER (WHERE is_new) AS cn
+      |  FROM u GROUP BY label, pos),
+      |d AS (
+      |  SELECT label, sum(cb * cn) AS dp,
+      |         sqrt(sum(cb * cb)) AS nb, sqrt(sum(cn * cn)) AS nn,
+      |         sqrt(sum((cb - cn) * (cb - cn))) AS l2
+      |  FROM c GROUP BY label),
+      |k AS (
+      |  SELECT label,
+      |         count(*) FILTER (WHERE vec_id % 10 < 8) AS n_base,
+      |         count(*) FILTER (WHERE vec_id % 10 >= 8) AS n_new
+      |  FROM embeddings GROUP BY label)
+      |SELECT d.label, k.n_base, k.n_new,
+      |       round(d.dp / (d.nb * d.nn), 6) AS centroid_cos,
+      |       round(d.l2, 6) AS centroid_l2
+      |FROM d JOIN k USING (label)""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    val u = e.select(col("label"), (col("vec_id") % 10 >= 8).as("is_new"),
+      posexplode(transform(col("embedding"), _.cast("double"))))
+    val c = u.groupBy("label", "pos").agg(
+      avg(when(!col("is_new"), col("col"))).as("cb"),
+      avg(when(col("is_new"), col("col"))).as("cn"))
+    val d = c.groupBy("label").agg(
+      sum(col("cb") * col("cn")).as("dp"),
+      sqrt(sum(col("cb") * col("cb"))).as("nb"),
+      sqrt(sum(col("cn") * col("cn"))).as("nn"),
+      sqrt(sum((col("cb") - col("cn")) * (col("cb") - col("cn")))).as("l2"))
+    val k = e.groupBy("label").agg(
+      count(when(col("vec_id") % 10 < 8, 1)).as("n_base"),
+      count(when(col("vec_id") % 10 >= 8, 1)).as("n_new"))
+    d.join(k, "label")
+      .select(col("label"), col("n_base"), col("n_new"),
+        round(col("dp") / (col("nb") * col("nn")), 6).as("centroid_cos"),
+        round(col("l2"), 6).as("centroid_l2"))
+  }
+
   /** CUR3: the LINE-granularity prep pipeline as one DAG — C4 clean (t10's
     * rule engine, page drops included) feeding corpus-wide duplicated-line
     * removal (d13's count→prune) over only the SURVIVING lines, reassembled
@@ -524,5 +582,5 @@ object CurationQueries {
           "\n").as("final_text"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3, cur3)
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3, rp4, cur3)
 }
