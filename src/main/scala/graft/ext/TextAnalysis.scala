@@ -75,11 +75,13 @@ object TextAnalysis {
       .when(sDe >= sEs, "de")
       .otherwise("es")
 
-  /** One document's compression-ratio row: UTF-8 byte count, raw-DEFLATE
-    * compressed byte count (zlib level 6, no wrapper), and their ratio
-    * (`deflate_bytes / max(1, n_bytes)`). */
+  /** One document's compression-ratio row: full UTF-8 byte count, the
+    * prefix the ratio was measured over, raw-DEFLATE compressed byte
+    * count of that prefix (zlib level 6, no wrapper), and the ratio
+    * (`deflate_bytes / max(1, measured_bytes)`). */
   final case class CompressionRow(
-      doc_id: Long, n_bytes: Long, deflate_bytes: Long, ratio: Double)
+      doc_id: Long, n_bytes: Long, measured_bytes: Long,
+      deflate_bytes: Long, ratio: Double)
 
   /** Compression-ratio quality signal (the RefinedWeb/MassiveText-family
     * repetitiveness detector from the other direction): boilerplate and
@@ -95,8 +97,15 @@ object TextAnalysis {
     * per JVM version — executors run one image, and the spec pins
     * partitioning-invariance, so the signal is stable within any one
     * deployment (pin the JVM across a corpus version for cross-run
-    * comparability, as with any library-versioned scorer). */
-  def compressionRatios(docs: DataFrame): DataFrame = {
+    * comparability, as with any library-versioned scorer).
+    *
+    * `maxBytes` bounds the per-document cost: the ratio is computed over
+    * the first `maxBytes` UTF-8 bytes (a pathological 100 MB doc must not
+    * stall its task — and a prefix window is how production pipelines
+    * compute this signal anyway; repetitive junk is repetitive early).
+    * `n_bytes` still reports the FULL document size; `measured_bytes`
+    * says what the ratio covered. */
+  def compressionRatios(docs: DataFrame, maxBytes: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
@@ -108,13 +117,14 @@ object TextAnalysis {
         val buf = new Array[Byte](16 * 1024)
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
+          val m = math.min(bytes.length, maxBytes)
           d.reset()
-          d.setInput(bytes)
+          d.setInput(bytes, 0, m)
           d.finish()
           var n = 0L
           while (!d.finished()) n += d.deflate(buf)
-          CompressionRow(id, bytes.length.toLong, n,
-            math.rint(n.toDouble / math.max(1, bytes.length) * 10000) / 10000)
+          CompressionRow(id, bytes.length.toLong, m.toLong, n,
+            math.rint(n.toDouble / math.max(1, m) * 10000) / 10000)
         }
       }
       .toDF()

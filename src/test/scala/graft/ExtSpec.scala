@@ -970,25 +970,43 @@ class ExtSpec extends AnyFunSuite {
       (3L, noise),                                     // high entropy
       (4L, ""))                                        // empty — totality
     val df = spark.createDataFrame(rows).toDF("doc_id", "text")
-    val got = TextAnalysis.compressionRatios(df)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def collectRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val got = collectRows(TextAnalysis.compressionRatios(df))
 
     val (rep, prose, ent, empty) = (got(1L), got(2L), got(3L), got(4L))
-    assert(rep._3 < prose._3 && prose._3 < ent._3,
+    assert(rep._4 < prose._4 && prose._4 < ent._4,
       s"ordering violated: $rep $prose $ent")
-    assert(rep._3 < 0.05, s"pure repetition should collapse: $rep")
-    assert(ent._3 > 0.6, s"seeded noise should stay near-incompressible: $ent")
-    got.values.foreach { case (nb, db, r) =>
+    assert(rep._4 < 0.05, s"pure repetition should collapse: $rep")
+    assert(ent._4 > 0.6, s"seeded noise should stay near-incompressible: $ent")
+    got.values.foreach { case (nb, mb, db, r) =>
       assert(db > 0 && r > 0.0, "DEFLATE of any input (even empty) emits bytes")
-      assert(nb >= 0)
+      assert(nb >= 0 && mb === math.min(nb, 1L << 20))
     }
     assert(empty._1 === 0L)
 
     // partitioning-invariance: per-partition Deflater state never leaks
     // across rows (reset per doc), so any layout yields identical rows
-    val repart = TextAnalysis.compressionRatios(df.repartition(7, col("text")))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val repart = collectRows(TextAnalysis.compressionRatios(df.repartition(7, col("text"))))
     assert(repart === got)
+
+    // giant-doc cap: the ratio covers exactly the first maxBytes, full
+    // size still reported — a pathological document can't stall its task
+    val capped = collectRows(TextAnalysis.compressionRatios(df, maxBytes = 100))
+    capped.foreach { case (id, (nb, mb, _, _)) =>
+      assert(nb === got(id)._1)
+      assert(mb === math.min(nb, 100L))
+    }
+    // and the capped ratio equals the uncapped ratio of the truncated text
+    val trunc = spark.createDataFrame(
+      rows.map { case (id, t) =>
+        (id, new String(t.getBytes("UTF-8").take(100), "UTF-8")) })
+      .toDF("doc_id", "text")
+    val truncGot = collectRows(TextAnalysis.compressionRatios(trunc))
+    capped.foreach { case (id, (_, _, db, r)) =>
+      assert(db === truncGot(id)._3 && r === truncGot(id)._4)
+    }
 
     // map-only contract: no exchange in the plan
     val plan = TextAnalysis.compressionRatios(df).queryExecution.executedPlan.toString
