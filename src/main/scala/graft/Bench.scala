@@ -48,8 +48,8 @@ object Bench {
     // category) — serving-side scoring is a map-side probe + one doc agg,
     // the sm5-scoring shape already benched
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
-      "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign", "bpe1_merges",
-      "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens")
+      "d14_canonical_quality", "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign",
+      "bpe1_merges", "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -983,8 +983,50 @@ object DedupQueries {
           "\n").as("deduped"))
   }
 
+  /** Quality-canonical election over an existing keep-list: within each
+    * near-dup family, the CANONICAL document is the best-`quality` member
+    * (ties → lowest doc_id) — the policy production dedup actually ships
+    * (keep the longest / highest-scored copy), where [[keepList]]'s
+    * min-id keeper is only a stable component LABEL. A post-pass over
+    * (doc_id, keep_id): one family-keyed partial-agg argmax via a struct
+    * max — no window, no sort, each task contributes ≤ 1 row per family
+    * before the exchange. `quality` = any (doc_id, q) frame — length,
+    * t2's score, qc1's classifier output. */
+  def canonicalByQuality(keepers: DataFrame, quality: DataFrame): DataFrame = {
+    val best = keepers.join(quality, "doc_id")
+      .groupBy("keep_id")
+      // struct max: highest q first; among ties, highest -doc_id = lowest id
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"),
+        col("doc_id").as("id"))).as("b"))
+      .select(col("keep_id"), col("b.id").as("canonical_id"))
+    keepers.join(best, "keep_id")
+      .select(col("doc_id"), col("keep_id"), col("canonical_id"))
+  }
+
+  /** D14: d6's election with the production keep policy — longest member
+    * canonical. Embeds the exact pair set as its oracle anchor (d6's
+    * arrangement; the scale path feeds LSH pairs), bench-excluded with
+    * it. The oracle states the argmax as a window rank; the Spark side is
+    * the partial-agg struct max in [[canonicalByQuality]]. */
+  private val d14Canonical = withOracle("d14_canonical_quality",
+    s"""$keepListCtes,
+       |q AS (SELECT k.doc_id, k.keep_id, length(d2.text) AS q
+       |      FROM k JOIN documents d2 USING (doc_id)),
+       |r AS (SELECT keep_id, doc_id AS canonical_id,
+       |             row_number() OVER (PARTITION BY keep_id
+       |                                ORDER BY q DESC, doc_id) AS rn
+       |      FROM q)
+       |SELECT q.doc_id, q.keep_id, r.canonical_id
+       |FROM q JOIN r ON q.keep_id = r.keep_id AND r.rn = 1""".stripMargin) {
+    (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      canonicalByQuality(
+        keepList(exactPairs(s, dir), docs),
+        docs.select(col("doc_id"), length(col("text")).as("q")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
       d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub,
-      d13LineDedup, sem1SemDedup)
+      d13LineDedup, d14Canonical, sem1SemDedup)
 }
