@@ -49,7 +49,8 @@ object Bench {
     // the sm5-scoring shape already benched
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
       "d14_canonical_quality", "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign",
-      "bpe1_merges", "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens")
+      "bpe1_merges", "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens",
+      "pk4_semantic_order")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -238,6 +238,51 @@ object SamplingQueries {
         size(graft.ext.TextAnalysis.words(col("text"))), blockSize = 2048L, buckets = 64)
   }
 
+  /** PK4: SEMANTIC packing order — In-Context Pretraining's data layout
+    * (Shi et al. 2023, public): place related documents adjacent in the
+    * training stream so pk1/pk3's block concatenation yields coherent
+    * long contexts instead of random splices. The published approximate-
+    * TSP traversal is replaced by its scale-shape: a KMeans cell
+    * assignment (s3's coarse quantizer — at 100 TB a write-side column)
+    * with cells laid out contiguously and a deterministic within-cell
+    * order. Output (doc_id, cell, pos) is a permutation — feed `pos`
+    * straight into [[graft.ext.Packing.blockManifest]] or
+    * `DocShards.write`.
+    *
+    * Shape: cell sizes are a ≤nlist-row aggregate whose running sum
+    * (driver-side, pk1's pattern) gives each cell's base offset; the
+    * within-cell rank is a window partitioned BY CELL — corpus/nlist
+    * rows per task, never a single-partition window. ExtSpec pins the
+    * permutation, determinism, and the operator's raison d'être:
+    * adjacent docs in this order are measurably more similar than under
+    * sh1's hash order. KMeans isn't ANSI-expressible → rows-only. */
+  private val pk4SemanticOrder = rowsOnly("pk4_semantic_order") { (s, dir) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5).fit(e)
+    semanticOrder(model.transform(e)
+      .select(col("vec_id").as("doc_id"), col("prediction").cast("long").as("cell")))
+  }
+
+  /** pk4's layout pass over any (doc_id, cell) assignment: contiguous
+    * cells, deterministic within-cell order, global `pos` permutation. */
+  def semanticOrder(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = counts.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (c, n)) => (c, acc + n)
+    }.sliding(2).collect { case Array((_, base), (c, _)) => (c, base) }.toSeq
+    if (bases.isEmpty) return assigned.withColumn("pos", lit(0L)).limit(0)
+    val baseDf = assigned.sparkSession.createDataFrame(bases).toDF("cell", "base")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(md5(concat(lit("pk4:"), col("doc_id").cast("string"))), col("doc_id"))
+    assigned.join(broadcast(baseDf), "cell")
+      .select(col("doc_id"), col("cell"),
+        (col("base") + row_number().over(w) - 1).as("pos"))
+  }
+
   /** SH1: deterministic epoch shuffle — each document's position in the
     * pseudo-random training order for seed "ep1", a pure function of
     * (corpus, seed): reruns, engines, and any partitioning produce THE
@@ -456,6 +501,6 @@ object SamplingQueries {
 
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
-      pk2LengthBuckets, pk3BlockManifest, sh1Shuffle, sm3Temperature,
-      sm4TokenBudget, sm5Dsir)
+      pk2LengthBuckets, pk3BlockManifest, pk4SemanticOrder, sh1Shuffle,
+      sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

@@ -419,6 +419,39 @@ class ExtSpec extends AnyFunSuite {
     assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("pk4 semantic order: valid permutation, deterministic, adjacency beats hash order") {
+    val order = graft.SparkEntry.queries("pk4_semantic_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = order.length
+    assert(order.map(_._3).sorted.toSeq === (0L until n).toSeq, "pos must be a permutation")
+    // contiguous cells: pos order never returns to an earlier cell
+    val cellsInOrder = order.sortBy(_._3).map(_._2)
+    assert(cellsInOrder.toSeq === cellsInOrder.sorted.toSeq)
+
+    val order2 = graft.SparkEntry.queries("pk4_semantic_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(order2.sortBy(_._1).toSeq === order.sortBy(_._1).toSeq, "determinism")
+
+    // the operator's purpose: consecutive docs are more similar than
+    // under the content-blind hash order
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def adjacency(ids: Seq[Long]): Double =
+      ids.sliding(2).map { case Seq(x, y) => cos(vecs(x), vecs(y)) }.toSeq.sum / (ids.size - 1)
+    val semantic = adjacency(order.sortBy(_._3).map(_._1).toSeq)
+    val hashed = adjacency(vecs.keys.toSeq.sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sh:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    assert(semantic > hashed,
+      s"semantic adjacency $semantic must beat hash order $hashed")
+  }
+
   test("simhash: identical token sets collide, hamming reflects similarity") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
