@@ -437,6 +437,176 @@ object Multimodal extends Serializable {
     }
   }
 
+  case class HeaderMeta(doc_id: Long, format: String, width: Int, height: Int)
+
+  /** HEADER-ONLY image dimensions — the 100 TB fast path: a metadata pass
+    * over an image corpus should cost header bytes, not decode CPU. Pure
+    * byte walk of the four container headers the JDK also decodes
+    * (PNG/JPEG/GIF/BMP — public container specs), no pixel is ever
+    * touched:
+    *
+    *   - PNG: 8-byte signature, then the IHDR chunk width/height at fixed
+    *     offsets 16/20 (big-endian u32);
+    *   - GIF: `GIF87a`/`GIF89a`, logical-screen width/height at 6/8
+    *     (little-endian u16);
+    *   - BMP: `BM`, BITMAPINFOHEADER width/height at 18/22 (little-endian
+    *     i32; height may be negative for top-down rows — abs);
+    *   - JPEG: marker walk (`FF D8`, then length-framed segments) to the
+    *     first SOFn frame header (C0–CF minus DHT/JPG/DAC), height/width
+    *     big-endian u16 at payload offsets 3/5.
+    *
+    * None on anything else (including truncation mid-header) — callers
+    * fall back to [[decodeImage]] or the stub, so extractors stay total.
+    * The contract [[ExtSpec]] pins: on any byte string BOTH paths decode,
+    * header dims ≡ decoded dims. */
+  def parseImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(p: Int): Int = bytes(p) & 0xff
+    def beU16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    def leU16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    def beI32(p: Int): Int = (u8(p) << 24) | (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+    def leI32(p: Int): Int = u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
+    try {
+      val n = bytes.length
+      if (n >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+          u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+          new String(bytes, 12, 4, "ISO-8859-1") == "IHDR")
+        Some(("png", beI32(16), beI32(20)))
+      else if (n >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+          (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+        Some(("gif", leU16(6), leU16(8)))
+      else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M')
+        Some(("bmp", leI32(18), math.abs(leI32(22))))
+      else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG marker walk: every non-SOF segment is skipped by its
+        // declared length; standalone markers (D0–D9, 01) carry none.
+        var p = 2
+        var res: Option[(String, Int, Int)] = None
+        var done = false
+        while (!done && p + 4 <= n) {
+          if (u8(p) != 0xff) { done = true }
+          else {
+            val m = u8(p + 1)
+            if (m == 0xff) p += 1 // fill byte
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) p += 2
+            else {
+              val len = beU16(p + 2)
+              if (len < 2 || p + 2 + len > n) done = true
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (len >= 7) res = Some(("jpeg", beU16(p + 2 + 5), beU16(p + 2 + 3)))
+                done = true
+              } else p += 2 + len
+            }
+          }
+        }
+        res
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-wise header-only metadata — mm6: [[parseImageHeader]] with
+    * the deterministic stub fallback, total like every extractor here.
+    * Same output shape per doc as the decode path, at container-header
+    * cost: this is what a 100 TB corpus-stats pass runs, reserving
+    * [[extractFeatures]]' full decode for the slivers that need pixels. */
+  def extractHeaderMeta(media: Dataset[MediaRow]): Dataset[HeaderMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseImageHeader(r.media) match {
+          case Some((fmt, w, h)) => HeaderMeta(r.doc_id, fmt, w, h)
+          case None =>
+            val (w, h, _, _) = stubDecode(r.media)
+            HeaderMeta(r.doc_id, "stub", w, h)
+        }
+      }
+    }
+  }
+
+  /** 64-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint (gradient-sign hash; public technique, e.g. Krawetz's
+    * writeups): decode, bilinear-downscale to 9×8 luma, one bit per
+    * horizontal neighbor pair (`left > right`). Near-identical images
+    * (re-encodes, slight noise, small crops) land within a few bits;
+    * unrelated images differ in ~32. None when the payload is not a
+    * decodable image. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        val raster = small.getRaster
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            hash <<= 1
+            if (raster.getSample(x, y, 0) > raster.getSample(x + 1, y, 0)) hash |= 1L
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic image corpus WITH planted near-duplicates —
+    * the mmd1 fixture: `docId % families` picks a base texture (pixel =
+    * mixed-bit function of family and position, so the dHash gradient
+    * field is family-specific), and every non-primary family member gets a
+    * small per-id brightness ripple on a few pixels — the "same image,
+    * slightly different bytes" a perceptual dedup must catch. Encoded as
+    * real PNGs; family structure is recoverable ONLY by decoding. */
+  def syntheticNearDupPng(docId: Long, families: Int): Array[Byte] = {
+    val family = (docId % families).toInt
+    val (w, h) = (36, 32)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ExtOps.splitmix64(family.toLong * 1000003L + x / 4 + (y / 4) * 16) & 0xff
+        raster.setSample(x, y, 0, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    if (docId >= families) { // perturbed copy: ±4 on three cells
+      var k = 0
+      while (k < 3) {
+        val px = (ExtOps.splitmix64(docId * 31 + k) & 0x7fffffff) % (w * h)
+        val x = (px % w).toInt
+        val y2 = (px / w).toInt
+        val old = raster.getSample(x, y2, 0)
+        raster.setSample(x, y2, 0, math.min(255, math.max(0, old + (if (docId % 2 == 0) 4 else -4))))
+        k += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One near-dup-planted PNG per document (map-only, like
+    * [[asGeneratedImages]]). */
+  def asNearDupImages(spark: SparkSession, dir: String,
+      families: Int = 50): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, syntheticNearDupPng(id, families))))
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Long, ts_ms: Long, luma: Double)
 
   /** Frame sampling — the 1-row → N-rows generator shape of video

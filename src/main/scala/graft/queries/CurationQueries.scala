@@ -582,5 +582,123 @@ object CurationQueries {
           "\n").as("final_text"))
   }
 
-  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3, rp4, cur3)
+  /** URL1 — URL canonicalization + domain/word filtering, the stage a web
+    * corpus pipeline runs BEFORE any text is fetched or scored (the
+    * RefinedWeb §3.1 / C4 front gate: normalize the crawl URL, drop
+    * blocklisted registered domains and smut-worded URLs). The documents
+    * table carries no crawl URL, so one is synthesized deterministically
+    * from (doc_id, source, lang) with the mess real crawls have — mixed
+    * scheme/host case, explicit default port, utm_* tracking params,
+    * fragments — and BOTH engines normalize it independently:
+    *
+    *   1. strip the fragment;
+    *   2. lowercase scheme + host (never the path — paths are
+    *      case-sensitive);
+    *   3. drop the default `:443` port;
+    *   4. drop `utm_*` tracking params and any dangling `?`/`&`.
+    *
+    * The registered domain joins against a blocklist via a BROADCAST
+    * left join — the literal 3-row list stands in for the millions-row
+    * UT1-style blocklists this shape is built for (map-side probe, the
+    * corpus never shuffles); the word filter is a pure projection. Every
+    * step is whole-stage-codegen string expressions — zero exchanges in
+    * the whole operator (PlanSpec contract). */
+  /** The url1 gate over any (doc_id, lang, source) frame — synthesis +
+    * normalization + blocklist/word scoring as one codegen projection plus
+    * the broadcast probe. Factored so Diag can measure it at corpus sizes
+    * the gate fixture can't show. */
+  def urlGateOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val pathWord = element_at(
+      array(lit("news"), lit("blog"), lit("casino"),
+        lit("download"), lit("poker"), lit("docs")),
+      (col("doc_id") % 6).cast("int") + 1)
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"), col("lang"), lit("."),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit("-site.com"),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), pathWord, lit("-"), (col("doc_id") % 97).cast("string"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&ref="), (col("doc_id") % 13).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("?ref="), (col("doc_id") % 13).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val withHead = docs
+      .select(col("doc_id"), nofrag.as("nofrag"))
+      .withColumn("head", lower(regexp_extract(col("nofrag"), "^[^/]+://[^/]+", 0)))
+    val norm = withHead.select(
+      col("doc_id"),
+      concat(
+        regexp_replace(col("head"), ":443$", ""),
+        regexp_replace(
+          regexp_replace(
+            col("nofrag").substr(length(col("head")) + 1, length(col("nofrag"))),
+            "utm_[a-z_]+=[^&#]*&?", ""),
+          "[?&]$", "")).as("url_norm"),
+      regexp_extract(regexp_replace(col("head"), ":443$", ""),
+        "[^./:]+\\.[^./:]+$", 0).as("domain"))
+    val scored = norm.withColumn("bad_hits",
+      (when(col("url_norm").contains("casino"), 1).otherwise(0) +
+        when(col("url_norm").contains("poker"), 1).otherwise(0) +
+        when(col("url_norm").contains("bet365"), 1).otherwise(0)).cast("int"))
+    // broadcast probe against the domain blocklist: the literal frame
+    // stands in for a UT1-scale table — the corpus side never shuffles
+    val blocklist = broadcast(s.createDataFrame(
+      Seq("src3-site.com", "src7-site.com", "src13-site.com").map(Tuple1.apply))
+      .toDF("domain").withColumn("bl", lit(1)))
+    scored.join(blocklist, Seq("domain"), "left")
+      .select(col("doc_id"), col("url_norm"), col("domain"), col("bad_hits"),
+        (col("bl").isNotNull || col("bad_hits") >= 1).cast("int").as("blocked"))
+  }
+
+  private val url1 = withOracle("url1_url_filter",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |         lang || '.' ||
+      |         (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+      |         '-site.com' ||
+      |         (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || '/' ||
+      |         (CASE CAST(doc_id % 6 AS INT)
+      |            WHEN 0 THEN 'news' WHEN 1 THEN 'blog' WHEN 2 THEN 'casino'
+      |            WHEN 3 THEN 'download' WHEN 4 THEN 'poker' ELSE 'docs' END) ||
+      |         '-' || (doc_id % 97) ||
+      |         (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || (doc_id % 13)
+      |               WHEN doc_id % 4 = 2 THEN '?ref=' || (doc_id % 13)
+      |               ELSE '' END) ||
+      |         (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |sp AS (
+      |  SELECT doc_id, nofrag,
+      |         lower(regexp_extract(nofrag, '^[^/]+://[^/]+')) AS head
+      |  FROM n1),
+      |norm AS (
+      |  SELECT doc_id,
+      |         regexp_replace(head, ':443$', '') ||
+      |         regexp_replace(regexp_replace(substr(nofrag, length(head) + 1),
+      |                                       'utm_[a-z_]+=[^&#]*&?', ''),
+      |                        '[?&]$', '') AS url_norm,
+      |         regexp_extract(regexp_replace(head, ':443$', ''),
+      |                        '[^./:]+\.[^./:]+$') AS domain
+      |  FROM sp),
+      |scored AS (
+      |  SELECT doc_id, url_norm, domain,
+      |         CAST((CASE WHEN contains(url_norm, 'casino') THEN 1 ELSE 0 END) +
+      |              (CASE WHEN contains(url_norm, 'poker') THEN 1 ELSE 0 END) +
+      |              (CASE WHEN contains(url_norm, 'bet365') THEN 1 ELSE 0 END)
+      |              AS INT) AS bad_hits
+      |  FROM norm)
+      |SELECT doc_id, url_norm, domain, bad_hits,
+      |       CAST((domain IN ('src3-site.com', 'src7-site.com', 'src13-site.com')
+      |             OR bad_hits >= 1) AS INT) AS blocked
+      |FROM scored""".stripMargin) { (s, dir) =>
+    urlGateOf(Tables(s, dir, "documents").select("doc_id", "lang", "source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cur1, rp1, rp2, ck1, cur2, rp3, rp4, cur3, url1)
 }

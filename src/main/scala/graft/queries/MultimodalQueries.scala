@@ -97,6 +97,68 @@ object MultimodalQueries {
         col("duration_ms"), col("n_tracks"))
   }
 
+  /** MM6 header-only image dimensions — the metadata FAST PATH: the same
+    * generated PNGs mm2 fully decodes, answered by parsing container
+    * headers alone (fixed-offset byte reads, no pixel ever decoded; see
+    * graft.ext.Multimodal.parseImageHeader). At 100 TB this is the pass
+    * that bins an image corpus by size/format at header-bytes cost,
+    * reserving mm2's decode for slivers that need pixels. The oracle
+    * recomputes the generation parameters in SQL — same round-trip
+    * discipline as mm2, exercising the independent header path. */
+  private val mm6Header = withOracle("mm6_image_header",
+    """SELECT doc_id,
+      |       'png' AS format,
+      |       CAST(4 + doc_id % 29 AS INT) AS width,
+      |       CAST(4 + (doc_id * 7) % 23 AS INT) AS height
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.extractHeaderMeta(Multimodal.asGeneratedImages(s, dir)).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"))
+  }
+
+  /** MMD1 perceptual image near-dup — d4's SimHash discipline applied to
+    * the PIXEL domain: 64-bit dHash per image (real decode + bilinear
+    * 9×8 downscale), then candidate pairs from an equi-join on each of
+    * the four 16-bit hash bands. Pigeonhole makes the banding EXACT for
+    * the Hamming ≤ 3 verify threshold (3 differing bits can touch at most
+    * 3 of 4 disjoint bands, so some band always matches — recall 1.0 by
+    * construction, pinned against brute force in ExtSpec). The corpus is
+    * the planted-near-dup PNG fixture: family texture + per-copy pixel
+    * ripple, so matches exist only through the decoded pixels — DuckDB
+    * cannot express this, hence rows-only with the ExtSpec anchor.
+    * Scale shape: one narrow (doc_id, hash) frame, four equi-joins on
+    * 16-bit keys — bucketed candidates, never an all-pairs cross. */
+  /** Candidate-pair join over a (doc_id, hash) frame of 64-bit perceptual
+    * hashes: equi-join on each 16-bit band, verify by Hamming distance.
+    * Factored so Diag can measure it at corpus sizes the gate fixture
+    * can't show. `maxHamming` ≤ 3 keeps the pigeonhole exactness. */
+  def dHashPairs(hashes: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("hash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("hash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("hash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("hash").as("hash_a"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("hash").as("hash_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b") // a pair may match in several bands
+  }
+
+  private val mmd1ImageNearDup = rowsOnly("mmd1_image_neardup") { (s, dir) =>
+    import s.implicits._
+    val hashes = Multimodal.asNearDupImages(s, dir)
+      .mapPartitions(_.flatMap(r => Multimodal.dHash(r.media).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "hash")
+    dHashPairs(hashes)
+  }
+
   /** X10 instance fan-out: clone each series for N instances with a
     * templated label (faker.go:106-151) — explode, no custom generator.
     * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
@@ -114,5 +176,5 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, mm4Audio,
-    mm5Video, x10Fanout)
+    mm5Video, mm6Header, mmd1ImageNearDup, x10Fanout)
 }

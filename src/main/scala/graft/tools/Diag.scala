@@ -45,6 +45,10 @@ object Diag {
       newOps(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("newops2")) {
+      newOps2(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("lines")) {
       lineScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -338,6 +342,77 @@ object Diag {
     println(f"[newops] warc gz write      n=$nW%,d: $tWw%.1f s ($mb%.0f MB on disk)")
     println(f"[newops] warc gz read       n=$nW%,d: $tWr%.1f s (${nW / tWr / 1e6}%.2f M recs/s)")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  /** Late-round-9 additions at corpus scale: mm6 header-only metadata vs
+    * mm2 full decode over the SAME real-PNG corpus (the fast-path claim,
+    * measured not asserted), mmd1 dHash + banded pair join, url1 URL-gate
+    * normalization, and the JSONL gzip export/read round trip (vs the WARC
+    * numbers in `newops`). The image corpus is materialized to parquet
+    * once so every timed pass pays one scan, not the PNG encode. */
+  private def newOps2(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.Multimodal
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_diag_newops2").toString
+    // ~10 copies per family: within-family candidate blocks stay bounded
+    // (the real knob at 100 TB is the same — family sizes, not corpus size)
+    val families = math.max(50L, n / 10)
+    val nImg = math.min(n, 1_000_000L)
+    val gen = time {
+      spark.range(nImg).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticNearDupPng(id, families.toInt))))
+        .toDF().write.mode("overwrite").parquet(s"$tmp/media")
+    }
+    val media = spark.read.parquet(s"$tmp/media").as[Multimodal.MediaRow]
+    val mb = {
+      val s0 = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp, "media"))
+      try s0.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size(_)).sum() / 1e6
+      finally s0.close()
+    }
+    println(f"[newops2] media corpus      n=$nImg%,d real PNGs, $mb%.0f MB parquet (gen $gen%.1f s)")
+
+    val tHdr = time(sink(Multimodal.extractHeaderMeta(media).toDF()))
+    val tDec = time(sink(Multimodal.extractFeatures(media).toDF()))
+    println(f"[newops2] mm6 header-only   n=$nImg%,d: $tHdr%.1f s (${nImg / tHdr / 1e6}%.2f M imgs/s)")
+    println(f"[newops2] mm2 full decode   n=$nImg%,d: $tDec%.1f s (${nImg / tDec / 1e6}%.2f M imgs/s, ${tDec / tHdr}%.1fx header cost)")
+
+    val hashes = media
+      .mapPartitions(_.flatMap(r => Multimodal.dHash(r.media).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "hash")
+    val tHash = time(sink(hashes))
+    hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
+    val hframe = spark.read.parquet(s"$tmp/hashes")
+    var nPairs = -1L
+    val tPairs = time {
+      nPairs = graft.queries.MultimodalQueries.dHashPairs(hframe).count()
+    }
+    println(f"[newops2] mmd1 dHash        n=$nImg%,d: $tHash%.1f s (${nImg / tHash / 1e6}%.2f M imgs/s)")
+    println(f"[newops2] mmd1 band join    n=$nImg%,d: $tPairs%.1f s ($nPairs%,d pairs)")
+
+    val langs = array(lit("en"), lit("fr"), lit("es"), lit("zh"), lit("de"))
+    val docsMeta = spark.range(n).select(col("id").as("doc_id"),
+      element_at(langs, pmod(col("id"), lit(5)).cast("int") + 1).as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+    val tUrl = time(sink(graft.queries.CurationQueries.urlGateOf(docsMeta)))
+    println(f"[newops2] url1 gate         n=$n%,d: $tUrl%.1f s (${n / tUrl / 1e6}%.2f M urls/s)")
+
+    val nW = math.min(n, 200_000L)
+    val base = concat_ws(" ", transform(sequence(lit(1), lit(60)),
+      i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val jdocs = spark.range(nW).select(col("id").as("doc_id"), base.as("text"))
+    val tJw = time(graft.sources.Jsonl.write(jdocs, s"$tmp/jsonl", shards = 32))
+    val tJr = time(sink(graft.sources.Jsonl.read(spark, s"$tmp/jsonl", jdocs.schema)))
+    val jmb = new java.io.File(s"$tmp/jsonl").listFiles().map(_.length()).sum / 1e6
+    println(f"[newops2] jsonl gz write    n=$nW%,d: $tJw%.1f s ($jmb%.0f MB on disk)")
+    println(f"[newops2] jsonl gz read     n=$nW%,d: $tJr%.1f s (${nW / tJr / 1e6}%.2f M recs/s)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   /** Line-granularity curation family (t10 C4 clean, d13 duplicated-line

@@ -326,6 +326,34 @@ object Smoke {
           try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
         })
     }
+    // r9: header-only fast path vs real decode, perceptual near-dup pairs
+    locally {
+      val png = graft.ext.Multimodal.syntheticPng(17L)
+      val Some((fmt, hw, hh)) = graft.ext.Multimodal.parseImageHeader(png)
+      println(s"IMG-HEADER: $fmt ${hw}x$hh (header bytes only, no pixel decode)")
+      val pairs = graft.SparkEntry.queries("mmd1_image_neardup")(spark, "/root/testdata/sf0.001")
+      println(s"IMG-NEARDUP: ${pairs.count()} perceptual pairs; sample:")
+      pairs.orderBy($"doc_a", $"doc_b").show(3, false)
+    }
+
+    // r9: URL gate — normalize + blocklist + word filter, zero corpus shuffle
+    locally {
+      val g = graft.SparkEntry.queries("url1_url_filter")(spark, "/root/testdata/sf0.001")
+      val blocked = g.where($"blocked" === 1).count()
+      println(s"URL-GATE: ${g.count()} urls, $blocked blocked; sample:")
+      g.orderBy($"doc_id").show(3, false)
+    }
+
+    // r9: JSONL interchange — full-schema shard round trip on ShardIO
+    locally {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("smoke_jsonl_").toString
+      graft.sources.Jsonl.write(docs, dir, shards = 3)
+      val back = graft.sources.Jsonl.read(spark, dir, docs.schema)
+      println(s"JSONL: ${back.count()} docs over " +
+        new java.io.File(dir).listFiles().count(_.getName.endsWith(".jsonl.gz")) +
+        s" gz shards, committed=${graft.sources.Jsonl.committed(spark, dir)}")
+    }
     spark.stop()
   }
 }

@@ -1092,6 +1092,80 @@ class ExtSpec extends AnyFunSuite {
     assert(w.toSeq === w2.toSeq)
   }
 
+  test("header-only image parse: dims match the real decode across PNG/JPEG/GIF/BMP") {
+    // the mm6 contract: on any byte string BOTH paths decode, the header
+    // walk and the full pixel decode must agree on dimensions — the fast
+    // path answers the same question at header-bytes cost
+    for (id <- Seq(0L, 1L, 17L, 255L, 10007L)) {
+      val png = Multimodal.syntheticPng(id)
+      val Some((fmt, w, h)) = Multimodal.parseImageHeader(png)
+      val Some((dw, dh, _, _)) = Multimodal.decodeImage(png)
+      assert((fmt, w, h) === (("png", dw, dh)), s"id=$id")
+    }
+    val src = new java.awt.image.BufferedImage(
+      23, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 11; x <- 0 until 23) src.setRGB(x, y, (x * 11 + y) << 8)
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos), s"writer for $fmt")
+      val bytes = bos.toByteArray
+      val Some((pf, w, h)) = Multimodal.parseImageHeader(bytes)
+      val Some((dw, dh, _, _)) = Multimodal.decodeImage(bytes)
+      assert((w, h) === ((dw, dh)), s"$fmt dims: header ($w,$h) vs decode ($dw,$dh)")
+      assert(pf === (if (fmt == "jpg") "jpeg" else fmt))
+    }
+    // truncation mid-header and non-image payloads decline — the Dataset
+    // operator stays total via the stub fallback
+    assert(Multimodal.parseImageHeader(Multimodal.syntheticPng(3L).take(20)).isEmpty)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", jbos)
+    assert(Multimodal.parseImageHeader(jbos.toByteArray.take(4)).isEmpty)
+    assert(Multimodal.parseImageHeader("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray).isEmpty)
+  }
+
+  test("dHash: equal for identical pixels, near for planted copies, far across families") {
+    val families = 50
+    // identical bytes → identical hash (trivially), but also: a family
+    // PRIMARY and its re-encode agree bit-for-bit
+    val base0 = Multimodal.syntheticNearDupPng(0L, families)
+    assert(Multimodal.dHash(base0) === Multimodal.dHash(base0.clone()))
+    // planted near-dup copies stay within the mmd1 verify threshold
+    for (id <- Seq(50L, 100L, 207L, 363L, 499L)) {
+      val fam = id % families
+      val ham = java.lang.Long.bitCount(
+        Multimodal.dHash(Multimodal.syntheticNearDupPng(fam, families)).get ^
+          Multimodal.dHash(Multimodal.syntheticNearDupPng(id, families)).get)
+      assert(ham <= 3, s"id=$id vs family base: hamming $ham")
+    }
+    // unrelated family textures land ~32 bits apart — far above threshold
+    val hashes = (0L until 10L).map(f =>
+      Multimodal.dHash(Multimodal.syntheticNearDupPng(f, families)).get)
+    for (i <- hashes.indices; j <- hashes.indices if i < j) {
+      val ham = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+      assert(ham > 3, s"families $i,$j too close: $ham")
+    }
+    // non-image payloads decline
+    assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mmd1 band join equals brute-force Hamming<=3 pairs (pigeonhole recall 1.0)") {
+    val got = graft.SparkEntry.queries("mmd1_image_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent brute force over the same fixture's hashes
+    val hs = (0L until 500L).map(id =>
+      id -> Multimodal.dHash(Multimodal.syntheticNearDupPng(id, 50)).get)
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain perceptual near-dups")
+    assert(got === brute, "4x16-bit banding must have exact recall at t=3")
+    // perceptual near-dups only occur within a planted family — a
+    // cross-family match would mean the hash stopped discriminating
+    got.foreach { case (a, b) => assert(a % 50 === b % 50, s"cross-family pair ($a,$b)") }
+  }
+
   test("bottom_k plans as ObjectHashAggregate with partial aggregation (no all-rows exchange)") {
     val df = spark.range(0, 1000, 1, 8)
       .select((col("id") % 5).as("g"), col("id").as("vec_id"), rand(7).as("s"))

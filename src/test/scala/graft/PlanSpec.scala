@@ -316,6 +316,22 @@ class PlanSpec extends AnyFunSuite {
       s"t10 must not plan a Filter operator:\n$p")
   }
 
+  test("url1 URL gate: broadcast blocklist probe, corpus never shuffles") {
+    val p = plan("url1_url_filter")
+    assert(p.contains("BroadcastHashJoin"), s"blocklist must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the only exchange allowed is the broadcast of the blocklist itself —
+    // the corpus side is a pure codegen string-expression projection
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"url1 must not shuffle the corpus:\n$p")
+  }
+
+  test("mm6 header metadata is map-only (the header-bytes fast path)") {
+    val p = plan("mm6_image_header")
+    assert(!p.contains("Exchange"), s"mm6 must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Sort"))
+  }
+
   test("s4 quantization is map-only: no exchange, no join, no sort") {
     val p = plan("s4_quantize_int8")
     assert(!p.contains("Exchange"), s"s4 must not shuffle:\n$p")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model._
-import graft.sources.{DocShards, Exposition, PromFile, Prompb, Warc}
+import graft.sources.{DocShards, Exposition, Jsonl, PromFile, Prompb, Warc}
 import graft.storage.ParquetStore
 import graft.streaming.Ingest
 import org.apache.spark.sql.{Row, SparkSession}
@@ -165,6 +165,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(members >= orig.size, s"expected ≥${orig.size} gzip members, found $members")
     val inflated = Warc.inflate(raw)
     assert(Warc.parseAll(inflated).size === orig.size)
+  }
+
+  test("jsonl: full-schema export round-trips plain and gzip with deterministic bytes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val orig = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    for (gzip <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_jsonl_$gzip").toString
+      Jsonl.write(docs, dir, shards = 3, gzip = gzip)
+      assert(Jsonl.committed(spark, dir))
+      assert(!new java.io.File(dir, "_temporary").exists())
+      val back = Jsonl.read(spark, dir, docs.schema)
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        docs.schema.map(f => (f.name, f.dataType)),
+        "schema survives the JSON round trip (nullability aside)")
+      val backMap = back.collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(backMap === orig, s"round-trip mismatch (gzip=$gzip)")
+      // deterministic bytes: a re-export (= a task retry) is byte-identical
+      val dir2 = java.nio.file.Files.createTempDirectory(s"graft_jsonl2_$gzip").toString
+      Jsonl.write(docs, dir2, shards = 3, gzip = gzip)
+      def bytesOf(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      assert(bytesOf(dir) === bytesOf(dir2))
+    }
+    // line framing survives text with embedded newlines/quotes (to_json
+    // escapes them — a raw newline in a payload must NOT split a record)
+    import spark.implicits._
+    val tricky = Seq((1L, "line one\nline two\t\"quoted\""), (2L, "plain"))
+      .toDF("doc_id", "text")
+    val tdir = java.nio.file.Files.createTempDirectory("graft_jsonl_esc").toString
+    Jsonl.write(tricky, tdir, shards = 1)
+    val tback = Jsonl.read(spark, tdir, tricky.schema).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tback === Map(1L -> "line one\nline two\t\"quoted\"", 2L -> "plain"))
   }
 
   test("warc: torn shard fails loudly, skips non-conversion records") {
