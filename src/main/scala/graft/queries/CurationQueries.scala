@@ -452,6 +452,15 @@ object CurationQueries {
     * collapses each task to ≤ labels×dims rows), then everything
     * downstream operates on ≤ labels×dims rows — the s5 shape with the
     * cosine folded from per-dimension sums, never a list rebuilt. */
+  /** Per-label base centroids as arrays — the batch-side artifact
+    * [[graft.streaming.DocStream.embeddingDriftCard]] broadcasts (rp4's
+    * base half, shaped for the live card). One bounded aggregation:
+    * dim avg-partials per label, map-side combine, labels×1 rows out. */
+  def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame =
+    embeddings.groupBy("label").agg(
+      array((0 until dim).map(i =>
+        avg(col("embedding")(i).cast("double"))): _*).as("cb"))
+
   private val rp4 = withOracle("rp4_embedding_drift",
     """WITH u AS (
       |  SELECT label, vec_id % 10 >= 8 AS is_new,

@@ -42,6 +42,49 @@ object DocStream {
       .select(col("lang"), size(filter(col("cs"), c => c <= col("t"))).as("b"))
       .groupBy("lang", "b").agg(count(lit(1)).as("n"))
 
+  /** Streaming EMBEDDING-drift card — rp4's live analogue (the
+    * representation axis the token-length PSI of [[driftCard]] can't
+    * see): the BASE snapshot's per-label centroids are computed
+    * batch-side ([[graft.queries.CurationQueries.labelCentroids]]) and
+    * broadcast; each arriving (label, embedding) row joins its base
+    * centroid MAP-SIDE and reduces to scalars-plus-dimension-sums, and
+    * ONE streaming aggregation per label folds them — state is
+    * labels × (dim + 3) numbers, bounded by schema, not stream volume.
+    *
+    * The shape dodges Spark's no-chained-streaming-aggregations rule:
+    * cosine/L2 between the base centroid `cb` and the RUNNING new
+    * centroid `Σx/n` decompose over per-row quantities —
+    * `cb·(Σx/n) = (Σ cb·x)/n` (a per-row dot product, summed), `|cb|`
+    * rides the grouping key, and `|Σx|` needs the per-dimension sums
+    * `s_i` — so everything after the single groupBy is a stateless
+    * projection: `l2² = |cb|² − 2·dotsum/n + |Σx/n|²`. Complete/update
+    * output; the card converges on batch rp4 for the same rows
+    * (StreamingSpec parity, FP-reassociation tolerance). */
+  def embeddingDriftCard(stream: DataFrame, baseCentroids: DataFrame,
+      dim: Int): DataFrame = {
+    val dot = aggregate(zip_with(col("x"), col("cb"),
+      (a, b) => a * b), lit(0d), (acc, v) => acc + v)
+    val nb2 = aggregate(col("cb"), lit(0d), (acc, v) => acc + v * v)
+    val perRow = stream
+      .join(broadcast(baseCentroids), "label") // stream-static, pre-agg
+      .select(col("label"), transform(col("embedding"), _.cast("double")).as("x"),
+        col("cb"))
+      .select(col("label"), dot.as("dot"), nb2.as("nb2"), col("x"))
+    val sums = (0 until dim).map(i => sum(col("x")(i)).as(s"s$i"))
+    // nb2 in the grouping key: functionally dependent on label, and it
+    // keeps the post-agg step a pure projection (no second agg, no join)
+    val aggCols = Seq(sum(col("dot")).as("dotsum")) ++ sums
+    val g = perRow.groupBy(col("label"), col("nb2"))
+      .agg(count(lit(1)).as("n_new"), aggCols: _*)
+    val sn2 = (0 until dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _)
+    g.select(col("label"), col("n_new"),
+      (col("dotsum") / col("n_new") /
+        (sqrt(col("nb2")) * (sqrt(sn2) / col("n_new")))).as("centroid_cos"),
+      sqrt(greatest(lit(0d),
+        col("nb2") - lit(2d) * col("dotsum") / col("n_new") +
+          sn2 / (col("n_new") * col("n_new")))).as("centroid_l2"))
+  }
+
   /** Streaming decontamination gate — d7/d8's streaming front: arriving
     * documents probe the benchmark's Bloom filter (built once batch-side
     * with `bloom_agg` over the SAME 4-gram kernel d7/d8 use) map-side via

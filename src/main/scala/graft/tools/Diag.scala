@@ -396,6 +396,34 @@ object Diag {
     println(f"[newops2] mmd1 dHash        n=$nImg%,d: $tHash%.1f s (${nImg / tHash / 1e6}%.2f M imgs/s)")
     println(f"[newops2] mmd1 band join    n=$nImg%,d: $tPairs%.1f s ($nPairs%,d pairs)")
 
+    // the header path's advantage scales with PIXELS (decode ∝ w·h, header
+    // flat): the 36×32 fixture above understates it, so measure once at a
+    // realistic web-image size too
+    val nBig = math.min(n / 50, 20_000L)
+    spark.range(nBig).as[Long].mapPartitions(_.map { id =>
+      val img = new java.awt.image.BufferedImage(
+        256, 192, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < 192) {
+        var x = 0
+        while (x < 256) {
+          raster.setSample(x, y, 0,
+            (graft.ext.ExtOps.splitmix64(id * 193L + x / 16 + (y / 16) * 16) & 0xff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, bos.toByteArray)
+    }).toDF().write.mode("overwrite").parquet(s"$tmp/media_big")
+    val mediaBig = spark.read.parquet(s"$tmp/media_big").as[Multimodal.MediaRow]
+    val tHdrB = time(sink(Multimodal.extractHeaderMeta(mediaBig).toDF()))
+    val tDecB = time(sink(Multimodal.extractFeatures(mediaBig).toDF()))
+    println(f"[newops2] mm6 header 256px  n=$nBig%,d: $tHdrB%.1f s (${nBig / tHdrB / 1e3}%.0f k imgs/s)")
+    println(f"[newops2] mm2 decode 256px  n=$nBig%,d: $tDecB%.1f s (${nBig / tDecB / 1e3}%.0f k imgs/s, ${tDecB / tHdrB}%.1fx header cost)")
+
     val langs = array(lit("en"), lit("fr"), lit("es"), lit("zh"), lit("de"))
     val docsMeta = spark.range(n).select(col("id").as("doc_id"),
       element_at(langs, pmod(col("id"), lit(5)).cast("int") + 1).as("lang"),

@@ -344,6 +344,27 @@ object Smoke {
       g.orderBy($"doc_id").show(3, false)
     }
 
+    // r9: live embedding-drift card — base centroids broadcast, one
+    // streaming agg, state bounded by labels x dim
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val base = graft.queries.CurationQueries.labelCentroids(
+        emb.where($"vec_id" % 10 < 8), dim = 64)
+      val st = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Seq[Float])]
+      val q = graft.streaming.DocStream.embeddingDriftCard(
+          st.toDF().select($"_1".as("label"), $"_2".as("embedding")), base, dim = 64)
+        .writeStream.format("memory").queryName("smoke_embdrift")
+        .outputMode("complete").start()
+      st.addData(emb.where($"vec_id" % 10 >= 8).select("label", "embedding")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      println("EMB-DRIFT: " + spark.table("smoke_embdrift").collect()
+        .map(r => f"${r.getInt(0)}:cos=${r.getDouble(2)}%.4f").sorted.take(4).mkString(", "))
+      q.stop()
+    }
+
     // r9: JSONL interchange — full-schema shard round trip on ShardIO
     locally {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -215,6 +215,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming JSONL ingestion: shards parsed as they land, each exactly once") {
+    import graft.sources.Jsonl
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 === 1)
+    val landing = java.nio.file.Files.createTempDirectory("graft_jsonl_land").toFile
+    def deliver(batch: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_jsonl_stage_$tag").toFile
+      Jsonl.write(batch, tmp.toString, shards = 2)
+      tmp.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(landing, s"part-$tag-${f.getName.stripPrefix("part-")}").toPath)
+      }
+    }
+    deliver(half1, "a")
+    val q = Jsonl.readStream(spark, landing.toString, docs.schema)
+      .writeStream.format("memory").queryName("jsonl_stream_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("jsonl_stream_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(after1 === half1.collect().map(_.getLong(0)).toSet)
+      deliver(half2, "b")
+      q.processAllAvailable()
+      val after2 = spark.table("jsonl_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      assert(after2.length === docs.count())
+      val orig = docs.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      after2.foreach { case (id, text) => assert(orig(id) === text) }
+    } finally q.stop()
+  }
+
   test("streaming classifier gate scores exactly as the batch scorer (frozen weights)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -777,6 +811,50 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
       assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("streaming embedding-drift card converges on batch rp4 for the same rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = 64
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // base centroids snapshot batch-side (what a deployment broadcasts)
+    val base = graft.queries.CurationQueries.labelCentroids(
+      emb.where(col("vec_id") % 10 < 8), dim)
+    // expectation: batch rp4 over the identical base/new split
+    val expected = graft.SparkEntry.queries("rp4_embedding_drift")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val fresh = emb.where(col("vec_id") % 10 >= 8)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Int, Seq[Float])]
+    val df = stream.toDF().select(
+      col("_1").as("label"), col("_2").as("embedding"))
+    val q = graft.streaming.DocStream.embeddingDriftCard(df, base, dim)
+      .writeStream.format("memory").queryName("emb_drift")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = fresh.splitAt(fresh.length / 2)
+      stream.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("emb_drift").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (label, (n, cos, l2)) =>
+        val (en, ecos, el2) = expected(label)
+        assert(n === en, s"label $label n_new")
+        // rp4 rounds to 6 dp; the card sums in a different order — compare
+        // at the rounding's own resolution
+        assert(math.abs(cos - ecos) < 2e-6, s"label $label cos $cos vs $ecos")
+        assert(math.abs(l2 - el2) < 2e-6, s"label $label l2 $l2 vs $el2")
+      }
+      // state contract: the card is labels×1 rows, schema-bounded
+      assert(got.size <= 10)
     } finally q.stop()
   }
 
