@@ -151,11 +151,21 @@ object MultimodalQueries {
       .dropDuplicates("doc_a", "doc_b") // a pair may match in several bands
   }
 
+  private val dHashCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, Long)]()
+
   private val mmd1ImageNearDup = rowsOnly("mmd1_image_neardup") { (s, dir) =>
     import s.implicits._
-    val hashes = Multimodal.asNearDupImages(s, dir)
-      .mapPartitions(_.flatMap(r => Multimodal.dHash(r.media).map(h => (r.doc_id, h))))
-      .toDF("doc_id", "hash")
+    // PERSIST the hash table before the band self-join: both join sides
+    // read it, and without the persist each side re-runs the decode +
+    // resample scan — 2x the dominant cost (the d2 signature-table
+    // discipline; at 100 TB the hash column is write-side anyway)
+    val hashes = graft.queries.DedupQueries.memoizedPersisted(dHashCache, s, dir) {
+      Multimodal.asNearDupImages(s, dir)
+        .mapPartitions(_.flatMap(r => Multimodal.dHash(r.media).map(h => (r.doc_id, h))))
+        .toDF("doc_id", "hash")
+    }
     dHashPairs(hashes)
   }
 

@@ -1166,6 +1166,22 @@ class ExtSpec extends AnyFunSuite {
     got.foreach { case (a, b) => assert(a % 50 === b % 50, s"cross-family pair ($a,$b)") }
   }
 
+  test("image near-dup pairs feed the standard keeper election (cross-modal compose)") {
+    // the dedup machinery is modality-agnostic: mmd1's perceptual pairs
+    // drop into d6's connected-component keeper election unchanged. The
+    // planted fixture makes the expectation exact: every family's pairs
+    // form a complete graph, so each family elects its min doc_id — which
+    // is the family id itself (ids 0..49 are the family primaries)
+    val pairs = graft.SparkEntry.queries("mmd1_image_neardup")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val keep = graft.queries.DedupQueries.keepList(pairs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep.size === 500)
+    keep.foreach { case (doc, keeper) =>
+      assert(keeper === doc % 50, s"doc $doc elected $keeper") }
+  }
+
   test("bottom_k plans as ObjectHashAggregate with partial aggregation (no all-rows exchange)") {
     val df = spark.range(0, 1000, 1, 8)
       .select((col("id") % 5).as("g"), col("id").as("vec_id"), rand(7).as("s"))

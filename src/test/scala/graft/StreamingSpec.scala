@@ -814,6 +814,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("url gate is streaming-safe: per-row projection + stream-static broadcast probe") {
+    // url1 is stateless (codegen projection + broadcast blocklist join),
+    // so the SAME function runs unchanged on a stream — the front gate a
+    // crawl landing dir flows through before the stateful dedup ladder
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "source")
+    val expected = graft.queries.CurationQueries.urlGateOf(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().select(
+      col("_1").as("doc_id"), col("_2").as("lang"), col("_3").as("source"))
+    val q = graft.queries.CurationQueries.urlGateOf(df)
+      .writeStream.format("memory").queryName("url_gate_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      stream.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("url_gate_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming embedding-drift card converges on batch rp4 for the same rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -265,6 +265,36 @@ class ToolsSpec extends AnyFunSuite {
       .where(col("bucket_ms") < cut).count() === 0)
   }
 
+  test("curate driver: one run leaves the complete committed artifact set") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_t").toString
+    val r = graft.tools.Curate.run(spark, sf, out, shards = 3)
+    assert(graft.tools.Curate.committed(spark, out))
+
+    // the manifest is exactly cur2's mix
+    val manifest = graft.sources.Jsonl.read(spark, s"$out/manifest",
+      graft.SparkEntry.queries("cur2_training_mix")(spark, sf).schema)
+    val cur2 = graft.SparkEntry.queries("cur2_training_mix")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(manifest.collect().map(_.toSeq).toSet === cur2)
+    assert(r.docs === cur2.size)
+
+    // shards reconstruct the training order: (shard, rec#) walk == pos walk
+    val back = graft.sources.DocShards.read(spark, s"$out/shards")
+    val shardOrder = back.orderBy(col("shard"), col("rec_no"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val posOrder = graft.SparkEntry.queries("cur2_training_mix")(spark, sf)
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shardOrder === posOrder)
+
+    // the card rides along
+    val card = graft.sources.Jsonl.read(spark, s"$out/card",
+      graft.SparkEntry.queries("rp1_corpus_stats")(spark, sf).schema)
+    assert(card.count() ===
+      graft.SparkEntry.queries("rp1_corpus_stats")(spark, sf).count())
+  }
+
   test("ext functions are SQL-registered") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
