@@ -107,6 +107,30 @@ object ExtOps {
     out
   }
 
+  /** Unicode text repair — the cleanup every web corpus needs BEFORE
+    * tokenization/hashing, so `'e'+COMBINING ACUTE` and `'é'` dedup and
+    * fingerprint identically: NFC composition, CR/CRLF → LF, then C0/C1
+    * control characters stripped (TAB and LF survive). One pass after the
+    * normalizer; the t12 oracle mirrors the chain exactly
+    * (`nfc_normalize` → replace CRLF → replace CR → regexp class strip). */
+  def unicodeClean(s: UTF8String): UTF8String = {
+    val str = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC)
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == '\r') {
+        sb.append('\n')
+        if (i + 1 < n && str.charAt(i + 1) == '\n') i += 1
+      } else if (c == '\t' || c == '\n' ||
+          !(c < 0x20 || (c >= 0x7f && c <= 0x9f))) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** The space-joined n-gram starting at word `i` — ONE definition of
     * gram-string construction (separator, join order) shared by
     * [[repetitionStats]], [[shingleSet]] and [[gramHashes]]: d2/d7
@@ -304,6 +328,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+case class UnicodeClean(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    ExtOps.unicodeClean(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.ExtOps.unicodeClean($c)")
+  override protected def withNewChildInternal(c: Expression): UnicodeClean = copy(child = c)
+  override def prettyName: String = "unicode_clean"
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
@@ -396,6 +430,8 @@ object extfunctions {
     column(SimHash64(expression(tokens)))
   def word_shingles(ws: Column, n: Int): Column =
     column(WordShingles(expression(ws), n))
+  def unicode_clean(s: Column): Column =
+    column(UnicodeClean(expression(s)))
   def repetition_stats(ws: Column, n: Int): Column =
     column(RepetitionStats(expression(ws), n))
   def rolling_fingerprint(text: Column, window: Int = 8, mod: Int = 16): Column =

@@ -111,6 +111,9 @@ object GraftFunctions {
       arity("word_shingles", a, 2)
       WordShingles(a(0), intArg("word_shingles", a(1)))
     },
+    fn("unicode_clean", classOf[UnicodeClean]) { a =>
+      arity("unicode_clean", a, 1); UnicodeClean(a(0))
+    },
     fn("repetition_stats", classOf[RepetitionStats]) { a =>
       arity("repetition_stats", a, 2)
       RepetitionStats(a(0), intArg("repetition_stats", a(1)))

@@ -554,8 +554,38 @@ object TextQueries {
     Classifier.score(docs, w)
   }
 
+  /** T12 Unicode repair — the pre-tokenization cleanup (ftfy's core job,
+    * scoped to what two engines can pin byte-exactly): NFC composition so
+    * decomposed accents dedup/fingerprint identically to their composed
+    * forms, CR/CRLF → LF, C0/C1 control strip (TAB/LF survive). Runs as a
+    * codegen `Expression` (graft.ext.UnicodeClean) — one pass per row
+    * inside whole-stage codegen, no regex per row. The fixture text is
+    * ASCII-clean, so deterministic per-doc messiness (combining accents,
+    * bell/VT/DEL controls, bare CR) is injected identically on both
+    * engines; the oracle mirrors the normalization chain with DuckDB's
+    * own nfc_normalize + replace + RE2 class strip. */
+  private val t12Unicode = withOracle("t12_unicode_clean",
+    """SELECT doc_id,
+      |       regexp_replace(
+      |         replace(replace(nfc_normalize(
+      |             'Cafe' || chr(769) || chr(7) || ' ' || text ||
+      |             (CASE CAST(doc_id % 3 AS INT)
+      |                WHEN 0 THEN chr(13) || chr(10) || 'end'
+      |                WHEN 1 THEN chr(11) || 'end' || chr(127)
+      |                ELSE chr(13) || 'e' || chr(776) || 'nd' END)),
+      |           chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+      |         '[\x01-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS cleaned
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents").select(col("doc_id"),
+      unicode_clean(concat(
+        lit("Café "), col("text"),
+        when(col("doc_id") % 3 === 0, lit("\r\nend"))
+          .when(col("doc_id") % 3 === 1, lit("end"))
+          .otherwise(lit("\rënd")))).as("cleaned"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, t9LmScore, t10C4Clean, t11Compression, fi1TopTerms,
+      t8QualityGate, t9LmScore, t10C4Clean, t11Compression, t12Unicode, fi1TopTerms,
       fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, p1PiiScrub, qc1LrQuality)
 }

@@ -1166,6 +1166,36 @@ class ExtSpec extends AnyFunSuite {
     got.foreach { case (a, b) => assert(a % 50 === b % 50, s"cross-family pair ($a,$b)") }
   }
 
+  test("unicode_clean: NFC + newline + control goldens, idempotent, codegen path") {
+    import graft.ext.extfunctions.unicode_clean
+    import spark.implicits._
+    def clean(s: String): String =
+      graft.ext.ExtOps.unicodeClean(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    // NFC: decomposed accent composes; already-composed unchanged
+    assert(clean("Café") === "Café")
+    assert(clean("Café") === "Café")
+    // newlines: CRLF and bare CR both become LF; LF/TAB survive
+    assert(clean("a\r\nb\rc\nd\te") === "a\nb\nc\nd\te")
+    // C0/C1 controls stripped (BEL, VT, DEL, C1 0x85)
+    assert(clean("xyzwv") === "xyzwv")
+    assert(clean("") === "")
+    // idempotence: a cleaned string is a fixed point
+    val messy = "Café du\r\nmonde fin\r"
+    assert(clean(clean(messy)) === clean(messy))
+    // the Expression path (codegen) agrees with the kernel
+    val viaDf = Seq(messy).toDF("s")
+      .select(unicode_clean(col("s"))).collect().head.getString(0)
+    assert(viaDf === clean(messy))
+    // local Seq frames collapse to LocalTableScan — use a Range input so
+    // the plan actually generates code
+    val plan = spark.range(2)
+      .select(unicode_clean(concat(lit(messy), col("id").cast("string"))))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in this rendering
+    assert(plan.contains("*(1) Project"), s"unicode_clean must stay in codegen:\n$plan")
+  }
+
   test("image near-dup pairs feed the standard keeper election (cross-modal compose)") {
     // the dedup machinery is modality-agnostic: mmd1's perceptual pairs
     // drop into d6's connected-component keeper election unchanged. The
