@@ -183,8 +183,13 @@ object Bench {
     // stamp observed on a healthy run of this box (r7: 222–228 ms) and
     // recorded in the artifact, so the normalization is reproducible.
     val ProbeNominalMs = 225.0
+    // true median (even-length arrays average the middle pair — the probe
+    // array is length 4, so the upper-middle shortcut would bias the
+    // normalization every run)
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
     val probeMed = median(probes.toSeq)
     val totalNorm = total * (ProbeNominalMs / probeMed)

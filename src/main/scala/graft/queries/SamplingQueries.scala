@@ -268,7 +268,12 @@ object SamplingQueries {
 
   /** pk4's layout pass over any (doc_id, cell) assignment: contiguous
     * cells, deterministic within-cell order, global `pos` permutation. */
-  def semanticOrder(assigned: DataFrame): DataFrame = {
+  def semanticOrder(assigned0: DataFrame): DataFrame = {
+    // normalize the cell type here rather than at every call site:
+    // KMeans's prediction column is IntegerType, and a caller passing it
+    // raw would otherwise hit a runtime ClassCastException in the
+    // driver-side base fold below
+    val assigned = assigned0.withColumn("cell", col("cell").cast("long"))
     val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val bases = counts.scanLeft((Long.MinValue, 0L)) {

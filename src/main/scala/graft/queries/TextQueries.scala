@@ -574,7 +574,7 @@ object TextQueries {
       |                WHEN 1 THEN chr(11) || 'end' || chr(127)
       |                ELSE chr(13) || 'e' || chr(776) || 'nd' END)),
       |           chr(13) || chr(10), chr(10)), chr(13), chr(10)),
-      |         '[\x01-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS cleaned
+      |         '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS cleaned
       |FROM documents""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents").select(col("doc_id"),
       unicode_clean(concat(

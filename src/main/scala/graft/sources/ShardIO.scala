@@ -39,13 +39,16 @@ object ShardIO {
       body(out)
       out.close()
       // commit: atomic rename onto the final name. A retry's target may
-      // exist from a prior attempt — delete-then-rename is safe because
-      // every attempt writes identical bytes (deterministic partition +
-      // sort), so whichever attempt wins, the visible shard is the same.
+      // exist from a prior attempt — and because every attempt writes
+      // identical bytes (deterministic partition + sort), an existing
+      // dest IS a completed commit: treat rename-failure-because-exists
+      // as success and discard our temp. NEVER delete-then-rename — a
+      // crash (or a killed speculative twin) between the delete and the
+      // re-rename would leave no visible shard, possibly under an
+      // already-stamped _SUCCESS.
       if (!fs.rename(tmpPath, finalPath)) {
-        fs.delete(finalPath, false)
-        if (!fs.rename(tmpPath, finalPath))
-          throw new java.io.IOException(s"commit failed: $tmpPath -> $finalPath")
+        if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+        else throw new java.io.IOException(s"commit failed: $tmpPath -> $finalPath")
       }
       renamed = true
     } finally {

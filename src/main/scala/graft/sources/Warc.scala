@@ -35,6 +35,18 @@ object Warc {
 
   private val Crlf = "\r\n"
 
+  /** FNV-1a 64 over UTF-8 bytes — deterministic doc_id for records whose
+    * provenance id is not one of our own `<urn:graft:doc:N>` exports. */
+  private def fnv64(s: String): Long = {
+    val bytes = s.getBytes(UTF_8)
+    var h = graft.core.Fingerprint.Offset64
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= graft.core.Fingerprint.Prime64; i += 1
+    }
+    h
+  }
+
   /** One WET conversion record's serialized bytes. `date` must be a
     * W3C/ISO-8601 UTC instant; fixed per export so retries are
     * byte-identical. */
@@ -130,13 +142,20 @@ object Warc {
             throw new IllegalArgumentException(s"missing record terminator at $pos")
           pos += 4
           if (headers.get("warc-type").contains("conversion")) {
+            // our own exports carry the doc_id in the record id; FOREIGN
+            // WET files (real Common Crawl: `<urn:uuid:...>`) get a
+            // deterministic FNV-1a of the id string (or of the target
+            // URI when the id header is absent) — strictness stays on
+            // STRUCTURE (framing), not on provenance conventions, so the
+            // front door ingests crawls it didn't write
+            val uri = headers.getOrElse("warc-target-uri", "")
             val id = headers.get("warc-record-id") match {
               case Some(rid) if rid.startsWith("<urn:graft:doc:") && rid.endsWith(">") =>
                 rid.stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
-              case other =>
-                throw new IllegalArgumentException(s"unrecognized record id $other")
+              case Some(rid) => fnv64(rid)
+              case None => fnv64(uri)
             }
-            nextRec = (id, headers.getOrElse("warc-target-uri", ""), payload)
+            nextRec = (id, uri, payload)
           }
         }
       }

@@ -66,7 +66,11 @@ object DocStream {
       (a, b) => a * b), lit(0d), (acc, v) => acc + v)
     val nb2 = aggregate(col("cb"), lit(0d), (acc, v) => acc + v * v)
     val perRow = stream
-      .join(broadcast(baseCentroids), "label") // stream-static, pre-agg
+      // LEFT join: a label the base snapshot never saw is the most
+      // dramatic drift event possible — it must appear on the card
+      // (n_new counted, null cosine/L2 as the novel-slice marker), not
+      // silently vanish in an inner join
+      .join(broadcast(baseCentroids), Seq("label"), "left") // stream-static, pre-agg
       .select(col("label"), transform(col("embedding"), _.cast("double")).as("x"),
         col("cb"))
       .select(col("label"), dot.as("dot"), nb2.as("nb2"), col("x"))

@@ -73,7 +73,9 @@ object EventStream {
     * ≈ 48 GB across the cluster, fine; an UNBOUNDED-key stream — e.g.
     * user_id minted per request — is not). For long-lived queries set
     * `ttlMs > 0`: a user idle past `ttlMs` of EVENT time (their last
-    * folded event + ttl, fired when the watermark passes it) is
+    * folded event + ttl, fired when the watermark — which lags max
+    * event time by ttl so in-horizon late events still fold — passes
+    * it, i.e. after between ttl and 2·ttl of idleness) is
     * evicted, and on re-emergence the funnel RESTARTS from stage 0 —
     * the conservative direction again (progress is forgotten, never
     * invented), pinned in StreamingSpec's eviction test. */
@@ -82,7 +84,15 @@ object EventStream {
       ttlMs: Long = 0L)
       : Dataset[(Long, Int)] = {
     import spark.implicits._
-    val src = if (ttlMs <= 0) stream else stream.withWatermark("ts", "0 seconds")
+    // watermark delay = ttl, NOT zero: EventTimeTimeout also applies the
+    // watermark as an input filter (FlatMapGroupsWithStateExec drops rows
+    // older than it), so a zero delay would silently discard every
+    // cross-batch out-of-order event. With delay = ttl the only events
+    // dropped are those older than the eviction horizon — state they
+    // would touch is evicted anyway, so the drop coincides with the
+    // documented TTL drift window instead of adding a new one.
+    val src = if (ttlMs <= 0) stream
+      else stream.withWatermark("ts", s"$ttlMs milliseconds")
     val timeout =
       if (ttlMs <= 0) GroupStateTimeout.NoTimeout()
       else GroupStateTimeout.EventTimeTimeout()
@@ -183,7 +193,11 @@ object EventStream {
   private def eventDays(stream: DataFrame, ttlMs: Long)
       : Dataset[(Long, Int, java.sql.Timestamp)] = {
     import stream.sparkSession.implicits._
-    val src = if (ttlMs <= 0) stream else stream.withWatermark("ts", "0 seconds")
+    // delay = ttl for the same reason as funnel's: a zero-delay watermark
+    // would drop late days at the operator input, breaking the exact
+    // re-bucket/replay contracts for anything inside the ttl horizon
+    val src = if (ttlMs <= 0) stream
+      else stream.withWatermark("ts", s"$ttlMs milliseconds")
     src.select(col("user_id").cast("long"),
       unix_date(to_date(col("ts"))).cast("int"), col("ts"))
       .as[(Long, Int, java.sql.Timestamp)]
@@ -237,7 +251,12 @@ object EventStream {
     * OVER-count, and only when a (user, day) REPLAY arrives after
     * eviction or a new day lands within 6 days of a forgotten one.
     * Choose `ttlMs` ≥ 7 days + the source's max replay lag and the
-    * drift window is empty.
+    * drift window is empty. Timing note: the input watermark lags the
+    * max event time by `ttlMs` (so in-horizon late events are never
+    * dropped at the operator input), which means the eviction deadline
+    * (last active day + ttl) actually fires once a user has been idle
+    * between `ttlMs` and `2·ttlMs` of event time — the bound is on the
+    * EARLIEST eviction, which is what the drift contract needs.
     *
     * With `ttlMs > 0` the query chains a watermarked stateful operator
     * into the running-sum aggregation, which trips Spark's conservative

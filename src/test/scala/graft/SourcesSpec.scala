@@ -224,6 +224,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(Warc.parseAll(mixed).size === 20)
   }
 
+  test("warc: foreign record ids (real CC WET shape) parse with deterministic hashed ids") {
+    def rec(headers: String, payload: String) =
+      (s"WARC/1.0\r\n$headers" +
+        s"Content-Type: text/plain\r\nContent-Length: ${payload.length}\r\n\r\n" +
+        payload + "\r\n\r\n").getBytes("UTF-8")
+    // a real Common Crawl WET conversion record carries <urn:uuid:...>
+    val foreign = rec(
+      "WARC-Type: conversion\r\nWARC-Record-ID: <urn:uuid:11ec-8a3f>\r\n" +
+        "WARC-Target-URI: https://example.org/page\r\n", "hello")
+    val out = Warc.parseAll(foreign).toList
+    assert(out.map(r => (r._2, r._3)) === List(("https://example.org/page", "hello")))
+    // deterministic: same id on every parse; distinct from a graft id
+    assert(out.head._1 === Warc.parseAll(foreign).toList.head._1)
+    // id header absent entirely: URI-derived, still deterministic
+    val noId = rec(
+      "WARC-Type: conversion\r\nWARC-Target-URI: https://example.org/p2\r\n", "world")
+    assert(Warc.parseAll(noId).toList.head._1 ===
+      Warc.parseAll(noId).toList.head._1)
+    // our own exports still round-trip their literal doc_id
+    val own = Warc.encodeRecord(42L, "https://x/y", "mine", "2026-01-01T00:00:00Z")
+    assert(Warc.parseAll(own).toList.head._1 === 42L)
+  }
+
   test("warc: Content-Length framing is immune to WARC-looking payload bytes") {
     // a payload that contains CRLFs, header-shaped lines, and a full fake
     // record head must ride through untouched — framing is length-based,

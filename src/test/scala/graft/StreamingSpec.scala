@@ -884,6 +884,14 @@ class StreamingSpec extends AnyFunSuite {
       }
       // state contract: the card is labels×1 rows, schema-bounded
       assert(got.size <= 10)
+      // a label the BASE never saw must still surface (null cosine is
+      // the novel-slice marker), not vanish in the join
+      stream.addData((99, Seq.fill(dim)(1.0f)))
+      q.processAllAvailable()
+      val novel = spark.table("emb_drift").collect().find(_.getInt(0) == 99)
+      assert(novel.isDefined, "novel label must appear on the card")
+      assert(novel.get.getLong(1) === 1L)
+      assert(novel.get.isNullAt(2), "novel label reports null cosine")
     } finally q.stop()
   }
 
@@ -1032,6 +1040,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(last1 === ((1L, 0)),
         s"evicted user must restart from stage 0, got $last1")
     } finally q.stop()
+  }
+
+  test("TTL'd cards accept cross-batch out-of-order events inside the ttl horizon") {
+    // regression: EventTimeTimeout applies the watermark as an INPUT
+    // filter, so the old zero-delay watermark silently dropped every
+    // cross-batch late event (the card under-counted and no ttl value
+    // could fix it). With delay = ttl, late events within the eviction
+    // horizon must land.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // safe-by-design check disable, same grounds as the DAU/retention TTL
+    // test: the emitted delta rows carry no event-time column
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(ck)
+    spark.conf.set(ck, "false")
+    val sevenDaysMs = 7L * 24 * 3600 * 1000
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = stream.toDF().select(col("_1").as("user_id"), col("_2").as("ts"))
+    val q = graft.streaming.EventStream.activeUsers(spark, df, ttlMs = sevenDaysMs)
+      .writeStream.format("memory").queryName("ttl_late_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData((1L, ts("2024-01-10 12:00:00")))
+      q.processAllAvailable()
+      // two days EARLIER than anything seen, delivered a batch later
+      stream.addData((2L, ts("2024-01-08 09:00:00")))
+      q.processAllAvailable()
+      val dau = spark.table("ttl_late_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dau.get("2024-01-08").contains(1L),
+        s"late in-horizon day must be counted, got $dau")
+      assert(dau.get("2024-01-10").contains(1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(ck, v)
+        case None => spark.conf.unset(ck)
+      }
+    }
   }
 
   test("DAU/retention TTL: eviction + re-emergence matches the documented drift") {
