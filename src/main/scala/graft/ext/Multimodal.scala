@@ -473,9 +473,24 @@ object Multimodal extends Serializable {
         Some(("png", beI32(16), beI32(20)))
       else if (n >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
           (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+        // LOGICAL-SCREEN dims, not the first image descriptor's: for an
+        // animated or cropped-frame GIF these can differ (ImageIO decode
+        // returns the frame's dims), so header≡decode is only guaranteed
+        // for full-screen first frames — the common case and everything
+        // ImageIO itself writes. Caveat pinned in ExtSpec.
         Some(("gif", leU16(6), leU16(8)))
-      else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M')
-        Some(("bmp", leI32(18), math.abs(leI32(22))))
+      else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+        // Only the BITMAPINFOHEADER family (DIB size 40/52/56/108/124)
+        // has i32 dims at 18/22; an OS/2 BITMAPCOREHEADER (size 12, u16
+        // dims at 18/20) would parse as one garbage i32 — require the DIB
+        // size first, and reject non-positive width, so we return None
+        // rather than violate the header≡decode contract.
+        val dib = leI32(14)
+        val w = leI32(18)
+        if ((dib == 40 || dib == 52 || dib == 56 || dib == 108 || dib == 124) && w > 0)
+          Some(("bmp", w, math.abs(leI32(22))))
+        else None
+      }
       else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
         // JPEG marker walk: every non-SOF segment is skipped by its
         // declared length; standalone markers (D0–D9, 01) carry none.

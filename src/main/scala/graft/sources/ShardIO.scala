@@ -59,14 +59,27 @@ object ShardIO {
     }
   }
 
-  /** Driver-side, before the job: clear a stale success marker so a
-    * re-export is never half-old-half-new with a `_SUCCESS` claiming
-    * otherwise. */
+  /** Driver-side, before the job: clear the stale success marker AND any
+    * prior export's shards, so a re-export into the same dir (Curate is a
+    * re-runnable CLI) can never commit a mix — a second run with fewer or
+    * renamed shards would otherwise leave the old `part-*` files in place
+    * and stamp a fresh `_SUCCESS` over old+new data. Delete order matters:
+    * the marker goes FIRST, so a crash mid-cleanup leaves an uncommitted
+    * dir, never a committed partial one. */
   def beginJob(spark: SparkSession, dir: String): SerializableConfiguration = {
     val serConf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(dir)
-    root.getFileSystem(serConf.value).delete(new Path(root, "_SUCCESS"), false)
+    val fs = root.getFileSystem(serConf.value)
+    fs.delete(new Path(root, "_SUCCESS"), false)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("part-") || n.startsWith("warc-") ||
+            n.startsWith("shard-") || n == "_temporary")
+          fs.delete(st.getPath, true)
+      }
+    }
     serConf
   }
 

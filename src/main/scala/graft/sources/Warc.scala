@@ -151,7 +151,12 @@ object Warc {
             val uri = headers.getOrElse("warc-target-uri", "")
             val id = headers.get("warc-record-id") match {
               case Some(rid) if rid.startsWith("<urn:graft:doc:") && rid.endsWith(">") =>
-                rid.stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
+                // a foreign id that merely LOOKS like ours (non-numeric or
+                // out-of-Long payload) falls back to the hash path rather
+                // than failing the shard — strictness is on framing only
+                scala.util.Try(
+                  rid.stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
+                ).getOrElse(fnv64(rid))
               case Some(rid) => fnv64(rid)
               case None => fnv64(uri)
             }

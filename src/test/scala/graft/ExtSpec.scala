@@ -1095,7 +1095,16 @@ class ExtSpec extends AnyFunSuite {
   test("header-only image parse: dims match the real decode across PNG/JPEG/GIF/BMP") {
     // the mm6 contract: on any byte string BOTH paths decode, the header
     // walk and the full pixel decode must agree on dimensions — the fast
-    // path answers the same question at header-bytes cost
+    // path answers the same question at header-bytes cost.
+    // Known caveats (header declines rather than disagreeing, except GIF):
+    //  - GIF reports LOGICAL-SCREEN dims; an animated/cropped-frame GIF's
+    //    first image descriptor can be smaller, where ImageIO's decode
+    //    returns the frame dims. ImageIO-written GIFs (this fixture) are
+    //    full-screen, so the contract holds here.
+    //  - OS/2 BITMAPCOREHEADER BMPs (DIB size 12) return None — only the
+    //    BITMAPINFOHEADER family (40/52/56/108/124) is parsed.
+    // Additionally: a BMP with a non-INFOHEADER DIB size or non-positive
+    // width must decline, not emit garbage dims (asserted below).
     for (id <- Seq(0L, 1L, 17L, 255L, 10007L)) {
       val png = Multimodal.syntheticPng(id)
       val Some((fmt, w, h)) = Multimodal.parseImageHeader(png)
@@ -1122,6 +1131,17 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader(jbos.toByteArray.take(4)).isEmpty)
     assert(Multimodal.parseImageHeader("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseImageHeader(Array.emptyByteArray).isEmpty)
+    // an OS/2 BITMAPCOREHEADER BMP (DIB size 12, u16 dims at 18/20) must
+    // decline — its u16 fields would otherwise parse as one garbage i32
+    val os2 = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    os2.put('B'.toByte).put('M'.toByte).putInt(32).putInt(0).putInt(26)
+      .putInt(12).putShort(23).putShort(11).putShort(1).putShort(24)
+    assert(Multimodal.parseImageHeader(os2.array()).isEmpty)
+    // and a claimed-INFOHEADER BMP with non-positive width declines too
+    val badW = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    badW.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      .putInt(40).putInt(0).putInt(11)
+    assert(Multimodal.parseImageHeader(badW.array()).isEmpty)
   }
 
   test("dHash: equal for identical pixels, near for planted copies, far across families") {

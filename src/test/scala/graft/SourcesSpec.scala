@@ -201,6 +201,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(tback === Map(1L -> "line one\nline two\t\"quoted\"", 2L -> "plain"))
   }
 
+  test("jsonl/shardio: re-export into the same dir leaves NO stale shards; zero-row export reads back empty") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rerun").toString
+    Jsonl.write(docs, dir, shards = 4)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) === 4)
+    // second export with FEWER shards: beginJob must clear the first run's
+    // part-* files, so a committed dir only ever holds one export's shards
+    Jsonl.write(docs, dir, shards = 1)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) === 1)
+    assert(Jsonl.committed(spark, dir))
+    assert(Jsonl.read(spark, dir, docs.schema).count() === 50)
+    // same for the WARC sink's warc-* names
+    val wdir = java.nio.file.Files.createTempDirectory("graft_warc_rerun").toString
+    val wdocs = Warc.withUrls(docs)
+    Warc.write(wdocs, wdir, shards = 3, gzip = false)
+    Warc.write(wdocs, wdir, shards = 1, gzip = false)
+    assert(new java.io.File(wdir).listFiles().count(_.getName.startsWith("warc-")) === 1)
+    assert(Warc.read(spark, wdir).count() === 50)
+    // a committed ZERO-ROW export has _SUCCESS but no shards (empty
+    // partitions are skipped) — read must return an empty frame, not throw
+    val empty = docs.filter($"doc_id" < 0)
+    val edir = java.nio.file.Files.createTempDirectory("graft_jsonl_empty").toString
+    Jsonl.write(empty, edir, shards = 2)
+    assert(Jsonl.committed(spark, edir))
+    assert(Jsonl.read(spark, edir, docs.schema).count() === 0)
+  }
+
   test("warc: torn shard fails loudly, skips non-conversion records") {
     val docs = Warc.withUrls(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20))
@@ -245,6 +273,17 @@ class SourcesSpec extends AnyFunSuite {
     // our own exports still round-trip their literal doc_id
     val own = Warc.encodeRecord(42L, "https://x/y", "mine", "2026-01-01T00:00:00Z")
     assert(Warc.parseAll(own).toList.head._1 === 42L)
+    // a foreign id that merely LOOKS like ours (non-numeric / overflowing
+    // payload inside the graft prefix) hashes instead of throwing — the
+    // tolerant path must not reintroduce a crash on provenance
+    for (fake <- Seq("<urn:graft:doc:not-a-number>",
+        "<urn:graft:doc:99999999999999999999999>", "<urn:graft:doc:>")) {
+      val r = rec(s"WARC-Type: conversion\r\nWARC-Record-ID: $fake\r\n" +
+        "WARC-Target-URI: https://example.org/f\r\n", "x")
+      val parsed = Warc.parseAll(r).toList
+      assert(parsed.size === 1, fake)
+      assert(parsed.head._1 === Warc.parseAll(r).toList.head._1, s"deterministic: $fake")
+    }
   }
 
   test("warc: Content-Length framing is immune to WARC-looking payload bytes") {
