@@ -584,8 +584,36 @@ object TextQueries {
           .otherwise(lit("\rënd")))).as("cleaned"))
   }
 
+  /** HTML1 boilerplate-stripped text extraction — the raw-crawl front
+    * door (graft.ext.HtmlText): deterministic synthetic pages carrying
+    * every boilerplate class (head/style/script/comments, an all-links
+    * nav and share bar, a too-short footer) around `1 + doc_id % 4`
+    * content paragraphs. The REAL extractor (block segmentation + entity
+    * decode + length/link-density rules) runs over the actual HTML, while
+    * the oracle recomputes the expected kept blocks from the generation
+    * parameters in SQL — the mm2 round-trip discipline applied to markup.
+    * Map-only, shuffle-free: the 100 TB shape of `warc response → text`. */
+  private val html1Extract = QueryDef.withOracle("html1_extract",
+    """WITH paras AS (
+      |  SELECT d.doc_id, i.i AS i,
+      |         'Section ' || i.i || ' of document ' || d.doc_id || ': ' ||
+      |         CASE WHEN i.i = 0 THEN 'reference link ' ELSE '' END ||
+      |         repeat('lorem ipsum dolor sit amet ',
+      |                CAST(1 + (d.doc_id + i.i) % 3 AS INT)) ||
+      |         'consectetur & adipiscing.' AS txt
+      |  FROM documents d
+      |  JOIN (SELECT unnest(range(4)) AS i) i ON i.i < 1 + d.doc_id % 4)
+      |SELECT doc_id,
+      |       CAST(count(*) AS INT) AS n_blocks,
+      |       string_agg(txt, chr(10) ORDER BY i) AS text
+      |FROM paras GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.HtmlText.extractDocs(graft.ext.HtmlText.asGeneratedPages(s, dir))
+      .toDF().select(col("doc_id"), col("n_blocks"), col("text"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
       t8QualityGate, t9LmScore, t10C4Clean, t11Compression, t12Unicode, fi1TopTerms,
-      fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, p1PiiScrub, qc1LrQuality)
+      fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, p1PiiScrub, qc1LrQuality,
+      html1Extract)
 }

@@ -47,19 +47,17 @@ object Warc {
     h
   }
 
-  /** One WET conversion record's serialized bytes. `date` must be a
-    * W3C/ISO-8601 UTC instant; fixed per export so retries are
-    * byte-identical. */
-  def encodeRecord(docId: Long, url: String, text: String,
-      date: String): Array[Byte] = {
-    val payload = text.getBytes(UTF_8)
+  /** Frame one WARC record: version + headers + length-framed payload +
+    * the spec's CRLF CRLF terminator. */
+  private def frameRecord(warcType: String, contentType: String, docId: Long,
+      url: String, date: String, payload: Array[Byte]): Array[Byte] = {
     val header =
       s"WARC/1.0$Crlf" +
-        s"WARC-Type: conversion$Crlf" +
+        s"WARC-Type: $warcType$Crlf" +
         s"WARC-Record-ID: <urn:graft:doc:$docId>$Crlf" +
         s"WARC-Date: $date$Crlf" +
         s"WARC-Target-URI: $url$Crlf" +
-        s"Content-Type: text/plain$Crlf" +
+        s"Content-Type: $contentType$Crlf" +
         s"Content-Length: ${payload.length}$Crlf" +
         Crlf
     val head = header.getBytes(UTF_8)
@@ -70,6 +68,28 @@ object Warc {
     out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
+  }
+
+  /** One WET conversion record's serialized bytes. `date` must be a
+    * W3C/ISO-8601 UTC instant; fixed per export so retries are
+    * byte-identical. */
+  def encodeRecord(docId: Long, url: String, text: String,
+      date: String): Array[Byte] =
+    frameRecord("conversion", "text/plain", docId, url, date, text.getBytes(UTF_8))
+
+  /** One WARC `response` record's serialized bytes — the RAW-crawl shape
+    * (pre-extraction HTML, what Common Crawl's `.warc.gz` holds, versus
+    * the WET `conversion` records above). Per ISO 28500 §6.3 the payload
+    * is a full HTTP message (`application/http; msgtype=response`):
+    * status line + HTTP headers + blank line + entity body. */
+  def encodeResponseRecord(docId: Long, url: String, html: String,
+      date: String): Array[Byte] = {
+    val body = html.getBytes(UTF_8)
+    val http = (s"HTTP/1.1 200 OK$Crlf" +
+      s"Content-Type: text/html; charset=utf-8$Crlf" +
+      s"Content-Length: ${body.length}$Crlf" + Crlf).getBytes(UTF_8)
+    frameRecord("response", "application/http; msgtype=response", docId, url,
+      date, http ++ body)
   }
 
   /** `bytes` as one standalone gzip member (RFC 1952; deterministic —
@@ -95,16 +115,15 @@ object Warc {
       bos.toByteArray
     } else bytes
 
-  /** Parse concatenated WARC records. Strict on structure: a truncated
-    * header, payload, or terminator throws (a torn shard must fail loudly,
-    * not pass as a smaller corpus). Records that are well-formed but not
-    * `conversion` type are skipped — real WET files interleave `warcinfo`
-    * headers. */
-  def parseAll(bytes: Array[Byte]): Iterator[(Long, String, String)] =
-    new Iterator[(Long, String, String)] {
+  /** Walk concatenated WARC records of ANY type, yielding (lowercased
+    * headers, payload). Strict on structure: a truncated header, payload,
+    * or terminator throws (a torn shard must fail loudly, not pass as a
+    * smaller corpus). The typed views below ([[parseAll]] for WET
+    * `conversion`, [[parseResponses]] for raw-crawl `response`) filter by
+    * record type — real crawls interleave `warcinfo`/`request` records. */
+  def parseRecords(bytes: Array[Byte]): Iterator[(Map[String, String], String)] =
+    new Iterator[(Map[String, String], String)] {
       private var pos = 0
-      private var nextRec: (Long, String, String) = _
-      advance()
 
       private def line(): String = {
         val start = pos
@@ -117,58 +136,74 @@ object Warc {
         s
       }
 
-      private def advance(): Unit = {
-        nextRec = null
-        while (nextRec == null && pos < bytes.length) {
-          val version = line()
-          if (!version.startsWith("WARC/"))
-            throw new IllegalArgumentException(s"expected WARC version line, got '$version'")
-          var headers = Map.empty[String, String]
-          var h = line()
-          while (h.nonEmpty) {
-            val i = h.indexOf(':')
-            if (i < 0) throw new IllegalArgumentException(s"malformed header '$h'")
-            headers += h.substring(0, i).trim.toLowerCase -> h.substring(i + 1).trim
-            h = line()
-          }
-          val len = headers.getOrElse("content-length",
-            throw new IllegalArgumentException("missing Content-Length")).toInt
-          if (pos + len + 4 > bytes.length)
-            throw new IllegalArgumentException(s"truncated payload at $pos (need $len)")
-          val payload = new String(bytes, pos, len, UTF_8)
-          pos += len
-          if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
-              bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n'))
-            throw new IllegalArgumentException(s"missing record terminator at $pos")
-          pos += 4
-          if (headers.get("warc-type").contains("conversion")) {
-            // our own exports carry the doc_id in the record id; FOREIGN
-            // WET files (real Common Crawl: `<urn:uuid:...>`) get a
-            // deterministic FNV-1a of the id string (or of the target
-            // URI when the id header is absent) — strictness stays on
-            // STRUCTURE (framing), not on provenance conventions, so the
-            // front door ingests crawls it didn't write
-            val uri = headers.getOrElse("warc-target-uri", "")
-            val id = headers.get("warc-record-id") match {
-              case Some(rid) if rid.startsWith("<urn:graft:doc:") && rid.endsWith(">") =>
-                // a foreign id that merely LOOKS like ours (non-numeric or
-                // out-of-Long payload) falls back to the hash path rather
-                // than failing the shard — strictness is on framing only
-                scala.util.Try(
-                  rid.stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
-                ).getOrElse(fnv64(rid))
-              case Some(rid) => fnv64(rid)
-              case None => fnv64(uri)
-            }
-            nextRec = (id, uri, payload)
-          }
+      override def hasNext: Boolean = pos < bytes.length
+      override def next(): (Map[String, String], String) = {
+        val version = line()
+        if (!version.startsWith("WARC/"))
+          throw new IllegalArgumentException(s"expected WARC version line, got '$version'")
+        var headers = Map.empty[String, String]
+        var h = line()
+        while (h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i < 0) throw new IllegalArgumentException(s"malformed header '$h'")
+          headers += h.substring(0, i).trim.toLowerCase -> h.substring(i + 1).trim
+          h = line()
         }
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException("missing Content-Length")).toInt
+        if (pos + len + 4 > bytes.length)
+          throw new IllegalArgumentException(s"truncated payload at $pos (need $len)")
+        val payload = new String(bytes, pos, len, UTF_8)
+        pos += len
+        if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+            bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n'))
+          throw new IllegalArgumentException(s"missing record terminator at $pos")
+        pos += 4
+        (headers, payload)
       }
+    }
 
-      override def hasNext: Boolean = nextRec != null
-      override def next(): (Long, String, String) = {
-        val r = nextRec; advance(); r
-      }
+  /** Deterministic doc id for a record: our own exports carry the doc_id
+    * in the record id; FOREIGN records (real Common Crawl:
+    * `<urn:uuid:...>`, or a graft-looking id with a non-numeric payload)
+    * get a deterministic FNV-1a of the id string (or of the target URI
+    * when the id header is absent) — strictness stays on STRUCTURE
+    * (framing), not on provenance conventions, so the front door ingests
+    * crawls it didn't write. */
+  private def recordId(headers: Map[String, String], uri: String): Long =
+    headers.get("warc-record-id") match {
+      case Some(rid) if rid.startsWith("<urn:graft:doc:") && rid.endsWith(">") =>
+        scala.util.Try(
+          rid.stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
+        ).getOrElse(fnv64(rid))
+      case Some(rid) => fnv64(rid)
+      case None => fnv64(uri)
+    }
+
+  /** WET view: `conversion` records as (doc_id, url, extracted_text). */
+  def parseAll(bytes: Array[Byte]): Iterator[(Long, String, String)] =
+    parseRecords(bytes).collect {
+      case (h, payload) if h.get("warc-type").contains("conversion") =>
+        val uri = h.getOrElse("warc-target-uri", "")
+        (recordId(h, uri), uri, payload)
+    }
+
+  /** Raw-crawl view: `response` records as (doc_id, url, entity_body) —
+    * the HTTP envelope (status line + headers) is stripped; what remains
+    * is the raw HTML a text-extraction front ([[graft.ext.HtmlText]])
+    * consumes. The envelope is STRUCTURE, so a response payload that is
+    * not an HTTP message throws like any framing violation. */
+  def parseResponses(bytes: Array[Byte]): Iterator[(Long, String, String)] =
+    parseRecords(bytes).collect {
+      case (h, payload) if h.get("warc-type").contains("response") =>
+        val uri = h.getOrElse("warc-target-uri", "")
+        if (!payload.startsWith("HTTP/"))
+          throw new IllegalArgumentException(
+            "response payload is not an HTTP message")
+        val sep = payload.indexOf("\r\n\r\n")
+        if (sep < 0)
+          throw new IllegalArgumentException("missing HTTP header terminator")
+        (recordId(h, uri), uri, payload.substring(sep + 4))
     }
 
   /** Export `docs` (doc_id, text, url columns) as `shards` WET files under
@@ -206,6 +241,45 @@ object Warc {
       .as[Array[Byte]]
       .flatMap(b => parseAll(inflate(b)))
       .toDF("doc_id", "url", "text")
+  }
+
+  /** Export `docs` (doc_id, html, url columns) as raw-crawl WARC shards of
+    * `response` records — the synthetic twin of a real Common Crawl
+    * `.warc.gz` segment, for driving the HTML front door end-to-end.
+    * Same [[ShardIO]] atomic commit, names `warc-NNNNN.warc[.gz]`. */
+  def writeResponses(docs: DataFrame, dir: String, shards: Int,
+      gzip: Boolean = true, date: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = docs.sparkSession
+    val serConf = ShardIO.beginJob(spark, dir)
+    val ext = if (gzip) "warc.gz" else "warc"
+    docs.select(col("doc_id"), col("html"), col("url"))
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.get().partitionId()
+          ShardIO.writeShard(dir, f"warc-$pid%05d.$ext", serConf) { out =>
+            it.foreach { r =>
+              val rec = encodeResponseRecord(r.getLong(0), r.getString(2),
+                r.getString(1), date)
+              out.write(if (gzip) gzipMember(rec) else rec)
+            }
+          }
+        }
+      }
+    ShardIO.commitJob(spark, dir)
+  }
+
+  /** Read a raw-crawl shard directory's `response` records back:
+    * (doc_id, url, html) with the HTTP envelope stripped. One task per
+    * shard — the input side of the `html→text → quality-gate` ladder. */
+  def readResponses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/warc-*")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(b => parseResponses(inflate(b)))
+      .toDF("doc_id", "url", "html")
   }
 
   /** True iff `dir` holds a COMPLETE export. */

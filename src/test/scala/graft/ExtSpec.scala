@@ -1242,4 +1242,55 @@ class ExtSpec extends AnyFunSuite {
     // each task ships at most groups×k rows of heap state, never its raw rows
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("html extraction: boilerplate stripped, content kept, per the rule family") {
+    import graft.ext.HtmlText
+    // the synthetic fixture end-to-end: every boilerplate class dies,
+    // exactly the content paragraphs survive, in order
+    for (id <- Seq(0L, 1L, 5L, 17L, 123456L)) {
+      val kept = HtmlText.keptBlocks(HtmlText.syntheticHtml(id))
+      val nParas = 1 + (id % 4).toInt
+      assert(kept.size === nParas, s"id=$id")
+      for (i <- 0 until nParas) {
+        val reps = 1 + ((id + i) % 3).toInt
+        val expected = s"Section $i of document $id: " +
+          (if (i == 0) "reference link " else "") +
+          "lorem ipsum dolor sit amet " * reps +
+          "consectetur & adipiscing."
+        assert(kept(i) === expected, s"id=$id i=$i")
+      }
+    }
+    // rule-by-rule edges
+    val longProse = "This paragraph is long enough to clear the minimum length rule."
+    // 1. an all-links block dies on link density even when long
+    assert(HtmlText.keptBlocks(
+      s"""<div><a href="/a">${longProse.take(30)}</a><a href="/b">${longProse.take(30)}</a></div>""")
+      .isEmpty)
+    // 2. a long prose block with a short citation link survives, link text kept
+    val withCite = HtmlText.keptBlocks(
+      s"""<p>$longProse See <a href="/x">this</a> too.</p>""")
+    assert(withCite === Vector(s"$longProse See this too."))
+    // 3. short blocks die even with zero links
+    assert(HtmlText.keptBlocks("<p>too short</p>").isEmpty)
+    // 4. raw-text elements never leak, even with markup-looking strings inside
+    assert(HtmlText.extract(
+      s"""<script>var s = "</p><p>ghost paragraph that is long enough</p>";</script><p>$longProse</p>""")
+      === longProse)
+    // 5. unclosed raw-text element swallows to end-of-input (browser behavior)
+    assert(HtmlText.extract(s"<p>$longProse</p><script>var x = 1;") === longProse)
+    // 6. head subtree (incl. title) is dropped entirely
+    assert(HtmlText.extract(
+      s"<html><head><title>A headline long enough to pass length</title></head><body><p>$longProse</p></body></html>")
+      === longProse)
+    // 7. entity decoding: named, numeric, hex; malformed passes through
+    assert(HtmlText.decodeEntities("a &amp; b &#65; &#x42; &nope; &#xZZ; c")
+      === "a & b A B &nope; &#xZZ; c")
+    // 8. a stray '<' is text, not a tag
+    assert(HtmlText.extract(s"<p>$longProse where 1 < 2 holds.</p>")
+      === s"$longProse where 1 < 2 holds.")
+    // 9. whitespace collapses within a block; blocks keep their boundaries
+    assert(HtmlText.keptBlocks(
+      s"<p>  ${longProse.replace(" ", "\n \t ")}  </p><p>$longProse</p>")
+      === Vector(longProse, longProse))
+  }
 }

@@ -332,6 +332,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Sort"))
   }
 
+  test("html1 extraction is map-only (the raw-crawl front door never shuffles)") {
+    val p = plan("html1_extract")
+    assert(!p.contains("Exchange"), s"html1 must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Sort"))
+  }
+
   test("s4 quantization is map-only: no exchange, no join, no sort") {
     val p = plan("s4_quantize_int8")
     assert(!p.contains("Exchange"), s"s4 must not shuffle:\n$p")

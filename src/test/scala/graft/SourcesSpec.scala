@@ -286,6 +286,52 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("warc: raw-crawl response records round-trip and feed the html→text front door") {
+    import graft.ext.HtmlText
+    import spark.implicits._
+    // synthetic raw-crawl: one response record per doc, HTML per the
+    // html1 fixture, framed as a full HTTP message per ISO 28500 §6.3
+    val pages = HtmlText.asGeneratedPages(spark, "/root/testdata/sf0.001").toDF()
+    val orig = pages.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("url"), r.getAs[String]("html"))).toMap
+    for (gzip <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_warcresp_$gzip").toString
+      Warc.writeResponses(pages, dir, shards = 3, gzip = gzip)
+      assert(Warc.committed(spark, dir))
+      val back = Warc.readResponses(spark, dir)
+      val backMap = back.collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[String]("url"), r.getAs[String]("html"))).toMap
+      assert(backMap === orig, s"gzip=$gzip")
+      // the front door composed end-to-end: warc response → html→text;
+      // extraction over the round-tripped bytes ≡ extraction over the
+      // original pages (the pipeline's first real stage)
+      if (!gzip) {
+        val viaWarc = HtmlText.extractFrame(back).collect()
+          .map(d => d.doc_id -> d.text).toMap
+        val direct = HtmlText.extractDocs(
+          HtmlText.asGeneratedPages(spark, "/root/testdata/sf0.001")).collect()
+          .map(d => d.doc_id -> d.text).toMap
+        assert(viaWarc === direct)
+        assert(viaWarc.values.forall(_.nonEmpty))
+      }
+    }
+    // a response record whose payload is NOT an HTTP message is a
+    // structural violation — strict, like torn framing
+    val bogus = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:doc:1>\r\nWARC-Target-URI: https://x/1\r\n" +
+      "Content-Length: 9\r\n\r\nnot http!\r\n\r\n").getBytes("UTF-8")
+    intercept[IllegalArgumentException] { Warc.parseResponses(bogus).toList }
+    // conversion and response views are disjoint over a mixed shard
+    val conv = Warc.encodeRecord(7L, "https://x/7", "plain text", "2026-01-01T00:00:00Z")
+    val resp = Warc.encodeResponseRecord(8L, "https://x/8",
+      "<p>This paragraph is long enough to clear the length rule.</p>", "2026-01-01T00:00:00Z")
+    val mixed = conv ++ resp
+    assert(Warc.parseAll(mixed).toList.map(_._1) === List(7L))
+    val respOut = Warc.parseResponses(mixed).toList
+    assert(respOut.map(_._1) === List(8L))
+    assert(respOut.head._3 === "<p>This paragraph is long enough to clear the length rule.</p>")
+  }
+
   test("warc: Content-Length framing is immune to WARC-looking payload bytes") {
     // a payload that contains CRLFs, header-shaped lines, and a full fake
     // record head must ride through untouched — framing is length-based,
