@@ -39,17 +39,19 @@ object Bench {
     // s2. None belongs in the per-query latency table.
     // sem1/s7 embed the same KMeans training one-off as s3 (sem1's
     // serving-side scale cost is the within-cell pair join, benched via
-    // d5/s2's shapes; s7's is a map-only projection); bpe1 is tokenizer
-    // TRAINING (12 iterative dictionary-sized jobs) — serving-side
-    // tokenization is t1, which stays benched
+    // d5/s2's shapes; s7's is a map-only projection)
     // sp2 embeds the same exact pair set as d6 (its oracle anchor; the
     // scale path keys the split off keepList over d2's LSH pairs);
-    // qc1 is classifier TRAINING (12 iterative gradient jobs, bpe1's
-    // category) — serving-side scoring is a map-side probe + one doc agg,
-    // the sm5-scoring shape already benched
+    // qc1 is classifier TRAINING (12 iterative gradient jobs) —
+    // serving-side scoring is a map-side probe + one doc agg, the
+    // sm5-scoring shape already benched; tok1 retrains the sequential
+    // 12-rule tokenizer inline (its encode fold is the benched part of
+    // bpe1's batched entry below)
+    // bpe1 IS benched since the batched trainer landed: 256 rules in ~4
+    // recount rounds — the tokenizer-training number a user would see
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
       "d14_canonical_quality", "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign",
-      "bpe1_merges", "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens",
+      "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens",
       "pk4_semantic_order")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 

@@ -51,6 +51,104 @@ object Bpe {
       rules.foldLeft(chars) { case (sym, (a, b)) => mergeSym(sym, a, b) }
     })
 
+  /** Greedy leftmost application of a BATCH of symbol-disjoint rules in
+    * one pass — equivalent to applying each rule's [[mergeSym]] fold
+    * separately, because disjoint rules never compete for a symbol. */
+  private def applyRules(sym: Seq[String],
+      rules: Map[(String, String), String]): Seq[String] = {
+    if (sym.length < 2) return sym
+    val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+    var j = 0
+    while (j < sym.length) {
+      val cur = sym(j)
+      if (out.nonEmpty && rules.contains((out.last, cur)))
+        out(out.length - 1) = rules((out.last, cur))
+      else out += cur
+      j += 1
+    }
+    out.toSeq
+  }
+
+  /** BATCHED merge learning — the scale path for real vocab sizes. The
+    * sequential algorithm ([[merges]]) is driver-paced: one pair-count
+    * job + one argmax collect PER RULE, so a 32k-rule tokenizer costs 32k
+    * scheduler round trips (~a day of driver-bound wall time regardless
+    * of cluster size). This variant learns up to `batch` rules per round
+    * (the published fast-BPE family: apply the top-N MUTUALLY DISJOINT
+    * pairs per recount), collapsing 32k rounds into hundreds:
+    *
+    *   - one pair-count job per ROUND (vocab-sized partial agg), top
+    *     candidates collected in the argmax order (count desc, left asc,
+    *     right asc — the same total order as sequential);
+    *   - a candidate is accepted iff none of its left symbol, right
+    *     symbol, or MERGED string was touched by an earlier acceptance in
+    *     the round — disjointness makes the batch's application
+    *     order-independent AND keeps the one-pass [[applyRules]] fold
+    *     exactly equal to per-rule sequential application;
+    *   - the batch applies in ONE map-side pass over the dictionary.
+    *
+    * At `batch = 1` this IS the sequential algorithm (same argmax, same
+    * greedy merge — pinned in ExtSpec). For `batch > 1` the learned rule
+    * SET can deviate from strict sequential order where an early merge
+    * would have changed a later pair's count — the standard, documented
+    * trade of every batched BPE trainer; rule quality is preserved
+    * because batch members are frequency-ranked from a full recount. */
+  def batchedMerges(dict: DataFrame, steps: Int, batch: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val spark = dict.sparkSession
+    import spark.implicits._
+    var vocab = dict.select(col("cnt").cast("long").as("cnt"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+        array(lit(Eow))).as("sym"))
+      .as[(Long, Seq[String])].localCheckpoint()
+
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var done = false
+    while (out.size < steps && !done) {
+      val room = math.min(batch, steps - out.size)
+      // over-collect: disjointness rejections thin the pool, and an
+      // unfilled batch only costs an extra (cheap) round
+      val pool = math.max(4 * room, 64)
+      val cands = vocab.flatMap { case (cnt, sym) =>
+          (0 until sym.length - 1).iterator.map(i => (sym(i), sym(i + 1), cnt)) }
+        .toDF("a", "b", "cnt")
+        .groupBy("a", "b").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(pool).collect()
+      val used = scala.collection.mutable.Set[String]()
+      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var k = 0
+      while (k < cands.length && accepted.size < room) {
+        val (a, b, c) = (cands(k).getString(0), cands(k).getString(1), cands(k).getLong(2))
+        if (!used(a) && !used(b) && !used(a + b)) {
+          accepted += ((a, b, c)); used += a; used += b; used += (a + b)
+        }
+        k += 1
+      }
+      if (accepted.isEmpty) done = true
+      else {
+        accepted.foreach { case (a, b, c) => out += ((out.size + 1, a, b, a + b, c)) }
+        val rules = accepted.map { case (a, b, _) => (a, b) -> (a + b) }.toMap
+        vocab = vocab.mapPartitions(_.map { case (cnt, sym) =>
+          (cnt, applyRules(sym, rules))
+        }).localCheckpoint()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Plain-Scala serving encode of one word: rules applied IN ORDER
+    * (later rules may consume earlier rules' merged symbols — across
+    * rounds they are NOT disjoint), each greedy-leftmost. The scalar twin
+    * of [[encodeWords]], usable where a 100k-rule chain would blow up a
+    * Catalyst expression tree. */
+  def encodeWordSeq(w: String, rules: Seq[(String, String)]): Seq[String] =
+    rules.foldLeft(w.map(_.toString).toVector :+ Eow) { case (sym, (a, b)) =>
+      applyRules(sym, Map((a, b) -> (a + b))).toVector
+    }
+
   /** Learn `steps` merge rules from a (word, cnt) frequency dictionary.
     * Returns one row per rule: (step, left, right, merged, pair_count).
     * Stops early if no adjacent pair remains. */

@@ -367,20 +367,24 @@ object TextQueries {
   }
 
   /** BPE1: learned tokenizer merges — the tokenizer-TRAINING step (t1's
-    * counting is serving-side). 12 BPE merge rules learned from the
-    * corpus word-frequency dictionary via [[graft.ext.Bpe]]: one corpus
-    * pass builds the dictionary, every iteration is dictionary-sized
-    * (pair partial-agg + 1-row argmax collect + map-side merge fold).
-    * Iterative argmax isn't ANSI-expressible → rows-only; exact equality
-    * with a plain-Scala textbook implementation (same tie-break, same
-    * greedy leftmost application) is pinned in ExtSpec. */
+    * counting is serving-side). 256 BPE merge rules learned from the
+    * corpus word-frequency dictionary via the BATCHED trainer
+    * ([[graft.ext.Bpe.batchedMerges]], 64 disjoint rules per recount
+    * round): one corpus pass builds the dictionary, then ~4 rounds of
+    * vocab-sized pair partial-aggs — the scale shape a 32k-rule tokenizer
+    * needs (the sequential one-job-per-rule loop is driver-paced: a day
+    * of scheduler round trips at real vocab sizes, regardless of cluster
+    * width). Iterative argmax isn't ANSI-expressible → rows-only; ExtSpec
+    * pins (a) the sequential trainer exactly against a plain-Scala
+    * textbook implementation and (b) the batched trainer at batch=1
+    * exactly against the sequential one. */
   private val bpe1Merges = rowsOnly("bpe1_merges") { (s, dir) =>
     import s.implicits._
     val dict = Tables(s, dir, "documents")
       .select(explode(words(col("text"))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    graft.ext.Bpe.merges(dict, 12)
+    graft.ext.Bpe.batchedMerges(dict, 256, 64)
       .toDF("step", "left", "right", "merged", "pair_count")
       .select(col("step").cast("long").as("step"), col("left"), col("right"),
         col("merged"), col("pair_count"))

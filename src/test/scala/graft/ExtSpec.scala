@@ -270,12 +270,55 @@ class ExtSpec extends AnyFunSuite {
         }, cnt)
       }
     }
-    val got = graft.SparkEntry.queries("bpe1_merges")(spark, sf)
-      .collect().map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4))).toSeq
+    val dict = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val got = graft.ext.Bpe.merges(dict, 12)
     assert(got === expected.toSeq)
     assert(got.exists(_._3 == graft.ext.Bpe.Eow) || got.exists(_._2.length > 1),
       "12 steps should produce at least one multi-char or EOW merge")
+    // the BATCHED trainer at batch=1 IS the sequential algorithm — same
+    // argmax total order, same greedy merge (the N=1 anchor that ties the
+    // scale path to the textbook pin above)
+    assert(graft.ext.Bpe.batchedMerges(dict, 12, 1) === got)
+  }
+
+  test("batched bpe: the gate's 256-rule training is valid, disjoint-per-round, and encodes further") {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val rules256 = graft.SparkEntry.queries("bpe1_merges")(spark, sf)
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    // up to 256 rules in a handful of recount rounds — seconds, not one
+    // job per rule. The sf0.001 vocab EXHAUSTS before 256 (every word
+    // merges to a single symbol), which is itself worth pinning: training
+    // stops when no adjacent pair remains, not at an arbitrary count.
+    val n = rules256.size
+    assert(n >= 64 && n <= 256, s"got $n rules")
+    assert(rules256.map(_._1) === (1 to n), "steps are dense and ordered")
+    assert(rules256.forall(r => r._4 == r._2 + r._3), "merged = left + right")
+    assert(rules256.forall(_._5 > 0), "every rule earned a positive pair count")
+    assert(rules256.map(r => (r._2, r._3)).distinct.size === n, "no duplicate rule")
+    info(f"$n-rule batched training: $trainSec%.1f s")
+    // more rules → a finer vocabulary: encoding with all 256 rules yields
+    // strictly fewer symbols than the first 12 alone on real corpus words
+    val sampleWords = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 3).distinct().limit(200)
+      .collect().map(_.getString(0))
+    val r12 = rules256.take(12).map(r => (r._2, r._3))
+    val rAll = rules256.map(r => (r._2, r._3))
+    val units12 = sampleWords.map(w => graft.ext.Bpe.encodeWordSeq(w, r12).size.toLong).sum
+    val unitsAll = sampleWords.map(w => graft.ext.Bpe.encodeWordSeq(w, rAll).size.toLong).sum
+    assert(unitsAll < units12, s"256 rules should compress beyond 12 ($unitsAll vs $units12)")
+    // round-trip soundness of every encoding: concatenating the symbols
+    // of w's encoding (minus the EOW marker) restores w
+    for (w <- sampleWords.take(50)) {
+      val enc = graft.ext.Bpe.encodeWordSeq(w, rAll)
+      assert(enc.mkString.stripSuffix(graft.ext.Bpe.Eow) === w, s"w=$w enc=$enc")
+    }
   }
 
   test("bpe encode: column fold = reference application of the learned rules") {
