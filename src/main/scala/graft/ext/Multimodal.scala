@@ -622,6 +622,109 @@ object Multimodal extends Serializable {
       .mapPartitions(_.map(id => MediaRow(id, syntheticNearDupPng(id, families))))
   }
 
+  /** 64-bit energy-envelope audio fingerprint — the audio sibling of
+    * [[dHash]], from the published difference-fingerprint family
+    * (Haitsma–Kalker 2002 take sign-of-difference over band energies;
+    * this is the time-domain member): real JDK decode, the interleaved
+    * 16-bit samples split into 65 equal windows, per-window L1 energy,
+    * one bit per adjacent-window comparison (`E(w) > E(w+1)`).
+    *
+    * Two properties make it a dedup hash: energy COMPARISONS are
+    * invariant under uniform gain (a re-mastered louder copy hashes
+    * identically), and small local edits flip at most the two bits whose
+    * windows they touch. Unrelated audio gives ~32 differing bits. None
+    * when the payload doesn't decode or is shorter than one sample per
+    * window. */
+  def audioHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (n < 65) None
+        else {
+          val energies = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            val from = (w.toLong * n / 65).toInt
+            val until = ((w + 1).toLong * n / 65).toInt
+            var e = 0L
+            var i = from
+            while (i < until) {
+              e += math.abs(((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort.toLong)
+              i += 1
+            }
+            energies(w) = e
+            w += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            hash <<= 1
+            if (energies(k) > energies(k + 1)) hash |= 1L
+            k += 1
+          }
+          Some(hash)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic audio corpus WITH planted near-duplicates —
+    * the mmd2 fixture, [[syntheticNearDupPng]]'s audio twin: `docId %
+    * families` picks a base "melody" (65 windows of family-keyed random
+    * amplitude square wave, so the energy envelope is family-specific),
+    * and every non-primary member is the same melody RE-MASTERED: a
+    * uniform gain change (up to ~8%, which the fingerprint must ignore)
+    * plus a ±2% amplitude ripple on one window (≤ 2 bit flips by
+    * construction — both its adjacent comparisons). Family structure is
+    * recoverable ONLY by decoding the PCM. */
+  def syntheticNearDupWav(docId: Long, families: Int): Array[Byte] = {
+    val family = (docId % families).toInt
+    val windows = 65
+    val wlen = 100
+    val frames = windows * wlen
+    val pcm = new Array[Byte](frames * 2)
+    val copy = docId >= families
+    val gain = if (copy) 1.0 + ((docId % 16).toInt + 1) / 200.0 else 1.0
+    val ripple =
+      if (copy) ((ExtOps.splitmix64(docId * 17 + 3) & 0x7fffffffL) % windows).toInt
+      else -1
+    var w = 0
+    var i = 0
+    while (w < windows) {
+      val base = ((ExtOps.splitmix64(family.toLong * 1000003L + w) & 0x3fffL) + 256L).toDouble
+      val rippled = if (w == ripple) base * (if (docId % 2 == 0) 1.02 else 0.98) else base
+      val amp = rippled * gain // max ~16.6k * 1.1 < 2^15: never clips
+      var k = 0
+      while (k < wlen) {
+        val s = (if (k % 2 == 0) amp else -amp).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        k += 1
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One near-dup-planted WAV per document (map-only, like
+    * [[asNearDupImages]]). */
+  def asNearDupAudio(spark: SparkSession, dir: String,
+      families: Int = 50): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, syntheticNearDupWav(id, families))))
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Long, ts_ms: Long, luma: Double)
 
   /** Frame sampling — the 1-row → N-rows generator shape of video

@@ -169,6 +169,30 @@ object MultimodalQueries {
     dHashPairs(hashes)
   }
 
+  private val audioHashCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, Long)]()
+
+  /** MMD2 perceptual AUDIO near-dup — mmd1's machinery applied to sound:
+    * a 64-bit energy-envelope fingerprint per clip (real JDK decode; gain
+    * -invariant by construction, see [[Multimodal.audioHash]]), then the
+    * SAME 4×16-bit band equi-join ([[dHashPairs]] is hash-domain-agnostic)
+    * with pigeonhole-exact recall at Hamming ≤ 3. The corpus is the
+    * planted re-master fixture: family melody + uniform gain change +
+    * one-window ripple, so matches exist only through the decoded PCM —
+    * rows-only with the ExtSpec brute-force parity anchor. Scale shape
+    * identical to mmd1: one narrow (doc_id, hash) frame, four equi-joins
+    * on 16-bit keys — bucketed candidates, never an all-pairs cross. */
+  private val mmd2AudioNearDup = rowsOnly("mmd2_audio_neardup") { (s, dir) =>
+    import s.implicits._
+    val hashes = graft.queries.DedupQueries.memoizedPersisted(audioHashCache, s, dir) {
+      Multimodal.asNearDupAudio(s, dir)
+        .mapPartitions(_.flatMap(r => Multimodal.audioHash(r.media).map(h => (r.doc_id, h))))
+        .toDF("doc_id", "hash")
+    }
+    dHashPairs(hashes)
+  }
+
   /** X10 instance fan-out: clone each series for N instances with a
     * templated label (faker.go:106-151) — explode, no custom generator.
     * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
@@ -186,5 +210,5 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, mm4Audio,
-    mm5Video, mm6Header, mmd1ImageNearDup, x10Fanout)
+    mm5Video, mm6Header, mmd1ImageNearDup, mmd2AudioNearDup, x10Fanout)
 }

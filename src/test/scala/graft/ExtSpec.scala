@@ -1229,6 +1229,51 @@ class ExtSpec extends AnyFunSuite {
     got.foreach { case (a, b) => assert(a % 50 === b % 50, s"cross-family pair ($a,$b)") }
   }
 
+  test("audioHash: gain-invariant for re-masters, near for planted copies, far across families") {
+    val families = 50
+    // deterministic: identical bytes → identical hash
+    val base0 = Multimodal.syntheticNearDupWav(0L, families)
+    assert(Multimodal.audioHash(base0) === Multimodal.audioHash(base0.clone()))
+    // planted re-masters (gain + one-window ripple) stay within ≤ 2 bits
+    // of their family base BY CONSTRUCTION (only the rippled window's two
+    // adjacent comparisons can flip; gain alone flips none)
+    for (id <- Seq(50L, 100L, 207L, 363L, 499L)) {
+      val fam = id % families
+      val ham = java.lang.Long.bitCount(
+        Multimodal.audioHash(Multimodal.syntheticNearDupWav(fam, families)).get ^
+          Multimodal.audioHash(Multimodal.syntheticNearDupWav(id, families)).get)
+      assert(ham <= 2, s"id=$id vs family base: hamming $ham")
+    }
+    // unrelated family melodies land ~32 bits apart — far above threshold
+    val hashes = (0L until 10L).map(f =>
+      Multimodal.audioHash(Multimodal.syntheticNearDupWav(f, families)).get)
+    for (i <- hashes.indices; j <- hashes.indices if i < j) {
+      val ham = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+      assert(ham > 3, s"families $i,$j too close: $ham")
+    }
+    // non-audio payloads and too-short clips decline
+    assert(Multimodal.audioHash("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mmd2 band join equals brute-force Hamming<=3 pairs over audio fingerprints") {
+    val got = graft.SparkEntry.queries("mmd2_audio_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent brute force over the same fixture's hashes
+    val hs = (0L until 500L).map(id =>
+      id -> Multimodal.audioHash(Multimodal.syntheticNearDupWav(id, 50)).get)
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain perceptual near-dups")
+    assert(got === brute, "4x16-bit banding must have exact recall at t=3")
+    // matches only occur within a planted family
+    got.foreach { case (a, b) => assert(a % 50 === b % 50, s"cross-family pair ($a,$b)") }
+    // every base↔copy pair is found (recall 1.0 on the ≤2-bit plants)
+    val expectedBaseCopy = (50L until 500L).map(id => (id % 50, id)).toSet
+    assert(expectedBaseCopy.subsetOf(got), "a planted re-master went undetected")
+  }
+
   test("unicode_clean: NFC + newline + control goldens, idempotent, codegen path") {
     import graft.ext.extfunctions.unicode_clean
     import spark.implicits._
