@@ -29,9 +29,38 @@ object EventQueries {
     * bind them to the test corpus, Diag's `events` mode drives them at
     * 50 M synthetic rows, and a library user points them at their own
     * log. */
+  /** Partition count for per-task-state-heavy exchanges (sort windows,
+    * wide dedups), sized from the INPUT's estimated bytes instead of the
+    * session-global shuffle setting. Measured basis (SCALE.md §5, 200 M
+    * events on local[32]): the (user_id, ts) window's per-task sort
+    * spills once rows-per-task outgrows the in-memory sort budget —
+    * 6.25 M rows/task ran 119.8 s, while 256 partitions (0.8 M
+    * rows/task) ran 72.4 s. The same run shows the preference is
+    * PER-OPERATOR: funnelOf's object-agg DEGRADES at 256 (more tasks,
+    * more per-task constant cost), so object-agg operators stay on the
+    * global setting + AQE coalescing, and only the spill-prone shapes
+    * self-size here. ~64 MB of estimated input per task reproduces the
+    * measured sweet spot on both plan-estimated frames (Range-derived:
+    * row-width × rows) and parquet scans (file bytes); never BELOW the
+    * global setting, so small inputs keep their plan byte-for-byte, and
+    * an explicit-numPartitions repartition is exempt from AQE coalescing
+    * (the count sticks). */
+  private[graft] def boundedExchangePartitions(df: DataFrame): Int = {
+    val default = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytesPerTask = 64L << 20
+    val want = (df.queryExecution.optimizedPlan.stats.sizeInBytes / bytesPerTask)
+      .min(BigInt(32768)).toInt + 1
+    math.max(default, want)
+  }
+
   def sessionsOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     ev
+      // the ONE user_id exchange, rows-per-task-bounded: the window's
+      // required clustering is satisfied by this partitioning, and the
+      // downstream (user_id, session_no) agg clusters by a superset key —
+      // Spark adds no second exchange (PlanSpec pins it)
+      .repartition(boundedExchangePartitions(ev), col("user_id"))
       .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
       .withColumn("ns",
         when(col("prev_ms").isNull
@@ -170,9 +199,11 @@ object EventQueries {
     * The final bounded fold counts wau = all pairs, dau = min-offset-0
     * pairs, and `dau > 0` restricts to observed days (the oracle's day
     * list — phantom days past the corpus edge have no offset-0 pair).
-    * Fan-out factor is a constant 7, both aggregations are partial
-    * before their exchange, and NO join or second scan exists — one
-    * corpus-sized exchange total, carrying per-task distinct partials. */
+    * NO join or second scan exists, and the ONE corpus-sized exchange
+    * carries the narrow raw (user_id, day) pairs BEFORE the ×7 fan-out:
+    * dedup, explode, and min-offset fold all cluster by user_id
+    * downstream of that self-sized exchange (see [[activeUsersOf]] —
+    * measured 20× over explode-before-dedup at 200 M events). */
   private val ev4ActiveUsers = withOracle("ev4_active_users",
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
       |days AS (SELECT DISTINCT d FROM du),
@@ -186,12 +217,26 @@ object EventQueries {
   }
 
   def activeUsersOf(ev: DataFrame): DataFrame = {
-    val pairs = ev
-      .select(to_date(col("ts")).as("d"), col("user_id"))
+    // ONE corpus-sized exchange on user_id (self-sized like sessionsOf),
+    // then everything downstream is local: the (user_id, d) dedup, the ×7
+    // window fan-out, and the (user_id, wd) min-offset fold all cluster
+    // by a key set CONTAINING user_id, so EnsureRequirements adds no
+    // further corpus exchange (the wd rollup ships ≤ days rows per task).
+    // This replaces the earlier explode-then-aggregate shape, which fed
+    // the RAW ×7 fan-out (7× corpus rows) into a (wd,user)-keyed partial
+    // agg — measured at 200 M events: per-task hash maps over the full
+    // (wd,user) key space spilled, and the exchange carried the
+    // barely-collapsed partials. Dedup-before-fanout shuffles the narrow
+    // raw pairs once and fans out only DISTINCT (user, day) pairs.
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+    val daily = days
+      .repartition(boundedExchangePartitions(days), col("user_id"))
+      .distinct()
+    daily
       .select(col("user_id"), col("d"), explode(sequence(lit(0), lit(6))).as("off"))
-      .groupBy(date_add(col("d"), col("off")).as("wd"), col("user_id"))
+      .groupBy(col("user_id"), date_add(col("d"), col("off")).as("wd"))
       .agg(min(col("off")).as("minoff"))
-    pairs.groupBy(col("wd"))
+      .groupBy(col("wd"))
       .agg(count(when(col("minoff") === 0, 1)).as("dau"), count(lit(1)).as("wau"))
       .where(col("dau") > 0)
       .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),

@@ -30,7 +30,8 @@ object Diag {
       spark.stop(); return
     }
     if (args.headOption.contains("events")) {
-      eventScale(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L))
+      eventScale(spark, args.lift(1).map(_.toLong).getOrElse(50_000_000L),
+        args.lift(2))
       spark.stop(); return
     }
     if (args.headOption.contains("evstream")) {
@@ -126,7 +127,8 @@ object Diag {
     * when the per-user bound (~1 k events) meets a wide corpus — the
     * shuffle is one user_id (or (wd,user)) exchange and throughput should
     * track scan rate, not degrade superlinearly. */
-  private def eventScale(spark: SparkSession, n: Long): Unit = {
+  private def eventScale(spark: SparkSession, n: Long,
+      only: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
     def sink(d: org.apache.spark.sql.DataFrame): Unit =
@@ -146,7 +148,8 @@ object Diag {
     import graft.queries.EventQueries._
     for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame)](
         ("sessionsOf", sessionsOf(ev)), ("funnelOf", funnelOf(ev)),
-        ("retentionOf", retentionOf(ev)), ("activeUsersOf", activeUsersOf(ev)))) {
+        ("retentionOf", retentionOf(ev)), ("activeUsersOf", activeUsersOf(ev)))
+        if only.forall(name.contains)) {
       val t = time(sink(q))
       println(f"[events] $name%-14s n=$n%,d users=$users%,d: $t%.1f s " +
         f"(${n / t / 1e6}%.1f M events/s)")

@@ -168,6 +168,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionsOf self-sizes its exchange: rows-per-task bounded, not the global setting") {
+    // the measured SCALE.md §5 remedy, encoded in the operator: a corpus
+    // whose estimated bytes outgrow 64 MB/task must widen the user_id
+    // exchange beyond spark.sql.shuffle.partitions (no env knob), while
+    // the window and session rollup still reuse that ONE exchange
+    import org.apache.spark.sql.functions._
+    val big = spark.range(2000000000L).select(
+      (col("id") % 1000000L).as("user_id"), col("id").as("event_id"),
+      timestamp_micros(col("id")).as("ts"), (col("id") % 100).cast("double").as("value"))
+    val n = graft.queries.EventQueries.boundedExchangePartitions(big)
+    val default = spark.sessionState.conf.numShufflePartitions
+    assert(n > default, s"2B-row input must widen beyond $default, got $n")
+    val p = graft.queries.EventQueries.sessionsOf(big)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(s", $n),"), s"exchange must carry $n partitions:\n$p")
+    assert("(?m)^\\s*\\+?- Exchange ".r.findAllIn(p).size === 1,
+      s"still exactly one exchange:\n$p")
+    // a small input keeps the global setting — gate plans are unchanged
+    val small = spark.range(1000L).select(
+      (col("id") % 10L).as("user_id"), col("id").as("event_id"),
+      timestamp_micros(col("id")).as("ts"), lit(1.0).as("value"))
+    assert(graft.queries.EventQueries.boundedExchangePartitions(small) === default)
+  }
+
   test("rollup partials pruning: each hint pays only for the partials it reads") {
     // rollupPartials computes cnt/min/max/sum + sum_sq + first/last packs +
     // a DDSketch — but each serving plan must column-prune everything its
