@@ -440,6 +440,14 @@ final class ParquetStore(spark: SparkSession, root: String,
   }
 
   private def writeParts(samples: DataFrame, series: DataFrame): Unit = {
+    // one-producer contract, checked BEFORE any append: a root whose
+    // rollup a streaming sink owns must refuse the whole batch write up
+    // front — failing between the raw append and the rollup append would
+    // land raw rows whose buckets no producer ever rolls up
+    // (serving-only stores with rollupStepMs > 0 never write, so they
+    // never claim; Downsample.claimRollupProducer is idempotent)
+    if (rollupStepMs > 0)
+      graft.streaming.Downsample.claimRollupProducer(spark, root, "batch")
     // New-series detection (clickhouse.go:438-447): anti-join the batch's
     // series against the stored dictionary, so the dictionary only grows by
     // genuinely new fingerprints. Cross-writer duplicates that race are

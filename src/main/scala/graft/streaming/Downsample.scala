@@ -48,7 +48,10 @@ object Downsample {
     * the raw table only (hinted serving then slightly undercounts those
     * buckets — the lateness budget is the caller's consistency knob).
     * Use EITHER this sink OR a write-side rollup store
-    * (`rollupStepMs > 0`), not both — running both double-counts. */
+    * (`rollupStepMs > 0`), not both — running both double-counts. This
+    * is ENFORCED: each producer kind claims a `_rollup_producer` marker
+    * under the store root and the other kind then refuses to start
+    * ([[claimRollupProducer]], StreamingSpec-pinned). */
   def rollup(stream: DataFrame, stepMs: Long,
       watermark: String = "10 minutes"): DataFrame =
     stream
@@ -94,6 +97,7 @@ object Downsample {
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"),
       watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
     val path = s"$storeRoot/samples_rollup"
+    claimRollupProducer(stream.sparkSession, storeRoot, "stream")
     rollup(stream, stepMs, watermark).writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -152,6 +156,46 @@ object Downsample {
         to_date(timestamp_millis(lit(lo))), to_date(timestamp_millis(lit(hi)))))
       .where(col("bucket_ms").between(lo, hi))
       .select("fingerprint", "bucket_ms")
+
+  /** Enforce the documented ONE-PRODUCER contract for `samples_rollup`:
+    * the write-side batch rollup (`ParquetStore(rollupStepMs > 0)` on its
+    * first rollup append) and this streaming sink each claim a marker
+    * (`_rollup_producer` under the store root) naming their kind; a
+    * second producer of the OTHER kind fails fast and loud instead of
+    * silently double-counting every bucket both produce. Restarting the
+    * same kind (sink restart, new checkpoint, another batch writer
+    * process) re-claims freely — idempotent appends make same-kind
+    * producers safe; it is the batch+stream MIX that double-counts.
+    * Migrating kinds is a deliberate act: verify/rebuild the rollup
+    * (`graft.tools.Compact.run`), then delete the marker. */
+  private[graft] def claimRollupProducer(spark: SparkSession, storeRoot: String,
+      kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeRoot/_rollup_producer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def existing(): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    def refuse(other: String): Nothing = throw new IllegalStateException(
+      s"samples_rollup under $storeRoot is already produced by the '$other' path; " +
+        s"starting a '$kind' producer would double-count every bucket both emit. " +
+        "To migrate: stop the other producer, rebuild the rollup once " +
+        "(graft.tools.Compact.run), then delete " + p)
+    if (fs.exists(p)) {
+      val e = existing(); if (e != kind) refuse(e)
+    } else {
+      fs.mkdirs(p.getParent)
+      try {
+        val out = fs.create(p, false) // no overwrite: atomic claim
+        try out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch {
+        case _: java.io.IOException => // lost a concurrent claim race: re-check
+          val e = existing(); if (e != kind) refuse(e)
+      }
+    }
+  }
 
   /** Stateful first-seen series detection — the streaming-native form of
     * the new-fingerprint check (clickhouse.go:437-447): keyed state per

@@ -92,6 +92,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.head.samples === Seq(Sample(T0, 4.0), Sample(T0 + 2000, 5.0)))
   }
 
+  test("rollup one-producer contract: the second producer KIND fails fast") {
+    import graft.model._
+    // batch first: a write-side rollup store claims the marker on its
+    // first rollup append ...
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_duel_").toString
+    val store = new graft.storage.ParquetStore(spark, root, rollupStepMs = 1000L)
+    val (_, df) = labeled(Seq(("m1", T0, 1.0)))
+    graft.streaming.Ingest.start(df, store, Trigger.AvailableNow()).awaitTermination(60_000)
+    assert(new java.io.File(root, "_rollup_producer").exists())
+    // ... so the streaming sink must refuse THIS root, loudly
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_duel_ckpt_").toString
+    val (_, df2) = labeled(Seq(("m1", T0 + 1000, 2.0)))
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.Downsample.startRollupSink(df2, root, stepMs = 1000L, ckpt,
+        Trigger.AvailableNow(), watermark = "0 milliseconds")
+    }
+    assert(ex.getMessage.contains("double-count"))
+    // same KIND re-claims freely: a second batch write must succeed
+    def batch(ts: Long): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      Seq((Map("__name__" -> "m1"), ts, 3.0)).toDF("labels", "timestamp_ms", "value")
+    }
+    store.write(batch(T0 + 2000))
+    // and the mirror direction: stream claims a fresh root, batch refuses
+    val root2 = java.nio.file.Files.createTempDirectory("graft_rollup_duel2_").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_duel2_ckpt_").toString
+    // raw ingest through a NO-rollup store (the documented good pattern:
+    // the stream sink owns the rollup) — also populates the dictionary
+    val rawStore = new graft.storage.ParquetStore(spark, root2)
+    val (_, dfRaw) = labeled(Seq(("m1", T0, 1.0)))
+    graft.streaming.Ingest.start(dfRaw, rawStore, Trigger.AvailableNow())
+      .awaitTermination(60_000)
+    val (_, df3) = labeled(Seq(("m1", T0, 1.0), ("m1", T0 + 5000, 0.0)))
+    graft.streaming.Downsample.startRollupSink(df3, root2, stepMs = 1000L, ckpt2,
+      Trigger.AvailableNow(), watermark = "0 milliseconds").awaitTermination(60_000)
+    val batchStore = new graft.storage.ParquetStore(spark, root2, rollupStepMs = 1000L)
+    val ex2 = intercept[IllegalStateException] {
+      batchStore.write(batch(T0 + 9000))
+    }
+    assert(ex2.getMessage.contains("double-count"))
+    // a serving-only store on the stream-owned root still reads fine
+    val serving = new graft.storage.ParquetStore(spark, root2, rollupStepMs = 1000L)
+    val hinted = serving.readTimeSeries(Query(T0, T0 + 999,
+      Seq(Matcher("__name__", MatchType.Eq, "m1")),
+      Some(ReadHints(stepMs = 1000L, func = "sum"))))
+    assert(hinted.head.samples === Seq(Sample(T0, 1.0)))
+  }
+
   test("windowed downsample: per-series minute buckets with last-by-time") {
     val (_, df) = labeled(Seq(
       ("m1", T0, 1.0), ("m1", T0 + 10_000, 5.0), ("m1", T0 + 70_000, 2.0),
