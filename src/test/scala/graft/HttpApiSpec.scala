@@ -91,6 +91,79 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("wire golden bytes: canonical prompb encoding byte-for-byte, driven through HTTP") {
+    import graft.sources.Prompb
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    // 1. literal golden, hand-derived from the proto3 wire spec (field
+    // numbers per prompb/prompb.proto): one series, one label, one sample
+    val tiny = Seq(TimeSeries(Seq(Label("__name__", "up")),
+      Seq(Sample(1500000000000L, 1.0))))
+    val tinyGold =
+      "0a220a0e0a085f5f6e616d655f5f12027570121009000000000000f03f1080b0def7d32b"
+    assert(hex(Prompb.encodeWriteRequest(tiny)) === tinyGold)
+    assert(Prompb.decodeWriteRequest(unhex(tinyGold)) === tiny)
+
+    // 2. the reference's own write-request fixture shape
+    // (handlers/prom_test.go:34-83: three http_requests_total series,
+    // 3 labels + 5 one-second-spaced samples each) with a FIXED start —
+    // golden bytes derived by an independent straight-line encoder, so a
+    // codec change that still round-trips but drifts off the canonical
+    // gogo/protobuf field order or encoding fails here
+    val start = 1500000000000L
+    def series(code: String, handler: String, vals: Seq[Int]) = TimeSeries(
+      Seq(Label("__name__", "http_requests_total"), Label("code", code),
+        Label("handler", handler)),
+      vals.zipWithIndex.map { case (v, i) => Sample(start + i * 1000L, v.toDouble) })
+    val full = Seq(
+      series("200", "query", Seq(13, 14, 14, 14, 15)),
+      series("400", "query_range", Seq(9, 9, 9, 11, 11)),
+      series("200", "prometheus", Seq(591, 592, 593, 594, 595)))
+    val fullGold =
+      "0a9a010a1f0a085f5f6e616d655f5f1213687474705f72657175657374735f746f74616c" +
+      "0a0b0a04636f646512033230300a100a0768616e646c657212057175657279" +
+      "1210090000000000002a401080b0def7d32b1210090000000000002c4010e8b7def7d32b" +
+      "1210090000000000002c4010d0bfdef7d32b1210090000000000002c4010b8c7def7d32b" +
+      "1210090000000000002e4010a0cfdef7d32b" +
+      "0aa0010a1f0a085f5f6e616d655f5f1213687474705f72657175657374735f746f74616c" +
+      "0a0b0a04636f646512033430300a160a0768616e646c6572120b71756572795f72616e6765" +
+      "12100900000000000022401080b0def7d32b121009000000000000224010e8b7def7d32b" +
+      "121009000000000000224010d0bfdef7d32b121009000000000000264010b8c7def7d32b" +
+      "121009000000000000264010a0cfdef7d32b" +
+      "0a9f010a1f0a085f5f6e616d655f5f1213687474705f72657175657374735f746f74616c" +
+      "0a0b0a04636f646512033230300a150a0768616e646c6572120a70726f6d657468657573" +
+      "12100900000000007882401080b0def7d32b121009000000000080824010e8b7def7d32b" +
+      "121009000000000088824010d0bfdef7d32b121009000000000090824010b8c7def7d32b" +
+      "121009000000000098824010a0cfdef7d32b"
+    assert(hex(Prompb.encodeWriteRequest(full)) === fullGold)
+    assert(Prompb.decodeWriteRequest(unhex(fullGold)) === full)
+
+    // 3. the GOLDEN BYTES drive the real HTTP surface: raw snappy body in
+    // (no client-side encode helper — a stock Prometheus sender's shape),
+    // stored series read back intact over /read
+    val api = new HttpApi(spark, new MemoryStore(spark))
+    val port = api.start()
+    try {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/write").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        org.xerial.snappy.Snappy.compress(unhex(fullGold)))
+      assert(conn.getResponseCode === 200)
+      conn.disconnect()
+      assert(api.totalSamplesWritten === 15)
+      val got = HttpApi.remoteRead(s"http://127.0.0.1:$port", Seq(
+        Query(start, start + 10000,
+          Seq(Matcher("__name__", MatchType.Eq, "http_requests_total"),
+            Matcher("handler", MatchType.Eq, "query")))))
+      assert(got.head.size === 1)
+      assert(got.head.head.samples === full.head.samples)
+    } finally api.stop()
+  }
+
   test("prompb read-protocol messages round-trip") {
     import graft.sources.Prompb
     val queries = Seq(
