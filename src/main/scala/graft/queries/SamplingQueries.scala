@@ -288,6 +288,54 @@ object SamplingQueries {
         (col("base") + row_number().over(w) - 1).as("pos"))
   }
 
+  /** PK4's ORACLE-CHECKED companion (r10, strengthening the ○ row): the
+    * cell ASSIGNMENT is learned (KMeans, not ANSI-expressible), but the
+    * layout CONTRACT is not — `pos` must be a permutation of 0..n−1,
+    * every cell must occupy one contiguous range, cell bases must ascend
+    * with cell id (base = Σ counts of smaller cells), and the within-cell
+    * order must follow the deterministic (md5, doc_id) tie-break. Each
+    * property is verified IN the Spark plan over the real pk4 output and
+    * reduced to a value DuckDB derives from the embeddings table alone
+    * (counts and TRUE literals) — so the gate hash-checks the invariant
+    * parts while ExtSpec keeps anchoring the learned parts. */
+  private val pk4LayoutInvariants = withOracle("pk4_layout_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_distinct_pos,
+      |       CAST(0 AS BIGINT) AS min_pos,
+      |       CAST(count(*) - 1 AS BIGINT) AS max_pos,
+      |       TRUE AS cells_contiguous,
+      |       TRUE AS bases_are_prefix_sums,
+      |       TRUE AS within_cell_hash_order
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val ordered = pk4SemanticOrder.fn(s, dir)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(md5(concat(lit("pk4:"), col("doc_id").cast("string"))), col("doc_id"))
+    val checked = ordered
+      .withColumn("base", min("pos").over(wc))
+      .withColumn("hi", max("pos").over(wc))
+      .withColumn("ncell", count(lit(1)).over(wc))
+      .withColumn("rk", row_number().over(wOrd))
+    val docLevel = checked.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("pos")).as("n_distinct_pos"),
+      min("pos").as("min_pos"),
+      max("pos").as("max_pos"),
+      every(col("hi") - col("base") + 1 === col("ncell")).as("cells_contiguous"),
+      every(col("pos") === col("base") + col("rk") - 1).as("within_cell_hash_order"))
+    // base = prefix sum of smaller cells' counts — a ≤nlist-row check
+    val wCell = org.apache.spark.sql.expressions.Window.orderBy("cell")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cellLevel = checked.groupBy("cell")
+      .agg(min("pos").as("base"), count(lit(1)).as("n"))
+      .withColumn("want", coalesce(sum("n").over(wCell), lit(0L)))
+      .agg(every(col("base") === col("want")).as("bases_are_prefix_sums"))
+    docLevel.crossJoin(broadcast(cellLevel))
+      .select(col("n_docs"), col("n_distinct_pos"), col("min_pos"), col("max_pos"),
+        col("cells_contiguous"), col("bases_are_prefix_sums"),
+        col("within_cell_hash_order"))
+  }
+
   /** SH1: deterministic epoch shuffle — each document's position in the
     * pseudo-random training order for seed "ep1", a pure function of
     * (corpus, seed): reruns, engines, and any partitioning produce THE
@@ -506,6 +554,6 @@ object SamplingQueries {
 
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
-      pk2LengthBuckets, pk3BlockManifest, pk4SemanticOrder, sh1Shuffle,
-      sm3Temperature, sm4TokenBudget, sm5Dsir)
+      pk2LengthBuckets, pk3BlockManifest, pk4SemanticOrder, pk4LayoutInvariants,
+      sh1Shuffle, sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

@@ -78,11 +78,70 @@ object TextQueries {
   }
 
   /** Winnowing-style rolling-hash document fingerprint (custom codegen'd
-    * expression) — not ANSI-SQL-expressible; exact goldens in ExtSpec.
-    * The kernel returns a sorted-distinct array<long>; the gate query emits
-    * it comma-joined (canonical, and hashable by the driver's pandas
-    * compare — raw arrays are not). */
-  private val t4DocFp = rowsOnly("t4_doc_fingerprint") { (s, dir) =>
+    * expression). The kernel returns a sorted-distinct array<long>; the
+    * gate query emits it comma-joined (canonical, and hashable by the
+    * driver's pandas compare — raw arrays are not).
+    *
+    * FULL oracle (r10, upgraded from rows-only): the fingerprint is a
+    * deterministic pure function, so DuckDB recomputes it end-to-end —
+    * per-window Rabin-Karp hashes rebuilt DIRECTLY from precomputed
+    * `B^k mod 2^64` power constants over `ord()` char codes (the gate
+    * corpus is ASCII, so chars ≡ UTF-8 bytes; the Scala kernel's Long
+    * wraparound IS mod-2^64 arithmetic), the `≡ 0 (mod 16)` keep rule,
+    * and splitmix64 finalization via macros that do 64×64-bit multiplies
+    * overflow-safely in HUGEINT (32-bit-split mulmod — a full product
+    * would overflow INT128). A deliberately different formulation: no
+    * rolling subtraction, no sequential state. */
+  private val t4DocFp = withOracle("t4_doc_fingerprint",
+    // B = 1000003; constants below are B^k mod 2^64 (k = 7..0) and the
+    // splitmix64 constants (additive; then the two multiplicative ones
+    // split hi32/lo32 for the overflow-safe mulmod)
+    """CREATE OR REPLACE MACRO graft_u64(x) AS
+      |  CAST(CAST(x AS HUGEINT) % 18446744073709551616 AS UBIGINT);
+      |CREATE OR REPLACE MACRO graft_mulmod(a, bhi, blo) AS graft_u64(
+      |  (CAST(a AS HUGEINT) * blo) % 18446744073709551616 +
+      |  ((CAST(a AS HUGEINT) * bhi) % 4294967296) * 4294967296);
+      |CREATE OR REPLACE MACRO graft_mix1(x) AS
+      |  graft_u64(CAST(x AS HUGEINT) + 11400714819323198485);
+      |CREATE OR REPLACE MACRO graft_mix2(x) AS
+      |  graft_mulmod(xor(x, x >> 30), 3210233709, 484763065);
+      |CREATE OR REPLACE MACRO graft_mix3(x) AS
+      |  graft_mulmod(xor(x, x >> 27), 2496678331, 321982955);
+      |CREATE OR REPLACE MACRO graft_smix(x) AS
+      |  xor(graft_mix3(graft_mix2(graft_mix1(x))),
+      |      graft_mix3(graft_mix2(graft_mix1(x))) >> 31);
+      |CREATE OR REPLACE MACRO graft_signed64(x) AS
+      |  CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT)
+      |       THEN CAST(CAST(x AS HUGEINT) - 18446744073709551616 AS BIGINT)
+      |       ELSE CAST(x AS BIGINT) END;
+      |WITH ch AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cs,
+      |         length(text) AS n
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(range(7, n), e ->
+      |           graft_u64(CAST(cs[e-6] AS HUGEINT) * 12924618581234127435 +
+      |                     CAST(cs[e-5] AS HUGEINT) * 10923514805226455897 +
+      |                     CAST(cs[e-4] AS HUGEINT) * 14453212906556403763 +
+      |                     CAST(cs[e-3] AS HUGEINT) * 14003818205314896721 +
+      |                     CAST(cs[e-2] AS HUGEINT) * 1000009000027000027 +
+      |                     CAST(cs[e-1] AS HUGEINT) * 1000006000009 +
+      |                     CAST(cs[e]   AS HUGEINT) * 1000003 +
+      |                     CAST(cs[e+1] AS HUGEINT))) AS hset
+      |  FROM ch),
+      |kept AS (
+      |  SELECT doc_id,
+      |         list_sort(list_distinct(
+      |           list_transform(list_filter(hset, h -> h % 16 = 0),
+      |                          x -> graft_signed64(graft_smix(x))))) AS fps
+      |  FROM hs)
+      |SELECT doc_id,
+      |       coalesce(list_aggregate(
+      |         list_transform(fps, f -> CAST(f AS VARCHAR)), 'string_agg', ','), '') AS fp,
+      |       CAST(len(fps) AS INT) AS n_fp
+      |FROM kept""".stripMargin) { (s, dir) =>
     // NULL text → NULL kernel output; coalesce both projections to the
     // empty-document rendering ("" / 0) so fp and n_fp stay consistent
     // (concat_ws alone would render NULL as "" while size stays NULL)
