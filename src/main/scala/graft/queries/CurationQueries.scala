@@ -258,6 +258,17 @@ object CurationQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
   DedupQueries.registerCorpusCache(cur2KeptCache)
 
+  /** The LM-GATE frame gets its own persist (r10): `kept` joins `gate`
+    * against `rates`, and rates is itself an aggregate OF gate — so the
+    * first kept materialization evaluated the gate subtree (whose LM
+    * scoring explodes the corpus into bigrams ~3× inside one plan) twice
+    * in one job. Invisible at gate-fixture size; measured at 1 M docs
+    * (`Diag curate`, same fixture A/B): mix build 88.5 s → 48.2 s once
+    * the gate — three narrow columns per doc — materializes once. */
+  private val cur2GateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
+  DedupQueries.registerCorpusCache(cur2GateCache)
+
   private val cur2 = withOracle("cur2_training_mix",
     s"""WITH ${TextQueries.lmScoreCtes},
        |tok AS (
@@ -289,9 +300,11 @@ object CurationQueries {
     val sc = TextQueries.lmScores(s, dir)
     val tok = Tables(s, dir, "documents").select(
       col("doc_id"), col("lang"), size(words(col("text"))).as("n_tokens"))
-    val gate = tok.join(sc.select(col("doc_id"), col("lm_score")), "doc_id")
-      .where(col("lm_score") >= -3.4)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val gate = DedupQueries.memoizedPersisted(cur2GateCache, s, dir) {
+      tok.join(sc.select(col("doc_id"), col("lm_score")), "doc_id")
+        .where(col("lm_score") >= -3.4)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }
     val c = gate.groupBy("lang")
       .agg(sum(col("n_tokens")).cast("double").as("toks"))
       .withColumn("w", when(col("lang") === "en", 1.0).otherwise(2.0))

@@ -25,28 +25,50 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  final case class Result(docs: Long, shards: Int)
+  final case class Result(docs: Long, shards: Int,
+      stages: Seq[(String, Double)] = Seq.empty)
 
   def run(spark: SparkSession, corpusDir: String, outDir: String,
       shards: Int = 8): Result = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stages += name -> ((System.nanoTime() - t0) / 1e9)
+      r
+    }
     // PERSIST the manifest: three consumers (shard export, manifest
     // export, the count) would otherwise each re-run the full cur2 DAG —
-    // the most expensive query in the bench — from the raw corpus
-    val manifest = graft.SparkEntry.queries("cur2_training_mix")(spark, corpusDir)
-      .persist()
+    // the most expensive query in the bench — from the raw corpus.
+    // mix_build times CONSTRUCTION + materialization together: the cur2
+    // ordering/packing stages run driver-side bucket-count collects at
+    // DataFrame-construction time, which at corpus scale are most of the
+    // mix cost — timing only the final count would hide them.
+    var nDocs = 0L
+    val manifest = timed("mix_build") {
+      val m = graft.SparkEntry.queries("cur2_training_mix")(spark, corpusDir)
+        .persist()
+      nDocs = m.count()
+      m
+    }
     try {
       val docs = graft.queries.Tables(spark, corpusDir, "documents")
       // the packed training stream: manifest order + document text; the
       // join is the run's one corpus exchange (both sides doc_id-keyed)
-      val ordered = manifest.select(col("doc_id"), col("pos"))
-        .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      graft.sources.DocShards.write(ordered, "pos", s"$outDir/shards", shards)
-
-      graft.sources.Jsonl.write(manifest, s"$outDir/manifest", shards, keyCol = "pos")
-      graft.sources.Jsonl.write(
-        graft.SparkEntry.queries("rp1_corpus_stats")(spark, corpusDir),
-        s"$outDir/card", shards = 1, keyCol = "source")
-      Result(manifest.count(), shards)
+      timed("shard_export") {
+        val ordered = manifest.select(col("doc_id"), col("pos"))
+          .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        graft.sources.DocShards.write(ordered, "pos", s"$outDir/shards", shards)
+      }
+      timed("manifest_export") {
+        graft.sources.Jsonl.write(manifest, s"$outDir/manifest", shards, keyCol = "pos")
+      }
+      timed("card_export") {
+        graft.sources.Jsonl.write(
+          graft.SparkEntry.queries("rp1_corpus_stats")(spark, corpusDir),
+          s"$outDir/card", shards = 1, keyCol = "source")
+      }
+      Result(nDocs, shards, stages.toSeq)
     } finally manifest.unpersist(blocking = false)
   }
 

@@ -42,6 +42,10 @@ object Diag {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("curate")) {
+      curateScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("newops")) {
       newOps(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -295,6 +299,55 @@ object Diag {
     println(f"[docs] LSH candidate pairs  n=$n%,d: $tPairs%.1f s ($nPairs%,d pairs)")
     println(f"[docs] keeper election      n=$n%,d: $tKeep%.1f s")
     sigs.unpersist(blocking = false); pairs.unpersist(blocking = false)
+  }
+
+  /** The COMPOSED curation driver (tools/Curate) at a corpus size the
+    * gate fixture can't show: synthesize a full-schema documents.parquet
+    * (with planted exact dups, docScale's seed trick, so the mix DAG's
+    * dedup limb does real work), run Curate.run end-to-end, and report
+    * per-stage seconds + the artifact-commit check. This measures the
+    * one corpus-sized text join and the shard/manifest/card exports with
+    * the same evidence discipline as the per-family Diag rows. */
+  private def curateScale(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_curate_corpus_").toString
+    val seed = when(col("id") % 10 === 7, col("id") - 5).otherwise(col("id"))
+    // the fixture must STRADDLE cur2's Laplace-bigram LM gate
+    // (lm_score >= -3.4, natural log): 80% of docs draw every token from
+    // a 20-word vocab (smoothed bigram prob ≈ 1/20 → score ≈ −3.0,
+    // passes); 20% alternate common tokens with tokens from a 10k "rare"
+    // vocab — the (common → rare) bigrams have a high-count w1 but an
+    // unseen pair, the punishing case (ln(1/c1) ≈ −13), so they fail.
+    // Planted exact dups (id%10==7 copies id−5's seed) sit in the pass
+    // set, so every downstream stage does real work.
+    val common = (src: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(xxhash64(src * 61 + i), lit(20)))
+    val rare = (src: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      concat(lit("r"), pmod(xxhash64(src * 61 + i), lit(10000)))
+    val text = when(col("id") % 10 <= 7,
+      concat_ws(" ", transform(sequence(lit(1), lit(60)), i => common(col("seed"), i))))
+      .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(60)),
+        i => when(i % 2 === 0, rare(col("id"), i)).otherwise(common(col("id"), i)))))
+    val langs = array(lit("en"), lit("de"), lit("es"))
+    val sources = array(lit("web"), lit("books"), lit("code"), lit("wiki"))
+    val tGen = { val t0 = System.nanoTime()
+      spark.range(n).withColumn("seed", seed)
+        .select(col("id").as("doc_id"), text.as("text"),
+          element_at(langs, (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"),
+          element_at(sources, (pmod(col("id"), lit(4)) + 1).cast("int")).as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"[curate] corpus gen        n=$n%,d: $tGen%.1f s -> $corpusDir")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_curate_out_").toString
+    val t0 = System.nanoTime()
+    val r = graft.tools.Curate.run(spark, corpusDir, outDir, shards = 32)
+    val total = (System.nanoTime() - t0) / 1e9
+    r.stages.foreach { case (st, t) =>
+      println(f"[curate] $st%-17s $t%.1f s") }
+    println(f"[curate] total             n=$n%,d: $total%.1f s " +
+      f"(${n / total / 1e6}%.2f M docs/s in, ${r.docs}%,d kept) " +
+      s"committed=${graft.tools.Curate.committed(spark, outDir)}")
   }
 
   /** Round-9 additions at a corpus sf0.1 can't show: t11 compression
