@@ -18,6 +18,18 @@ import org.xerial.snappy.Snappy
   * scaling dimension (queries are); a production deployment would front
   * this with any HTTP stack and call the same Storage API.
   *
+  * Operational surface past the wire endpoints (the reference wraps every
+  * route in pprof labels + logging, handlers/prom.go:209-227, and runs a
+  * second debug listener, cmd/promhouse/main.go:158): JVM-idiomatic
+  * equivalents on the same listener —
+  *   - `GET /debug/vars`    — JSON of request counters + JVM heap/GC/
+  *     thread gauges (the expvar analogue);
+  *   - `GET /debug/threads` — live thread dump (the pprof-goroutine
+  *     analogue; `jcmd`/JFR cover CPU profiling out-of-process, the JVM's
+  *     native pprof story);
+  *   - `requestLog = true`  — one line per request (method, path, status,
+  *     series/query counts, ms), the wrap() middleware analogue.
+  *
   * @param serveDerivedHintsOnWire opt-in: also serve rate/increase/delta
   *   hints as derived per-bucket samples. OFF by default — a stock
   *   Prometheus client treats hints as advisory and re-applies the func
@@ -27,7 +39,28 @@ import org.xerial.snappy.Snappy
   *   callers that consume the derived buckets directly.
   */
 final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
-    serveDerivedHintsOnWire: Boolean = false) {
+    serveDerivedHintsOnWire: Boolean = false, requestLog: Boolean = false,
+    fuzzCorpusDir: Option[String] = None) {
+
+  /** Fuzz-corpus harvesting from REAL traffic (the reference's
+    * gofuzz_enabled.go:36-44 trick, a build-tag there, a flag here):
+    * every successfully received wire body lands content-addressed under
+    * `<dir>/{write,read}/<sha1>.bin`, so the codec's fuzz/property seeds
+    * grow from production shapes instead of hand-written fixtures.
+    * Content addressing makes harvesting idempotent and bounded by
+    * distinct payloads; failures are swallowed (harvesting must never
+    * fail a request). */
+  private def harvest(kind: String, body: Array[Byte]): Unit =
+    fuzzCorpusDir.foreach { dir =>
+      try {
+        val d = java.nio.file.Paths.get(dir, kind)
+        java.nio.file.Files.createDirectories(d)
+        val name = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(body).map("%02x".format(_)).mkString
+        val p = d.resolve(s"$name.bin")
+        if (!java.nio.file.Files.exists(p)) java.nio.file.Files.write(p, body)
+      } catch { case _: Exception => () }
+    }
 
   // A7 running counter; atomic — concurrent /write handlers increment it
   // (the reference uses a prometheus Counter, which is atomic too)
@@ -46,22 +79,64 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
   server.createContext("/write", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = respond(ex) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
+      harvest("write", body)
       val series = Prompb.decodeWriteRequest(body)
       writeRequests.incrementAndGet()
       write(series)
       samplesWritten.addAndGet(series.map(_.samples.size).sum.toLong)
-      Array.emptyByteArray
+      (s"${series.size} series", Array.emptyByteArray)
     }
   })
   server.createContext("/read", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = respond(ex) {
       val body = Snappy.uncompress(ex.getRequestBody.readAllBytes())
+      harvest("read", body)
       val decoded = Prompb.decodeReadRequest(body)
       val queries =
         if (serveDerivedHintsOnWire) decoded else decoded.map(Storage.sanitizeWireHints)
       readRequests.incrementAndGet()
       val results = store.readAll(queries)
-      Snappy.compress(Prompb.encodeReadResponse(results))
+      (s"${queries.size} queries", Snappy.compress(Prompb.encodeReadResponse(results)))
+    }
+  })
+  // GET /debug/vars — counters + JVM runtime gauges as JSON (expvar)
+  server.createContext("/debug/vars", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val rt = Runtime.getRuntime
+      val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      var (gcCount, gcMs) = (0L, 0L)
+      gcs.forEach { g =>
+        gcCount += math.max(0L, g.getCollectionCount)
+        gcMs += math.max(0L, g.getCollectionTime)
+      }
+      val out = (s"""{"graft_samples_written_total":${samplesWritten.get()},""" +
+        s""""graft_write_requests_total":${writeRequests.get()},""" +
+        s""""graft_read_requests_total":${readRequests.get()},""" +
+        s""""jvm_heap_used_bytes":${rt.totalMemory - rt.freeMemory},""" +
+        s""""jvm_heap_max_bytes":${rt.maxMemory},""" +
+        s""""jvm_threads":${Thread.activeCount()},""" +
+        s""""jvm_gc_count":$gcCount,"jvm_gc_ms":$gcMs}""").getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    }
+  })
+  // GET /debug/threads — live thread dump (the goroutine-profile analogue)
+  server.createContext("/debug/threads", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val tm = java.lang.management.ManagementFactory.getThreadMXBean
+      val sb = new StringBuilder
+      tm.dumpAllThreads(false, false).foreach { ti =>
+        sb.append(s""""${ti.getThreadName}" #${ti.getThreadId} ${ti.getThreadState}\n""")
+        ti.getStackTrace.take(24).foreach(f => sb.append(s"\tat $f\n"))
+        sb.append('\n')
+      }
+      val out = sb.toString.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
     }
   })
   // GET /metrics — text exposition of the server's own counters (the
@@ -90,21 +165,31 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
     store.write(rows.toDF("labels", "timestamp_ms", "value"))
   }
 
-  private def respond(ex: HttpExchange)(f: => Array[Byte]): Unit =
+  /** The wrap() middleware analogue (handlers/prom.go:209-227): body
+    * runs, response goes out, and when `requestLog` is on each request
+    * logs one line — method, path, status, the handler's info string,
+    * elapsed ms. Errors answer 400 and log regardless. */
+  private def respond(ex: HttpExchange)(f: => (String, Array[Byte])): Unit = {
+    val t0 = System.nanoTime()
     try {
-      val out = f
+      val (info, out) = f
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, if (out.isEmpty) -1 else out.length)
       if (out.nonEmpty) ex.getResponseBody.write(out)
       ex.close()
+      if (requestLog) println(f"[graft-http] ${ex.getRequestMethod} " +
+        f"${ex.getRequestURI} -> 200 $info (${(System.nanoTime() - t0) / 1e6}%.1f ms)")
     } catch {
       case e: Exception =>
         val msg = String.valueOf(e.getMessage).getBytes("UTF-8")
         ex.sendResponseHeaders(400, msg.length)
         ex.getResponseBody.write(msg)
         ex.close()
+        if (requestLog) println(s"[graft-http] ${ex.getRequestMethod} " +
+          s"${ex.getRequestURI} -> 400 ${e.getMessage}")
     }
+  }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
@@ -112,25 +197,90 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
 
 object HttpApi {
 
+  /** The server's flag surface — the cmd/promhouse/main.go:156-163 flag
+    * set re-expressed for this engine (conn-pool sizing becomes Spark
+    * local parallelism; MaxTimeSeriesInQuery becomes the IN-vs-semi-join
+    * threshold; the debug listener becomes the /debug routes). */
+  final case class Flags(
+      storeRoot: String = "",
+      port: Int = 9116,
+      cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      rollupStepMs: Long = 0L,
+      fingerprintBuckets: Int = 0,
+      maxSeriesInline: Int = graft.storage.Storage.MaxSeriesInline,
+      logLevel: String = "WARN",
+      requestLog: Boolean = false,
+      serveDerivedHints: Boolean = false,
+      fuzzCorpusDir: Option[String] = None)
+
+  /** `--key=value` parser for [[Flags]]; unknown flags fail loudly with
+    * the usage text (kingpin's behavior). First positional = storeRoot. */
+  def parseFlags(args: Seq[String]): Flags = {
+    val usage =
+      """usage: HttpApi <storeRoot> [flags]
+        |  --port=N                 listen port (default 9116)
+        |  --cpus=N                 Spark local[] parallelism + shuffle partitions
+        |  --rollup-step-ms=N       maintain write-side rollups at this step (0 = off)
+        |  --fingerprint-buckets=N  hive-bucket samples by fingerprint%N (0 = off)
+        |  --max-series-inline=N    IN-list vs broadcast-semi-join threshold (default 50)
+        |  --log-level=LEVEL        Spark log level (default WARN)
+        |  --request-log            log one line per HTTP request
+        |  --serve-derived-hints    serve rate/increase/delta hints as derived buckets
+        |  --fuzz-corpus-dir=DIR    harvest wire bodies as content-addressed fuzz seeds""".stripMargin
+    args.foldLeft(Flags()) { (f, a) =>
+      a match {
+        case s if !s.startsWith("--") && f.storeRoot.isEmpty => f.copy(storeRoot = s)
+        case s"--port=$v" => f.copy(port = v.toInt)
+        case s"--cpus=$v" => f.copy(cpus = v.toInt)
+        case s"--rollup-step-ms=$v" => f.copy(rollupStepMs = v.toLong)
+        case s"--fingerprint-buckets=$v" => f.copy(fingerprintBuckets = v.toInt)
+        case s"--max-series-inline=$v" => f.copy(maxSeriesInline = v.toInt)
+        case s"--log-level=$v" => f.copy(logLevel = v)
+        case "--request-log" => f.copy(requestLog = true)
+        case "--serve-derived-hints" => f.copy(serveDerivedHints = true)
+        case s"--fuzz-corpus-dir=$v" => f.copy(fuzzCorpusDir = Some(v))
+        case other => sys.error(s"unknown flag '$other'\n$usage")
+      }
+    } match {
+      case f if f.storeRoot.isEmpty => sys.error(usage)
+      case f => f
+    }
+  }
+
   /** The `promhouse` server binary equivalent (cmd/promhouse/main.go):
     * starts the remote read/write endpoints over a Parquet store.
-    * `runMain graft.api.HttpApi <storeRoot> [port]` — point a Prometheus
-    * `remote_write`/`remote_read` config at it. */
+    * `runMain graft.api.HttpApi <storeRoot> [--flags]` — point a
+    * Prometheus `remote_write`/`remote_read` config at it. */
   def main(args: Array[String]): Unit = {
-    val root = args.headOption.getOrElse(sys.error("usage: HttpApi <storeRoot> [port]"))
-    val port = args.lift(1).map(_.toInt).getOrElse(9116)
+    val flags = parseFlags(args.toSeq)
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .master(s"local[${flags.cpus}]")
+      .config("spark.sql.shuffle.partitions", flags.cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(flags.logLevel)
     graft.plans.Engine.install(spark)
-    val api = new HttpApi(spark, new graft.storage.ParquetStore(spark, root), port)
+    val store = new graft.storage.ParquetStore(spark, flags.storeRoot,
+      rollupStepMs = flags.rollupStepMs,
+      fingerprintBuckets = flags.fingerprintBuckets,
+      maxSeriesInline = flags.maxSeriesInline)
+    val api = new HttpApi(spark, store, flags.port,
+      serveDerivedHintsOnWire = flags.serveDerivedHints,
+      requestLog = flags.requestLog,
+      fuzzCorpusDir = flags.fuzzCorpusDir)
     val bound = api.start()
-    println(s"[graft] remote read/write listening on 127.0.0.1:$bound (store: $root)")
+    // graceful shutdown on SIGTERM/SIGINT (the reference's first-signal
+    // path, cmd/promhouse/main.go:176-184; a second signal during the
+    // hook force-kills the JVM, which is the panic path)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      println("[graft] shutting down...")
+      api.stop()
+      spark.stop()
+    }, "graft-shutdown"))
+    println(s"[graft] remote read/write listening on 127.0.0.1:$bound " +
+      s"(store: ${flags.storeRoot}; /metrics /debug/vars /debug/threads)")
     Thread.currentThread().join() // serve until killed
   }
 

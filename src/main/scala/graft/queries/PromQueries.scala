@@ -76,11 +76,46 @@ object PromQueries {
     eventSamples(s, dir).select(labels_json(col("labels")).as("labels")).distinct()
   }
 
-  /** X1: FNV-1a fingerprint — not expressible in ANSI SQL; rows-only check
-    * here, exact goldens covered in CoreSpec/StorageSpec. Output is the
-    * distinct series dictionary with the uint64 fingerprint rendered
-    * unsigned (the reference's display semantics, README.md:35). */
-  private val x1Fp = rowsOnly("x1_fingerprint") { (s, dir) =>
+  /** X1: FNV-1a fingerprint. Output is the distinct series dictionary
+    * with the uint64 fingerprint rendered unsigned (the reference's
+    * display semantics, README.md:35).
+    *
+    * FULL oracle (r10, upgraded from rows-only): FNV-1a is a pure
+    * per-byte fold (h ^= b; h *= prime, mod 2⁶⁴ — Prometheus
+    * labelSetToFingerprint byte layout: name, 0xFF, value, 0xFF per
+    * sorted label), which DuckDB recomputes with `list_reduce` over the
+    * code-point list (ASCII labels ⇒ code points ≡ UTF-8 bytes; the
+    * 0xFF separators are injected as list elements, never as
+    * characters). The ×prime step uses the t4 oracle's overflow-safe
+    * 32-bit-split mulmod: prime = 2⁴⁰ + 435 ⇒ hi32 = 256, lo32 = 435. */
+  private val x1Fp = withOracle("x1_fingerprint",
+    """CREATE OR REPLACE MACRO graft_u64(x) AS
+      |  CAST(CAST(x AS HUGEINT) % 18446744073709551616 AS UBIGINT);
+      |CREATE OR REPLACE MACRO graft_signed64(x) AS
+      |  CASE WHEN x >= CAST(9223372036854775808 AS UBIGINT)
+      |       THEN CAST(CAST(x AS HUGEINT) - 18446744073709551616 AS BIGINT)
+      |       ELSE CAST(x AS BIGINT) END;
+      |CREATE OR REPLACE MACRO graft_fnvstep(h, c) AS graft_u64(
+      |  (CAST(xor(h, c) AS HUGEINT) * 435) % 18446744073709551616 +
+      |  ((CAST(xor(h, c) AS HUGEINT) * 256) % 4294967296) * 4294967296);
+      |CREATE OR REPLACE MACRO graft_strcodes(s) AS
+      |  list_transform(range(1, length(s)+1), i -> CAST(ord(s[i]) AS UBIGINT));
+      |WITH s AS (
+      |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+      |f AS (
+      |  SELECT event_type, uid,
+      |         list_reduce(
+      |           [CAST(14695981039346656037 AS UBIGINT)] ||
+      |           graft_strcodes('__name__') || [CAST(255 AS UBIGINT)] ||
+      |           graft_strcodes(event_type) || [CAST(255 AS UBIGINT)] ||
+      |           graft_strcodes('user') || [CAST(255 AS UBIGINT)] ||
+      |           graft_strcodes(uid) || [CAST(255 AS UBIGINT)],
+      |           (h, c) -> graft_fnvstep(h, c)) AS fp
+      |  FROM s)
+      |SELECT '{"__name__":"' || event_type || '","user":"' || uid || '"}' AS labels,
+      |       graft_signed64(fp) AS fingerprint,
+      |       CAST(fp AS VARCHAR) AS fingerprint_u64
+      |FROM f""".stripMargin) { (s, dir) =>
     eventSamples(s, dir)
       .select(labels_json(col("labels")).as("labels"),
         labels_fingerprint(col("labels")).as("fingerprint"))

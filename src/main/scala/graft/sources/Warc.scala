@@ -311,6 +311,28 @@ object Warc {
       .toDF("doc_id", "url", "text")
   }
 
+  /** STREAMING ingestion of a raw-crawl landing directory — the
+    * `response`-record twin of [[readStream]]: `warc-*` shards appearing
+    * under `dir` parse as they arrive, HTTP envelopes stripped, each
+    * shard exactly once. Feeds [[graft.ext.HtmlText.extractFrame]] for
+    * the live `url filter → html→text → quality gate` front. */
+  def readResponsesStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "warc-*")
+      .load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parseResponses(inflate(b)))
+      .toDF("doc_id", "url", "html")
+  }
+
   /** Deterministic provenance URLs for the test corpus (the `documents`
     * table carries source+lang but no crawl URL — a real WET input has
     * one per record). */

@@ -89,7 +89,14 @@ trait Storage {
     * order preserved. Multi-query batches run as ONE Spark job — per-query
     * frames are tagged with their index and unioned, so the scheduler
     * overlaps their scans instead of running N sequential jobs (the
-    * reference necessarily loops; a DAG engine shouldn't). */
+    * reference necessarily loops; a DAG engine shouldn't).
+    *
+    * NOTE the driver-side materialization: one protobuf ReadResponse is
+    * the wire contract (the reference does the same), so the whole batch
+    * collects to the caller. An empty-matcher slot is therefore a
+    * BULK-EXPORT riding a dashboard path — for store-to-file export use
+    * [[graft.tools.Promload]] (`store2file`), which streams chunked
+    * time-windows through executors instead of the driver. */
   final def readAll(queries: Seq[Query]): Seq[Seq[TimeSeries]] =
     if (queries.sizeIs <= 1) queries.map(readTimeSeries)
     else {
@@ -371,7 +378,12 @@ object Storage {
   *   laptop. Off by default. */
 final class ParquetStore(spark: SparkSession, root: String,
     indexTtlMs: Long = 5000L, rollupStepMs: Long = 0L,
-    fingerprintBuckets: Int = 0) extends Storage {
+    fingerprintBuckets: Int = 0,
+    // the reference's server-flag surface (cmd/promhouse/main.go:156-163
+    // exposes conn-pool sizing and MaxTimeSeriesInQuery): per-store knobs
+    // with the tuned defaults, settable from HttpApi.main's flags
+    maxSeriesInline: Int = Storage.MaxSeriesInline,
+    broadcastSeriesLimit: Long = Storage.BroadcastSeriesLimit) extends Storage {
   import Storage._
 
   override protected def session: SparkSession = spark
@@ -537,7 +549,7 @@ final class ParquetStore(spark: SparkSession, root: String,
       .where(MatcherCompiler.compile(col("labels_map"), q.matchers))
       .select(col("fingerprint"), col("labels"))
     val fps = matched.select("fingerprint").as[Long](spark.implicits.newLongEncoder)
-      .take(MaxSeriesInline + 1)
+      .take(maxSeriesInline + 1)
     if (fps.isEmpty)
       return Some(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         samplesSchema.add("labels", StringType)))
@@ -571,18 +583,18 @@ final class ParquetStore(spark: SparkSession, root: String,
     // same 4 tiers as `read` (IN-list / forced broadcast / AQE semi-join /
     // no-op), so a mid-size matched set never shuffles the rollup either
     val matchedAll = q.matchers.isEmpty
-    val smallMatch = !matchedAll && fps.length > MaxSeriesInline &&
-      (indexSize() <= BroadcastSeriesLimit || matched.count() <= BroadcastSeriesLimit)
+    val smallMatch = !matchedAll && fps.length > maxSeriesInline &&
+      (indexSize() <= broadcastSeriesLimit || matched.count() <= broadcastSeriesLimit)
     val pruned =
       if (matchedAll) rollup0
-      else if (fps.length <= MaxSeriesInline) rollup0.where(col("fingerprint").isin(fps: _*))
+      else if (fps.length <= maxSeriesInline) rollup0.where(col("fingerprint").isin(fps: _*))
       else if (smallMatch)
         rollup0.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")
       else rollup0.join(matched.select("fingerprint"), Seq("fingerprint"), "left_semi")
 
     val merged = mergeRollup(pruned, hints.stepMs)
     val attach =
-      if (fps.length <= MaxSeriesInline || smallMatch) broadcast(matched) else matched
+      if (fps.length <= maxSeriesInline || smallMatch) broadcast(matched) else matched
     deriveHint(merged, hints.func).map(_
       .join(attach, Seq("fingerprint"))
       .select("fingerprint", "timestamp_ms", "value", "labels"))
@@ -684,15 +696,15 @@ final class ParquetStore(spark: SparkSession, root: String,
     // Physical strategy switch — the reference's 2-tier IN-list/temp-table
     // choice (clickhouse.go:409-412) extended to 4 tiers by matched-set
     // cardinality (cheap to know: the index is cached):
-    //  1. ≤MaxSeriesInline: IN filter pushed into parquet row-group stats;
-    //  2. ≤BroadcastSeriesLimit: forced broadcast left-semi — fact table
+    //  1. ≤maxSeriesInline: IN filter pushed into parquet row-group stats;
+    //  2. ≤broadcastSeriesLimit: forced broadcast left-semi — fact table
     //     never shuffles;
     //  3. above that: unhinted semi-join — AQE shuffles rather than OOMs;
     //  4. empty matcher list (bulk export, every series matches): no
     //     pruning join at all.
     // Label attach follows the same hint rule.
     val fps = matched.select("fingerprint").as[Long](spark.implicits.newLongEncoder)
-      .take(MaxSeriesInline + 1)
+      .take(maxSeriesInline + 1)
     if (fps.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         samplesSchema.add("labels", StringType))
@@ -702,10 +714,10 @@ final class ParquetStore(spark: SparkSession, root: String,
       // cardinality bounds it from above — when the whole dictionary is
       // under the broadcast limit (the common case until ~1 M series), the
       // per-query count job is skipped entirely
-      val smallMatch = !matchedAll && fps.length > MaxSeriesInline &&
-        (indexSize() <= BroadcastSeriesLimit || matched.count() <= BroadcastSeriesLimit)
+      val smallMatch = !matchedAll && fps.length > maxSeriesInline &&
+        (indexSize() <= broadcastSeriesLimit || matched.count() <= broadcastSeriesLimit)
       val pruned =
-        if (fps.length <= MaxSeriesInline) {
+        if (fps.length <= maxSeriesInline) {
           // bucketed layout: the fingerprint set maps to a bucket set →
           // hive partition pruning drops whole directories before the
           // row-group stats even get a say
@@ -721,7 +733,7 @@ final class ParquetStore(spark: SparkSession, root: String,
           samples.join(broadcast(matched.select("fingerprint")), Seq("fingerprint"), "left_semi")
         else samples.join(matched.select("fingerprint"), Seq("fingerprint"), "left_semi")
       val attach =
-        if (fps.length <= MaxSeriesInline || smallMatch) broadcast(matched) else matched
+        if (fps.length <= maxSeriesInline || smallMatch) broadcast(matched) else matched
       pruned
         .join(attach, Seq("fingerprint"))
         .select("fingerprint", "timestamp_ms", "value", "labels")

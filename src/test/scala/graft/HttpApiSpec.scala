@@ -91,6 +91,82 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("debug surface and server flags: /debug/vars, /debug/threads, flag parsing") {
+    val api = new HttpApi(spark, new MemoryStore(spark))
+    val port = api.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      assert(HttpApi.remoteWrite(url, fixture) === 200)
+      // /debug/vars: counters move with traffic, JVM gauges present
+      val vars = scala.io.Source.fromURL(s"$url/debug/vars", "UTF-8").mkString
+      assert(vars.contains("\"graft_samples_written_total\":6"), vars)
+      assert(vars.contains("\"graft_write_requests_total\":1"), vars)
+      assert(vars.contains("\"jvm_heap_used_bytes\":"), vars)
+      assert(vars.contains("\"jvm_gc_count\":"), vars)
+      // /debug/threads: a live dump that includes this server's own pool
+      val threads = scala.io.Source.fromURL(s"$url/debug/threads", "UTF-8").mkString
+      assert(threads.contains("graft-http"), threads.take(500))
+    } finally api.stop()
+    // the flag surface (cmd/promhouse/main.go's set, re-keyed): defaults,
+    // overrides, loud unknown-flag and missing-root failures
+    val d = HttpApi.parseFlags(Seq("/some/store"))
+    assert(d.storeRoot === "/some/store")
+    assert(d.port === 9116)
+    assert(d.maxSeriesInline === graft.storage.Storage.MaxSeriesInline)
+    val f = HttpApi.parseFlags(Seq("/s", "--port=7781", "--cpus=8",
+      "--rollup-step-ms=60000", "--fingerprint-buckets=16",
+      "--max-series-inline=75", "--log-level=ERROR", "--request-log",
+      "--serve-derived-hints"))
+    assert(f === HttpApi.Flags("/s", 7781, 8, 60000L, 16, 75, "ERROR", true, true))
+    intercept[RuntimeException](HttpApi.parseFlags(Seq("/s", "--bogus=1")))
+    intercept[RuntimeException](HttpApi.parseFlags(Seq.empty))
+    // the threshold flag reaches the store: a tiny inline cap flips the
+    // strategy to the broadcast semi-join, same results
+    val root = java.nio.file.Files.createTempDirectory("graft_flags_store_").toString
+    val tuned = new graft.storage.ParquetStore(spark, root, maxSeriesInline = 1)
+    import spark.implicits._
+    tuned.write(fixture.flatMap(ts => ts.samples.map(s =>
+      (ts.labels.map(l => l.name -> l.value).toMap, s.timestampMs, s.value)))
+      .toDF("labels", "timestamp_ms", "value"))
+    val q = Query(T0, T0 + 10000, Seq(Matcher("__name__", MatchType.Re, ".+")))
+    val got = tuned.readTimeSeries(q)
+    assert(got.size === 2) // 2 matched series > maxSeriesInline=1, semi-join path
+    assert(got.map(_.samples.size).sum === 6)
+  }
+
+  test("fuzz-corpus harvesting: wire bodies land as content-addressed seeds that replay clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_corpus_").toString
+    val api = new HttpApi(spark, new MemoryStore(spark), fuzzCorpusDir = Some(dir))
+    val port = api.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      assert(HttpApi.remoteWrite(url, fixture) === 200)
+      assert(HttpApi.remoteWrite(url, fixture) === 200) // same body → same seed
+      assert(HttpApi.remoteWrite(url, fixture.take(1)) === 200)
+      HttpApi.remoteRead(url, Seq(Query(T0, T0 + 10000, Seq.empty)))
+    } finally api.stop()
+    val writeSeeds = new java.io.File(dir, "write").listFiles()
+    val readSeeds = new java.io.File(dir, "read").listFiles()
+    assert(writeSeeds.length === 2, "content addressing dedups the duplicate body")
+    assert(readSeeds.length === 1)
+    // every harvested seed replays through the codec and round-trips —
+    // the corpus is immediately consumable by the decode properties
+    for (f <- writeSeeds) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val decoded = graft.sources.Prompb.decodeWriteRequest(bytes)
+      assert(decoded.nonEmpty)
+      assert(graft.sources.Prompb.decodeWriteRequest(
+        graft.sources.Prompb.encodeWriteRequest(decoded)) === decoded)
+      // content address matches content
+      assert(f.getName === java.security.MessageDigest.getInstance("SHA-1")
+        .digest(bytes).map("%02x".format(_)).mkString + ".bin")
+    }
+    for (f <- readSeeds) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(graft.sources.Prompb.decodeReadRequest(bytes).size === 1)
+    }
+  }
+
   test("wire golden bytes: canonical prompb encoding byte-for-byte, driven through HTTP") {
     import graft.sources.Prompb
     def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString

@@ -263,6 +263,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming raw-crawl ingestion: response shards -> html->text as they land") {
+    import graft.sources.Warc
+    import graft.ext.HtmlText
+    val pages = HtmlText.asGeneratedPages(spark, "/root/testdata/sf0.001").toDF()
+      .limit(100)
+    val half1 = pages.where(col("doc_id") % 2 === 0)
+    val half2 = pages.where(col("doc_id") % 2 === 1)
+    val landing = java.nio.file.Files.createTempDirectory("graft_resp_land").toFile
+    def deliver(batch: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_resp_stage_$tag").toFile
+      Warc.writeResponses(batch, tmp.toString, shards = 2, gzip = true)
+      tmp.listFiles().filter(_.getName.startsWith("warc-")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(landing, s"warc-$tag-${f.getName.stripPrefix("warc-")}").toPath)
+      }
+    }
+    deliver(half1, "a")
+    // the LIVE front door: stream of raw crawl responses → extraction —
+    // html→text runs inside the stream (map-only, so append-mode safe)
+    val q = HtmlText.extractFrame(Warc.readResponsesStream(spark, landing.toString))
+      .toDF()
+      .writeStream.format("memory").queryName("resp_stream_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      val batchAll = HtmlText.extractFrame(pages).collect()
+        .map(d => d.doc_id -> d.text).toMap
+      val after1 = spark.table("resp_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      assert(after1 === half1.collect().map(_.getLong(0)).toSet)
+      deliver(half2, "b")
+      q.processAllAvailable()
+      val after2 = spark.table("resp_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      assert(after2.length === pages.count())
+      // stream-side extraction ≡ batch extraction, doc for doc
+      after2.foreach { case (id, text) =>
+        assert(batchAll(id) === text, s"doc $id")
+        assert(text.nonEmpty)
+      }
+    } finally q.stop()
+  }
+
   test("streaming JSONL ingestion: shards parsed as they land, each exactly once") {
     import graft.sources.Jsonl
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
