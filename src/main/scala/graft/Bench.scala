@@ -52,7 +52,9 @@ object Bench {
     val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
       "d14_canonical_quality", "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign",
       "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens",
-      "pk4_semantic_order")
+      // pk4 + its invariants gate row embed the same KMeans training
+      // one-off as s3 (the serving-side scale path is s7's projection)
+      "pk4_semantic_order", "pk4_layout_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -77,9 +77,53 @@ object Curate {
     Seq("shards", "manifest", "card")
       .forall(d => graft.sources.ShardIO.committed(spark, s"$outDir/$d"))
 
+  /** The WHOLE pipeline from a raw crawl: WARC `response` shards in,
+    * committed training artifacts out. Stages ahead of [[run]] are the
+    * r10 front door plus existing per-doc kernels, all map-only:
+    *
+    *   1. [[graft.sources.Warc.readResponses]] — HTTP envelopes off;
+    *   2. [[graft.ext.HtmlText.extractFrame]] — boilerplate-stripped text;
+    *   3. language ID (t3's trigram-free stopword scorer) + source from
+    *      the crawl URL's host — synthesizing the `documents` schema
+    *      (doc_id, text, lang, source, n_chars) every downstream stage
+    *      and gate query is defined over;
+    *   4. the corpus lands as parquet under `outDir/corpus` (the
+    *      materialization IS the raw-corpus table a real pipeline keeps),
+    *      then [[run]] produces shards/manifest/card from it.
+    *
+    * Returns [[run]]'s result with the extra stages prepended. */
+  def fromCrawl(spark: SparkSession, crawlDir: String, outDir: String,
+      shards: Int = 8): Result = {
+    import graft.ext.TextAnalysis.{langScore, predictLang, words}
+    val t0 = System.nanoTime()
+    val pages = graft.sources.Warc.readResponses(spark, crawlDir)
+    val extracted = graft.ext.HtmlText.extractFrame(pages).toDF()
+      .join(pages.select(col("doc_id"), col("url")), "doc_id")
+    val ws = words(col("text"))
+    val corpusDir = s"$outDir/corpus"
+    extracted
+      .select(col("doc_id"), col("text"), col("url"),
+        langScore(ws, "en").as("s_en"), langScore(ws, "de").as("s_de"),
+        langScore(ws, "es").as("s_es"))
+      .select(col("doc_id"), col("text"),
+        predictLang(col("s_en"), col("s_de"), col("s_es")).as("lang"),
+        // source = registrable host label (scheme/port/path off) — the
+        // provenance key rp1 cards and sm2 quotas group by
+        regexp_replace(regexp_replace(lower(col("url")),
+          "^[a-z]+://", ""), "[:/].*$", "").as("source"),
+        length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val tFront = (System.nanoTime() - t0) / 1e9
+    graft.queries.Tables.invalidate(corpusDir)
+    val r = run(spark, corpusDir, outDir, shards)
+    r.copy(stages = ("crawl_front", tFront) +: r.stages)
+  }
+
   def main(args: Array[String]): Unit = {
-    val corpusDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = args.lift(1).getOrElse(
+    val fromCrawlMode = args.contains("--from-crawl")
+    val positional = args.filterNot(_.startsWith("--"))
+    val inDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = positional.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_curate_").toString)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -87,7 +131,10 @@ object Curate {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.Engine.install(spark)
-    val r = run(spark, corpusDir, outDir)
+    val r =
+      if (fromCrawlMode) fromCrawl(spark, inDir, outDir)
+      else run(spark, inDir, outDir)
+    r.stages.foreach { case (st, t) => println(f"[curate] $st%-16s $t%.1f s") }
     println(s"[curate] ${r.docs} docs -> $outDir (${r.shards} shards, " +
       s"committed=${committed(spark, outDir)})")
     spark.stop()

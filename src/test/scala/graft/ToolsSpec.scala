@@ -295,6 +295,36 @@ class ToolsSpec extends AnyFunSuite {
       graft.SparkEntry.queries("rp1_corpus_stats")(spark, sf).count())
   }
 
+  test("curate from a raw crawl: WARC responses -> extracted corpus -> committed artifacts") {
+    import org.apache.spark.sql.functions._
+    // synthetic raw crawl: the html1 fixture pages as response records
+    val pages = graft.ext.HtmlText.asGeneratedPages(spark, "/root/testdata/sf0.001")
+      .toDF().limit(200)
+    val crawl = java.nio.file.Files.createTempDirectory("graft_crawl_t").toString
+    graft.sources.Warc.writeResponses(pages, crawl, shards = 3)
+    val out = java.nio.file.Files.createTempDirectory("graft_crawlrun_t").toString
+    val r = graft.tools.Curate.fromCrawl(spark, crawl, out, shards = 3)
+    assert(graft.tools.Curate.committed(spark, out))
+    assert(r.stages.map(_._1).startsWith(Seq("crawl_front", "mix_build")))
+    // the materialized corpus carries the documents schema with REAL
+    // extraction + provenance: text is the boilerplate-stripped blocks,
+    // source the crawl host, lang one of the scorer's classes
+    val corpus = spark.read.parquet(s"$out/corpus/documents.parquet")
+    assert(corpus.columns.sorted ===
+      Array("doc_id", "lang", "n_chars", "source", "text"))
+    assert(corpus.count() === 200)
+    val row = corpus.where(col("doc_id") === 5).head()
+    assert(row.getAs[String]("text") ===
+      graft.ext.HtmlText.extract(graft.ext.HtmlText.syntheticHtml(5L)))
+    assert(row.getAs[String]("source") === "crawl.example")
+    assert(Set("en", "de", "es").contains(row.getAs[String]("lang")))
+    assert(row.getAs[Long]("n_chars") === row.getAs[String]("text").length.toLong)
+    // the downstream artifact set is run()'s, over the extracted corpus
+    val manifest = graft.sources.Jsonl.read(spark, s"$out/manifest",
+      graft.SparkEntry.queries("cur2_training_mix")(spark, s"$out/corpus").schema)
+    assert(manifest.count() === r.docs)
+  }
+
   test("ext functions are SQL-registered") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
