@@ -54,6 +54,10 @@ object Diag {
       newOps2(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("newops3")) {
+      newOps3(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("lines")) {
       lineScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -299,6 +303,78 @@ object Diag {
     println(f"[docs] LSH candidate pairs  n=$n%,d: $tPairs%.1f s ($nPairs%,d pairs)")
     println(f"[docs] keeper election      n=$n%,d: $tKeep%.1f s")
     sigs.unpersist(blocking = false); pairs.unpersist(blocking = false)
+  }
+
+  /** Round-10 front-door operators at corpus sizes the gate fixture
+    * can't show: html→text extraction throughput over real markup, the
+    * WARC response shard round trip, and the audio fingerprint + banded
+    * near-dup join (mmd2). */
+  private def newOps3(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    import graft.ext.{HtmlText, Multimodal}
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_diag_newops3").toString
+
+    // html1: the fixture pages (full boilerplate complement) as a parquet
+    // corpus, extraction timed over the materialized bytes
+    val nPages = math.min(n, 2_000_000L)
+    val tGen = time {
+      spark.range(nPages).as[Long].mapPartitions(_.map(id =>
+        HtmlText.PageRow(id, s"https://crawl.example/$id", HtmlText.syntheticHtml(id))))
+        .toDF().write.mode("overwrite").parquet(s"$tmp/pages")
+    }
+    val pages = spark.read.parquet(s"$tmp/pages").as[HtmlText.PageRow]
+    val mbHtml = {
+      val s0 = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp, "pages"))
+      try s0.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size(_)).sum() / 1e6
+      finally s0.close()
+    }
+    println(f"[newops3] html corpus       n=$nPages%,d pages, $mbHtml%.0f MB parquet (gen $tGen%.1f s)")
+    val tExtract = time(sink(HtmlText.extractDocs(pages).toDF()))
+    println(f"[newops3] html1 extract     n=$nPages%,d: $tExtract%.1f s " +
+      f"(${nPages / tExtract / 1e6}%.2f M pages/s)")
+
+    // the raw-crawl shard round trip: response-record export + streamed-
+    // shape read (binaryFile, one task per shard) + envelope strip
+    val nWarc = math.min(n / 5, 200_000L)
+    val wdocs = pages.toDF().where(col("doc_id") < nWarc)
+    val tWw = time(graft.sources.Warc.writeResponses(wdocs, s"$tmp/crawl", shards = 32))
+    val tWr = time(sink(graft.sources.Warc.readResponses(spark, s"$tmp/crawl")))
+    val wmb = new java.io.File(s"$tmp/crawl").listFiles()
+      .filter(_.getName.startsWith("warc-")).map(_.length()).sum / 1e6
+    println(f"[newops3] warc resp write   n=$nWarc%,d: $tWw%.1f s ($wmb%.0f MB gz)")
+    println(f"[newops3] warc resp read    n=$nWarc%,d: $tWr%.1f s (${nWarc / tWr / 1e3}%.0f k recs/s)")
+
+    // mmd2: real WAV decode → energy-envelope hash, then the banded join
+    val nAud = math.min(n / 5, 200_000L)
+    val famAud = math.max(50L, nAud / 10).toInt
+    val tAGen = time {
+      spark.range(nAud).as[Long].mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, Multimodal.syntheticNearDupWav(id, famAud))))
+        .toDF().write.mode("overwrite").parquet(s"$tmp/audio")
+    }
+    val audio = spark.read.parquet(s"$tmp/audio").as[Multimodal.MediaRow]
+    val amb = {
+      val s0 = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp, "audio"))
+      try s0.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size(_)).sum() / 1e6
+      finally s0.close()
+    }
+    println(f"[newops3] audio corpus      n=$nAud%,d real WAVs, $amb%.0f MB parquet (gen $tAGen%.1f s)")
+    val hashes = audio.mapPartitions(
+      _.flatMap(r => Multimodal.audioHash(r.media).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "hash")
+    val tAHash = time(hashes.write.mode("overwrite").parquet(s"$tmp/ahashes"))
+    val hframe = spark.read.parquet(s"$tmp/ahashes")
+    var nPairs = -1L
+    val tAPairs = time {
+      nPairs = graft.queries.MultimodalQueries.dHashPairs(hframe).count()
+    }
+    println(f"[newops3] mmd2 audio hash   n=$nAud%,d: $tAHash%.1f s (${nAud / tAHash / 1e3}%.0f k clips/s)")
+    println(f"[newops3] mmd2 band join    n=$nAud%,d: $tAPairs%.1f s ($nPairs%,d pairs)")
   }
 
   /** The COMPOSED curation driver (tools/Curate) at a corpus size the
