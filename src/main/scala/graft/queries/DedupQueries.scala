@@ -40,9 +40,13 @@ object DedupQueries {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** D3 exact n-gram Jaccard near-dup pairs — the quadratic baseline
-    * (broadcast self-join; only viable at small corpus sizes). */
-  private val d3Jaccard = withOracle("d3_ngram_jaccard",
+  /** The exact-Jaccard pair SQL — d3's oracle, and since r10 ALSO d2's:
+    * the LSH path exact-verifies every candidate, so its output columns
+    * and values are identical to the quadratic baseline whenever recall
+    * is full, which the banding parameters guarantee on this corpus
+    * (zero-miss at j ≥ threshold; previously only the ExtSpec property
+    * asserted it — now every gate run hash-checks it too). */
+  private val exactJaccardSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)),
@@ -54,7 +58,11 @@ object DedupQueries {
        |             / len(list_distinct(a.sh || b.sh)), 4) AS jac
        |FROM d a JOIN d b ON a.doc_id < b.doc_id
        |WHERE cast(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+       |      / len(list_distinct(a.sh || b.sh)) >= $JaccardThreshold""".stripMargin
+
+  /** D3 exact n-gram Jaccard near-dup pairs — the quadratic baseline
+    * (broadcast self-join; only viable at small corpus sizes). */
+  private val d3Jaccard = withOracle("d3_ngram_jaccard", exactJaccardSql) { (s, dir) =>
     val d = docShingles(s, dir)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -66,9 +74,11 @@ object DedupQueries {
 
   /** D2 MinHash+LSH near-dup pairs — the scale path. Signature is one
     * custom-expression pass; banding explodes to (band, band_hash) keys;
-    * same-bucket pairs are exact-verified. Must find the same pairs as d3
-    * (recall property asserted in ExtSpec). */
-  private val d2Minhash = rowsOnly("d2_dedup_minhash_lsh") { (s, dir) =>
+    * same-bucket pairs are exact-verified — so the gate now hash-checks
+    * it against [[exactJaccardSql]] (upgraded from rows-only in r10; the
+    * full-recall property that makes the shared oracle valid stays
+    * independently pinned in ExtSpec). */
+  private val d2Minhash = withOracle("d2_dedup_minhash_lsh", exactJaccardSql) { (s, dir) =>
     minhashPairs(s, dir)
   }
 
@@ -391,8 +401,55 @@ object DedupQueries {
   }
 
   /** D4 SimHash near-dup pairs: 64-bit signature, bucket on the top 16
-    * bits, verify by Hamming distance within buckets. */
-  private val d4Simhash = rowsOnly("d4_dedup_simhash") { (s, dir) =>
+    * bits, verify by Hamming distance within buckets.
+    *
+    * FULL oracle (r10, upgraded from rows-only): SimHash is a pure
+    * function of the shingle set, so DuckDB recomputes the WHOLE
+    * operator — distinct 2-word shingles, FNV-1a per shingle (the x1
+    * oracle's list_reduce + overflow-safe mulmod machinery), the 64
+    * majority-vote bits (bit set ⟺ 2·|set| > |shingles|, matching the
+    * kernel's strict counts(bit) > 0), then the DECLARED bucketed
+    * semantics: pairs equal on the top-16-bit band with Hamming ≤ 6.
+    * The band condition is part of the spec (6 differing bits can all
+    * land in one band, so this is not pigeonhole-exact like mmd1 —
+    * that trade is what the oracle now checks verbatim). */
+  private val d4Simhash = withOracle("d4_dedup_simhash",
+    """CREATE OR REPLACE MACRO graft_u64(x) AS
+      |  CAST(CAST(x AS HUGEINT) % 18446744073709551616 AS UBIGINT);
+      |CREATE OR REPLACE MACRO graft_fnvstep(h, c) AS graft_u64(
+      |  (CAST(xor(h, c) AS HUGEINT) * 435) % 18446744073709551616 +
+      |  ((CAST(xor(h, c) AS HUGEINT) * 256) % 4294967296) * 4294967296);
+      |CREATE OR REPLACE MACRO graft_strcodes(s) AS
+      |  list_transform(range(1, length(s)+1), i -> CAST(ord(s[i]) AS UBIGINT));
+      |WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+      |              ELSE list_distinct(list_transform(range(1, len(ws)),
+      |                     i -> ws[i] || ' ' || ws[i+1])) END AS sh
+      |  FROM w),
+      |hh AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s ->
+      |           list_reduce([CAST(14695981039346656037 AS UBIGINT)] || graft_strcodes(s),
+      |             (h, c) -> graft_fnvstep(h, c))) AS hs,
+      |         len(sh) AS n
+      |  FROM sh),
+      |sim AS (
+      |  SELECT doc_id,
+      |         graft_u64(list_sum(list_transform(range(0, 64), b ->
+      |           CASE WHEN 2 * len(list_filter(hs,
+      |                  h -> (h >> CAST(b AS UBIGINT)) & CAST(1 AS UBIGINT)
+      |                         = CAST(1 AS UBIGINT))) > n
+      |                THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+      |                ELSE CAST(0 AS HUGEINT) END))) AS sim
+      |  FROM hh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      |FROM sim a JOIN sim b ON (a.sim >> 48) = (b.sim >> 48) AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin) { (s, dir) =>
     val d = docShingles(s, dir)
       .select(col("doc_id"), simhash64(col("sh")).as("sim"))
       .withColumn("bucket", shiftrightunsigned(col("sim"), 48))
