@@ -636,39 +636,97 @@ object Multimodal extends Serializable {
     * when the payload doesn't decode or is shorter than one sample per
     * window. */
   def audioHash(bytes: Array[Byte]): Option[Long] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val data = in.readAllBytes()
-        val n = data.length / 2
-        if (n < 65) None
-        else {
-          val energies = new Array[Long](65)
-          var w = 0
-          while (w < 65) {
-            val from = (w.toLong * n / 65).toInt
-            val until = ((w + 1).toLong * n / 65).toInt
-            var e = 0L
-            var i = from
-            while (i < until) {
-              e += math.abs(((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort.toLong)
-              i += 1
+    pcm16DataChunk(bytes) match {
+      // FAST PATH: canonical RIFF/PCM-16 — hash straight off the data
+      // chunk, no stream/SPI setup (measured 7 k clips/s through
+      // AudioSystem at 200 k clips; the per-clip stream setup dominated,
+      // not the fold). Byte-identical to the fallback: for PCM WAVs
+      // AudioSystem returns exactly the data chunk's frames (parity
+      // pinned in ExtSpec).
+      case Some((off, len)) => hashOfPcm16(bytes, off, len)
+      case None =>
+        // fallback: any container an installed reader decodes to PCM.
+        // Big-endian containers (AU, AIFF) normalize to LE so the same
+        // sound fingerprints identically whatever the wrapper.
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val data = in.readAllBytes()
+            if (in.getFormat.isBigEndian && in.getFormat.getSampleSizeInBits == 16) {
+              var i = 0
+              while (i + 1 < data.length) {
+                val t = data(i); data(i) = data(i + 1); data(i + 1) = t
+                i += 2
+              }
             }
-            energies(w) = e
-            w += 1
-          }
-          var hash = 0L
-          var k = 0
-          while (k < 64) {
-            hash <<= 1
-            if (energies(k) > energies(k + 1)) hash |= 1L
-            k += 1
-          }
-          Some(hash)
+            hashOfPcm16(data, 0, data.length)
+          } finally in.close()
+        } catch { case _: Exception => None }
+    }
+
+  /** The energy-envelope fold over 16-bit little-endian PCM at
+    * `[off, off+byteLen)`: 65 equal windows of L1 energy, one bit per
+    * adjacent comparison. */
+  private def hashOfPcm16(data: Array[Byte], off: Int, byteLen: Int): Option[Long] = {
+    val n = byteLen / 2
+    if (n < 65) None
+    else {
+      val energies = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val from = (w.toLong * n / 65).toInt
+        val until = ((w + 1).toLong * n / 65).toInt
+        var e = 0L
+        var i = from
+        while (i < until) {
+          e += math.abs(((data(off + 2 * i) & 0xff) |
+            (data(off + 2 * i + 1).toInt << 8)).toShort.toLong)
+          i += 1
         }
-      } finally in.close()
-    } catch { case _: Exception => None }
+        energies(w) = e
+        w += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        hash <<= 1
+        if (energies(k) > energies(k + 1)) hash |= 1L
+        k += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Locate the `data` chunk of a canonical RIFF/WAVE file whose `fmt `
+    * chunk declares uncompressed 16-bit PCM — the shape every WAV writer
+    * (including the JDK's) emits. Walks the chunk list per the public
+    * RIFF spec (chunks are (id, u32le size, payload) with word
+    * alignment); None for anything else, routing to the decode fallback. */
+  private def pcm16DataChunk(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def leU16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def leU32(p: Int): Long = (leU16(p) & 0xffffL) | ((leU16(p + 2) & 0xffffL) << 16)
+    def tag(p: Int, s: String): Boolean =
+      bytes.length >= p + 4 && bytes(p) == s(0).toByte && bytes(p + 1) == s(1).toByte &&
+        bytes(p + 2) == s(2).toByte && bytes(p + 3) == s(3).toByte
+    if (!(bytes.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE"))) return None
+    var p = 12
+    var pcm16 = false
+    while (p + 8 <= bytes.length) {
+      val size = leU32(p + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = p + 8
+      if (tag(p, "fmt ")) {
+        if (size < 16 || body + 16 > bytes.length) return None
+        pcm16 = leU16(body) == 1 && leU16(body + 14) == 16
+      } else if (tag(p, "data")) {
+        val len = math.min(size.toInt, bytes.length - body)
+        return if (pcm16) Some((body, len)) else None
+      }
+      p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
 
   /** Deterministic synthetic audio corpus WITH planted near-duplicates —
     * the mmd2 fixture, [[syntheticNearDupPng]]'s audio twin: `docId %

@@ -1253,6 +1253,22 @@ class ExtSpec extends AnyFunSuite {
     }
     // non-audio payloads and too-short clips decline
     assert(Multimodal.audioHash("not audio".getBytes("UTF-8")).isEmpty)
+    // container invariance = fast-path/fallback parity: the same PCM
+    // wrapped as canonical WAV (direct RIFF byte walk) and as big-endian
+    // AU (AudioSystem fallback + byte-order normalization) must
+    // fingerprint identically — sound, not container, is what's hashed
+    for (id <- Seq(0L, 7L, 123L)) {
+      val wav = Multimodal.syntheticNearDupWav(id, families)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+      in.close()
+      val au = bos.toByteArray
+      assert(!java.util.Arrays.equals(wav, au))
+      assert(Multimodal.audioHash(au) === Multimodal.audioHash(wav), s"id=$id")
+    }
   }
 
   test("mmd2 band join equals brute-force Hamming<=3 pairs over audio fingerprints") {
