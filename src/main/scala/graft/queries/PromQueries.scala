@@ -141,9 +141,13 @@ object PromQueries {
     // would merge instants the oracle keeps distinct
     val w = Window.partitionBy("event_type", "user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    Tables(s, dir, "events")
+    val e0 = Tables(s, dir, "events")
       .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"), col("event_id"))
+    // sort-window family: rows-per-task-bounded exchange on the window's
+    // own partition keys (the sessionize remedy, SCALE.md §5)
+    e0.repartition(graft.queries.EventQueries.boundedExchangePartitions(e0),
+        col("event_type"), col("user_id"))
       .withColumn("rate", (col("value") - lag("value", 1).over(w)) /
         ((col("ts_us") - lag("ts_us", 1).over(w)) / 1000000.0))
       .where(col("rate").isNotNull)
@@ -276,7 +280,11 @@ object PromQueries {
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) t
       |WHERE rnk <= 3 OR rn = 1""".stripMargin) { (s, dir) =>
-    val e = Tables(s, dir, "events")
+    val e0 = Tables(s, dir, "events")
+    // sort-window family: rows-per-task-bounded exchange (the sessionize
+    // remedy, SCALE.md §5) — both windows share the one user_id exchange
+    val e = e0.repartition(
+      graft.queries.EventQueries.boundedExchangePartitions(e0), col("user_id"))
     val byValue = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
     val byTime = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     e.withColumn("rnk", rank().over(byValue))
