@@ -479,6 +479,59 @@ class StreamingSpec extends AnyFunSuite {
       "post-compaction append parity")
   }
 
+  test("streaming perceptual near-dup gate: one keeper per planted family, replay-idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.MediaStream
+    val families = 50
+    // planted-image corpus: ids 0..499, family = id % 50, family primaries
+    // are ids 0..49; every copy is within Hamming<=3 of its primary, and
+    // within-batch components connect THROUGH the primary — so the
+    // expected accepted set is exactly the primaries, deterministically
+    def media(ids: Range) = ids.map(id =>
+      (id.toLong, graft.ext.Multimodal.syntheticNearDupPng(id.toLong, families)))
+    val root = java.nio.file.Files.createTempDirectory("graft_mediadup_").toString
+    val basePath = s"$root/base"
+    val stream = MemoryStream[(Long, Array[Byte])]
+    def sink() = MediaStream.startPerceptualSink(
+      MediaStream.imageHashes(
+        stream.toDF().select(col("_1").as("doc_id"), col("_2").as("media"))),
+      basePath, s"$root/ckpt", Trigger.AvailableNow())
+    stream.addData(media(0 until 250): _*)
+    val q = sink()
+    q.processAllAvailable(); q.stop()
+    val afterA = spark.read.parquet(basePath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterA === (0L until 50L).toSet, "batch 1 accepts exactly the primaries")
+    // batch 2: every member matches an already-represented family -> no new rows
+    stream.addData(media(250 until 500): _*)
+    val q2 = sink()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(basePath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
+    // checkpoint-wipe replay of batch 2: self/base suppression keeps the
+    // base unchanged (the rollup-sink upgrade path, no anti-join needed)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/ckpt"))
+    stream.addData(media(250 until 500): _*)
+    val q3 = sink()
+    q3.processAllAvailable(); q3.stop()
+    val fin = spark.read.parquet(basePath)
+    assert(fin.count() === 50)
+    assert(fin.select("doc_id").collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
+    // the same gate serves AUDIO hashes unchanged (modality-agnostic):
+    // full corpus vs empty base elects the primaries; copies vs the
+    // primaries as base are all suppressed
+    val audio = (0 until 500).map(id =>
+      (id.toLong, graft.ext.Multimodal.audioHash(
+        graft.ext.Multimodal.syntheticNearDupWav(id.toLong, families)).get))
+      .toDF("doc_id", "hash")
+    val primaries = audio.where(col("doc_id") < 50)
+    val copies = audio.where(col("doc_id") >= 50)
+    assert(MediaStream.acceptPerceptual(audio, audio.limit(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
+    assert(MediaStream.acceptPerceptual(copies, primaries).isEmpty)
+  }
+
   test("streaming near-dup curation = batch incremental dedup on the same split") {
     // Two micro-batches (odd docs, then even docs) of the fixture corpus
     // through the near-dup sink; expected accepted set derived
