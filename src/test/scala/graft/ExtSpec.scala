@@ -1229,6 +1229,36 @@ class ExtSpec extends AnyFunSuite {
     got.foreach { case (a, b) => assert(a % 50 === b % 50, s"cross-family pair ($a,$b)") }
   }
 
+  test("html extraction is total on arbitrary tag soup") {
+    import graft.ext.HtmlText
+    // crawl bytes are adversarial: unclosed tags, stray ampersands, nested
+    // brokenness. The scanner must never throw and must return SOMETHING
+    // sane for every input — seeded generative soup over a hostile palette
+    val palette = "<>&;/!-= \n\tabpdiv\"'0#xscript".toCharArray
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(300)
+      val soup = new String(Array.fill(n)(palette(rnd.nextInt(palette.length))))
+      val out = HtmlText.extract(soup) // must not throw
+      assert(out != null)
+      // kept text never contains raw markup boundaries from well-formed
+      // tags (a stray '<' that isn't a tag is legitimately text)
+      assert(!out.contains("<script"), soup)
+    }
+    // pathological but structured cases
+    assert(HtmlText.extract("<" * 1000) != null)
+    assert(HtmlText.extract("&amp" * 500) != null)
+    assert(HtmlText.extract("<p>" + "a" * 100) === "a" * 100) // unclosed block flushes at EOF
+    assert(HtmlText.extract("<a href='x'>" + "b" * 100) === "") // all-link block dies
+    // big-input linearity sanity: 1 MB of paragraphs stays sub-second
+    val big = ("<p>" + "word " * 40 + "</p>") * 5000
+    val t0 = System.nanoTime()
+    val bigOut = HtmlText.keptBlocks(big)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(bigOut.size === 5000)
+    assert(secs < 5.0, f"1 MB page took $secs%.1f s")
+  }
+
   test("audioHash: gain-invariant for re-masters, near for planted copies, far across families") {
     val families = 50
     // deterministic: identical bytes → identical hash
