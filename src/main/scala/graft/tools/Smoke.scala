@@ -375,6 +375,37 @@ object Smoke {
         new java.io.File(dir).listFiles().count(_.getName.endsWith(".jsonl.gz")) +
         s" gz shards, committed=${graft.sources.Jsonl.committed(spark, dir)}")
     }
+
+    // r10: the raw-crawl front door end-to-end — synthetic pages as WARC
+    // response shards, read back with envelopes stripped, html→text, then
+    // the whole crawl→artifacts driver
+    locally {
+      val pages = graft.ext.HtmlText.asGeneratedPages(spark, "/root/testdata/sf0.001")
+        .toDF().limit(60)
+      val crawl = java.nio.file.Files.createTempDirectory("smoke_crawl_").toString
+      graft.sources.Warc.writeResponses(pages, crawl, shards = 2)
+      val extracted = graft.ext.HtmlText.extractFrame(
+        graft.sources.Warc.readResponses(spark, crawl))
+      println(s"HTML: ${extracted.count()} pages extracted; sample blocks=" +
+        extracted.toDF().orderBy("doc_id").head().getAs[Int]("n_blocks"))
+      val out = java.nio.file.Files.createTempDirectory("smoke_crawlrun_").toString
+      val r = graft.tools.Curate.fromCrawl(spark, crawl, out, shards = 2)
+      println(s"CRAWL->ARTIFACTS: ${r.docs} docs kept, stages=" +
+        r.stages.map { case (n, t) => f"$n=$t%.1fs" }.mkString(",") +
+        s", committed=${graft.tools.Curate.committed(spark, out)}")
+    }
+
+    // r10: perceptual fingerprints — image dHash + audio energy hash, one
+    // banded gate for both
+    locally {
+      import graft.ext.Multimodal
+      val img = Multimodal.dHash(Multimodal.syntheticNearDupPng(7L, 50)).get
+      val imgCopy = Multimodal.dHash(Multimodal.syntheticNearDupPng(57L, 50)).get
+      val aud = Multimodal.audioHash(Multimodal.syntheticNearDupWav(7L, 50)).get
+      val audCopy = Multimodal.audioHash(Multimodal.syntheticNearDupWav(57L, 50)).get
+      println(f"PERCEPTUAL: img hamming(base,copy)=${java.lang.Long.bitCount(img ^ imgCopy)} " +
+        f"audio hamming(base,copy)=${java.lang.Long.bitCount(aud ^ audCopy)}")
+    }
     spark.stop()
   }
 }
