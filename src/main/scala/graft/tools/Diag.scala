@@ -58,6 +58,11 @@ object Diag {
       newOps3(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("bpe")) {
+      bpeScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L),
+        args.lift(2).map(_.toInt).getOrElse(1000))
+      spark.stop(); return
+    }
     if (args.headOption.contains("lines")) {
       lineScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -303,6 +308,33 @@ object Diag {
     println(f"[docs] LSH candidate pairs  n=$n%,d: $tPairs%.1f s ($nPairs%,d pairs)")
     println(f"[docs] keeper election      n=$n%,d: $tKeep%.1f s")
     sigs.unpersist(blocking = false); pairs.unpersist(blocking = false)
+  }
+
+  /** Tokenizer training at real rule counts — the batched-BPE claim
+    * measured: `steps` merge rules from an n-doc corpus's word dictionary
+    * (10 k-token vocab, so the pair space survives 1000+ merges), batch
+    * 256 per recount round. The sequential loop's cost model is ~2 jobs ×
+    * scheduler latency PER RULE; the batched one is per ROUND. */
+  private def bpeScale(spark: SparkSession, n: Long, steps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = concat_ws(" ", transform(sequence(lit(1), lit(60)),
+      i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val docs = spark.range(n).select(col("id").as("doc_id"), base.as("text"))
+    val t0 = System.nanoTime()
+    val dict = docs
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val vocab = dict.count()
+    val tDict = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val rules = graft.ext.Bpe.batchedMerges(dict, steps, 256)
+    val tTrain = (System.nanoTime() - t1) / 1e9
+    println(f"[bpe] dict build   n=$n%,d docs -> $vocab%,d words: $tDict%.1f s")
+    println(f"[bpe] train        ${rules.size}%,d rules (batch 256): $tTrain%.1f s " +
+      f"(${rules.size / tTrain}%.0f rules/s; sequential would be ~${rules.size * 2}%,d jobs)")
+    dict.unpersist(blocking = false)
   }
 
   /** Round-10 front-door operators at corpus sizes the gate fixture
