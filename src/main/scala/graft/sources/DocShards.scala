@@ -95,6 +95,12 @@ object DocShards {
     * training order = ORDER BY (shard, rec_no). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    if (!ShardIO.hasShards(spark, dir, "shard-")) // committed zero-row export
+      return ShardIO.emptyFrame(spark, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rec_no", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
     spark.read.format("binaryFile").load(s"$dir/shard-*.bin")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

@@ -67,21 +67,13 @@ object Jsonl {
   /** Read a JSONL shard directory back against `schema`: one task per
     * shard (gzip sniffed per file by magic, like [[Warc.inflate]]), lines
     * parsed distributedly by `from_json`. */
-  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    // A committed zero-row export has _SUCCESS but no part-* (write skips
-    // empty partitions); binaryFile over a glob matching nothing throws,
-    // so list first and hand back an empty frame against the schema.
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasShards = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("part-"))
-    if (!hasShards)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    // committed zero-row exports have _SUCCESS but no shards (ShardIO)
+    if (!ShardIO.hasShards(spark, dir, "part-")) ShardIO.emptyFrame(spark, schema)
     else
       parseLines(spark,
         spark.read.format("binaryFile").load(s"$dir/part-*")
           .select(col("content")), schema)
-  }
 
   /** STREAMING ingestion of a JSONL landing directory — shards appearing
     * under `dir` parse as they arrive, each exactly once. */

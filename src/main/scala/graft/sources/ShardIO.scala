@@ -97,4 +97,20 @@ object ShardIO {
     val p = new Path(dir, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** True iff `dir` holds at least one shard with `prefix` — the
+    * zero-row-export guard every read side needs: a committed empty
+    * export has `_SUCCESS` but no shards (writes skip empty partitions),
+    * and `binaryFile` over a glob matching nothing throws rather than
+    * returning an empty frame. */
+  def hasShards(spark: SparkSession, dir: String, prefix: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists(_.getPath.getName.startsWith(prefix))
+  }
+
+  /** An empty frame with the given schema (the zero-shard read result). */
+  def emptyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 }

@@ -236,7 +236,12 @@ object Warc {
     * shard; `.warc` and `.warc.gz` shards may mix. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/warc-*")
+    if (!ShardIO.hasShards(spark, dir, "warc-")) // committed zero-row export
+      ShardIO.emptyFrame(spark, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    else spark.read.format("binaryFile").load(s"$dir/warc-*")
       .select(col("content"))
       .as[Array[Byte]]
       .flatMap(b => parseAll(inflate(b)))
@@ -275,7 +280,12 @@ object Warc {
     * shard — the input side of the `html→text → quality-gate` ladder. */
   def readResponses(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/warc-*")
+    if (!ShardIO.hasShards(spark, dir, "warc-")) // committed zero-row export
+      ShardIO.emptyFrame(spark, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.StringType))))
+    else spark.read.format("binaryFile").load(s"$dir/warc-*")
       .select(col("content"))
       .as[Array[Byte]]
       .flatMap(b => parseResponses(inflate(b)))

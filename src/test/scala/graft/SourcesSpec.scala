@@ -221,12 +221,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(new java.io.File(wdir).listFiles().count(_.getName.startsWith("warc-")) === 1)
     assert(Warc.read(spark, wdir).count() === 50)
     // a committed ZERO-ROW export has _SUCCESS but no shards (empty
-    // partitions are skipped) — read must return an empty frame, not throw
+    // partitions are skipped) — EVERY format's read must return an empty
+    // frame, not throw on the unmatched glob
     val empty = docs.filter($"doc_id" < 0)
     val edir = java.nio.file.Files.createTempDirectory("graft_jsonl_empty").toString
     Jsonl.write(empty, edir, shards = 2)
     assert(Jsonl.committed(spark, edir))
     assert(Jsonl.read(spark, edir, docs.schema).count() === 0)
+    val ewarc = java.nio.file.Files.createTempDirectory("graft_warc_empty").toString
+    Warc.write(Warc.withUrls(empty), ewarc, shards = 2)
+    assert(Warc.committed(spark, ewarc))
+    assert(Warc.read(spark, ewarc).count() === 0)
+    val eresp = java.nio.file.Files.createTempDirectory("graft_resp_empty").toString
+    Warc.writeResponses(empty.withColumn("html", $"text")
+      .withColumn("url", org.apache.spark.sql.functions.lit("https://x/")),
+      eresp, shards = 2)
+    assert(Warc.readResponses(spark, eresp).count() === 0)
+    val eshard = java.nio.file.Files.createTempDirectory("graft_shard_empty").toString
+    DocShards.write(empty.withColumn("pos", $"doc_id"), "pos", eshard, shards = 2)
+    assert(DocShards.committed(spark, eshard))
+    assert(DocShards.read(spark, eshard).count() === 0)
   }
 
   test("warc: torn shard fails loudly, skips non-conversion records") {
