@@ -260,6 +260,13 @@ object Compact {
     fs.delete(old, true)
   }
 
+  /** Schema-agnostic doc_id-keyed base compaction: per-micro-batch
+    * appends → `files` sorted range files, staged atomic swap. Serves
+    * BOTH streaming dedup bases — the text signature table
+    * ([[graft.streaming.DocStream.startNearDupSink]], (doc_id, sh, sig))
+    * and the perceptual hash table
+    * ([[graft.streaming.MediaStream.startPerceptualSink]],
+    * (doc_id, hash)) — compaction only re-lays files, never re-keys. */
   def nearDupBase(spark: SparkSession, basePath: String, files: Int = 8): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -518,6 +518,18 @@ class StreamingSpec extends AnyFunSuite {
     val fin = spark.read.parquet(basePath)
     assert(fin.count() === 50)
     assert(fin.select("doc_id").collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
+    // base compaction (the text sink's Compact.nearDupBase is
+    // schema-agnostic) re-lays the per-batch appends into sorted range
+    // files without changing the answer: same keepers, and a further
+    // delivery is still fully suppressed
+    graft.tools.Compact.nearDupBase(spark, basePath, files = 2)
+    assert(spark.read.parquet(basePath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/ckpt"))
+    stream.addData(media(0 until 100): _*)
+    val q4 = sink()
+    q4.processAllAvailable(); q4.stop()
+    assert(spark.read.parquet(basePath).count() === 50)
     // the same gate serves AUDIO hashes unchanged (modality-agnostic):
     // full corpus vs empty base elects the primaries; copies vs the
     // primaries as base are all suppressed
