@@ -22,6 +22,16 @@ object DedupQueries {
   val Bands = 16 // x 4 rows per band: P(candidate | j) = 1-(1-j^4)^16
   // j=0.8 -> recall 0.9998; j=0.2 (the bulk of random pairs) -> 2.6% —
   // candidate volume stays linear-ish instead of quadratic
+  //
+  // GATE RECALL PRECONDITION (d2 is hash-checked against the EXACT
+  // Jaccard oracle): that upgrade is only valid while LSH recall at the
+  // threshold is effectively 1 on the gate corpus — which (16, 4) banding
+  // at j >= 0.8 gives (miss prob <= 2e-4/pair; zero misses verified on the
+  // sf fixtures, full-recall property pinned in ExtSpec). If a future
+  // change touches JaccardThreshold / MinhashK / Bands / the fixture and
+  // d2 starts hash-mismatching with rows SLIGHTLY UNDER the oracle's,
+  // diagnose RECALL LOSS (re-derive 1-(1-j^r)^b at the new parameters)
+  // before hunting a correctness bug.
 
   /** doc_id + distinct word-bigram shingle set. The words array is
     * materialized in its own projection first (see shingles() scaladoc). */

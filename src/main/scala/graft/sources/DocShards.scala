@@ -95,7 +95,7 @@ object DocShards {
     * training order = ORDER BY (shard, rec_no). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (!ShardIO.hasShards(spark, dir, "shard-")) // committed zero-row export
+    if (ShardIO.committedEmpty(spark, dir, "shard-")) // committed zero-row export
       return ShardIO.emptyFrame(spark, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("rec_no", org.apache.spark.sql.types.LongType),

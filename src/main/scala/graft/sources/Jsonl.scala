@@ -69,7 +69,7 @@ object Jsonl {
     * parsed distributedly by `from_json`. */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     // committed zero-row exports have _SUCCESS but no shards (ShardIO)
-    if (!ShardIO.hasShards(spark, dir, "part-")) ShardIO.emptyFrame(spark, schema)
+    if (ShardIO.committedEmpty(spark, dir, "part-")) ShardIO.emptyFrame(spark, schema)
     else
       parseLines(spark,
         spark.read.format("binaryFile").load(s"$dir/part-*")

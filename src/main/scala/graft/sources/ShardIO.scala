@@ -109,6 +109,20 @@ object ShardIO {
     fs.exists(root) && fs.listStatus(root).exists(_.getPath.getName.startsWith(prefix))
   }
 
+  /** Zero-shard read triage: `true` ONLY for a committed empty export
+    * (`_SUCCESS` present, no shards — writes skip empty partitions).
+    * A zero-shard dir WITHOUT the marker is a typo'd path or a torn/
+    * uncommitted export — reading it as an empty corpus would silently
+    * drop data downstream, so fail loudly instead (the documented
+    * fail-loudly contract for torn shards). */
+  def committedEmpty(spark: SparkSession, dir: String, prefix: String): Boolean =
+    if (hasShards(spark, dir, prefix)) false
+    else if (committed(spark, dir)) true
+    else throw new IllegalStateException(
+      s"shard read of '$dir': no '$prefix*' shards and no _SUCCESS marker — " +
+        "either the path is wrong or the export was torn/never committed; " +
+        "refusing to read it as an empty corpus")
+
   /** An empty frame with the given schema (the zero-shard read result). */
   def emptyFrame(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =

@@ -236,7 +236,7 @@ object Warc {
     * shard; `.warc` and `.warc.gz` shards may mix. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (!ShardIO.hasShards(spark, dir, "warc-")) // committed zero-row export
+    if (ShardIO.committedEmpty(spark, dir, "warc-")) // committed zero-row export
       ShardIO.emptyFrame(spark, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
@@ -280,7 +280,7 @@ object Warc {
     * shard — the input side of the `html→text → quality-gate` ladder. */
   def readResponses(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (!ShardIO.hasShards(spark, dir, "warc-")) // committed zero-row export
+    if (ShardIO.committedEmpty(spark, dir, "warc-")) // committed zero-row export
       ShardIO.emptyFrame(spark, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),

@@ -395,6 +395,7 @@ final class ParquetStore(spark: SparkSession, root: String,
   @volatile private var cachedIndex: Option[(DataFrame, Long)] = None
   @volatile private var cachedIndexSize: Long = -1L
   @volatile private var rollupCapsOk: Option[(Boolean, Boolean, Boolean)] = None
+  @volatile private var rollupClaimed: Boolean = false
 
   /** Total dictionary cardinality, memoized with the snapshot (the
     * materializing count() already computes it). */
@@ -458,8 +459,12 @@ final class ParquetStore(spark: SparkSession, root: String,
     // land raw rows whose buckets no producer ever rolls up
     // (serving-only stores with rollupStepMs > 0 never write, so they
     // never claim; Downsample.claimRollupProducer is idempotent)
-    if (rollupStepMs > 0)
+    // claimed once per store instance — the marker is immutable after a
+    // successful claim, so later batches need no FS round-trip
+    if (rollupStepMs > 0 && !rollupClaimed) {
       graft.streaming.Downsample.claimRollupProducer(spark, root, "batch")
+      rollupClaimed = true
+    }
     // New-series detection (clickhouse.go:438-447): anti-join the batch's
     // series against the stored dictionary, so the dictionary only grows by
     // genuinely new fingerprints. Cross-writer duplicates that race are

@@ -172,10 +172,18 @@ object Downsample {
       kind: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$storeRoot/_rollup_producer")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A marker is only ever renamed into place fully written (below), so an
+    // empty read can only be a racing claimer mid-flight (or a legacy
+    // create-then-write marker): retry briefly before treating it as real.
     def existing(): String = {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
+      def readOnce(): String = {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+      var s = readOnce(); var tries = 0
+      while (s.isEmpty && tries < 20) { Thread.sleep(50); s = readOnce(); tries += 1 }
+      s
     }
     def refuse(other: String): Nothing = throw new IllegalStateException(
       s"samples_rollup under $storeRoot is already produced by the '$other' path; " +
@@ -186,13 +194,18 @@ object Downsample {
       val e = existing(); if (e != kind) refuse(e)
     } else {
       fs.mkdirs(p.getParent)
-      try {
-        val out = fs.create(p, false) // no overwrite: atomic claim
-        try out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } catch {
-        case _: java.io.IOException => // lost a concurrent claim race: re-check
-          val e = existing(); if (e != kind) refuse(e)
+      // Write-then-rename so the marker is never observable half-written:
+      // a concurrent claimer (or a reader racing the winner) sees either
+      // no marker or the full kind string, never an empty file.
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$storeRoot/._rollup_producer.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val won = try fs.rename(tmp, p) catch { case _: java.io.IOException => false }
+      if (!won) { // lost a concurrent claim race: re-check the winner's kind
+        fs.delete(tmp, false)
+        val e = existing(); if (e != kind) refuse(e)
       }
     }
   }

@@ -96,9 +96,11 @@ object Curate {
       shards: Int = 8): Result = {
     import graft.ext.TextAnalysis.{langScore, predictLang, words}
     val t0 = System.nanoTime()
+    // url rides through the extraction kernel, so the crawl shards are
+    // gunzipped + record-parsed exactly ONCE (no join re-running the
+    // WARC parse on its probe side — the front door's costliest stage)
     val pages = graft.sources.Warc.readResponses(spark, crawlDir)
-    val extracted = graft.ext.HtmlText.extractFrame(pages).toDF()
-      .join(pages.select(col("doc_id"), col("url")), "doc_id")
+    val extracted = graft.ext.HtmlText.extractFrameWithUrl(pages).toDF()
     val ws = words(col("text"))
     val corpusDir = s"$outDir/corpus"
     extracted

@@ -1426,5 +1426,18 @@ class ExtSpec extends AnyFunSuite {
     assert(HtmlText.keptBlocks(
       s"<p>  ${longProse.replace(" ", "\n \t ")}  </p><p>$longProse</p>")
       === Vector(longProse, longProse))
+    // 10. '>' inside a QUOTED attribute value (inline JS handlers,
+    // data-attrs — common in real crawl HTML) is tag content, not tag
+    // end: nothing from the attribute leaks into the extracted block
+    assert(HtmlText.extract(
+      s"""<p onclick="if (x > 1) go()">$longProse</p>""") === longProse)
+    assert(HtmlText.extract(
+      s"""<p data-cond='a > b' class="x">$longProse</p>""") === longProse)
+    // 11. an UNQUOTED attribute value ending in '/' is the value's last
+    // char, not a self-closing marker: the <a> really opens, so its text
+    // counts as link text and the all-link block dies
+    assert(HtmlText.extract(s"<a href=https://x.example/>$longProse</a>") === "")
+    // while a genuinely self-closing <a/> leaves aDepth at zero
+    assert(HtmlText.extract(s"""<a href="y"/><p>$longProse</p>""") === longProse)
   }
 }

@@ -243,6 +243,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(DocShards.read(spark, eshard).count() === 0)
   }
 
+  test("shardio: zero-shard read WITHOUT _SUCCESS fails loudly across all formats") {
+    // the empty-frame branch is ONLY for committed empty exports — a
+    // typo'd path (dir doesn't exist) or a torn/uncommitted export must
+    // throw, never silently read as an empty corpus
+    val schema = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
+    val nosuch = "/tmp/graft_no_such_dir_" + java.util.UUID.randomUUID()
+    intercept[IllegalStateException] { Jsonl.read(spark, nosuch, schema).count() }
+    intercept[IllegalStateException] { Warc.read(spark, nosuch).count() }
+    intercept[IllegalStateException] { Warc.readResponses(spark, nosuch).count() }
+    intercept[IllegalStateException] { DocShards.read(spark, nosuch).count() }
+    // an existing dir with no shards and no marker = torn export: same
+    val torn = java.nio.file.Files.createTempDirectory("graft_torn_dir").toString
+    intercept[IllegalStateException] { Jsonl.read(spark, torn, schema).count() }
+    intercept[IllegalStateException] { DocShards.read(spark, torn).count() }
+  }
+
   test("warc: torn shard fails loudly, skips non-conversion records") {
     val docs = Warc.withUrls(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20))
