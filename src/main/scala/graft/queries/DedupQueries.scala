@@ -188,7 +188,7 @@ object DedupQueries {
     Tables.invalidate(dir)
   }
 
-  private def bandedKeys(d: DataFrame): DataFrame = {
+  private[graft] def bandedKeys(d: DataFrame): DataFrame = {
     val rowsPerBand = MinhashK / Bands // 4
     d.select(col("doc_id"), posexplode(
       array((0 until Bands).map(b =>

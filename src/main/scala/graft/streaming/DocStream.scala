@@ -198,19 +198,22 @@ object DocStream {
     *   2. within-batch near-dup components over the batch's LSH pairs
     *      ([[graft.queries.DedupQueries.minhashPairsOfSigs]] + min-label
     *      CC — micro-batch-sized inputs);
-    *   3. LSH probe of the batch against the ACCUMULATED base signature
-    *      table ([[graft.queries.DedupQueries.probePairsAgainst]]): for
-    *      a normal micro-batch AQE broadcasts the batch's band keys and
-    *      the base scans once map-side without shuffling, so per-batch
-    *      cost tracks batch size, not corpus size (a backlog-sized
-    *      replay batch instead shuffle-joins on the uniform band key —
-    *      no forced broadcast to blow up on);
+    *   3. LSH probe of the batch against the ACCUMULATED base
+    *      ([[probeNearDupBase]]): the base is kept BAND-PARTITIONED
+    *      (`bands/kb=` hive layout over the band hash, plus a `sigs/db=`
+    *      doc-bucketed signature store), so the probe statically prunes
+    *      to the buckets the batch actually collides with and fetches
+    *      shingle sets candidate-proportionally — per-batch cost tracks
+    *      batch size and candidate volume, not accumulated base size (a
+    *      backlog-sized replay batch degrades to all buckets, i.e. a
+    *      full scan, never worse);
     *   4. acceptance: one keeper (min doc_id) per within-batch component,
     *      and NO member of a component any of whose members verified
     *      against the base (that family is already represented);
-    *   5. accepted (doc_id, sh, sig) rows append to the base table —
-    *      the persisted state, exactly d9's base content-hash index at
-    *      near-dup granularity.
+    *   5. accepted (doc_id, sh, sig) rows append to BOTH halves of the
+    *      layout ([[appendNearDupBase]], bands first for crash
+    *      convergence) — the persisted state, exactly d9's base
+    *      content-hash index at near-dup granularity.
     *
     * REPLAY-IDEMPOTENT by construction: a replayed accepted document
     * finds itself in the base (Jaccard 1 ≥ threshold), its component is
@@ -226,10 +229,237 @@ object DocStream {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((batch: DataFrame, _: Long) => nearDupBatch(batch, basePath))
+      .foreachBatch((batch: DataFrame, id: Long) => nearDupBatch(batch, basePath, id))
       .start()
 
-  private[graft] def nearDupBatch(batch: DataFrame, basePath: String): Unit = {
+  /** The base is a two-tier LSM-style layout:
+    *
+    *   - `delta/batch_id=<id>/` — one flat (doc_id, sh, sig) directory
+    *     per micro-batch (append-mode; replays land nothing because the
+    *     probe self-matches): the cheap, bounded-file-count write path;
+    *   - `sigs/db=<doc_id bucket>/` + `bands/kb=<band-hash bucket>/` —
+    *     the COMPACTED tier, hive-partitioned and sorted, rebuilt by
+    *     [[graft.tools.Compact.nearDupBase]] which folds all deltas in
+    *     (the band index is DERIVED from sigs at compaction — deltas
+    *     never carry band rows).
+    *
+    * The per-trigger probe runs partition-PRUNED against the compacted
+    * tier (band index read only for the batch's `kb` buckets; the heavy
+    * shingle column fetched only from the `db` buckets candidates
+    * actually hit) and as a plain frame probe against the deltas — whose
+    * total size is bounded by docs-since-last-compaction, not by the
+    * base. Per-trigger cost therefore tracks batch size + candidate
+    * volume + compaction lag, never accumulated base size; write cost
+    * stays one small delta directory per trigger. Raising the bucket
+    * counts re-shards finer for a bigger base at the next compaction. */
+  val BandBuckets = 1024
+  val DocBuckets = 1024
+
+  private[graft] def bandsDir(basePath: String) = s"$basePath/bands"
+  private[graft] def sigsDir(basePath: String) = s"$basePath/sigs"
+  private[graft] def deltaDir(basePath: String) = s"$basePath/delta"
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def nonEmptyDir(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  private[graft] val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sh",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false))))
+
+  private def emptySigs(spark: SparkSession): DataFrame =
+    graft.sources.ShardIO.emptyFrame(spark, sigSchema)
+
+  /** The delta tier as a (doc_id, sh, sig) frame. */
+  private[graft] def deltaSigs(spark: SparkSession, basePath: String): DataFrame =
+    if (!nonEmptyDir(spark, deltaDir(basePath))) emptySigs(spark)
+    else spark.read.parquet(deltaDir(basePath))
+      .select("doc_id", "sh", "sig")
+
+  /** The compacted tier as a (doc_id, sh, sig) frame. */
+  private[graft] def compactedSigs(spark: SparkSession, basePath: String): DataFrame =
+    if (!dirExists(spark, sigsDir(basePath))) emptySigs(spark)
+    else spark.read.parquet(sigsDir(basePath)).select("doc_id", "sh", "sig")
+
+  /** The accumulated base as a logical (doc_id, sh, sig) frame — the ONE
+    * read surface over the layout (consumers must not assume file
+    * structure under `basePath`): compacted tier ∪ deltas. */
+  def nearDupBaseSigs(spark: SparkSession, basePath: String): DataFrame =
+    compactedSigs(spark, basePath).unionByName(deltaSigs(spark, basePath))
+
+  /** Batch doc_ids verified near-dup of ANY base doc. Against the
+    * COMPACTED tier the probe is partition-pruned:
+    *
+    *   1. the batch's band keys name their `kb` buckets; the band index
+    *      is read WITH a partition `isin` on exactly those buckets
+    *      (bounded by [[BandBuckets]]; a backlog-sized replay degrades
+    *      to all buckets — a full index scan of narrow rows, never
+    *      worse than the unpartitioned layout);
+    *   2. candidates = (band, band_hash) equi-join, batch side broadcast
+    *      by AQE at micro-batch size;
+    *   3. exact-Jaccard verify fetches `sh` ONLY from the `db` buckets
+    *      candidates actually hit — the heavy column (KB-scale shingle
+    *      arrays) is read candidate-proportionally, never base-wide.
+    *
+    * Both `isin` lists are collected driver-side but bounded by the
+    * bucket constants, never by data volume. The delta tier (bounded by
+    * compaction lag) is probed as a plain frame. */
+  private[graft] def probeNearDupBase(spark: SparkSession, batchSigs: DataFrame,
+      basePath: String): DataFrame = {
+    import graft.queries.DedupQueries
+    val deltaMatched = DedupQueries
+      .probePairsAgainst(batchSigs, deltaSigs(spark, basePath))
+      .select(col("new_id").as("doc_id"))
+    compactedMatched(spark, batchSigs, basePath)
+      .unionByName(deltaMatched).distinct()
+  }
+
+  /** The pruned candidate join against the compacted band index, as an
+    * un-materialized frame — split out so PlanSpec-style contracts can
+    * assert the `kb` partition filter on its scan (the probe itself
+    * localCheckpoints it, which hides the scan from the final plan). */
+  /** Past this many probe keys the per-key parquet pushdown is skipped
+    * (a replay-sized batch degrades to the bucket-pruned scan) — the OR
+    * tree parquet evaluates per page must stay bounded. */
+  private[graft] val MaxKeyPushdown = 4096
+
+  /** Per-chunk key budget for [[keyPrunedScan]]: small enough that the
+    * left-deep OR tree parquet builds from one chunk's IN evaluates in
+    * bounded stack depth (it overflows past ~1k terms), large enough
+    * that normal micro-batches need a handful of chunks. */
+  private[graft] val KeyPushChunk = 256
+
+  /** Read `scan` restricted to rows whose `keyCol` ∈ keys, with the key
+    * list REACHING PARQUET as point predicates: the compacted tier is
+    * sorted on the probed column per partition dir, so page column
+    * indexes prune to ~the pages the keys actually land in — scan cost
+    * O(probe keys × page rows), not O(base). Keys are pushed in
+    * [[KeyPushChunk]]-sized `isin` sub-scans unioned together: one
+    * InSet node per chunk keeps Catalyst planning cheap (a single
+    * thousands-term OR tree costs seconds per trigger to plan), and
+    * parquet's per-chunk OR chain stays stack-safe. Spark's In-pushdown
+    * threshold is raised (never lowered) past the chunk size on the
+    * session — above it, Spark pushes only a useless [min, max] range
+    * over uniform hashes. Chunks are disjoint, so the union is exact. */
+  private[graft] def keyPrunedScan(spark: SparkSession, scan: DataFrame,
+      keyCol: String, keys: Array[Long]): DataFrame = {
+    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(k, "10").toInt < KeyPushChunk + 1)
+      spark.conf.set(k, KeyPushChunk + 1)
+    keys.grouped(KeyPushChunk)
+      .map(g => scan.where(col(keyCol).isin(g.toIndexedSeq: _*)))
+      .reduce(_ unionByName _)
+  }
+
+  private[graft] def compactedCandidates(spark: SparkSession, batchSigs: DataFrame,
+      basePath: String): DataFrame = {
+    import graft.queries.DedupQueries
+    val pBand = DedupQueries.bandedKeys(batchSigs)
+      .withColumn("kb", pmod(col("band_hash"), lit(BandBuckets.toLong)))
+    val hitKb = pBand.select("kb").distinct().collect().map(_.getLong(0))
+    val keys = pBand.select("band_hash").distinct()
+      .limit(MaxKeyPushdown + 1).collect().map(_.getLong(0))
+    val pruned = spark.read.parquet(bandsDir(basePath))
+      .where(col("kb").isin(hitKb: _*))
+    val keyed = // point-predicate pushdown for normal micro-batches
+      if (keys.nonEmpty && keys.length <= MaxKeyPushdown)
+        keyPrunedScan(spark, pruned, "band_hash", keys)
+      else pruned
+    keyed
+      .select(col("doc_id").as("base_id"), col("band"), col("band_hash"))
+      .join(pBand.select(col("doc_id").as("new_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("new_id", "base_id").distinct()
+  }
+
+  private def compactedMatched(spark: SparkSession, batchSigs: DataFrame,
+      basePath: String): DataFrame = {
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    if (!dirExists(spark, bandsDir(basePath)))
+      return Seq.empty[Long].toDF("doc_id")
+    // localCheckpoint: candidates feed the db-bucket collect AND the
+    // verify — materialize the (small, candidate-bounded) frame once
+    // instead of re-running the band join per consumer
+    val cand = compactedCandidates(spark, batchSigs, basePath).localCheckpoint()
+    val hitDb = cand.select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"))
+      .distinct().collect().map(_.getLong(0))
+    if (hitDb.isEmpty) return Seq.empty[Long].toDF("doc_id")
+    // candidate ids as point predicates too: the sig store is sorted by
+    // doc_id per db dir, so the heavy sh fetch page-prunes to candidates
+    val candIds = cand.select("base_id").distinct()
+      .limit(MaxKeyPushdown + 1).collect().map(_.getLong(0))
+    val dbPruned = spark.read.parquet(sigsDir(basePath))
+      .where(col("db").isin(hitDb: _*))
+    val shScan =
+      if (candIds.nonEmpty && candIds.length <= MaxKeyPushdown)
+        keyPrunedScan(spark, dbPruned, "doc_id", candIds)
+      else dbPruned
+    val baseSh = shScan.select(col("doc_id").as("base_id"), col("sh").as("sh_b"))
+    cand
+      .join(batchSigs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(baseSh, "base_id")
+      .where(graft.ext.extfunctions.jaccard_sim(col("sh_n"), col("sh_b"))
+        >= DedupQueries.JaccardThreshold)
+      .select(col("new_id").as("doc_id")).distinct()
+  }
+
+  /** Fold every delta into the compacted tier — the band index is
+    * derived from the folded signature set here (deltas never carry band
+    * rows), each half landing sorted with one file per partition dir via
+    * a staged swap, then the deltas are deleted. Swap order is sigs →
+    * bands → delete-deltas: a crash after the sigs swap leaves new rows
+    * both in sigs and in a not-yet-deleted delta (the union reader
+    * double-counts until Compact is RE-RUN — re-running is the recovery
+    * protocol), while the band index is never ahead of the sig store it
+    * points into. Run against a stopped (or between-triggers) sink. */
+  private[graft] def foldCompact(spark: SparkSession, basePath: String): Unit = {
+    val all = nearDupBaseSigs(spark, basePath)
+    val root = new org.apache.hadoop.fs.Path(basePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stageWrite(df: DataFrame, part: String, sortCols: Seq[String],
+        dir: String): org.apache.hadoop.fs.Path = {
+      val stage = new org.apache.hadoop.fs.Path(dir + ".compact_stage")
+      df.repartition(col(part))
+        .sortWithinPartitions(part, sortCols: _*)
+        .write.partitionBy(part).mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(stage.toString)
+      stage
+    }
+    def swap(stage: org.apache.hadoop.fs.Path, dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val old = new org.apache.hadoop.fs.Path(dir + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(p)) fs.rename(p, old)
+      fs.rename(stage, p)
+      fs.delete(old, true)
+    }
+    // both stages fully written BEFORE any swap: the folded input reads
+    // the live dirs, so writing stage N must not see a half-swapped tier
+    val sigStage = stageWrite(
+      all.withColumn("db", pmod(col("doc_id"), lit(DocBuckets.toLong))),
+      "db", Seq("doc_id"), sigsDir(basePath))
+    val bandStage = stageWrite(
+      graft.queries.DedupQueries.bandedKeys(all)
+        .withColumn("kb", pmod(col("band_hash"), lit(BandBuckets.toLong))),
+      "kb", Seq("band", "band_hash"), bandsDir(basePath))
+    swap(sigStage, sigsDir(basePath))
+    swap(bandStage, bandsDir(basePath))
+    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(basePath)), true)
+  }
+
+  private[graft] def nearDupBatch(batch: DataFrame, basePath: String,
+      batchId: Long): Unit = {
     import graft.queries.DedupQueries
     val spark = batch.sparkSession
     // signatures feed three jobs (banding, within-batch pairs, verify) —
@@ -237,27 +467,41 @@ object DocStream {
     val sigs = DedupQueries.signaturesOf(
       batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))).persist()
     try {
-      val hPath = new org.apache.hadoop.fs.Path(basePath)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val base =
-        if (fs.exists(hPath)) spark.read.schema(sigs.schema).parquet(basePath)
-        else sigs.limit(0)
-      acceptNearDup(sigs, base)
+      // REPLAY-IDEMPOTENT via self-match: the probe sees the batch's own
+      // previously-landed rows (delta or already-compacted), every
+      // replayed component is base-matched and suppressed, and the
+      // append below lands nothing — checkpoint wipes (which renumber
+      // batches from 0 and re-deliver history as one giant batch)
+      // converge the same way, which a delta-overwrite scheme would not
+      // (it would cross-wire generations sharing a batch_id). The
+      // batch_id dir is an audit label, not a replay key.
+      val baseMatched = probeNearDupBase(spark, sigs, basePath)
+      acceptGivenMatched(sigs, baseMatched)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .option("compression", "zstd").parquet(basePath)
+        .option("compression", "zstd")
+        .parquet(s"${deltaDir(basePath)}/batch_id=$batchId")
     } finally sigs.unpersist(blocking = false)
   }
 
   /** The acceptance decision of [[startNearDupSink]] step 4, as a frame:
-    * accepted (doc_id, sh, sig) rows of `batchSigs` given `baseSigs`. */
-  private[graft] def acceptNearDup(batchSigs: DataFrame, baseSigs: DataFrame): DataFrame = {
+    * accepted (doc_id, sh, sig) rows of `batchSigs` given `baseSigs`.
+    * Frame-form (used by tests and ad-hoc batch callers); the sink itself
+    * probes the two-tier base via [[probeNearDupBase]]. */
+  private[graft] def acceptNearDup(batchSigs: DataFrame, baseSigs: DataFrame): DataFrame =
+    acceptGivenMatched(batchSigs,
+      graft.queries.DedupQueries.probePairsAgainst(batchSigs, baseSigs)
+        .select(col("new_id").as("doc_id")).distinct())
+
+  /** Keeper election given the already-computed set of batch doc_ids that
+    * matched the base: one keeper (min doc_id) per within-batch
+    * component, minus components any of whose members matched. */
+  private[graft] def acceptGivenMatched(batchSigs: DataFrame,
+      baseMatched: DataFrame): DataFrame = {
     import graft.queries.DedupQueries
     val batchPairs = DedupQueries
       .minhashPairsOfSigs(batchSigs, DedupQueries.MaxLshBucket)
       .select("doc_a", "doc_b")
     val comp = DedupQueries.keepList(batchPairs, batchSigs.select("doc_id"))
-    val baseMatched = DedupQueries.probePairsAgainst(batchSigs, baseSigs)
-      .select(col("new_id").as("doc_id")).distinct()
     val killedComps = comp.join(baseMatched, "doc_id")
       .select("keep_id").distinct()
     comp.where(col("doc_id") === col("keep_id"))

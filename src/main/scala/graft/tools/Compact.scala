@@ -260,17 +260,35 @@ object Compact {
     fs.delete(old, true)
   }
 
-  /** Schema-agnostic doc_id-keyed base compaction: per-micro-batch
-    * appends → `files` sorted range files, staged atomic swap. Serves
-    * BOTH streaming dedup bases — the text signature table
-    * ([[graft.streaming.DocStream.startNearDupSink]], (doc_id, sh, sig))
-    * and the perceptual hash table
-    * ([[graft.streaming.MediaStream.startPerceptualSink]],
-    * (doc_id, hash)) — compaction only re-lays files, never re-keys. */
+  /** Schema-agnostic streaming-dedup base compaction: per-micro-batch
+    * appends → a bounded sorted file set, staged atomic swap. Serves
+    * BOTH streaming dedup bases — the text signature base
+    * ([[graft.streaming.DocStream.startNearDupSink]]) and the perceptual
+    * hash base ([[graft.streaming.MediaStream.startPerceptualSink]]).
+    * Band-partitioned bases (the `bands/` + `sigs|hashes/` hive layout)
+    * are compacted LAYOUT-PRESERVING — partitioning intact, one sorted
+    * file per partition dir; a legacy flat (doc_id-keyed) dir takes the
+    * original range-file rewrite. Compaction only re-lays files, never
+    * re-keys. Run against a stopped (or between-triggers) sink. */
   def nearDupBase(spark: SparkSession, basePath: String, files: Int = 8): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
+    def has(sub: String) = fs.exists(new org.apache.hadoop.fs.Path(base, sub))
+    if (has("delta") || has("sigs") || has("hashes") || has("bands")) {
+      // two-tier (delta + compacted) layout: fold every delta into the
+      // sorted hive-partitioned tier and derive the band index — the
+      // stream objects own the fold (they own the layout); tier kind is
+      // told by which content store exists, or by the delta schema for a
+      // never-compacted base
+      val isText =
+        if (has("sigs")) true
+        else if (has("hashes")) false
+        else spark.read.parquet(s"$basePath/delta").columns.contains("sh")
+      if (isText) graft.streaming.DocStream.foldCompact(spark, basePath)
+      else graft.streaming.MediaStream.foldCompact(spark, basePath)
+      return
+    }
     val stage = new org.apache.hadoop.fs.Path(basePath + ".compact_stage")
     spark.read.parquet(basePath)
       .repartitionByRange(files, col("doc_id"))

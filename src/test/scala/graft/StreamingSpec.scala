@@ -15,6 +15,9 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FAIR so the serving-path fairness test is real whichever suite
+    // creates the shared context; default-pool behavior stays FIFO
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
 
   val T0 = 1700000000000L // bucket-aligned (minute boundary not required)
@@ -500,14 +503,14 @@ class StreamingSpec extends AnyFunSuite {
     stream.addData(media(0 until 250): _*)
     val q = sink()
     q.processAllAvailable(); q.stop()
-    val afterA = spark.read.parquet(basePath).select("doc_id")
+    val afterA = MediaStream.baseHashes(spark, basePath).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(afterA === (0L until 50L).toSet, "batch 1 accepts exactly the primaries")
     // batch 2: every member matches an already-represented family -> no new rows
     stream.addData(media(250 until 500): _*)
     val q2 = sink()
     q2.processAllAvailable(); q2.stop()
-    assert(spark.read.parquet(basePath).select("doc_id")
+    assert(MediaStream.baseHashes(spark, basePath).select("doc_id")
       .collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
     // checkpoint-wipe replay of batch 2: self/base suppression keeps the
     // base unchanged (the rollup-sink upgrade path, no anti-join needed)
@@ -515,21 +518,21 @@ class StreamingSpec extends AnyFunSuite {
     stream.addData(media(250 until 500): _*)
     val q3 = sink()
     q3.processAllAvailable(); q3.stop()
-    val fin = spark.read.parquet(basePath)
+    val fin = MediaStream.baseHashes(spark, basePath)
     assert(fin.count() === 50)
     assert(fin.select("doc_id").collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
     // base compaction (the text sink's Compact.nearDupBase is
-    // schema-agnostic) re-lays the per-batch appends into sorted range
-    // files without changing the answer: same keepers, and a further
-    // delivery is still fully suppressed
+    // schema-agnostic and layout-preserving on the banded layout)
+    // re-lays the per-batch appends without changing the answer: same
+    // keepers, and a further delivery is still fully suppressed
     graft.tools.Compact.nearDupBase(spark, basePath, files = 2)
-    assert(spark.read.parquet(basePath).select("doc_id")
+    assert(MediaStream.baseHashes(spark, basePath).select("doc_id")
       .collect().map(_.getLong(0)).toSet === (0L until 50L).toSet)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/ckpt"))
     stream.addData(media(0 until 100): _*)
     val q4 = sink()
     q4.processAllAvailable(); q4.stop()
-    assert(spark.read.parquet(basePath).count() === 50)
+    assert(MediaStream.baseHashes(spark, basePath).count() === 50)
     // the same gate serves AUDIO hashes unchanged (modality-agnostic):
     // full corpus vs empty base elects the primaries; copies vs the
     // primaries as base are all suppressed
@@ -574,7 +577,7 @@ class StreamingSpec extends AnyFunSuite {
     stream.addData(even: _*)
     q2.processAllAvailable()
     q2.stop()
-    val got = spark.read.parquet(basePath).select("doc_id")
+    val got = graft.streaming.DocStream.nearDupBaseSigs(spark, basePath).select("doc_id")
       .collect().map(_.getLong(0)).toSet
 
     // independent expectation from the batch pair set
@@ -611,35 +614,66 @@ class StreamingSpec extends AnyFunSuite {
     stream.addData(odd.take(3): _*)
     q3.processAllAvailable()
     q3.stop()
-    assert(spark.read.parquet(basePath).count() === got.size.toLong,
+    def baseSigs() = graft.streaming.DocStream.nearDupBaseSigs(spark, basePath)
+    assert(baseSigs().count() === got.size.toLong,
       "replayed accepted docs must not land a second base row")
 
-    // base compaction: three sink sessions appended three file groups;
-    // the rewrite is layout-only — same rows, fewer files, and the LSH
-    // probe answers identically against the compacted base
-    def parquetFiles(): Int = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(basePath))
-      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
-      finally s.close()
-    }
-    val filesBefore = parquetFiles()
-    val rowsBefore = spark.read.parquet(basePath)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    // deterministic probe set (limit() would pick layout-dependent rows)
-    val probeBefore = graft.queries.DedupQueries.probePairsAgainst(
-      spark.read.parquet(basePath).where(col("doc_id") < 20),
-      spark.read.parquet(basePath))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the PRUNED path probe (partition-isin band index + candidate-bucket
+    // sh fetch) must match the frame-form probe exactly: same verified
+    // base-match set for the same probe docs
+    // def, not val: the frame must re-resolve its file listing after the
+    // compaction swap below replaces the files it was planned over
+    def probeDocs() = baseSigs().where(col("doc_id") < 20)
+    def frameMatched() = graft.queries.DedupQueries.probePairsAgainst(
+        probeDocs(), baseSigs())
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    def prunedMatched() = graft.streaming.DocStream.probeNearDupBase(
+        spark, probeDocs(), basePath)
+      .collect().map(_.getLong(0)).toSet
+    val probeBefore = frameMatched()
+    // PRE-compaction the base is all deltas: the two-tier probe must
+    // already answer identically (its compacted tier is empty)
+    assert(prunedMatched() === probeBefore,
+      "two-tier probe must equal the frame probe on a delta-only base")
+    assert(probeBefore.nonEmpty, "probe docs are in the base: self-matches exist")
+
+    // COMPACTION folds the deltas into the sorted hive-partitioned tier
+    // (sigs/db= + derived bands/kb=): same rows, deltas gone, one file
+    // per partition dir, probe identical — and now partition-PRUNED
+    val rowsBefore = baseSigs().select("doc_id").collect().map(_.getLong(0)).toSet
     graft.tools.Compact.nearDupBase(spark, basePath, files = 2)
-    assert(parquetFiles() <= 2 && parquetFiles() < filesBefore,
-      s"compaction must shrink $filesBefore files to <= 2")
-    assert(spark.read.parquet(basePath)
-      .select("doc_id").collect().map(_.getLong(0)).toSet === rowsBefore)
-    val probeAfter = graft.queries.DedupQueries.probePairsAgainst(
-      spark.read.parquet(basePath).where(col("doc_id") < 20),
-      spark.read.parquet(basePath))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(probeAfter === probeBefore, "probe must answer identically post-compaction")
+    assert(!new java.io.File(s"$basePath/delta").exists(),
+      "compaction must fold and delete the delta tier")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(basePath))
+    val perDir = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent)
+    } finally walk.close()
+    assert(perDir.nonEmpty && perDir.values.forall(_.size == 1),
+      "compacted layout must hold exactly one file per partition dir")
+    assert(baseSigs().select("doc_id").collect().map(_.getLong(0)).toSet === rowsBefore)
+    assert(frameMatched() === probeBefore, "probe must answer identically post-compaction")
+    assert(prunedMatched() === probeBefore,
+      "pruned probe must answer identically post-compaction")
+    // the pruned probe's band-index scan carries a partition filter on kb
+    val probePlan = graft.streaming.DocStream
+      .compactedCandidates(spark, probeDocs(), basePath)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*kb".r.findFirstIn(probePlan).isDefined,
+      s"probe plan must statically prune kb partitions:\n${probePlan.take(4000)}")
+
+    // post-compaction the sink keeps accreting: a further replayed
+    // delivery self-matches in the COMPACTED tier and lands nothing
+    val q4 = graft.streaming.DocStream.startNearDupSink(
+      stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      basePath, s"$root/ckpt3", Trigger.AvailableNow())
+    stream.addData(odd.take(3): _*)
+    q4.processAllAvailable()
+    q4.stop()
+    assert(baseSigs().count() === got.size.toLong,
+      "post-compaction replay must not land a second base row")
   }
 
   test("stateful new-series detection emits each fingerprint once") {
