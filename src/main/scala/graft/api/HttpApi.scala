@@ -82,6 +82,7 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
       harvest("write", body)
       val series = Prompb.decodeWriteRequest(body)
       writeRequests.incrementAndGet()
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
       write(series)
       samplesWritten.addAndGet(series.map(_.samples.size).sum.toLong)
       (s"${series.size} series", Array.emptyByteArray)
@@ -95,6 +96,18 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
       val queries =
         if (serveDerivedHintsOnWire) decoded else decoded.map(Storage.sanitizeWireHints)
       readRequests.incrementAndGet()
+      // Concurrent-query fairness: every request's Spark jobs run in a
+      // scheduler pool named by the request's shape (HttpApi.poolFor), so
+      // under FAIR mode (`--scheduler-pools`) a bulk export cannot
+      // head-of-line-block a dashboard query — the reference gets this
+      // from a goroutine per request against a 75-conn pool
+      // (handlers/prom.go:209-227, cmd/promhouse/main.go:160); on Spark
+      // the executor slots are the shared resource and pools are the
+      // fairness mechanism. Local properties are per-thread (one thread
+      // per request from the cached pool) and inherited by the jobs the
+      // handler submits; under the default FIFO scheduler the property
+      // is inert, so pool tagging is always on.
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", HttpApi.poolFor(queries))
       val results = store.readAll(queries)
       (s"${queries.size} queries", Snappy.compress(Prompb.encodeReadResponse(results)))
     }
@@ -197,6 +210,16 @@ final class HttpApi(spark: SparkSession, store: Storage, port: Int = 0,
 
 object HttpApi {
 
+  /** Scheduler-pool classification of a /read request: the empty-matcher
+    * slot (matches EVERY series — the bulk-export shape the reference's
+    * multi-query batch reserves for promload-style full copies) runs in
+    * the `bulk` pool; everything else is a `dashboard` query. Pools need
+    * no allocation file — FAIR mode instantiates them on demand with
+    * equal weight, which is exactly the isolation wanted: a long export
+    * gets a fair share of executor slots, never all of them. */
+  def poolFor(queries: Seq[graft.model.Query]): String =
+    if (queries.exists(_.matchers.isEmpty)) "bulk" else "dashboard"
+
   /** The server's flag surface — the cmd/promhouse/main.go:156-163 flag
     * set re-expressed for this engine (conn-pool sizing becomes Spark
     * local parallelism; MaxTimeSeriesInQuery becomes the IN-vs-semi-join
@@ -211,7 +234,8 @@ object HttpApi {
       logLevel: String = "WARN",
       requestLog: Boolean = false,
       serveDerivedHints: Boolean = false,
-      fuzzCorpusDir: Option[String] = None)
+      fuzzCorpusDir: Option[String] = None,
+      schedulerPools: Boolean = false)
 
   /** `--key=value` parser for [[Flags]]; unknown flags fail loudly with
     * the usage text (kingpin's behavior). First positional = storeRoot. */
@@ -226,7 +250,8 @@ object HttpApi {
         |  --log-level=LEVEL        Spark log level (default WARN)
         |  --request-log            log one line per HTTP request
         |  --serve-derived-hints    serve rate/increase/delta hints as derived buckets
-        |  --fuzz-corpus-dir=DIR    harvest wire bodies as content-addressed fuzz seeds""".stripMargin
+        |  --fuzz-corpus-dir=DIR    harvest wire bodies as content-addressed fuzz seeds
+        |  --scheduler-pools        FAIR scheduling: bulk exports cannot starve dashboard queries""".stripMargin
     args.foldLeft(Flags()) { (f, a) =>
       a match {
         case s if !s.startsWith("--") && f.storeRoot.isEmpty => f.copy(storeRoot = s)
@@ -239,6 +264,7 @@ object HttpApi {
         case "--request-log" => f.copy(requestLog = true)
         case "--serve-derived-hints" => f.copy(serveDerivedHints = true)
         case s"--fuzz-corpus-dir=$v" => f.copy(fuzzCorpusDir = Some(v))
+        case "--scheduler-pools" => f.copy(schedulerPools = true)
         case other => sys.error(s"unknown flag '$other'\n$usage")
       }
     } match {
@@ -253,13 +279,17 @@ object HttpApi {
     * Prometheus `remote_write`/`remote_read` config at it. */
   def main(args: Array[String]): Unit = {
     val flags = parseFlags(args.toSeq)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${flags.cpus}]")
       .config("spark.sql.shuffle.partitions", flags.cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // FAIR across request pools (ingest/dashboard/bulk, tagged per
+    // request above); scheduler mode is fixed at context start, hence a
+    // launch flag rather than a runtime toggle
+    if (flags.schedulerPools) builder.config("spark.scheduler.mode", "FAIR")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(flags.logLevel)
     graft.plans.Engine.install(spark)
     val store = new graft.storage.ParquetStore(spark, flags.storeRoot,

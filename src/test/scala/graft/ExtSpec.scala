@@ -14,6 +14,9 @@ class ExtSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FAIR so the serving-path fairness test is real whichever suite
+    // creates the shared context; default-pool behavior stays FIFO
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
@@ -354,6 +357,44 @@ class ExtSpec extends AnyFunSuite {
     // the learned rules actually compress: some word must encode to
     // fewer symbols than chars+1
     assert(expected.values.flatten.exists(e => e.exists(_.length > 1)))
+  }
+
+  test("bpe real-vocab serving: rank encode = in-order fold; kernel counts true units") {
+    import org.apache.spark.sql.functions._
+    val dict = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // a rule set deep enough that later rules consume earlier merges
+    // (across batched rounds rules are NOT disjoint) but capped BELOW
+    // this fixture's vocab exhaustion (~110+ rules fully merge all 31
+    // distinct words, which would make the units>words sanity check
+    // below vacuously false)
+    val rules = graft.ext.Bpe.batchedMerges(dict, 96, 32).map(m => (m._2, m._3))
+    assert(rules.size > 64, "fixture must learn past one batched round")
+    val ranks = rules.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val sampleWords = dict.orderBy(col("cnt").desc, col("w")).limit(300)
+      .collect().map(_.getString(0))
+    for (w <- sampleWords) {
+      assert(graft.ext.Bpe.encodeRanked(w, ranks) ===
+        graft.ext.Bpe.encodeWordSeq(w, rules), s"w=$w")
+    }
+    // the serving kernel's per-doc totals = scalar encode summed per doc
+    val docs = spark.read.parquet(s"$sf/documents.parquet").where(col("doc_id") < 40)
+    val got = graft.ext.Bpe.bpeUnitCounts(docs, rules)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val expected = docs
+      .select(col("doc_id"), graft.ext.TextAnalysis.words(col("text")).as("ws"))
+      .collect()
+      .map { r =>
+        val ws = r.getSeq[String](1)
+        r.getLong(0) -> ((ws.length,
+          ws.map(w => graft.ext.Bpe.encodeWordSeq(w, rules).length.toLong).sum))
+      }.toMap
+    assert(got === expected)
+    // the counts are real symbol totals, not the word count (words not
+    // fully merged carry >1 unit each)
+    assert(got.values.exists { case (nw, nu) => nu > nw })
   }
 
   test("s7 incremental IVF assign: map-side argmin = plain-Scala same-formula argmin; total, deterministic") {

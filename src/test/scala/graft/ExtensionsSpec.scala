@@ -15,6 +15,9 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // FAIR so the serving-path fairness test is real whichever suite
+    // creates the shared context; default-pool behavior stays FIFO
+    .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     graft.plans.Engine.install(s)
     s
@@ -163,6 +166,9 @@ class ExtensionsSpec extends AnyFunSuite {
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+    // FAIR so the serving-path fairness test is real whichever suite
+    // creates the shared context; default-pool behavior stays FIFO
+    .config("spark.scheduler.mode", "FAIR")
         .getOrCreate()
       assert(s2 ne spark) // a genuinely new session over the shared context
       // functions present without any register() call

@@ -15,6 +15,9 @@ class HttpApiSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FAIR so the serving-path fairness test is real whichever suite
+    // creates the shared context; default-pool behavior stays FIFO
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
 
   val T0 = 1700000000000L
@@ -118,6 +121,8 @@ class HttpApiSpec extends AnyFunSuite {
       "--max-series-inline=75", "--log-level=ERROR", "--request-log",
       "--serve-derived-hints"))
     assert(f === HttpApi.Flags("/s", 7781, 8, 60000L, 16, 75, "ERROR", true, true))
+    assert(!f.schedulerPools)
+    assert(HttpApi.parseFlags(Seq("/s", "--scheduler-pools")).schedulerPools)
     intercept[RuntimeException](HttpApi.parseFlags(Seq("/s", "--bogus=1")))
     intercept[RuntimeException](HttpApi.parseFlags(Seq.empty))
     // the threshold flag reaches the store: a tiny inline cap flips the
@@ -313,6 +318,85 @@ class HttpApiSpec extends AnyFunSuite {
       assert(batched(0).head.samples === Seq(
         Sample(T0, 14d), Sample(T0 + 2000, 16d), Sample(T0 + 4000, 17d)))
       assert(batched(1).head.samples === fixture.head.samples)
+    } finally api.stop()
+  }
+
+  test("scheduler pools: a bulk export does not head-of-line-block a dashboard query") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // request-shape classification: the empty-matcher slot is the bulk path
+    assert(HttpApi.poolFor(Seq(Query(T0, T0 + 1, Seq.empty))) === "bulk")
+    assert(HttpApi.poolFor(Seq(
+      Query(T0, T0 + 1, Seq(Matcher("__name__", MatchType.Eq, "m"))))) === "dashboard")
+    assert(HttpApi.poolFor(Seq(
+      Query(T0, T0 + 1, Seq(Matcher("a", MatchType.Eq, "b"))),
+      Query(T0, T0 + 1, Seq.empty))) === "bulk")
+
+    // all spec fixtures start the shared context FAIR, so the wall-time
+    // assertion below exercises the real mechanism
+    assert(spark.sparkContext.getSchedulingMode ===
+      org.apache.spark.scheduler.SchedulingMode.FAIR)
+
+    // a store whose bulk read is a genuine multi-wave Spark job occupying
+    // every executor slot for ~8 waves, and whose dashboard read is one
+    // fast wave — the pool tag (set by the /read handler per request
+    // thread) is what lets the dashboard waves interleave
+    val C = spark.sparkContext.defaultParallelism
+    val started = spark.sparkContext.longAccumulator("bulk_tasks_started")
+    val base = T0 // local copy: closures below must not capture the suite
+    // frames built in METHOD scope: their closures capture only locals —
+    // building them inside the anonymous Storage would drag its $outer
+    // (this non-serializable suite) into the task closures
+    val bulkFrame = spark.range(0, 8L * C, 1, 8 * C).as[Long]
+      .mapPartitions { it => started.add(1); Thread.sleep(300); it }
+      .map(i => (i, base + i, 1.0d, """{"__name__":"bulk"}"""))
+      .toDF("fingerprint", "timestamp_ms", "value", "labels")
+    val dashFrame = spark.range(0, C.toLong, 1, C).as[Long]
+      .map(i => (i, base + i, 2.0d, """{"__name__":"dash"}"""))
+      .toDF("fingerprint", "timestamp_ms", "value", "labels")
+    val slowStore = new graft.storage.Storage {
+      override protected def session = spark
+      override def write(batch: DataFrame): Unit = ()
+      override def read(q: Query): DataFrame =
+        if (q.matchers.isEmpty) bulkFrame else dashFrame
+    }
+    val api = new HttpApi(spark, slowStore)
+    val port = api.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      // warm the dashboard path once so the race below measures
+      // SCHEDULING, not first-call codegen/planning
+      HttpApi.remoteRead(url, Seq(
+        Query(T0, T0 + 1000, Seq(Matcher("__name__", MatchType.Eq, "dash")))))
+      val tAll = System.nanoTime()
+      val bulk = Future {
+        HttpApi.remoteRead(url, Seq(Query(T0, T0 + 1000, Seq.empty)))
+      }
+      // wait until the export actually occupies slots, then race it
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (started.value < C && !bulk.isCompleted && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      bulk.value.foreach(v => v.failed.foreach(e => fail(s"bulk export failed early: $e")))
+      assert(started.value >= C, "bulk export never started its tasks")
+      val t0 = System.nanoTime()
+      val dash = HttpApi.remoteRead(url, Seq(
+        Query(T0, T0 + 1000, Seq(Matcher("__name__", MatchType.Eq, "dash")))))
+      val dashSec = (System.nanoTime() - t0) / 1e9
+      assert(dash.head.nonEmpty)
+      Await.result(bulk, 60.seconds)
+      val bulkSec = (System.nanoTime() - tAll) / 1e9
+      // 8 waves x 300 ms keeps the export busy >= ~2.4 s; FAIR must let
+      // the one-wave dashboard query through in roughly a wave. Under
+      // FIFO the dashboard query instead waits out the whole export, so
+      // its latency tracks bulkSec — the relative bound is the signal.
+      assert(bulkSec > 1.8, f"export finished too fast to contend ($bulkSec%.2f s)")
+      assert(dashSec < math.max(1.5, bulkSec * 0.5),
+        f"dashboard query took $dashSec%.2f s alongside a $bulkSec%.2f s export " +
+          "— FAIR pools are not isolating the serving path")
     } finally api.stop()
   }
 }

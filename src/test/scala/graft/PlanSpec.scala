@@ -13,6 +13,9 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FAIR so the serving-path fairness test is real whichever suite
+    // creates the shared context; default-pool behavior stays FIFO
+    .config("spark.scheduler.mode", "FAIR")
     // FileScan metadata (PushedFilters etc.) truncates at 100 chars by
     // default — long pushed-filter lists would hide the entries these
     // contracts assert on
