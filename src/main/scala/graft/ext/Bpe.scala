@@ -143,11 +143,84 @@ object Bpe {
     * (later rules may consume earlier rules' merged symbols — across
     * rounds they are NOT disjoint), each greedy-leftmost. The scalar twin
     * of [[encodeWords]], usable where a 100k-rule chain would blow up a
-    * Catalyst expression tree. */
+    * Catalyst expression tree. O(rules × len) per word — the parity
+    * REFERENCE for [[encodeRanked]], not the serving path. */
   def encodeWordSeq(w: String, rules: Seq[(String, String)]): Seq[String] =
     rules.foldLeft(w.map(_.toString).toVector :+ Eow) { case (sym, (a, b)) =>
       applyRules(sym, Map((a, b) -> (a + b))).toVector
     }
+
+  /** Rank-driven serving encode — the real-vocab path: instead of
+    * folding the word through every rule (32k folds/word), repeatedly
+    * apply the LOWEST-RANK pair present until none remains. Equivalent
+    * to the in-order fold because a BPE rule's operands are produced
+    * only by strictly earlier rules, so a merge can never create a pair
+    * of lower rank than the one just applied (parity vs
+    * [[encodeWordSeq]] pinned in ExtSpec). O(applied-merges × len) per
+    * word, independent of total rule count. */
+  def encodeRanked(w: String, ranks: scala.collection.Map[(String, String), Int])
+      : Seq[String] = {
+    var sym: Seq[String] = w.map(_.toString).toVector :+ Eow
+    var go = sym.length >= 2
+    while (go) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < sym.length - 1) {
+        val p = (sym(i), sym(i + 1))
+        val r = ranks.getOrElse(p, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = p }
+        i += 1
+      }
+      if (bestPair == null) go = false
+      else {
+        sym = applyRules(sym, Map(bestPair -> (bestPair._1 + bestPair._2)))
+        go = sym.length >= 2
+      }
+    }
+    sym
+  }
+
+  /** Per-document BPE unit counts at REAL vocab size — the serving
+    * kernel tok1 runs: (doc_id, n_words, n_bpe_units) for a `documents`
+    * frame. A Catalyst fold chain is infeasible past a few dozen rules
+    * (the expression tree grows per rule), so this is a mapPartitions
+    * kernel in the mm2 expensive-init shape: the broadcast rank map is
+    * resolved ONCE per partition, and a per-partition word→unit-count
+    * memo exploits the Zipfian repeat rate (most words encode once per
+    * partition, not once per occurrence). Map-only: no shuffle at any
+    * corpus size. */
+  def bpeUnitCounts(docs: DataFrame, rules: Seq[(String, String)],
+      memoCap: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      rules.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.ext.TextAnalysis.words(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, ws) =>
+          var units = 0L
+          val n = ws.length
+          var i = 0
+          while (i < n) {
+            val w = ws(i)
+            var u = memo.get(w)
+            if (u == null) {
+              u = Integer.valueOf(encodeRanked(w, ranks).length)
+              if (memo.size < memoCap) memo.put(w, u)
+            }
+            units += u.intValue()
+            i += 1
+          }
+          (id, n, units)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_units")
+  }
 
   /** Learn `steps` merge rules from a (word, cnt) frequency dictionary.
     * Returns one row per rule: (step, left, right, merged, pair_count).

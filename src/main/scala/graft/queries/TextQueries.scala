@@ -474,15 +474,21 @@ object TextQueries {
     * ANSI-expressible → rows-only; the encode itself is pinned exact vs
     * the textbook implementation in ExtSpec (train AND encode). */
   private val tok1BpeTokens = rowsOnly("tok1_bpe_tokens") { (s, dir) =>
+    // REAL-vocab tokenizer serving (r10 advice): train up to 32k rules
+    // with the batched trainer (256 disjoint rules per recount round —
+    // the corpus's learnable-pair supply, not the step budget, is what
+    // actually bounds the rule count at gate SFs), then serve through
+    // the mapPartitions rank-encode kernel: the per-rule Catalyst fold
+    // chain is infeasible past a few dozen rules, the kernel is
+    // rule-count-independent per word and memoizes per partition.
+    // n_bpe_units is the TRUE per-doc unit total (Σ units over words) —
+    // the token-budget denomination sm4/pk1 consume.
     val dict = Tables(s, dir, "documents")
       .select(explode(words(col("text"))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val rules = graft.ext.Bpe.merges(dict, 12).map(r => (r._2, r._3))
-    val ws = words(col("text"))
-    Tables(s, dir, "documents").select(col("doc_id"),
-      size(ws).as("n_words"),
-      size(graft.ext.Bpe.encodeWords(ws, rules)).as("n_bpe_units"))
+    val rules = graft.ext.Bpe.batchedMerges(dict, 32000, 256).map(r => (r._2, r._3))
+    graft.ext.Bpe.bpeUnitCounts(Tables(s, dir, "documents"), rules)
   }
 
   /** T10: C4-style line-level cleaning (Raffel et al. 2020 §2.2, public):
