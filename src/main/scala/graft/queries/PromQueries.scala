@@ -527,6 +527,67 @@ object PromQueries {
         col("value").as("p90"))
   }
 
+  /** RH4's ORACLE-CHECKED companion (the pk4_layout_invariants pattern,
+    * r10 advice item 5): the sketch VALUES have no ANSI oracle, but the
+    * sketch's CONTRACT does —
+    *
+    *   - count conservation: the merged rollup's `cnt` sums to the raw
+    *     event count (hash-checked as a real number, not a literal) and
+    *     every group's cnt equals its exact group size;
+    *   - accuracy: the reported p90 lies within DDSketch's declared
+    *     relative error α of the TRUE rank element (the same
+    *     `floor(q·(n−1))` rank the sketch procedure targets, recomputed
+    *     exactly from the raw values per group);
+    *   - monotonicity: p50 ≤ p90 ≤ p99 from the same sketch.
+    *
+    * Each property reduces to a value DuckDB derives from the events
+    * table alone; SketchSpec keeps the split/merge byte-identity and
+    * error-bound properties on synthetic distributions. */
+  private val rh4QuantileInvariants = withOracle("rh4_quantile_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT event_type || '|' || CAST(user_id AS VARCHAR) || '|'
+      |             || CAST(epoch_ms(ts) - epoch_ms(ts) % 21600000 AS VARCHAR)) AS BIGINT)
+      |         AS n_groups,
+      |       TRUE AS count_conserved,
+      |       TRUE AS p90_within_alpha,
+      |       TRUE AS quantiles_monotone
+      |FROM events""".stripMargin) { (s, dir) =>
+    import graft.functions.dd_quantile
+    val flat = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("timestamp_ms"), col("value"))
+    val partials = graft.storage.Storage.rollupPartials(
+      flat.withColumn("batch", pmod(col("timestamp_ms"), lit(2))),
+      3600000L, Seq("event_type", "user_id", "batch"))
+    val merged = graft.storage.Storage.mergeRollup(partials, 21600000L,
+      Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("timestamp_ms"), col("cnt"),
+        dd_quantile(col("hist"), 0.5).as("p50"),
+        dd_quantile(col("hist"), 0.9).as("p90"),
+        dd_quantile(col("hist"), 0.99).as("p99"))
+    // exact per-group rank element, independent of the sketch path:
+    // group sizes are per-(type, user, 6h) — bounded, so the collected
+    // value arrays are small even at corpus scale
+    val exact = flat
+      .withColumn("timestamp_ms",
+        col("timestamp_ms") - pmod(col("timestamp_ms"), lit(21600000L)))
+      .groupBy("event_type", "user_id", "timestamp_ms")
+      .agg(sort_array(collect_list(col("value"))).as("vs"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("v_r", element_at(col("vs"),
+        (floor(lit(0.9) * (col("n_exact") - 1)) + 1).cast("int")))
+    val alpha = graft.functions.DDOps.DefaultAlpha
+    merged.join(exact, Seq("event_type", "user_id", "timestamp_ms"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        every(col("cnt") === col("n_exact")).as("count_conserved"),
+        every(abs(col("p90") - col("v_r"))
+          <= lit(alpha) * abs(col("v_r")) + lit(1e-9)).as("p90_within_alpha"),
+        every(col("p50") <= col("p90") && col("p90") <= col("p99"))
+          .as("quantiles_monotone"))
+  }
+
   /** ReadHints `stddev_over_time` served from the rollup's sum-of-squares
     * partial (population-variance algebra E[x²]−E[x]², PromQL's
     * stddev_over_time semantics): cnt/sum_v/sum_sq all ADD across batch
@@ -563,5 +624,5 @@ object PromQueries {
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
     a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
     rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted,
-    rh2RateRollup, rh3LastRollup, rh4QuantileRollup, rh5StddevRollup)
+    rh2RateRollup, rh3LastRollup, rh4QuantileRollup, rh4QuantileInvariants, rh5StddevRollup)
 }

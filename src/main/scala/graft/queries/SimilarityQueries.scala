@@ -3,6 +3,7 @@ package graft.queries
 
 import graft.ext.extfunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -112,22 +113,71 @@ object SimilarityQueries {
     * query's bucket; only candidates are scored (the sub-linear scan).
     * Recall vs s1 asserted in ExtSpec; rows-only here (bucket membership is
     * not ANSI-SQL-expressible). */
-  private val s2Lsh = rowsOnly("s2_ann_lsh") { (s, dir) =>
+  /** s2's candidate stage, exposed so the invariants row re-ranks the
+    * SAME candidate set: (query_id, qv, vec_id, embedding) pairs sharing
+    * ≥1 (table, bucket) with the query. */
+  private[graft] def s2Candidates(s: SparkSession, dir: String): DataFrame = {
     val b = bucketed(s, dir, tables = 8, bits = 4)
     val queries = b.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("table"), col("bucket"))
-    val candidates = b.join(broadcast(queries), Seq("table", "bucket"))
+    b.join(broadcast(queries), Seq("table", "bucket"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
       .dropDuplicates("query_id", "vec_id")
+  }
+
+  private val s2Lsh = rowsOnly("s2_ann_lsh") { (s, dir) =>
     // cosine_sim is fine here: candidates are already pruned to ~bucket
     // size, so the per-pair norm cost is off the hot path
     perQueryTopK(
-      candidates.withColumn("cos_full", cosine_sim(col("qv"), col("embedding"))),
+      s2Candidates(s, dir)
+        .withColumn("cos_full", cosine_sim(col("qv"), col("embedding"))),
       col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("score"), 4).as("cos"))
+  }
+
+  /** S2's ORACLE-CHECKED companion (pk4/rh4 invariants pattern): the LSH
+    * bucket membership is not ANSI-expressible, but the operator's
+    * CONTRACT is —
+    *   - results ⊆ the candidate set (nothing scored outside a shared
+    *     bucket);
+    *   - the ranking is EXACTLY the cosine top-k of the candidate set:
+    *     the bounded [[perQueryTopK]] aggregate is re-derived through an
+    *     independent window `row_number` formulation (same total order,
+    *     different operator) and the two must agree pair-for-pair;
+    *   - every query answers (nonzero results for each of the NQueries).
+    * Verified in the Spark plan, reduced to values DuckDB derives from
+    * the embeddings table alone. The window re-rank is verification-only
+    * (candidate sets are bounded); the serving path never runs it. */
+  private val s2Invariants = withOracle("s2_lsh_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS results_subset_of_candidates,
+       |       TRUE AS rank_is_exact_topk_of_candidates
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val cands = s2Candidates(s, dir)
+      .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
+    val got = s2Lsh.fn(s, dir)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    val want = cands
+      .where(col("cos_full").isNotNull && !isnan(col("cos_full")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos_w"))
+    val disagreements = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val outside = got.join(
+        cands.select(col("query_id"), col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(outside)).crossJoin(broadcast(disagreements))
+      .select(col("n_queries"),
+        (col("n_outside") === 0).as("results_subset_of_candidates"),
+        (col("n_disagree") === 0).as("rank_is_exact_topk_of_candidates"))
   }
 
   /** S3 IVF ANN — the classic inverted-file index: a KMeans coarse
@@ -259,6 +309,14 @@ object SimilarityQueries {
     * cosine ordering; the 3× candidate pool absorbs what it does
     * perturb). */
   private val s6Quantized = rowsOnly("s6_ann_quantized") { (s, dir) =>
+    val (queries, cands) = s6Parts(s, dir)
+    s6Rerank(s, dir, queries, cands)
+  }
+
+  /** s6's candidate stage, exposed for the invariants row: returns
+    * (queries with hoisted norms, candidate (query_id, vec_id) pairs from
+    * the int8-quantized approximate scan). */
+  private[graft] def s6Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
     val v = transform(col("embedding"), _.cast("double"))
     // the stored candidate-stage layout (exactly what s4 materializes);
@@ -291,10 +349,17 @@ object SimilarityQueries {
       .withColumn("cos_approx", ddot(col("qv"), col("deq")) / (col("qnrm") * col("dnrm")))
     val cands = perQueryTopK(scored, col("cos_approx"), candK)
       .select(col("query_id"), col("vec_id"))
+    (queries, cands)
+  }
 
-    // re-rank at full precision: the corpus scan stays in place, the
-    // bounded candidate list broadcasts onto it; the full-precision norm
-    // is computed only for the ≤ queries×3k survivors, after the join
+  /** s6's full-precision re-rank over a bounded candidate set: the corpus
+    * scan stays in place, the candidate list broadcasts onto it; the
+    * full-precision norm is computed only for the ≤ queries×3k
+    * survivors, after the join. */
+  private def s6Rerank(s: SparkSession, dir: String,
+      queries: DataFrame, cands: DataFrame): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val v = transform(col("embedding"), _.cast("double"))
     val reranked = e.select(col("vec_id"), v.as("fv"))
       .join(broadcast(cands), "vec_id")
       .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
@@ -303,6 +368,66 @@ object SimilarityQueries {
     perQueryTopK(reranked, col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("score"), 4).as("cos"))
+  }
+
+  /** S6's ORACLE-CHECKED companion (the s2 invariants pattern plus the
+    * quantizer's own bound):
+    *   - reconstruction error: every dequantized component is within the
+    *     int8 quantizer's declared half-step (mx−mn)/510 of the original
+    *     (the bound s4's oracle-checked artifact promises);
+    *   - the final answer is EXACTLY the full-precision cosine top-k of
+    *     the candidate set (independent window formulation);
+    *   - results ⊆ candidates.
+    * All reduced to DuckDB-derivable values over `embeddings`. */
+  private val s6Invariants = withOracle("s6_quantize_invariants",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |       TRUE AS reconstruction_within_half_step,
+       |       TRUE AS results_subset_of_candidates,
+       |       TRUE AS rank_is_exact_topk_of_candidates
+       |FROM embeddings""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    val v = transform(col("embedding"), _.cast("double"))
+    val scale = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise((col("mx") - col("mn")) / 255)
+    val deq = transform(col("codes"), c => col("mn") + c.cast("double") * scale)
+    val errOk = e
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .select(col("vec_id"), col("v"), col("mn"), col("mx"),
+        transform(col("v"), x =>
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0).cast("int")))
+          .as("codes"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), deq, (x, d) => abs(x - d)), lit(0.0),
+          (acc, a) => greatest(acc, a)).as("max_err"),
+        ((col("mx") - col("mn")) / 510 + lit(1e-12)).as("half_step"))
+      .agg(count(lit(1)).as("n_vectors"),
+        every(col("max_err") <= col("half_step")).as("reconstruction_within_half_step"))
+    val (queries, cands) = s6Parts(s, dir)
+    val got = s6Rerank(s, dir, queries, cands)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    val want = e.select(col("vec_id"), v.as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_full",
+        ddot(col("qv"), col("fv")) / (col("qnrm") * sqrt(ddot(col("fv"), col("fv")))))
+      .where(col("cos_full").isNotNull && !isnan(col("cos_full")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos_w"))
+    val disagreements = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val outside = got.join(cands.select(col("query_id"), col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    errOk.crossJoin(broadcast(outside)).crossJoin(broadcast(disagreements))
+      .select(col("n_vectors"), col("reconstruction_within_half_step"),
+        (col("n_outside") === 0).as("results_subset_of_candidates"),
+        (col("n_disagree") === 0).as("rank_is_exact_topk_of_candidates"))
   }
 
   /** Argmin-cell assignment as a pure map-side expression: the bounded
@@ -410,6 +535,16 @@ object SimilarityQueries {
     * ANSI-expressible → rows-only; recall-vs-s1, code-range totality and
     * determinism are pinned in ExtSpec. */
   private val s8AnnPq = rowsOnly("s8_ann_pq") { (s, dir) =>
+    val (queries, _, cands, _, _) = s8Parts(s, dir)
+    // full-precision re-rank, s6's exact shape
+    s6Rerank(s, dir, queries.select("query_id", "qv", "qnrm"), cands)
+  }
+
+  /** s8's stages, exposed for the invariants row: (queries with ADC LUTs,
+    * coded corpus (vec_id, codes, rnrm), candidate pairs, codebook
+    * literal, subspace width). */
+  private[graft] def s8Parts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Column, Int) = {
     val cb = pqCodebooks(s, dir)
     val sub = cb(0)(0).length
     // centroid squared norms per (subspace, code): the code-only norm table
@@ -451,19 +586,80 @@ object SimilarityQueries {
       .withColumn("cos_adc", adc / (col("qnrm") * col("rnrm")))
     val cands = perQueryTopK(scored, col("cos_adc"), candK)
       .select(col("query_id"), col("vec_id"))
+    (queries, coded, cands, cbLit, sub)
+  }
 
-    // full-precision re-rank, s6's exact shape
-    val reranked = e.select(col("vec_id"), v.as("fv"))
+  /** S8's ORACLE-CHECKED companion — PQ's defining algebra, verified on
+    * the real artifacts:
+    *   - every code in [0, K) for all M subspaces;
+    *   - the ADC identity: the LUT-sum score equals ⟨q, x̂⟩ against the
+    *     directly reconstructed vector (what makes table lookups a
+    *     distance computation at all);
+    *   - the code-only norm identity: ‖x̂‖ from per-centroid norms equals
+    *     the reconstruction's norm (exact — subspaces are disjoint
+    *     coordinates);
+    *   - the final answer is EXACTLY the full-precision cosine top-k of
+    *     the candidate set, and results ⊆ candidates.
+    * Reduced to DuckDB-derivable values over `embeddings`. */
+  private val s8Invariants = withOracle("s8_pq_invariants",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |       TRUE AS codes_in_range,
+       |       TRUE AS adc_equals_reconstructed_dot,
+       |       TRUE AS code_norm_equals_reconstruction_norm,
+       |       TRUE AS results_subset_of_candidates,
+       |       TRUE AS rank_is_exact_topk_of_candidates
+       |FROM embeddings""".stripMargin) { (s, dir) =>
+    val (queries, coded, cands, cbLit, sub) = s8Parts(s, dir)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val recon = flatten(transform(seqM, m =>
+      element_at(element_at(cbLit, m + 1), element_at(col("codes"), m + 1) + 1)))
+    val codeProps = coded
+      .select(col("vec_id"), col("codes"), col("rnrm"), recon.as("recon"))
+      .agg(count(lit(1)).as("n_vectors"),
+        every(forall(col("codes"), c => c >= 0 && c < PqK)).as("codes_in_range"),
+        every(abs(col("rnrm") - sqrt(ddot(col("recon"), col("recon"))))
+          <= lit(1e-6) * (col("rnrm") + 1)).as("code_norm_equals_reconstruction_norm"))
+    // ADC identity over every scored pair (the candidate scan itself)
+    val adc = aggregate(
+      transform(seqM, m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1)),
+      lit(0.0), _ + _)
+    val adcProps = coded
+      .select(col("vec_id"), col("codes"), recon.as("recon"))
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select((abs(adc - ddot(col("qv"), col("recon")))
+        <= lit(1e-6) * (abs(adc) + 1)).as("ok"))
+      .agg(every(col("ok")).as("adc_equals_reconstructed_dot"))
+    val got = s6Rerank(s, dir, queries.select("query_id", "qv", "qnrm"), cands)
+    val e = Tables(s, dir, "embeddings")
+    val v = transform(col("embedding"), _.cast("double"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    val want = e.select(col("vec_id"), v.as("fv"))
       .join(broadcast(cands), "vec_id")
-      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
       .join(broadcast(queries.select("query_id", "qv", "qnrm")), "query_id")
-      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
-    perQueryTopK(reranked, col("cos_full"), TopK)
+      .withColumn("cos_full",
+        ddot(col("qv"), col("fv")) / (col("qnrm") * sqrt(ddot(col("fv"), col("fv")))))
+      .where(col("cos_full").isNotNull && !isnan(col("cos_full")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("cos"))
+        round(col("cos_full"), 4).as("cos_w"))
+    val disagreements = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val outside = got.join(cands.select(col("query_id"), col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    codeProps.crossJoin(broadcast(adcProps))
+      .crossJoin(broadcast(outside)).crossJoin(broadcast(disagreements))
+      .select(col("n_vectors"), col("codes_in_range"),
+        col("adc_equals_reconstructed_dot"),
+        col("code_norm_equals_reconstruction_norm"),
+        (col("n_outside") === 0).as("results_subset_of_candidates"),
+        (col("n_disagree") === 0).as("rank_is_exact_topk_of_candidates"))
   }
 
   val all: Seq[QueryDef] =
-    Seq(s1Brute, s2Lsh, s3Ivf, s4Quantize, s5Centroid, s6Quantized, s7IvfAssign,
-      s8AnnPq)
+    Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s4Quantize, s5Centroid, s6Quantized,
+      s6Invariants, s7IvfAssign, s8AnnPq, s8Invariants)
 }
