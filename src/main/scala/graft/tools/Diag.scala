@@ -67,6 +67,14 @@ object Diag {
       lineScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("ndbase")) {
+      nearDupBaseScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("fromcrawl")) {
+      fromCrawlScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -140,6 +148,135 @@ object Diag {
     * when the per-user bound (~1 k events) meets a wide corpus — the
     * shuffle is one user_id (or (wd,user)) exchange and throughput should
     * track scan rate, not degrade superlinearly. */
+  /** Per-trigger probe cost of the streaming near-dup sinks against a
+    * BIG accumulated base — the r10 verdict's forward-looking scale note
+    * (the sinks re-scanned the whole base per micro-batch). The two-tier
+    * layout (flat per-trigger deltas + compacted `bands/kb=` +
+    * `sigs|hashes/db=` tiers) makes the probe partition-pruned against
+    * the compacted tier: band index read only for colliding kb buckets,
+    * heavy columns (shingle sets / hashes) fetched only from candidate
+    * db buckets. Times the pruned path vs the frame-form full-scan probe
+    * at an n-doc base for micro-batches of 100/1k/10k docs at a 10% dup
+    * rate (the realistic crawl shape). Documents are synthesized
+    * straight in hash space (a doc IS its 20-token shingle set, tokens
+    * keyed by family id) — the probe never looks at text, so nothing is
+    * lost and the base builds at any n. */
+  /** The composed raw-crawl front door at Diag scale (r10 advice item 7):
+    * `Curate.fromCrawl` end-to-end — WARC `response` shards → HTTP strip →
+    * html1 block extraction → langid/source → corpus parquet → full
+    * curation artifact run — at n synthetic pages, with the per-stage
+    * timings `Result.stages` already carries. The html1 kernel alone is
+    * measured at 0.50 M pages/s; this measures the COMPOSITION (parse +
+    * extract + corpus materialization + curation). A parse-only pass is
+    * timed separately so the WARC-decode share is visible. */
+  private def fromCrawlScale(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_fromcrawl_").toString
+    val crawl = s"$root/crawl"
+    val shards = 64
+    val tWrite = time {
+      graft.sources.Warc.writeResponses(
+        spark.range(n).map(id => (id, s"https://site-${id % 997}.example/p/$id",
+            graft.ext.HtmlText.syntheticHtml(id)))
+          .toDF("doc_id", "url", "html"),
+        crawl, shards = shards)
+    }
+    println(f"[fromcrawl] wrote $n%,d synthetic pages as $shards WARC shards " +
+      f"in $tWrite%.1f s")
+    var parsed = 0L
+    val tParse = time {
+      parsed = graft.sources.Warc.readResponses(spark, crawl).count()
+    }
+    println(f"[fromcrawl] parse-only (gunzip + record parse + HTTP strip): " +
+      f"$parsed%,d pages in $tParse%.1f s (${n / tParse}%.0f pages/s)")
+    val r = graft.tools.Curate.fromCrawl(spark, crawl, s"$root/out", shards = 16)
+    val total = r.stages.map(_._2).sum
+    r.stages.foreach { case (st, t) => println(f"[fromcrawl]   $st%-16s $t%.1f s") }
+    println(f"[fromcrawl] $n%,d pages -> ${r.docs}%,d curated docs in " +
+      f"$total%.1f s end-to-end (${n / total}%.0f pages/s); " +
+      s"committed=${graft.tools.Curate.committed(spark, s"$root/out")}")
+  }
+
+  private def nearDupBaseScale(spark: SparkSession, n: Long): Unit = {
+    import graft.streaming.{DocStream, MediaStream}
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def sigsOf(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ids.select(col("doc_id"),
+          transform(sequence(lit(0), lit(19)),
+            j => lower(hex(xxhash64(col("fam"), j)))).as("sh"))
+        .withColumn("sig", graft.ext.extfunctions.minhash_signature(col("sh"), 64))
+    // probe batch: 10% planted dups of base docs, 90% novel
+    def probeIds(bs: Long) = spark.range(bs).select((col("id") + n).as("doc_id"),
+      when(col("id") % 10 === 0, pmod(col("id"), lit(n)))
+        .otherwise(col("id") + n).as("fam"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ndbase_scale_").toString
+
+    // ---- text sink base: built as 1M-doc deltas, then compacted ----
+    val tBase = s"$root/text_base"
+    val tBuild = time {
+      for ((lo, i) <- (0L until n by 1_000_000L).zipWithIndex)
+        sigsOf(spark.range(lo, math.min(lo + 1_000_000L, n))
+            .select(col("id").as("doc_id"), col("id").as("fam")))
+          .write.option("compression", "zstd")
+          .parquet(s"${DocStream.deltaDir(tBase)}/batch_id=$i")
+    }
+    val tCompact = time(Compact.nearDupBase(spark, tBase))
+    println(f"[ndbase/text] built $n%,d-doc base in $tBuild%.1f s, " +
+      f"compacted (sigs/db + derived bands/kb) in $tCompact%.1f s")
+    for (bs <- Seq(100L, 1000L, 10000L)) {
+      val batch = sigsOf(probeIds(bs)).persist()
+      try {
+        batch.count()
+        var matched = 0L
+        val tPruned = time {
+          matched = DocStream.probeNearDupBase(spark, batch, tBase).count()
+        }
+        val tFlat = time {
+          graft.queries.DedupQueries.probePairsAgainst(
+              batch, DocStream.nearDupBaseSigs(spark, tBase))
+            .select("new_id").distinct().count()
+        }
+        println(f"[ndbase/text] base=$n%,d batch=$bs%,d matched=$matched%,d " +
+          f"pruned=$tPruned%.2f s flat=$tFlat%.2f s (${tFlat / tPruned}%.1fx)")
+      } finally batch.unpersist(blocking = false)
+    }
+
+    // ---- perceptual sink base ----
+    val mBase = s"$root/media_base"
+    val mBuild = time {
+      spark.range(n).select(col("id").as("doc_id"), xxhash64(col("id")).as("hash"))
+        .write.option("compression", "zstd")
+        .parquet(s"${MediaStream.deltaDir(mBase)}/batch_id=0")
+    }
+    val mCompact = time(Compact.nearDupBase(spark, mBase))
+    println(f"[ndbase/media] built $n%,d-hash base in $mBuild%.1f s, " +
+      f"compacted in $mCompact%.1f s")
+    for (bs <- Seq(100L, 1000L, 10000L)) {
+      val batch = spark.range(bs).select((col("id") + n).as("doc_id"),
+        when(col("id") % 10 === 0, xxhash64(pmod(col("id"), lit(n)))) // dup hash
+          .otherwise(xxhash64(col("id") + n + 7)).as("hash")).persist()
+      try {
+        batch.count()
+        var matched = 0L
+        val tPruned = time {
+          matched = MediaStream.probePerceptualBase(spark, batch, mBase, 3).count()
+        }
+        val tFlat = time {
+          MediaStream.acceptPerceptual(batch,
+            MediaStream.baseHashes(spark, mBase)).count()
+        }
+        println(f"[ndbase/media] base=$n%,d batch=$bs%,d matched=$matched%,d " +
+          f"pruned=$tPruned%.2f s flat(full accept)=$tFlat%.2f s")
+      } finally batch.unpersist(blocking = false)
+    }
+    println(s"[ndbase] artifacts under $root")
+  }
+
   private def eventScale(spark: SparkSession, n: Long,
       only: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
