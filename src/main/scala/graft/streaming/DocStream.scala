@@ -329,35 +329,49 @@ object DocStream {
     * assert the `kb` partition filter on its scan (the probe itself
     * localCheckpoints it, which hides the scan from the final plan). */
   /** Past this many probe keys the per-key parquet pushdown is skipped
-    * (a replay-sized batch degrades to the bucket-pruned scan) — the OR
-    * tree parquet evaluates per page must stay bounded. */
-  private[graft] val MaxKeyPushdown = 4096
+    * (a replay-sized batch degrades to the bucket-pruned narrow-index
+    * scan) — each [[KeyPushChunk]] leg costs a near-constant ~0.2 s
+    * (driver planning + footer/column-index reads, measured linear from
+    * 7 to 625 legs at a 10 M-doc base), so past ~32 legs the chunked
+    * point path stops beating the one-scan fallback. */
+  private[graft] val MaxKeyPushdown = 16384
 
   /** Per-chunk key budget for [[keyPrunedScan]]: small enough that the
     * left-deep OR tree parquet builds from one chunk's IN evaluates in
     * bounded stack depth (it overflows past ~1k terms), large enough
     * that normal micro-batches need a handful of chunks. */
-  private[graft] val KeyPushChunk = 256
+  private[graft] val KeyPushChunk = 512
 
-  /** Read `scan` restricted to rows whose `keyCol` ∈ keys, with the key
-    * list REACHING PARQUET as point predicates: the compacted tier is
-    * sorted on the probed column per partition dir, so page column
-    * indexes prune to ~the pages the keys actually land in — scan cost
-    * O(probe keys × page rows), not O(base). Keys are pushed in
-    * [[KeyPushChunk]]-sized `isin` sub-scans unioned together: one
-    * InSet node per chunk keeps Catalyst planning cheap (a single
-    * thousands-term OR tree costs seconds per trigger to plan), and
-    * parquet's per-chunk OR chain stays stack-safe. Spark's In-pushdown
-    * threshold is raised (never lowered) past the chunk size on the
-    * session — above it, Spark pushes only a useless [min, max] range
-    * over uniform hashes. Chunks are disjoint, so the union is exact. */
+  /** Read `scan` restricted to rows whose `keyCol` ∈ the keys of
+    * `dirKeys` (= (partition-dir, key) pairs), with the key list
+    * REACHING PARQUET as point predicates: the compacted tier is sorted
+    * on the probed column per partition dir and written with small
+    * pages, so page column indexes prune to ~the pages the keys
+    * actually land in — scan cost O(probe keys × page rows), not
+    * O(base). Keys are pushed in [[KeyPushChunk]]-sized `isin`
+    * sub-scans unioned together: one InSet node per chunk keeps
+    * Catalyst planning cheap (a single thousands-term OR tree costs
+    * seconds per trigger to plan), and parquet's per-chunk OR chain
+    * stays stack-safe. Crucially the pairs are sorted by DIR before
+    * chunking and every chunk's sub-scan partition-prunes to ITS OWN
+    * dir set — without that, each of C chunks re-opens every hit dir
+    * and the probe degrades C-fold with batch size (measured 72 s for
+    * 63 chunks × 1024 dirs at a 10 M-doc base, vs one open per dir
+    * here). Spark's In-pushdown threshold is raised (never lowered)
+    * past the chunk size on the session — above it, Spark pushes only
+    * a useless [min, max] range over uniform hashes. Chunks are
+    * disjoint, so the union is exact. */
   private[graft] def keyPrunedScan(spark: SparkSession, scan: DataFrame,
-      keyCol: String, keys: Array[Long]): DataFrame = {
+      keyCol: String, dirCol: String, dirKeys: Array[(Long, Long)]): DataFrame = {
     val k = "spark.sql.parquet.pushdown.inFilterThreshold"
     if (spark.conf.get(k, "10").toInt < KeyPushChunk + 1)
       spark.conf.set(k, KeyPushChunk + 1)
-    keys.grouped(KeyPushChunk)
-      .map(g => scan.where(col(keyCol).isin(g.toIndexedSeq: _*)))
+    dirKeys.sorted.grouped(KeyPushChunk)
+      .map { g =>
+        val dirs = g.map(_._1).distinct.toIndexedSeq
+        val ks = g.map(_._2).distinct.toIndexedSeq
+        scan.where(col(dirCol).isin(dirs: _*) && col(keyCol).isin(ks: _*))
+      }
       .reduce(_ unionByName _)
   }
 
@@ -366,15 +380,23 @@ object DocStream {
     import graft.queries.DedupQueries
     val pBand = DedupQueries.bandedKeys(batchSigs)
       .withColumn("kb", pmod(col("band_hash"), lit(BandBuckets.toLong)))
-    val hitKb = pBand.select("kb").distinct().collect().map(_.getLong(0))
-    val keys = pBand.select("band_hash").distinct()
-      .limit(MaxKeyPushdown + 1).collect().map(_.getLong(0))
-    val pruned = spark.read.parquet(bandsDir(basePath))
-      .where(col("kb").isin(hitKb: _*))
+    // ONE bounded collect serves both prune levels: (kb, band_hash)
+    // pairs give the partition-dir list AND the dir-grouped point keys
+    val dirKeys = pBand.select("kb", "band_hash").distinct()
+      .limit(MaxKeyPushdown + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val scan = spark.read.parquet(bandsDir(basePath))
     val keyed = // point-predicate pushdown for normal micro-batches
-      if (keys.nonEmpty && keys.length <= MaxKeyPushdown)
-        keyPrunedScan(spark, pruned, "band_hash", keys)
-      else pruned
+      if (dirKeys.nonEmpty && dirKeys.length <= MaxKeyPushdown)
+        keyPrunedScan(spark, scan, "band_hash", "kb", dirKeys)
+      else {
+        // over-limit (replay-sized) batches fall back to dir-level
+        // pruning; the dir list must cover ALL the batch's band keys
+        // (bounded by BandBuckets), not the limited sample above
+        val hitKb = pBand.select("kb").distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        scan.where(col("kb").isin(hitKb: _*))
+      }
     keyed
       .select(col("doc_id").as("base_id"), col("band"), col("band_hash"))
       .join(pBand.select(col("doc_id").as("new_id"), col("band"), col("band_hash")),
@@ -392,19 +414,26 @@ object DocStream {
     // verify — materialize the (small, candidate-bounded) frame once
     // instead of re-running the band join per consumer
     val cand = compactedCandidates(spark, batchSigs, basePath).localCheckpoint()
-    val hitDb = cand.select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"))
-      .distinct().collect().map(_.getLong(0))
-    if (hitDb.isEmpty) return Seq.empty[Long].toDF("doc_id")
     // candidate ids as point predicates too: the sig store is sorted by
     // doc_id per db dir, so the heavy sh fetch page-prunes to candidates
-    val candIds = cand.select("base_id").distinct()
-      .limit(MaxKeyPushdown + 1).collect().map(_.getLong(0))
-    val dbPruned = spark.read.parquet(sigsDir(basePath))
-      .where(col("db").isin(hitDb: _*))
+    val candDirIds = cand
+      .select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"), col("base_id"))
+      .distinct().limit(MaxKeyPushdown + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (candDirIds.isEmpty) return Seq.empty[Long].toDF("doc_id")
+    val sigScan = spark.read.parquet(sigsDir(basePath))
     val shScan =
-      if (candIds.nonEmpty && candIds.length <= MaxKeyPushdown)
-        keyPrunedScan(spark, dbPruned, "doc_id", candIds)
-      else dbPruned
+      if (candDirIds.length <= MaxKeyPushdown)
+        keyPrunedScan(spark, sigScan, "doc_id", "db", candDirIds)
+      else {
+        // over-limit candidate sets fall back to dir-level pruning; the
+        // dir list must come from ALL candidates (bounded by DocBuckets),
+        // not the limited id sample above
+        val hitDb = cand
+          .select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        sigScan.where(col("db").isin(hitDb: _*))
+      }
     val baseSh = shScan.select(col("doc_id").as("base_id"), col("sh").as("sh_b"))
     cand
       .join(batchSigs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
@@ -427,35 +456,51 @@ object DocStream {
     val all = nearDupBaseSigs(spark, basePath)
     val root = new org.apache.hadoop.fs.Path(basePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def stageWrite(df: DataFrame, part: String, sortCols: Seq[String],
-        dir: String): org.apache.hadoop.fs.Path = {
-      val stage = new org.apache.hadoop.fs.Path(dir + ".compact_stage")
-      df.repartition(col(part))
-        .sortWithinPartitions(part, sortCols: _*)
-        .write.partitionBy(part).mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("compression", "zstd").parquet(stage.toString)
-      stage
-    }
-    def swap(stage: org.apache.hadoop.fs.Path, dir: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val old = new org.apache.hadoop.fs.Path(dir + ".old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(p)) fs.rename(p, old)
-      fs.rename(stage, p)
-      fs.delete(old, true)
-    }
     // both stages fully written BEFORE any swap: the folded input reads
     // the live dirs, so writing stage N must not see a half-swapped tier
-    val sigStage = stageWrite(
+    val sigStage = stageWrite(fs,
       all.withColumn("db", pmod(col("doc_id"), lit(DocBuckets.toLong))),
-      "db", Seq("doc_id"), sigsDir(basePath))
-    val bandStage = stageWrite(
+      "db", Seq("doc_id"), sigsDir(basePath), heavyTier = true)
+    val bandStage = stageWrite(fs,
       graft.queries.DedupQueries.bandedKeys(all)
         .withColumn("kb", pmod(col("band_hash"), lit(BandBuckets.toLong))),
-      "kb", Seq("band", "band_hash"), bandsDir(basePath))
-    swap(sigStage, sigsDir(basePath))
-    swap(bandStage, bandsDir(basePath))
+      "kb", Seq("band", "band_hash"), bandsDir(basePath), heavyTier = false)
+    swap(fs, sigStage, sigsDir(basePath))
+    swap(fs, bandStage, bandsDir(basePath))
     fs.delete(new org.apache.hadoop.fs.Path(deltaDir(basePath)), true)
+  }
+
+  /** Stage-write one compacted-tier half: hive-partitioned on `part`,
+    * sorted within dirs, one file per dir. The index tier (`heavyTier =
+    * false`) is written snappy with 4096-row pages: it is re-scanned or
+    * point-probed every trigger, so decode speed and page granularity
+    * dominate — with the default ~1 MB pages a point lookup decodes
+    * ~40k narrow rows per key, with 4096-row pages ~10× less. The
+    * content tier (`heavyTier = true`) keeps zstd + default pages: it
+    * is fetched candidate-only and its KB-scale rows make default pages
+    * row-sparse already. */
+  private[graft] def stageWrite(fs: org.apache.hadoop.fs.FileSystem,
+      df: DataFrame, part: String, sortCols: Seq[String], dir: String,
+      heavyTier: Boolean): org.apache.hadoop.fs.Path = {
+    val stage = new org.apache.hadoop.fs.Path(dir + ".compact_stage")
+    val w = df.repartition(col(part))
+      .sortWithinPartitions(part, sortCols: _*)
+      .write.partitionBy(part).mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (heavyTier) w.option("compression", "zstd")
+     else w.option("compression", "snappy")
+       .option("parquet.page.row.count.limit", 4096))
+      .parquet(stage.toString)
+    stage
+  }
+
+  private[graft] def swap(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(stage, p)
+    fs.delete(old, true)
   }
 
   private[graft] def nearDupBatch(batch: DataFrame, basePath: String,

@@ -150,36 +150,44 @@ object MediaStream {
       return Seq.empty[Long].toDF("doc_id")
     val pBand = banded(batchHashes, "new_id", "hash_n")
       .withColumn("kb", kbOf(col("band"), col("key")))
-    val hitKb = pBand.select("kb").distinct().collect().map(_.getLong(0))
-    // keys pushed as point predicates (DocStream.keyPrunedScan
-    // scaladoc); the band index is sorted by (band, key) per kb dir so
-    // pages prune per key — pushed on `key` alone (the selective column;
-    // band has 4 values and rides the join for exactness)
-    val keys = pBand.select(col("key")).distinct()
-      .limit(DocStream.MaxKeyPushdown + 1).collect().map(_.getLong(0))
-    val pruned = spark.read.parquet(bandsDir(basePath))
-      .where(col("kb").isin(hitKb: _*))
+    // keys pushed as dir-grouped point predicates (DocStream.
+    // keyPrunedScan scaladoc); the band index is sorted by (band, key)
+    // per kb dir so pages prune per key — pushed on `key` alone (the
+    // selective column; band has 4 values and rides the join for
+    // exactness). One bounded collect serves dirs AND keys.
+    val dirKeys = pBand.select("kb", "key").distinct()
+      .limit(DocStream.MaxKeyPushdown + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val scan = spark.read.parquet(bandsDir(basePath))
     val keyed =
-      if (keys.nonEmpty && keys.length <= DocStream.MaxKeyPushdown)
-        DocStream.keyPrunedScan(spark, pruned, "key", keys)
-      else pruned
+      if (dirKeys.nonEmpty && dirKeys.length <= DocStream.MaxKeyPushdown)
+        DocStream.keyPrunedScan(spark, scan, "key", "kb", dirKeys)
+      else {
+        val hitKb = pBand.select("kb").distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        scan.where(col("kb").isin(hitKb: _*))
+      }
     val cand = keyed
       .select(col("doc_id").as("base_id"), col("band"), col("key"))
       .join(pBand.select(col("new_id"), col("hash_n"), col("band"), col("key")),
         Seq("band", "key"))
       .select("new_id", "hash_n", "base_id").distinct()
       .localCheckpoint() // feeds the db collect AND the verify once
-    val hitDb = cand.select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"))
-      .distinct().collect().map(_.getLong(0))
-    if (hitDb.isEmpty) return Seq.empty[Long].toDF("doc_id")
-    val candIds = cand.select("base_id").distinct()
-      .limit(DocStream.MaxKeyPushdown + 1).collect().map(_.getLong(0))
-    val dbPruned = spark.read.parquet(hashesDir(basePath))
-      .where(col("db").isin(hitDb: _*))
+    val candDirIds = cand
+      .select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"), col("base_id"))
+      .distinct().limit(DocStream.MaxKeyPushdown + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (candDirIds.isEmpty) return Seq.empty[Long].toDF("doc_id")
+    val hashScan = spark.read.parquet(hashesDir(basePath))
     val hScan =
-      if (candIds.nonEmpty && candIds.length <= DocStream.MaxKeyPushdown)
-        DocStream.keyPrunedScan(spark, dbPruned, "doc_id", candIds)
-      else dbPruned
+      if (candDirIds.length <= DocStream.MaxKeyPushdown)
+        DocStream.keyPrunedScan(spark, hashScan, "doc_id", "db", candDirIds)
+      else {
+        val hitDb = cand
+          .select(pmod(col("base_id"), lit(DocBuckets.toLong)).as("db"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        hashScan.where(col("db").isin(hitDb: _*))
+      }
     val baseH = hScan.select(col("doc_id").as("base_id"), col("hash").as("hash_b"))
     cand.join(baseH, "base_id")
       .where(bit_count(col("hash_b").bitwiseXOR(col("hash_n"))) <= maxHamming)
@@ -194,33 +202,18 @@ object MediaStream {
     val all = baseHashes(spark, basePath)
     val root = new org.apache.hadoop.fs.Path(basePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def stageWrite(df: DataFrame, part: String, sortCols: Seq[String],
-        dir: String): org.apache.hadoop.fs.Path = {
-      val stage = new org.apache.hadoop.fs.Path(dir + ".compact_stage")
-      df.repartition(col(part))
-        .sortWithinPartitions(part, sortCols: _*)
-        .write.partitionBy(part).mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("compression", "zstd").parquet(stage.toString)
-      stage
-    }
-    def swap(stage: org.apache.hadoop.fs.Path, dir: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val old = new org.apache.hadoop.fs.Path(dir + ".old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(p)) fs.rename(p, old)
-      fs.rename(stage, p)
-      fs.delete(old, true)
-    }
-    val hashStage = stageWrite(
+    // the hash store is 16 B/row — index-tier treatment (snappy, small
+    // pages) serves BOTH halves here; there is no KB-scale heavy column
+    val hashStage = DocStream.stageWrite(fs,
       all.withColumn("db", pmod(col("doc_id"), lit(DocBuckets.toLong))),
-      "db", Seq("doc_id"), hashesDir(basePath))
-    val bandStage = stageWrite(
+      "db", Seq("doc_id"), hashesDir(basePath), heavyTier = false)
+    val bandStage = DocStream.stageWrite(fs,
       banded(all, "doc_id", "hash")
         .withColumn("kb", kbOf(col("band"), col("key")))
         .select("band", "key", "doc_id", "kb"),
-      "kb", Seq("band", "key"), bandsDir(basePath))
-    swap(hashStage, hashesDir(basePath))
-    swap(bandStage, bandsDir(basePath))
+      "kb", Seq("band", "key"), bandsDir(basePath), heavyTier = false)
+    DocStream.swap(fs, hashStage, hashesDir(basePath))
+    DocStream.swap(fs, bandStage, bandsDir(basePath))
     fs.delete(new org.apache.hadoop.fs.Path(deltaDir(basePath)), true)
   }
 

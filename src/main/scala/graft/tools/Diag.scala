@@ -75,6 +75,15 @@ object Diag {
       fromCrawlScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("ndcompact")) {
+      Compact.nearDupBase(spark, args(1))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("ndprobe")) {
+      nearDupProbeVariants(spark, args(1),
+        args.lift(2).map(_.toLong).getOrElse(10_000_000L))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -275,6 +284,74 @@ object Diag {
       } finally batch.unpersist(blocking = false)
     }
     println(s"[ndbase] artifacts under $root")
+  }
+
+  /** Stage-level timing of the two-tier text probe against an EXISTING
+    * base (built by `ndbase` — pass its `text_base` dir): separates the
+    * band-index variants (flat scan+join / kb-pruned / kb-pruned+keyed
+    * pushdown) from the heavy-fetch variants (db-pruned / db+id-keyed),
+    * so a probe regression names the stage, not the composite. */
+  private def nearDupProbeVariants(spark: SparkSession, tBase: String, n: Long): Unit = {
+    import graft.streaming.DocStream
+    import graft.queries.DedupQueries
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def sigsOf(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ids.select(col("doc_id"),
+          transform(sequence(lit(0), lit(19)),
+            j => lower(hex(xxhash64(col("fam"), j)))).as("sh"))
+        .withColumn("sig", graft.ext.extfunctions.minhash_signature(col("sh"), 64))
+    def probeIds(bs: Long) = spark.range(bs).select((col("id") + n).as("doc_id"),
+      when(col("id") % 10 === 0, pmod(col("id"), lit(n)))
+        .otherwise(col("id") + n).as("fam"))
+    for (bs <- Seq(100L, 1000L, 10000L)) {
+      val batch = sigsOf(probeIds(bs)).persist()
+      try {
+        batch.count()
+        val tFull = time(DocStream.probeNearDupBase(spark, batch, tBase).count())
+        val pBand = DedupQueries.bandedKeys(batch)
+          .withColumn("kb", pmod(col("band_hash"), lit(DocStream.BandBuckets.toLong)))
+          .persist()
+        val dirKeys = pBand.select("kb", "band_hash").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hitKb = dirKeys.map(_._1).distinct
+        val idx = spark.read.parquet(s"$tBase/bands")
+        def cands(scan: org.apache.spark.sql.DataFrame) = scan
+          .select(col("doc_id").as("base_id"), col("band"), col("band_hash"))
+          .join(pBand.select(col("doc_id").as("new_id"), col("band"), col("band_hash")),
+            Seq("band", "band_hash"))
+          .select("new_id", "base_id").distinct()
+        val pruned = idx.where(col("kb").isin(hitKb.toIndexedSeq: _*))
+        val tIdxFlat = time(cands(idx).count())
+        val tIdxPruned = time(cands(pruned).count())
+        val tIdxKeyed = time(
+          cands(DocStream.keyPrunedScan(spark, idx, "band_hash", "kb", dirKeys)).count())
+        // heavy-fetch variants over the real candidate set
+        val cand = cands(pruned).localCheckpoint()
+        val candDirIds = cand
+          .select(pmod(col("base_id"), lit(DocStream.DocBuckets.toLong)).as("db"),
+            col("base_id"))
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hitDb = candDirIds.map(_._1).distinct
+        val sigs = spark.read.parquet(s"$tBase/sigs")
+        def verify(scan: org.apache.spark.sql.DataFrame) = cand
+          .join(batch.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+          .join(scan.select(col("doc_id").as("base_id"), col("sh").as("sh_b")), "base_id")
+          .where(graft.ext.extfunctions.jaccard_sim(col("sh_n"), col("sh_b"))
+            >= DedupQueries.JaccardThreshold)
+          .select("new_id").distinct()
+        val dbPruned = sigs.where(col("db").isin(hitDb.toIndexedSeq: _*))
+        val tFetchDb = time(verify(dbPruned).count())
+        val tFetchKeyed = time(
+          verify(DocStream.keyPrunedScan(spark, sigs, "doc_id", "db", candDirIds)).count())
+        println(f"[ndprobe] batch=$bs%,d keys=${dirKeys.length}%,d kb=${hitKb.length} " +
+          f"cand=${candDirIds.length}%,d db=${hitDb.length} | full=$tFull%.2f | " +
+          f"idx flat=$tIdxFlat%.2f pruned=$tIdxPruned%.2f keyed=$tIdxKeyed%.2f | " +
+          f"fetch db=$tFetchDb%.2f keyed=$tFetchKeyed%.2f")
+        pBand.unpersist(blocking = false)
+      } finally batch.unpersist(blocking = false)
+    }
   }
 
   private def eventScale(spark: SparkSession, n: Long,
