@@ -264,6 +264,31 @@ object DocStream {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Per-(session, dir) cache of compacted-tier reads: partition
+    * discovery over the BandBuckets/DocBuckets hive dirs costs ~1.4 s
+    * per `spark.read.parquet` call (a parallel-listing job), and a
+    * streaming sink probes the same tiers every trigger. The compacted
+    * tier changes ONLY at compaction (append-path writes go to deltas),
+    * so the listing is reusable until [[foldCompact]] — which
+    * [[invalidateCompacted]]s. Compaction runs in-process against a
+    * stopped (or between-triggers) sink, so same-JVM invalidation is
+    * the consistency boundary. */
+  private val compactedReads =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def cachedCompactedRead(spark: SparkSession, dir: String): DataFrame = {
+    // drop entries of stopped sessions so the static map never pins a
+    // dead session's plans (tests build many short-lived sessions)
+    val it = compactedReads.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    compactedReads.computeIfAbsent((spark, dir), _ => spark.read.parquet(dir))
+  }
+
+  private[graft] def invalidateCompacted(basePath: String): Unit = {
+    val it = compactedReads.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(basePath)) it.remove()
+  }
+
   private def nonEmptyDir(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -289,7 +314,7 @@ object DocStream {
   /** The compacted tier as a (doc_id, sh, sig) frame. */
   private[graft] def compactedSigs(spark: SparkSession, basePath: String): DataFrame =
     if (!dirExists(spark, sigsDir(basePath))) emptySigs(spark)
-    else spark.read.parquet(sigsDir(basePath)).select("doc_id", "sh", "sig")
+    else cachedCompactedRead(spark, sigsDir(basePath)).select("doc_id", "sh", "sig")
 
   /** The accumulated base as a logical (doc_id, sh, sig) frame — the ONE
     * read surface over the layout (consumers must not assume file
@@ -385,7 +410,7 @@ object DocStream {
     val dirKeys = pBand.select("kb", "band_hash").distinct()
       .limit(MaxKeyPushdown + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val scan = spark.read.parquet(bandsDir(basePath))
+    val scan = cachedCompactedRead(spark, bandsDir(basePath))
     val keyed = // point-predicate pushdown for normal micro-batches
       if (dirKeys.nonEmpty && dirKeys.length <= MaxKeyPushdown)
         keyPrunedScan(spark, scan, "band_hash", "kb", dirKeys)
@@ -421,7 +446,7 @@ object DocStream {
       .distinct().limit(MaxKeyPushdown + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     if (candDirIds.isEmpty) return Seq.empty[Long].toDF("doc_id")
-    val sigScan = spark.read.parquet(sigsDir(basePath))
+    val sigScan = cachedCompactedRead(spark, sigsDir(basePath))
     val shScan =
       if (candDirIds.length <= MaxKeyPushdown)
         keyPrunedScan(spark, sigScan, "doc_id", "db", candDirIds)
@@ -468,6 +493,7 @@ object DocStream {
     swap(fs, sigStage, sigsDir(basePath))
     swap(fs, bandStage, bandsDir(basePath))
     fs.delete(new org.apache.hadoop.fs.Path(deltaDir(basePath)), true)
+    invalidateCompacted(basePath)
   }
 
   /** Stage-write one compacted-tier half: hive-partitioned on `part`,

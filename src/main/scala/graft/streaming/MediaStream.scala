@@ -112,7 +112,7 @@ object MediaStream {
   private[graft] def compactedHashes(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame =
     if (!dirExists(spark, hashesDir(basePath))) emptyHashes(spark)
-    else spark.read.parquet(hashesDir(basePath)).select("doc_id", "hash")
+    else DocStream.cachedCompactedRead(spark, hashesDir(basePath)).select("doc_id", "hash")
 
   /** The accumulated base as a logical (doc_id, hash) frame — the ONE
     * read surface over the layout: compacted tier ∪ deltas. */
@@ -158,7 +158,7 @@ object MediaStream {
     val dirKeys = pBand.select("kb", "key").distinct()
       .limit(DocStream.MaxKeyPushdown + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val scan = spark.read.parquet(bandsDir(basePath))
+    val scan = DocStream.cachedCompactedRead(spark, bandsDir(basePath))
     val keyed =
       if (dirKeys.nonEmpty && dirKeys.length <= DocStream.MaxKeyPushdown)
         DocStream.keyPrunedScan(spark, scan, "key", "kb", dirKeys)
@@ -178,7 +178,7 @@ object MediaStream {
       .distinct().limit(DocStream.MaxKeyPushdown + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     if (candDirIds.isEmpty) return Seq.empty[Long].toDF("doc_id")
-    val hashScan = spark.read.parquet(hashesDir(basePath))
+    val hashScan = DocStream.cachedCompactedRead(spark, hashesDir(basePath))
     val hScan =
       if (candDirIds.length <= DocStream.MaxKeyPushdown)
         DocStream.keyPrunedScan(spark, hashScan, "doc_id", "db", candDirIds)
@@ -215,6 +215,7 @@ object MediaStream {
     DocStream.swap(fs, hashStage, hashesDir(basePath))
     DocStream.swap(fs, bandStage, bandsDir(basePath))
     fs.delete(new org.apache.hadoop.fs.Path(deltaDir(basePath)), true)
+    DocStream.invalidateCompacted(basePath)
   }
 
   private[graft] def perceptualBatch(batch: DataFrame, basePath: String,

@@ -345,8 +345,15 @@ object Diag {
         val tFetchDb = time(verify(dbPruned).count())
         val tFetchKeyed = time(
           verify(DocStream.keyPrunedScan(spark, sigs, "doc_id", "db", candDirIds)).count())
+        // a SECOND full probe in the same session: separates per-call
+        // fixed costs (partition discovery, schema inference, codegen)
+        // from steady-state per-trigger cost
+        val tFull2 = time(DocStream.probeNearDupBase(spark, batch, tBase).count())
+        val tList = time(spark.read.parquet(s"$tBase/bands").inputFiles.length)
+        val tListSigs = time(spark.read.parquet(s"$tBase/sigs").inputFiles.length)
         println(f"[ndprobe] batch=$bs%,d keys=${dirKeys.length}%,d kb=${hitKb.length} " +
-          f"cand=${candDirIds.length}%,d db=${hitDb.length} | full=$tFull%.2f | " +
+          f"cand=${candDirIds.length}%,d db=${hitDb.length} | full=$tFull%.2f " +
+          f"full2=$tFull2%.2f list=$tList%.2f/$tListSigs%.2f | " +
           f"idx flat=$tIdxFlat%.2f pruned=$tIdxPruned%.2f keyed=$tIdxKeyed%.2f | " +
           f"fetch db=$tFetchDb%.2f keyed=$tFetchKeyed%.2f")
         pBand.unpersist(blocking = false)
@@ -548,6 +555,14 @@ object Diag {
     println(f"[bpe] dict build   n=$n%,d docs -> $vocab%,d words: $tDict%.1f s")
     println(f"[bpe] train        ${rules.size}%,d rules (batch 256): $tTrain%.1f s " +
       f"(${rules.size / tTrain}%.0f rules/s; sequential would be ~${rules.size * 2}%,d jobs)")
+    // serving at the learned rule count: the mapPartitions rank-encode
+    // kernel (per-partition rule map + word memo) — the path tok1 runs
+    val t2 = System.nanoTime()
+    graft.ext.Bpe.bpeUnitCounts(docs, rules.map(r => (r._2, r._3)))
+      .write.format("noop").mode("overwrite").save()
+    val tServe = (System.nanoTime() - t2) / 1e9
+    println(f"[bpe] serve        encode $n%,d docs (60 words each) with " +
+      f"${rules.size}%,d rules: $tServe%.1f s (${n / tServe}%.0f docs/s)")
     dict.unpersist(blocking = false)
   }
 
