@@ -54,7 +54,13 @@ object Bench {
       "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens",
       // pk4 + its invariants gate row embed the same KMeans training
       // one-off as s3 (the serving-side scale path is s7's projection)
-      "pk4_semantic_order", "pk4_layout_invariants")
+      "pk4_semantic_order", "pk4_layout_invariants",
+      // invariant VERIFICATION rows (r11): gate-only shapes — each
+      // re-derives its operator's output through a deliberately
+      // different, verification-grade plan (window re-rank, per-pair
+      // reconstruction identities), which no serving path runs
+      "s2_lsh_invariants", "s6_quantize_invariants", "s8_pq_invariants",
+      "rh4_quantile_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):
