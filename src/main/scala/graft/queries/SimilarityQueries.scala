@@ -659,7 +659,95 @@ object SimilarityQueries {
         (col("n_disagree") === 0).as("rank_is_exact_topk_of_candidates"))
   }
 
+  /** S9: margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" §3 — the published ratio-margin criterion LASER-style
+    * bitext mining uses): for a bounded batch of SOURCE vectors against a
+    * TARGET corpus (here the even/odd halves of the embeddings table),
+    * score every candidate pair by cos(x,y) normalized by the mean of
+    * each side's k-NN neighborhood — margin = cos(x,y) / ((avgK(x) +
+    * avgK(y)) / 2) — and emit each source's best target where the margin
+    * clears 1.0. The neighborhood normalization is what kills hub
+    * vectors (generically-close embeddings that plain cosine would pair
+    * with everything).
+    *
+    * Scale shape: the source batch is BOUNDED and broadcast (the mining
+    * loop processes sources in batches); both k-NN means and the final
+    * argmax are bottom-k PARTIAL aggregates, so every exchange carries
+    * tasks × keys × k rows, never the pair set; the all-pairs candidate
+    * generation here is the exact oracle anchor (d5's role) — at corpus
+    * scale the pair stage composes with the s2/s3 bucketed candidate
+    * generators, margin scoring unchanged. FP order is pinned on both
+    * engines (fold over the (-cos, id)-sorted top-k list), so the gate
+    * hash-compares exactly. */
+  private val MineK = 4
+  private val MineSrcCap = 400L
+  private val MineThreshold = 1.0
+
+  /** Mean of the top-[[MineK]] `cos` values per `key` (fold in sorted
+    * (-cos, id) order — the FP accumulation order the oracle mirrors). */
+  private def kNNMean(pairs: DataFrame, key: String, other: String,
+      out: String): DataFrame =
+    pairs.groupBy(col(key))
+      .agg(bottom_k(
+        when(col("cos").isNotNull && !isnan(col("cos")),
+          struct((-col("cos")).as("ns"), col(other).as("vec_id"))),
+        MineK).as("top"))
+      .select(col(key),
+        (aggregate(col("top"), lit(0d), (acc, t) => acc - t("ns"))
+          / size(col("top"))).as(out))
+
+  private val s9Mining = withOracle("s9_margin_mining",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |src AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0 AND vec_id < $MineSrcCap),
+       |tgt AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+       |p AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+       |         list_dot_product(s.v,t.v) /
+       |           (sqrt(list_dot_product(s.v,s.v)) * sqrt(list_dot_product(t.v,t.v))) AS cos
+       |      FROM src s CROSS JOIN tgt t),
+       |sa AS (SELECT src_id, list_reduce(l, (a,b) -> a+b)/len(l) AS a_src FROM (
+       |        SELECT src_id, (list(cos ORDER BY cos DESC, tgt_id))[1:$MineK] AS l
+       |        FROM p GROUP BY src_id)),
+       |ta AS (SELECT tgt_id, list_reduce(l, (a,b) -> a+b)/len(l) AS a_tgt FROM (
+       |        SELECT tgt_id, (list(cos ORDER BY cos DESC, src_id))[1:$MineK] AS l
+       |        FROM p GROUP BY tgt_id)),
+       |m AS (SELECT p.src_id, p.tgt_id, p.cos/((sa.a_src+ta.a_tgt)/2) AS margin
+       |      FROM p JOIN sa USING(src_id) JOIN ta USING(tgt_id)),
+       |r AS (SELECT src_id, tgt_id, margin,
+       |        row_number() OVER (PARTITION BY src_id
+       |                           ORDER BY margin DESC, tgt_id) AS rn FROM m)
+       |SELECT src_id, tgt_id, round(margin,4) AS margin
+       |FROM r WHERE rn = 1 AND margin >= $MineThreshold""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot_f(col("embedding"), col("embedding"))).as("nrm"))
+    val src = e.where(pmod(col("vec_id"), lit(2L)) === 0 && col("vec_id") < MineSrcCap)
+      .select(col("vec_id").as("src_id"), col("embedding").as("sv"), col("nrm").as("snrm"))
+    val tgt = e.where(pmod(col("vec_id"), lit(2L)) === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"), col("nrm").as("tnrm"))
+    // pair scores feed three aggregates (two k-NN means + the argmax):
+    // materialize once — the frame is |tgt| x |bounded src| rows of 3
+    // scalars, the mining batch's working set by construction
+    val pairs = tgt.join(broadcast(src), lit(true))
+      .withColumn("cos", dot_f(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
+      .select("src_id", "tgt_id", "cos")
+      .localCheckpoint()
+    val m = pairs
+      .join(kNNMean(pairs, "src_id", "tgt_id", "a_src"), "src_id")
+      .join(kNNMean(pairs, "tgt_id", "src_id", "a_tgt"), "tgt_id")
+      .withColumn("margin", col("cos") / ((col("a_src") + col("a_tgt")) / lit(2d)))
+    m.groupBy(col("src_id"))
+      .agg(bottom_k(
+        when(col("margin").isNotNull && !isnan(col("margin")),
+          struct((-col("margin")).as("nm"), col("tgt_id").as("tgt_id"))),
+        1).as("b"))
+      .select(col("src_id"), explode(col("b")).as("t"))
+      .select(col("src_id"), col("t.tgt_id").as("tgt_id"), (-col("t.nm")).as("margin"))
+      .where(col("margin") >= MineThreshold)
+      .select(col("src_id"), col("tgt_id"), round(col("margin"), 4).as("margin"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s4Quantize, s5Centroid, s6Quantized,
-      s6Invariants, s7IvfAssign, s8AnnPq, s8Invariants)
+      s6Invariants, s7IvfAssign, s8AnnPq, s8Invariants, s9Mining)
 }
