@@ -12,7 +12,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ PromQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      SamplingQueries.all ++ CurationQueries.all ++ EventQueries.all
+      SamplingQueries.all ++ CurationQueries.all ++ EventQueries.all ++
+      RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

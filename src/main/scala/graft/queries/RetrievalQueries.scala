@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.ext.TextAnalysis._
+import graft.ext.extfunctions._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval operators over the `documents` table — the search side
+  * of a training-data pipeline: BM25 scoring (decontamination-by-retrieval,
+  * "find the corpus docs closest to an eval question" uses exactly this) and
+  * inverted-index construction (the artifact that serves it at scale).
+  *
+  * Scale shapes:
+  *  - bm1 never builds an index or explodes tokens: per-doc term frequencies
+  *    for the bounded query-term set are map-only array ops inside
+  *    whole-stage codegen; the corpus statistics BM25 needs (N, avgdl, per-
+  *    term document frequencies) are ONE bounded global aggregate whose
+  *    1-row result broadcasts back; scoring is map-side and the top-k is
+  *    TakeOrderedAndProject (per-partition heaps, k rows per task to the
+  *    driver). Total exchange: the stats partials + k·tasks rows.
+  *  - ii1 is the index build: per-doc DISTINCT terms are computed map-side
+  *    (array_distinct before the explode — no (doc,term) dedup shuffle),
+  *    and the single vocabulary-keyed exchange carries bounded partials:
+  *    a count and a [[graft.ext.TopK.BottomKAgg]] page of at most
+  *    [[RetrievalQueries.PostingsPage]] doc ids per term per task. Full
+  *    postings lists for head terms (df ≈ N) never ride an exchange — at
+  *    100 TB you shard pages by (term, page_no) with successive bottom-k
+  *    passes or a range-partitioned write, same bounded-partial principle.
+  */
+object RetrievalQueries {
+
+  import QueryDef._
+
+  /** Fixed retrieval query — deterministic so both engines rank the same
+    * request; the operator is parametric in real use. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25TopK = 20
+  private val PostingsPage = 100
+  private val PostingsTerms = 30
+
+  /** BM25 (Robertson et al., Okapi TREC-3 1994; the Lucene `1 +` idf
+    * variant that keeps scores positive): k1 = 1.2, b = 0.75, written as
+    * `2.2 = k1+1` / `0.25 = 1-b` on both engines so the FP expression
+    * trees match term for term; the three per-term contributions sum in
+    * pinned left-to-right order. Ranking uses the unrounded score
+    * (doc_id tie-break); the emitted score is rounded to 4 decimals. */
+  private def bm25Sql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf${i + 1}"
+    }.mkString(",\n       |         ")
+    val dfCols = Bm25Terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf${i + 1}>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df${i + 1}"
+    }.mkString(",\n       |         ")
+    val scoreTerms = Bm25Terms.indices.map { i =>
+      s"ln(1+(n-df${i + 1}+0.5)/(df${i + 1}+0.5)) * (tf${i + 1}*2.2)/(tf${i + 1} + 1.2*(0.25 + 0.75*dl/avgdl))"
+    }.mkString("\n       |    + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+       |         $tfCols
+       |  FROM d),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |         $dfCols
+       |  FROM tf),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreTerms AS s
+       |  FROM tf, st),
+       |r AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
+       |SELECT doc_id, round(s,4) AS bm25 FROM r WHERE rn <= $Bm25TopK""".stripMargin
+  }
+
+  private val bm1 = withOracle("bm1_bm25_topk", bm25Sql) { (s, dir) =>
+    val tfCols: Seq[Column] =
+      col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ws"), x => x === t)).cast("double").as(s"tf${i + 1}")
+        }
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(tfCols: _*)
+    val dfAggs =
+      avg(col("dl")).as("avgdl") +:
+        Bm25Terms.indices.map(i =>
+          sum((col(s"tf${i + 1}") > 0).cast("double")).as(s"df${i + 1}"))
+    val st = tf.agg(count(lit(1)).cast("double").as("n"), dfAggs: _*)
+    val score = Bm25Terms.indices.map { i =>
+      val tfc = col(s"tf${i + 1}")
+      val dfc = col(s"df${i + 1}")
+      log(lit(1) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+        (tfc * lit(2.2)) /
+        (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.join(broadcast(st))
+      .select(col("doc_id"), score.as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), round(col("s"), 4).as("bm25"))
+  }
+
+  /** Inverted-index page build: for the [[PostingsTerms]] highest-df terms
+    * (term tie-break), the document frequency plus the first postings page
+    * — the [[PostingsPage]] smallest doc ids, ascending (index pages are
+    * doc-id-sorted so intersection/skip-list traversal works). */
+  private val ii1 = withOracle("ii1_postings_page",
+    s"""WITH w AS (SELECT DISTINCT doc_id,
+       |             unnest(string_split_regex(lower(trim(text)),'\\s+')) AS term
+       |           FROM documents),
+       |p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |        (list(doc_id ORDER BY doc_id))[1:$PostingsPage] AS postings
+       |      FROM w GROUP BY term),
+       |r AS (SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM p)
+       |SELECT term, df, postings FROM r WHERE rn <= $PostingsTerms""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), bottom_k(col("doc_id"), PostingsPage).as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(PostingsTerms)
+  }
+
+  val all: Seq[QueryDef] = Seq(bm1, ii1)
+}

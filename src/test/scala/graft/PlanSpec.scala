@@ -442,4 +442,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("t11_compression_ratio")
     assert(!p.contains("Exchange"), s"t11 must not shuffle:\n$p")
   }
+
+  test("bm1: no keyed shuffle — stats are one bounded global agg, top-k is TakeOrdered") {
+    val p = plan("bm1_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"bm1 must not global-sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm1 must not shuffle by key (tf is map-side, stats broadcast back):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bm1's stats join must broadcast:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange SinglePartition".r.findAllIn(finalPlan).size <= 1,
+      s"bm1: only the corpus-stats agg may gather:\n$p")
+  }
+
+  test("ii1: one vocabulary-keyed exchange carrying bounded bottom-k pages") {
+    val p = plan("ii1_postings_page")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(term".r.findAllIn(finalPlan).nonEmpty,
+      s"ii1 groups by term:\n$p")
+    assert("(?m)^\\s*\\+?- Exchange ".r.findAllIn(finalPlan).size === 1,
+      s"ii1: exactly one exchange (map-side array_distinct kills the dedup shuffle):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ii1 must not global-sort:\n$p")
+    assert(p.contains("partial_bottom_k") || p.contains("bottom_k"),
+      s"ii1's postings page must be a partial aggregate, not a full list:\n$p")
+  }
 }
