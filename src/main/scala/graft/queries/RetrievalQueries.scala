@@ -78,9 +78,14 @@ object RetrievalQueries {
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("ws"), x => x === t)).cast("double").as(s"tf${i + 1}")
         }
+    // tf feeds both the stats aggregate and the scoring pass: checkpoint
+    // the tiny (doc_id, dl, tf…) frame so the text column is tokenized
+    // ONCE — at corpus scale re-scanning raw text for the second pass
+    // costs far more than materializing ~40 B/doc of frequencies
     val tf = Tables(s, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(tfCols: _*)
+      .localCheckpoint()
     val dfAggs =
       avg(col("dl")).as("avgdl") +:
         Bm25Terms.indices.map(i =>
@@ -121,5 +126,32 @@ object RetrievalQueries {
       .limit(PostingsTerms)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1)
+  /** Positional phrase match — the proximity query an inverted index with
+    * positions serves ("hash join" as two adjacent tokens): per-doc
+    * occurrence counts are a map-only pass over adjacent token pairs
+    * (zip_with against the 1-shifted array; the trailing null-padded pair
+    * evaluates null and is filtered), matched docs ranked by count with
+    * doc_id tie-break through TakeOrderedAndProject. */
+  private val pp1 = withOracle("pp1_phrase_match",
+    s"""WITH d AS (SELECT doc_id,
+       |             string_split_regex(lower(trim(text)),'\\s+') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |        CAST(len(list_filter(range(1, len(ws)),
+       |                             i -> ws[i]='hash' AND ws[i+1]='join')) AS BIGINT) AS n_phrase
+       |      FROM d)
+       |SELECT doc_id, n_phrase FROM c WHERE n_phrase > 0
+       |ORDER BY n_phrase DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(filter(
+          zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+            (a, b) => a === "hash" && b === "join"),
+          x => x)).cast("long").as("n_phrase"))
+      .where(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val all: Seq[QueryDef] = Seq(bm1, ii1, pp1)
 }
