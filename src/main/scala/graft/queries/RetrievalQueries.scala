@@ -72,26 +72,30 @@ object RetrievalQueries {
        |SELECT doc_id, round(s,4) AS bm25 FROM r WHERE rn <= $Bm25TopK""".stripMargin
   }
 
-  private val bm1 = withOracle("bm1_bm25_topk", bm25Sql) { (s, dir) =>
+  /** BM25 top-k of `docs` (doc_id, text) for `terms` — see object doc for
+    * the scale shape. Frame-parametric so Diag drives the identical code
+    * at synthetic scale. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
     val tfCols: Seq[Column] =
       col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
-        Bm25Terms.zipWithIndex.map { case (t, i) =>
+        terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("ws"), x => x === t)).cast("double").as(s"tf${i + 1}")
         }
     // tf feeds both the stats aggregate and the scoring pass: checkpoint
     // the tiny (doc_id, dl, tf…) frame so the text column is tokenized
     // ONCE — at corpus scale re-scanning raw text for the second pass
     // costs far more than materializing ~40 B/doc of frequencies
-    val tf = Tables(s, dir, "documents")
+    val tf = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(tfCols: _*)
       .localCheckpoint()
     val dfAggs =
       avg(col("dl")).as("avgdl") +:
-        Bm25Terms.indices.map(i =>
+        terms.indices.map(i =>
           sum((col(s"tf${i + 1}") > 0).cast("double")).as(s"df${i + 1}"))
     val st = tf.agg(count(lit(1)).cast("double").as("n"), dfAggs: _*)
-    val score = Bm25Terms.indices.map { i =>
+    val score = terms.indices.map { i =>
       val tfc = col(s"tf${i + 1}")
       val dfc = col(s"df${i + 1}")
       log(lit(1) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
@@ -101,8 +105,36 @@ object RetrievalQueries {
     tf.join(broadcast(st))
       .select(col("doc_id"), score.as("s"))
       .orderBy(col("s").desc, col("doc_id"))
-      .limit(Bm25TopK)
+      .limit(k)
       .select(col("doc_id"), round(col("s"), 4).as("bm25"))
+  }
+
+  /** Head-term postings pages of `docs` — ii1's kernel. */
+  def postingsPages(docs: org.apache.spark.sql.DataFrame, page: Int,
+      nTerms: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), bottom_k(col("doc_id"), page).as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(nTerms)
+
+  /** Adjacent-pair phrase counts of `docs` — pp1's kernel. */
+  def phraseTopK(docs: org.apache.spark.sql.DataFrame, a: String, b: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(filter(
+          zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+            (x, y) => x === a && y === b),
+          x => x)).cast("long").as("n_phrase"))
+      .where(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(k)
+
+  private val bm1 = withOracle("bm1_bm25_topk", bm25Sql) { (s, dir) =>
+    bm25TopK(Tables(s, dir, "documents"), Bm25Terms, Bm25TopK)
   }
 
   /** Inverted-index page build: for the [[PostingsTerms]] highest-df terms
@@ -118,12 +150,7 @@ object RetrievalQueries {
        |      FROM w GROUP BY term),
        |r AS (SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM p)
        |SELECT term, df, postings FROM r WHERE rn <= $PostingsTerms""".stripMargin) { (s, dir) =>
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), bottom_k(col("doc_id"), PostingsPage).as("postings"))
-      .orderBy(col("df").desc, col("term"))
-      .limit(PostingsTerms)
+    postingsPages(Tables(s, dir, "documents"), PostingsPage, PostingsTerms)
   }
 
   /** Positional phrase match — the proximity query an inverted index with
@@ -141,16 +168,7 @@ object RetrievalQueries {
        |      FROM d)
        |SELECT doc_id, n_phrase FROM c WHERE n_phrase > 0
        |ORDER BY n_phrase DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, dir) =>
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"),
-        size(filter(
-          zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
-            (a, b) => a === "hash" && b === "join"),
-          x => x)).cast("long").as("n_phrase"))
-      .where(col("n_phrase") > 0)
-      .orderBy(col("n_phrase").desc, col("doc_id"))
-      .limit(Bm25TopK)
+    phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
   val all: Seq[QueryDef] = Seq(bm1, ii1, pp1)

@@ -75,6 +75,10 @@ object Diag {
       fromCrawlScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("retrieval")) {
+      retrievalScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ndcompact")) {
       Compact.nearDupBase(spark, args(1))
       spark.stop(); return
@@ -178,6 +182,36 @@ object Diag {
     * measured at 0.50 M pages/s; this measures the COMPOSITION (parse +
     * extract + corpus materialization + curation). A parse-only pass is
     * timed separately so the WARC-decode share is visible. */
+  /** Retrieval family at synthetic scale: the REAL RetrievalQueries
+    * kernels (bm25TopK / postingsPages / phraseTopK) over n 60-token docs
+    * drawn from docScale's 10k-term vocabulary. bm1's cost model is two
+    * map passes over the checkpointed tf frame + a 1-row agg; ii1's is one
+    * vocabulary-keyed exchange of bounded (count, bottom-k page) partials;
+    * pp1 is map-only + TakeOrdered — all three should scale linearly in n
+    * with no shuffle growth. */
+  private def retrievalScale(spark: SparkSession, n: Long): Unit = {
+    import graft.queries.RetrievalQueries
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val text = concat_ws(" ",
+      transform(sequence(lit(1), lit(60)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    // per-size frames (a filter over one big checkpoint would still scan
+    // all n rows in the small round); checkpoint isolates generator cost
+    def gen(sz: Long) = spark.range(sz)
+      .select(col("id").as("doc_id"), text.as("text")).localCheckpoint()
+    for (sz <- Seq(n / 100, n / 10, n)) { // first (small) round = JIT warmup
+      val d = gen(sz)
+      val tBm = time(sink(RetrievalQueries.bm25TopK(d, Seq("w17", "w42", "w99"), 20)))
+      val tIi = time(sink(RetrievalQueries.postingsPages(d, 100, 30)))
+      val tPp = time(sink(RetrievalQueries.phraseTopK(d, "w17", "w42", 20)))
+      println(f"[retrieval] n=$sz%,d: bm25 $tBm%.1f s (${sz / tBm / 1e6}%.2f M docs/s)  " +
+        f"postings $tIi%.1f s (${sz / tIi / 1e6}%.2f M docs/s)  " +
+        f"phrase $tPp%.1f s (${sz / tPp / 1e6}%.2f M docs/s)")
+    }
+  }
+
   private def fromCrawlScale(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
     def time(f: => Unit): Double = {
