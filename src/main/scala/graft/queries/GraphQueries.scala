@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.ext.HtmlText
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators over the crawl front door: outlink extraction from
+  * raw HTML and host-level PageRank — the domain-centrality signal
+  * crawl-curation ladders use as a quality prior (CCNet/RefinedWeb keep
+  * "reputable domain" features; the classic formulation is Page et al.
+  * 1999). Both run on the deterministic linked-page fixture
+  * ([[HtmlText.syntheticLinkedHtml]] — the html1/mm2 discipline): the
+  * Spark side walks the REAL HTML through the REAL scanner while the
+  * DuckDB oracle recomputes edges from the generating parameters — two
+  * independent derivations of the same graph.
+  *
+  * Scale shapes:
+  *  - lnk1 is map-only (the outlink scanner is the same single-pass
+  *    kernel family as html1) — at crawl scale this is the frontier feed,
+  *    shuffle-free over WARC shards.
+  *  - pr1's per-iteration work is one edges⨝ranks join + one dst-keyed
+  *    sum: ranks and out-degrees are node-sized (hosts, ~10⁸ at full
+  *    crawl scale vs ~10¹¹ pages), broadcast here; at full host-graph
+  *    scale the same plan co-partitions edges and ranks on src so each
+  *    iteration is one exchange of node-sized partial sums, never
+  *    edge-sized data. Iteration count is fixed (3) — plan depth is
+  *    static, the localCheckpoint between iterations caps lineage the
+  *    way [[graft.ext.Bpe]]'s trainer does.
+  */
+object GraphQueries {
+
+  import QueryDef._
+
+  private val Damping = 0.85
+  private val Iterations = 3
+
+  /** Per-page outlinks in document order, through the real scanner.
+    * Oracle: the fixture's full link list (nav, the paragraph-0 citation,
+    * the related-sites absolute links, the share bar) reconstructed from
+    * the generating parameters. */
+  private val lnk1 = withOracle("lnk1_outlinks",
+    s"""SELECT doc_id, [
+       |  '/', '/about', '/contact', '/ref',
+       |  'https://host' || ((doc_id*7+1) % ${HtmlText.LinkHosts}) || '.example/page' || doc_id,
+       |  'https://host' || ((doc_id*13+2) % ${HtmlText.LinkHosts}) || '.example/page' || doc_id,
+       |  'https://host' || ((doc_id*29+3) % ${HtmlText.LinkHosts}) || '.example/page' || doc_id,
+       |  '/tw', '/fb'] AS links
+       |FROM documents""".stripMargin) { (s, dir) =>
+    HtmlText.outlinkDocs(HtmlText.asLinkedPages(s, dir)).toDF()
+      .select(col("doc_id"), col("links"))
+  }
+
+  /** Host-graph edges from the linked fixture via the real scanner:
+    * src = the page's own host, dst parsed from each absolute outlink;
+    * self-loops dropped, distinct. */
+  private def hostEdges(s: SparkSession, dir: String): DataFrame =
+    HtmlText.outlinkDocs(HtmlText.asLinkedPages(s, dir)).toDF()
+      .select(pmod(col("doc_id"), lit(HtmlText.LinkHosts.toLong)).as("src"),
+        explode(col("links")).as("href"))
+      .where(col("href").startsWith("https://host"))
+      .select(col("src"),
+        regexp_extract(col("href"), "^https://host(\\d+)\\.example/", 1)
+          .cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  private def pagerankSql: String = {
+    val nH = HtmlText.LinkHosts
+    val iters = (1 to Iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS h, sum(r${i - 1}.pr/deg.od) AS s
+         |        FROM e JOIN r${i - 1} ON r${i - 1}.h=e.src JOIN deg ON deg.src=e.src GROUP BY e.dst),
+         |r$i AS (SELECT nodes.h, 0.15/n + 0.85*coalesce(c$i.s,0) AS pr
+         |        FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.h=nodes.h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id % $nH AS src, (doc_id*7+1) % $nH AS dst FROM documents
+       |  UNION ALL SELECT doc_id % $nH, (doc_id*13+2) % $nH FROM documents
+       |  UNION ALL SELECT doc_id % $nH, (doc_id*29+3) % $nH FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+       |nodes AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+       |r0 AS (SELECT h, 1.0/n AS pr FROM nodes, nn),
+       |$iters
+       |SELECT h AS host, round(r$Iterations.pr, 6) AS pagerank FROM r$Iterations""".stripMargin
+  }
+
+  /** PageRank over the host graph: damping 0.85, uniform init, fixed
+    * $Iterations power iterations (every host has outlinks by
+    * construction, so no dangling-mass redistribution is needed — at
+    * real crawl scale add the standard dangling-sum broadcast term). */
+  private val pr1 = withOracle("pr1_host_pagerank", pagerankSql) { (s, dir) =>
+    val edges = hostEdges(s, dir).localCheckpoint()
+    val nodes = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val nN = nodes.count().toDouble // one bounded scalar to the driver
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("od"))
+    var ranks = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("pr"))
+    for (_ <- 1 to Iterations) {
+      val contrib = edges
+        .join(broadcast(ranks), col("src") === col("h")).drop("h")
+        .join(broadcast(deg.withColumnRenamed("src", "dsrc")), col("src") === col("dsrc"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("s"))
+      ranks = nodes.join(contrib, nodes("h") === contrib("dst"), "left")
+        .select(col("h"),
+          (lit(0.15 / nN) + lit(Damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(lnk1, pr1)
+}

@@ -1481,4 +1481,35 @@ class ExtSpec extends AnyFunSuite {
     // while a genuinely self-closing <a/> leaves aDepth at zero
     assert(HtmlText.extract(s"""<a href="y"/><p>$longProse</p>""") === longProse)
   }
+
+  test("outlink extraction: hrefs in document order, scanner-grade edge cases") {
+    import graft.ext.HtmlText
+    // the linked fixture end-to-end: nav, citation, related, share — in order
+    for (id <- Seq(0L, 1L, 17L, 123456L)) {
+      val ls = HtmlText.outlinks(HtmlText.syntheticLinkedHtml(id))
+      val rel = HtmlText.LinkMultipliers.zipWithIndex.map { case (p, j) =>
+        s"https://host${(id * p + j + 1) % HtmlText.LinkHosts}.example/page$id" }
+      assert(ls === Vector("/", "/about", "/contact", "/ref") ++ rel ++
+        Vector("/tw", "/fb"), s"id=$id")
+    }
+    // quoted value containing '>'; unquoted value; single quotes
+    assert(HtmlText.outlinks(
+      """<a data-x="1 > 0" href="/q">x</a><a href=/unq>y</a><a href='/sq'>z</a>""")
+      === Vector("/q", "/unq", "/sq"))
+    // href must be an attribute NAME: a value containing "href=" does not count
+    assert(HtmlText.outlinks("""<a title="see href=/fake here" href="/real">x</a>""")
+      === Vector("/real"))
+    // anchors without href, empty href, and non-anchor hrefs are skipped
+    assert(HtmlText.outlinks(
+      """<a name="top">x</a><a href="">y</a><link href="/css"><area href="/map">""")
+      === Vector.empty)
+    // script/comment content never yields links; entities decode
+    assert(HtmlText.outlinks(
+      """<script>var s = '<a href="/ghost">';</script><!-- <a href="/ghost2"> -->
+        |<a href="/r?a=1&amp;b=2">x</a>""".stripMargin)
+      === Vector("/r?a=1&b=2"))
+    // total on tag soup
+    assert(HtmlText.outlinks("<a href=" * 500) != null)
+    assert(HtmlText.outlinks("<" * 1000) === Vector.empty)
+  }
 }
