@@ -353,14 +353,32 @@ object HtmlText {
     null
   }
 
-  /** All `<a href=…>` targets of one page, in document order — the crawl
-    * frontier / link-graph feed. Same single-pass scanner discipline as
-    * [[blocks]]: comments, doctypes and raw-text elements (a script string
-    * containing `<a href=…>` is NOT a link) are skipped, quote-aware tag
-    * ends, total on malformed input. Map-only at crawl scale. */
-  def outlinks(html: String): Vector[String] = {
+  /** One extracted anchor: href target plus collapsed anchor text. */
+  final case class Anchor(href: String, text: String)
+
+  /** All `<a href=…>` anchors of one page (target + anchor text), in
+    * document order — the crawl frontier / link-graph / anchor-text feed.
+    * Same single-pass scanner discipline as [[blocks]]: comments,
+    * doctypes and raw-text elements (a script string containing
+    * `<a href=…>` is NOT a link) are skipped, quote-aware tag ends, total
+    * on malformed input. Anchor text accumulates until the close tag
+    * (nested markup contributes its text, not its tags); a new anchor or
+    * end-of-input flushes a dangling open anchor with the text seen so
+    * far. Map-only at crawl scale. */
+  def anchors(html: String): Vector[Anchor] = {
     val n = html.length
-    val out = Vector.newBuilder[String]
+    val out = Vector.newBuilder[Anchor]
+    var curHref: String = null
+    val txt = new java.lang.StringBuilder(64)
+
+    def flush(): Unit = {
+      if (curHref != null) {
+        out += Anchor(curHref, collapse(decodeEntities(txt.toString)))
+        curHref = null
+      }
+      txt.setLength(0)
+    }
+
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -377,13 +395,18 @@ object HtmlText {
           val nameStart = j
           while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
           val name = html.substring(nameStart, j).toLowerCase
-          if (name.isEmpty) i += 1
-          else {
+          if (name.isEmpty) {
+            if (curHref != null) txt.append(c)
+            i += 1
+          } else {
             val (gt, _) = tagClose(html, j)
             val tagEnd = if (gt < 0) n else gt + 1
-            if (!close && name == "a") {
-              val href = hrefValue(html, j, if (gt < 0) n else gt)
-              if (href != null && href.nonEmpty) out += href
+            if (name == "a") {
+              flush() // close tag, or a new anchor while one is open
+              if (!close) {
+                val href = hrefValue(html, j, if (gt < 0) n else gt)
+                if (href != null && href.nonEmpty) curHref = href
+              }
             }
             if (!close && RawTextTags.contains(name)) {
               val e = indexOfIgnoreCase(html, s"</$name", tagEnd)
@@ -392,10 +415,17 @@ object HtmlText {
             } else i = tagEnd
           }
         }
-      } else i += 1
+      } else {
+        if (curHref != null) txt.append(c)
+        i += 1
+      }
     }
+    flush()
     out.result()
   }
+
+  /** Just the `<a href=…>` targets, in document order. */
+  def outlinks(html: String): Vector[String] = anchors(html).map(_.href)
 
   final case class PageLinks(doc_id: Long, links: Seq[String])
 
@@ -403,6 +433,15 @@ object HtmlText {
   def outlinkDocs(pages: Dataset[PageRow]): Dataset[PageLinks] = {
     import pages.sparkSession.implicits._
     pages.mapPartitions(_.map(p => PageLinks(p.doc_id, outlinks(p.html))))
+  }
+
+  final case class PageAnchor(doc_id: Long, href: String, text: String)
+
+  /** Map-only distributed anchor extraction (target + anchor text). */
+  def anchorDocs(pages: Dataset[PageRow]): Dataset[PageAnchor] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions(_.flatMap(p =>
+      anchors(p.html).map(a => PageAnchor(p.doc_id, a.href, a.text))))
   }
 
   /** Cross-host link fixture: [[syntheticHtml]] plus a "related sites"

@@ -50,6 +50,33 @@ object GraphQueries {
       .select(col("doc_id"), col("links"))
   }
 
+  /** Anchor-text aggregation per target host — the classic IR signal
+    * (what the WEB says a page is about; Brin & Page 1998 §2.2 use it as
+    * a first-class index field): every absolute anchor from the linked
+    * fixture grouped by target host with its incoming-link count and the
+    * first [[AnchorPage]] distinct anchor texts (ascending — a bounded
+    * bottom-k page, never the full text set, so hub hosts with millions
+    * of in-links still exchange ≤k strings per task). Self-links count:
+    * anchor text describes the TARGET, wherever it is linked from. */
+  private val AnchorPage = 5
+  private val lnk2 = withOracle("lnk2_anchor_text",
+    s"""WITH raw AS (
+       |  SELECT (doc_id*7+1) % ${HtmlText.LinkHosts} AS dst, doc_id FROM documents
+       |  UNION ALL SELECT (doc_id*13+2) % ${HtmlText.LinkHosts}, doc_id FROM documents
+       |  UNION ALL SELECT (doc_id*29+3) % ${HtmlText.LinkHosts}, doc_id FROM documents)
+       |SELECT dst AS host, CAST(count(*) AS BIGINT) AS n_links,
+       |       ['site ' || dst] AS anchors
+       |FROM raw GROUP BY dst""".stripMargin) { (s, dir) =>
+    val abs = HtmlText.anchorDocs(HtmlText.asLinkedPages(s, dir)).toDF()
+      .where(col("href").startsWith("https://host"))
+      .select(regexp_extract(col("href"), "^https://host(\\d+)\\.example/", 1)
+        .cast("long").as("host"), col("text"))
+    val counts = abs.groupBy(col("host")).agg(count(lit(1)).as("n_links"))
+    val texts = abs.distinct().groupBy(col("host"))
+      .agg(graft.ext.extfunctions.bottom_k(col("text"), AnchorPage).as("anchors"))
+    counts.join(broadcast(texts), "host")
+  }
+
   /** Host-graph edges from the linked fixture via the real scanner:
     * src = the page's own host, dst parsed from each absolute outlink;
     * self-loops dropped, distinct. */
@@ -109,5 +136,5 @@ object GraphQueries {
     ranks.select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
   }
 
-  val all: Seq[QueryDef] = Seq(lnk1, pr1)
+  val all: Seq[QueryDef] = Seq(lnk1, lnk2, pr1)
 }
