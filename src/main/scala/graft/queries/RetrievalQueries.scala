@@ -109,13 +109,20 @@ object RetrievalQueries {
       .select(col("doc_id"), round(col("s"), 4).as("bm25"))
   }
 
-  /** Head-term postings pages of `docs` — ii1's kernel. */
-  def postingsPages(docs: org.apache.spark.sql.DataFrame, page: Int,
-      nTerms: Int): org.apache.spark.sql.DataFrame =
+  /** Full postings index of `docs`: every term's df + first page. Also the
+    * per-micro-batch delta of
+    * [[graft.streaming.DocStream.startPostingsSink]]. */
+  def postingsIndexOf(docs: org.apache.spark.sql.DataFrame,
+      page: Int): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), bottom_k(col("doc_id"), page).as("postings"))
+
+  /** Head-term postings pages of `docs` — ii1's kernel. */
+  def postingsPages(docs: org.apache.spark.sql.DataFrame, page: Int,
+      nTerms: Int): org.apache.spark.sql.DataFrame =
+    postingsIndexOf(docs, page)
       .orderBy(col("df").desc, col("term"))
       .limit(nTerms)
 

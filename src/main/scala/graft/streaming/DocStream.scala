@@ -622,6 +622,54 @@ object DocStream {
       .parquet(s"$basePath/batch_id=$batchId")
   }
 
+  /** Incremental inverted-index maintenance: each micro-batch's docs
+    * aggregate to their own postings delta — (term, df, first-page doc
+    * ids) via [[graft.queries.RetrievalQueries.postingsIndexOf]] — landing
+    * in a `batch_id=<id>` partition (structural replay idempotence, the
+    * line-count sink's layout). The merged index (read-side or after
+    * [[graft.tools.Compact.postingsBase]]) equals the batch build over
+    * all docs so far: per-batch pages keep each batch's smallest ids, so
+    * the bottom-k of their union IS the global first page, and df sums
+    * exactly (a doc arrives in one batch). At crawl scale the per-trigger
+    * work is one vocabulary-keyed exchange of bounded partials — never
+    * proportional to the accumulated index. */
+  def startPostingsSink(stream: DataFrame, basePath: String, checkpoint: String,
+      page: Int = 100,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => postingsBatch(batch, id, basePath, page))
+      .start()
+
+  private[graft] def postingsBatch(batch: DataFrame, batchId: Long,
+      basePath: String, page: Int = 100): Unit =
+    graft.queries.RetrievalQueries.postingsIndexOf(batch, page)
+      .write.option("compression", "zstd")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$basePath/batch_id=$batchId")
+
+  /** The merged postings index over every delta partition: df sums;
+    * pages merge as `slice(sort(flatten(…)))` — each input page is ≤
+    * `page` ids, so partials stay bounded by page × deltas-per-task, and
+    * compaction collapses them back to one. */
+  def postingsIndex(spark: SparkSession, basePath: String,
+      page: Int = 100): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(basePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      import spark.implicits._
+      Seq.empty[(String, Long, Seq[Long])].toDF("term", "df", "postings")
+    } else spark.read.parquet(basePath)
+      .groupBy("term")
+      .agg(sum(col("df")).as("df"),
+        slice(array_sort(flatten(collect_list(col("postings")))), 1, page)
+          .as("postings"))
+  }
+
   /** The accumulated (line, cnt) index over every delta partition —
     * [[graft.queries.DedupQueries.lineDedupIncremental]]'s base side. */
   def lineIndex(spark: SparkSession, basePath: String): DataFrame = {

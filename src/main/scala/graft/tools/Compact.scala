@@ -260,6 +260,28 @@ object Compact {
     fs.delete(old, true)
   }
 
+  /** Fold the postings-delta partitions of
+    * [[graft.streaming.DocStream.startPostingsSink]] into one merged,
+    * term-sorted tier (same staged atomic swap as [[lineCountBase]]) —
+    * after compaction each term holds exactly one (df, page) row again. */
+  def postingsBase(spark: SparkSession, basePath: String, files: Int = 8,
+      page: Int = 100): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val stage = new org.apache.hadoop.fs.Path(basePath + ".compact_stage")
+    graft.streaming.DocStream.postingsIndex(spark, basePath, page)
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$stage/batch_id=-1")
+    val old = new org.apache.hadoop.fs.Path(basePath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(base, old)
+    fs.rename(stage, base)
+    fs.delete(old, true)
+  }
+
   /** Schema-agnostic streaming-dedup base compaction: per-micro-batch
     * appends → a bounded sorted file set, staged atomic swap. Serves
     * BOTH streaming dedup bases — the text signature base

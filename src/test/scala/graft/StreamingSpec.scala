@@ -1340,6 +1340,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming postings index: batch parity, replay idempotence, compaction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // term overlap across batches; small page size forces real merging
+    val batchA = Seq((5L, "alpha beta gamma"), (2L, "alpha beta"), (9L, "alpha solo"))
+    val batchB = Seq((1L, "alpha beta"), (7L, "alpha delta"), (3L, "beta gamma"))
+    val page = 3
+    val root = java.nio.file.Files.createTempDirectory("graft_postings_").toString
+    val basePath = s"$root/ii_base"
+    val stream = MemoryStream[(Long, String)]
+    val docsDf = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.DocStream.startPostingsSink(
+      docsDf, basePath, s"$root/ckpt", page,
+      Trigger.ProcessingTime("100 milliseconds"))
+    stream.addData(batchA: _*)
+    q.processAllAvailable()
+    stream.addData(batchB: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // merged index = the batch build over all docs so far: 'alpha' df=5
+    // with page [1,2,5] (the 2 smallest of A merge with B's), proving the
+    // page really merges across deltas rather than concatenating
+    val all = (batchA ++ batchB).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    val expected = asMap(graft.queries.RetrievalQueries.postingsIndexOf(all, page))
+    assert(expected("alpha") === ((5L, List(1L, 2L, 5L))))
+    def index = graft.streaming.DocStream.postingsIndex(spark, basePath, page)
+    assert(asMap(index) === expected)
+
+    // replay idempotence: re-running the last batch under its own id
+    // overwrites its partition — the index is unchanged
+    val bId = spark.read.parquet(basePath)
+      .agg(max(col("batch_id").cast("long"))).collect().head.getLong(0)
+    graft.streaming.DocStream.postingsBatch(
+      batchB.toDF("doc_id", "text"), bId, basePath, page)
+    assert(asMap(index) === expected)
+
+    // compaction folds deltas into one term-sorted tier; same answers,
+    // and a post-compaction delta lands beside it and still merges
+    graft.tools.Compact.postingsBase(spark, basePath, files = 2, page = page)
+    assert(asMap(index) === expected, "post-compaction index parity")
+    val partDirs = new java.io.File(basePath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(partDirs === Array("batch_id=-1"), partDirs.mkString(","))
+    graft.streaming.DocStream.postingsBatch(
+      Seq((0L, "alpha omega")).toDF("doc_id", "text"), bId + 1, basePath, page)
+    val expected2 = asMap(graft.queries.RetrievalQueries.postingsIndexOf(
+      all.union(Seq((0L, "alpha omega")).toDF("doc_id", "text")), page))
+    assert(expected2("alpha")._2 === List(0L, 1L, 2L)) // new doc enters the page
+    assert(asMap(index) === expected2)
+  }
+
   test("firstSeenDocs TTL: evicted content re-emits (dedup miss, never a false drop)") {
     // ProcessingTimeTimeout makes the operator request a batch every
     // trigger forever (to sweep future deadlines), so processAllAvailable
