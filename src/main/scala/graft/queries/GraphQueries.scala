@@ -112,28 +112,45 @@ object GraphQueries {
        |SELECT h AS host, round(r$Iterations.pr, 6) AS pagerank FROM r$Iterations""".stripMargin
   }
 
-  /** PageRank over the host graph: damping 0.85, uniform init, fixed
-    * $Iterations power iterations (every host has outlinks by
-    * construction, so no dangling-mass redistribution is needed — at
-    * real crawl scale add the standard dangling-sum broadcast term). */
-  private val pr1 = withOracle("pr1_host_pagerank", pagerankSql) { (s, dir) =>
-    val edges = hostEdges(s, dir).localCheckpoint()
+  /** PageRank over an arbitrary (src, dst) edge frame: uniform init,
+    * fixed power iterations, no dangling-mass redistribution (callers
+    * whose graphs have sink nodes add the standard dangling-sum
+    * broadcast term). `broadcastRanks = true` pins the node-sized sides
+    * as broadcast for known-small graphs (the gate fixture); at real
+    * host-graph scale pass false — edges and ranks then co-partition on
+    * the join key and each iteration exchanges node-sized partial sums
+    * only (AQE still broadcasts when the graph turns out small).
+    * localCheckpoint caps lineage per iteration (the Bpe trainer
+    * discipline). Driven at 50 M synthetic edges by `Diag graph`. */
+  def pagerank(edges: DataFrame, iterations: Int, damping: Double,
+      broadcastRanks: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("h"))
       .union(edges.select(col("dst"))).distinct().localCheckpoint()
     val nN = nodes.count().toDouble // one bounded scalar to the driver
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("od"))
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("od")).localCheckpoint()
+    def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("pr"))
-    for (_ <- 1 to Iterations) {
+    for (_ <- 1 to iterations) {
       val contrib = edges
-        .join(broadcast(ranks), col("src") === col("h")).drop("h")
-        .join(broadcast(deg.withColumnRenamed("src", "dsrc")), col("src") === col("dsrc"))
+        .join(hint(ranks), col("src") === col("h")).drop("h")
+        .join(hint(deg.withColumnRenamed("src", "dsrc")), col("src") === col("dsrc"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("s"))
       ranks = nodes.join(contrib, nodes("h") === contrib("dst"), "left")
         .select(col("h"),
-          (lit(0.15 / nN) + lit(Damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (lit((1 - damping) / nN) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint()
     }
-    ranks.select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
+    ranks
+  }
+
+  /** PageRank over the host graph: damping 0.85, uniform init, fixed
+    * $Iterations power iterations (every host has outlinks by
+    * construction, so no dangling-mass redistribution is needed). */
+  private val pr1 = withOracle("pr1_host_pagerank", pagerankSql) { (s, dir) =>
+    pagerank(hostEdges(s, dir).localCheckpoint(), Iterations, Damping,
+        broadcastRanks = true)
+      .select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
   }
 
   val all: Seq[QueryDef] = Seq(lnk1, lnk2, pr1)

@@ -160,6 +160,45 @@ object RetrievalQueries {
     postingsPages(Tables(s, dir, "documents"), PostingsPage, PostingsTerms)
   }
 
+  /** Index-SERVED BM25 — proof the index artifacts answer the ranked
+    * query the full scan answers, hash-identically (the oracle IS bm1's):
+    * serving touches only (a) the tf-postings of the query terms, (b) the
+    * doc-length norms table, (c) two scalar stats — never the text. At
+    * real scale the artifacts are prebuilt (the postings by
+    * [[graft.streaming.DocStream.startPostingsSink]]'s family, norms
+    * beside them) and term-sharded, so a query reads 3 postings shards +
+    * the norms join; here they build inline from the same corpus, with
+    * the query-term filter pushed below the tf aggregation so the build
+    * also never aggregates the full vocabulary. Per-doc scores sum via a
+    * doc-keyed aggregate of candidate rows (≤ Σ df of the query terms —
+    * candidate-bounded, not corpus-bounded). */
+  private val ii2 = withOracle("ii2_bm25_served", bm25Sql) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val post = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint() // feeds df counts AND scoring
+    val norms = docs
+      .select(col("doc_id"), size(words(col("text"))).cast("double").as("dl"))
+      .localCheckpoint()
+    val st = norms.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    post
+      .join(broadcast(dfs), "term")
+      .join(norms, "doc_id")
+      .join(broadcast(st))
+      .select(col("doc_id"),
+        (log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), round(col("s"), 4).as("bm25"))
+  }
+
   /** Positional phrase match — the proximity query an inverted index with
     * positions serves ("hash join" as two adjacent tokens): per-doc
     * occurrence counts are a map-only pass over adjacent token pairs
@@ -178,5 +217,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, pp1)
 }

@@ -79,6 +79,11 @@ object Diag {
       retrievalScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("graph")) {
+      graphScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L),
+        args.lift(2).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ndcompact")) {
       Compact.nearDupBase(spark, args(1))
       spark.stop(); return
@@ -209,6 +214,28 @@ object Diag {
       println(f"[retrieval] n=$sz%,d: bm25 $tBm%.1f s (${sz / tBm / 1e6}%.2f M docs/s)  " +
         f"postings $tIi%.1f s (${sz / tIi / 1e6}%.2f M docs/s)  " +
         f"phrase $tPp%.1f s (${sz / tPp / 1e6}%.2f M docs/s)")
+    }
+  }
+
+  /** PageRank at synthetic scale: the REAL [[graft.queries.GraphQueries
+    * .pagerank]] kernel (co-partitioned form, broadcastRanks = false) over
+    * nEdges hash-derived edges across nHosts hosts — the per-iteration
+    * cost model is one edges⨝ranks join + one dst-keyed node-sized sum;
+    * time should scale with edges, memory with nodes. */
+  private def graphScale(spark: SparkSession, nEdges: Long, nHosts: Long): Unit = {
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    for (sz <- Seq(nEdges / 100, nEdges / 10, nEdges)) { // small round = JIT warmup
+      val edges = spark.range(sz).select(
+          pmod(col("id"), lit(nHosts)).as("src"),
+          pmod(xxhash64(col("id") * 2654435761L + 17), lit(nHosts)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val t = time(sink(graft.queries.GraphQueries.pagerank(
+        edges, iterations = 3, damping = 0.85, broadcastRanks = false)))
+      println(f"[graph] edges=$sz%,d hosts=$nHosts%,d: 3-iter pagerank $t%.1f s " +
+        f"(${sz * 3 / t / 1e6}%.2f M edge-visits/s)")
     }
   }
 
