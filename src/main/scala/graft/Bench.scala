@@ -60,7 +60,7 @@ object Bench {
       // different, verification-grade plan (window re-rank, per-pair
       // reconstruction identities), which no serving path runs
       "s2_lsh_invariants", "s6_quantize_invariants", "s8_pq_invariants",
-      "rh4_quantile_invariants")
+      "rh4_quantile_invariants", "a3_hll_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -232,6 +232,26 @@ object PromQueries {
       .agg(approx_count_distinct("user_id", 0.02).as("n_series"))
   }
 
+  /** a3's sketch row reduced to oracle-derivable invariants (the
+    * rh4/pk4 ladder pattern): per metric, the HLL estimate must sit
+    * within the declared relative standard deviation (×3) of the exact
+    * distinct count — the exact side recomputed by BOTH engines. */
+  private val a3HllInvariants = withOracle("a3_hll_invariants",
+    """SELECT event_type AS name, count(DISTINCT user_id) AS n_exact,
+      |       TRUE AS hll_within_bound
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val est = Tables(s, dir, "events")
+      .groupBy(col("event_type").as("name"))
+      .agg(approx_count_distinct("user_id", 0.02).as("est"))
+    Tables(s, dir, "events")
+      .groupBy(col("event_type").as("name"))
+      .agg(countDistinct("user_id").as("n_exact"))
+      .join(broadcast(est), "name")
+      .select(col("name"), col("n_exact"),
+        (abs(col("est") - col("n_exact"))
+          <= lit(3 * 0.02) * col("n_exact")).as("hll_within_bound"))
+  }
+
   /** J4: top-k series enrichment — count per series, top 10, joined back to
     * the series dictionary (README.md:104-119). */
   private val j4TopkEnrich = withOracle("j4_topk_enrich",
@@ -622,7 +642,7 @@ object PromQueries {
   val all: Seq[QueryDef] = Seq(
     f1Eq, f2Neq, f3Re, f4Nre, f5Conj,
     x1Fp, x2Json, a1Assembly, a1Stats, a2LabelCount, a3Cardinality,
-    a3CardinalityHll, a4SamplesPerSeries, j4TopkEnrich,
+    a3CardinalityHll, a3HllInvariants, a4SamplesPerSeries, j4TopkEnrich,
     rawSqlQ, wf1Window, wf2Rate, ds1Downsample, as1AsofJoin, rh1Hinted,
     rh2RateRollup, rh3LastRollup, rh4QuantileRollup, rh4QuantileInvariants, rh5StddevRollup)
 }
