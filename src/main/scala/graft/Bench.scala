@@ -60,7 +60,9 @@ object Bench {
       // different, verification-grade plan (window re-rank, per-pair
       // reconstruction identities), which no serving path runs
       "s2_lsh_invariants", "s6_quantize_invariants", "s8_pq_invariants",
-      "rh4_quantile_invariants", "a3_hll_invariants")
+      "rh4_quantile_invariants", "a3_hll_invariants",
+      // tok1_unit_invariants retrains a BPE model inline (tok1's shape)
+      "tok1_unit_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

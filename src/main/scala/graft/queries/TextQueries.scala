@@ -491,6 +491,35 @@ object TextQueries {
     graft.ext.Bpe.bpeUnitCounts(Tables(s, dir, "documents"), rules)
   }
 
+  /** tok1's serving kernel under an invariant-checked oracle (the
+    * rh4/pk4/a3 ladder): for ANY learned rule set, per doc the unit
+    * total is bounded by `n_words ≤ n_bpe_units ≤ Σ(len(w)+1)` (every
+    * word is at least one unit; merges only ever reduce the char+EOW
+    * symbol count), and `n_words` itself is oracle-exact. A broken
+    * rank-encode kernel (dropped words, over-merging, EOW mishandling)
+    * violates one of the three. Trained at a small budget — the bounds
+    * are rule-set-independent. */
+  private val tok1Invariants = withOracle("tok1_unit_invariants",
+    """WITH w AS (SELECT doc_id,
+      |            string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+      |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+      |       TRUE AS units_ge_words, TRUE AS units_le_syms
+      |FROM w""".stripMargin) { (s, dir) =>
+    val dict = Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rules = graft.ext.Bpe.batchedMerges(dict, 512, 256).map(r => (r._2, r._3))
+    val counts = graft.ext.Bpe.bpeUnitCounts(Tables(s, dir, "documents"), rules)
+    val syms = Tables(s, dir, "documents")
+      .select(col("doc_id"), aggregate(words(col("text")), lit(0L),
+        (acc, w) => acc + length(w) + 1).as("n_syms"))
+    counts.join(syms, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_bpe_units") >= col("n_words")).as("units_ge_words"),
+        (col("n_bpe_units") <= col("n_syms")).as("units_le_syms"))
+  }
+
   /** T10: C4-style line-level cleaning (Raffel et al. 2020 §2.2, public):
     * keep lines with ≥5 words that end in terminal punctuation and don't
     * contain the policy token "javascript"; drop whole pages containing a
@@ -698,6 +727,6 @@ object TextQueries {
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
       t8QualityGate, t9LmScore, t10C4Clean, t11Compression, t12Unicode, fi1TopTerms,
-      fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, p1PiiScrub, qc1LrQuality,
+      fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, tok1Invariants, p1PiiScrub, qc1LrQuality,
       html1Extract)
 }
