@@ -406,6 +406,34 @@ object Smoke {
       println(f"PERCEPTUAL: img hamming(base,copy)=${java.lang.Long.bitCount(img ^ imgCopy)} " +
         f"audio hamming(base,copy)=${java.lang.Long.bitCount(aud ^ audCopy)}")
     }
+
+    // r11: ranked retrieval — BM25 scan vs index-served parity, postings
+    // pages, phrase match
+    locally {
+      val dir = "/root/testdata/sf0.001"
+      val scan = graft.SparkEntry.queries("bm1_bm25_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val served = graft.SparkEntry.queries("ii2_bm25_served")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      println(s"BM25: top-${scan.length} scan==index-served: ${scan.sameElements(served)}; " +
+        s"head=${scan.take(3).mkString(",")}")
+      val pp = graft.SparkEntry.queries("pp1_phrase_match")(spark, dir).count()
+      println(s"PHRASE: $pp docs matched 'hash join'")
+    }
+
+    // r11: link graph — outlinks through the real scanner, PageRank mass
+    // conservation, anchor pages
+    locally {
+      val dir = "/root/testdata/sf0.001"
+      val pr = graft.SparkEntry.queries("pr1_host_pagerank")(spark, dir)
+      val mass = pr.agg(org.apache.spark.sql.functions.sum("pagerank"))
+        .head().getDouble(0)
+      println(f"PAGERANK: ${pr.count()} hosts, mass=$mass%.4f (≈1 when no dangling)")
+      val anchors = graft.SparkEntry.queries("lnk2_anchor_text")(spark, dir)
+        .orderBy(org.apache.spark.sql.functions.col("n_links").desc).head()
+      println(s"ANCHORS: top host=${anchors.getLong(0)} n_links=${anchors.getLong(1)} " +
+        s"texts=${anchors.getSeq[String](2).mkString("|")}")
+    }
     spark.stop()
   }
 }
