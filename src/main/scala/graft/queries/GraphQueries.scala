@@ -144,6 +144,71 @@ object GraphQueries {
     ranks
   }
 
+  /** HITS hubs/authorities (Kleinberg 1998) over an edge frame: uniform
+    * hub init, fixed iterations of auth ∝ Σ hub(in-neighbors) then
+    * hub ∝ Σ auth(out-neighbors), L1-normalized each half-step (the
+    * scalar norm is a 1-row aggregate broadcast back — no driver value).
+    * Same scale shape as [[pagerank]]: each half-step is one edges⨝score
+    * join + one node-sized keyed sum; broadcastRanks pins the node-sized
+    * sides for known-small graphs. */
+  def hits(edges: DataFrame, iterations: Int,
+      broadcastRanks: Boolean): DataFrame = {
+    val nodes = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val nN = nodes.count().toDouble
+    def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
+    // one half-step: scores keyed by `from` flow along (from → to) edges
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val flowed = edges
+        .join(hint(scores), col(from) === col("h")).drop("h")
+        .groupBy(col(to)).agg(sum(col("v")).as("s"))
+      val raw = nodes.join(flowed, nodes("h") === flowed(to), "left")
+        .select(col("h"), coalesce(col("s"), lit(0.0)).as("s"))
+      val z = raw.agg(sum(col("s")).as("z"))
+      raw.join(broadcast(z)).select(col("h"), (col("s") / col("z")).as("v"))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("v"))
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = halfStep(hub, "src", "dst")
+      hub = halfStep(auth, "dst", "src")
+    }
+    auth.withColumnRenamed("v", "authority")
+      .join(hub.withColumnRenamed("v", "hub"), "h")
+  }
+
+  private def hitsSql: String = {
+    val nH = HtmlText.LinkHosts
+    val iters = (1 to Iterations).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS h, sum(h${i - 1}.hub) AS a FROM e JOIN h${i - 1} ON h${i - 1}.h=e.src GROUP BY e.dst),
+         |a${i}s AS (SELECT sum(a) AS z FROM a${i}r),
+         |a$i AS (SELECT nodes.h, coalesce(a${i}r.a,0)/z AS auth FROM nodes CROSS JOIN a${i}s LEFT JOIN a${i}r ON a${i}r.h=nodes.h),
+         |h${i}r AS (SELECT e.src AS h, sum(a$i.auth) AS v FROM e JOIN a$i ON a$i.h=e.dst GROUP BY e.src),
+         |h${i}s AS (SELECT sum(v) AS z FROM h${i}r),
+         |h$i AS (SELECT nodes.h, coalesce(h${i}r.v,0)/z AS hub FROM nodes CROSS JOIN h${i}s LEFT JOIN h${i}r ON h${i}r.h=nodes.h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id % $nH AS src, (doc_id*7+1) % $nH AS dst FROM documents
+       |  UNION ALL SELECT doc_id % $nH, (doc_id*13+2) % $nH FROM documents
+       |  UNION ALL SELECT doc_id % $nH, (doc_id*29+3) % $nH FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+       |nodes AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS (SELECT h, 1.0/n AS hub FROM nodes, nn),
+       |$iters
+       |SELECT a$Iterations.h AS host, round(a$Iterations.auth,6) AS authority,
+       |       round(h$Iterations.hub,6) AS hub
+       |FROM a$Iterations JOIN h$Iterations ON a$Iterations.h=h$Iterations.h""".stripMargin
+  }
+
+  /** HITS over the host graph — [[hits]] with the gate fixture's edges. */
+  private val hits1 = withOracle("hits1_host_hits", hitsSql) { (s, dir) =>
+    hits(hostEdges(s, dir).localCheckpoint(), Iterations, broadcastRanks = true)
+      .select(col("h").as("host"), round(col("authority"), 6).as("authority"),
+        round(col("hub"), 6).as("hub"))
+  }
+
   /** PageRank over the host graph: damping 0.85, uniform init, fixed
     * $Iterations power iterations (every host has outlinks by
     * construction, so no dangling-mass redistribution is needed). */
@@ -153,5 +218,5 @@ object GraphQueries {
       .select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
   }
 
-  val all: Seq[QueryDef] = Seq(lnk1, lnk2, pr1)
+  val all: Seq[QueryDef] = Seq(lnk1, lnk2, pr1, hits1)
 }
