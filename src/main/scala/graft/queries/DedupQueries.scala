@@ -688,6 +688,39 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** D15: FUZZY decontamination — d7's exact n-gram overlap misses
+    * reworded/perturbed benchmark leakage, so flag training docs that are
+    * NEAR-duplicates (shingle Jaccard ≥ [[JaccardThreshold]]) of any
+    * benchmark doc. Runs on [[probePairsAgainst]] — the LSH band probe
+    * with the bounded benchmark side as the base, so the training corpus
+    * is banded and bucket-joined against bench band keys (AQE broadcasts
+    * them while bench is small), never pairing train-vs-train at all;
+    * only colliding candidates enter the exact-Jaccard verify. Full
+    * recall at ≥ threshold is the same pinned LSH property d2 relies on,
+    * which is why the exact-pair oracle is valid. */
+  private val d15FuzzyDecontam = withOracle("d15_fuzzy_decontam",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)),
+       |           i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+       |                string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS sh
+       |  FROM documents),
+       |p AS (SELECT t.doc_id AS doc_id, b.doc_id AS bench_id
+       |      FROM d b JOIN d t ON b.doc_id % 100 < 5 AND t.doc_id % 100 >= 5
+       |      WHERE cast(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
+       |            / len(list_distinct(t.sh || b.sh)) >= $JaccardThreshold)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       |       min(bench_id) AS first_bench_match
+       |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val sigs = signatureTable(s, dir)
+    probePairsAgainst(
+        sigs.where(col("doc_id") % 100 >= 5),
+        sigs.where(col("doc_id") % 100 < 5))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        min(col("base_id")).as("first_bench_match"))
+  }
+
   /** D8: d7's decontamination through a Bloom pre-filter — the shape that
     * survives when the benchmark n-gram set outgrows the broadcast-hash
     * join d7 forces. The bench set aggregates into one Bloom sketch
@@ -1095,5 +1128,5 @@ object DedupQueries {
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
       d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub,
-      d13LineDedup, d14Canonical, sem1SemDedup)
+      d13LineDedup, d14Canonical, d15FuzzyDecontam, sem1SemDedup)
 }
