@@ -172,11 +172,12 @@ object RetrievalQueries {
     * also never aggregates the full vocabulary. Per-doc scores sum via a
     * doc-keyed aggregate of candidate rows (≤ Σ df of the query terms —
     * candidate-bounded, not corpus-bounded). */
-  private val ii2 = withOracle("ii2_bm25_served", bm25Sql) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+  /** ii2's kernel, frame-parametric for the Diag scale probe. */
+  def bm25Served(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
     val post = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .where(col("term").isin(Bm25Terms: _*))
+      .where(col("term").isin(terms: _*))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .localCheckpoint() // feeds df counts AND scoring
@@ -195,8 +196,12 @@ object RetrievalQueries {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
       .orderBy(col("s").desc, col("doc_id"))
-      .limit(Bm25TopK)
+      .limit(k)
       .select(col("doc_id"), round(col("s"), 4).as("bm25"))
+  }
+
+  private val ii2 = withOracle("ii2_bm25_served", bm25Sql) { (s, dir) =>
+    bm25Served(Tables(s, dir, "documents"), Bm25Terms, Bm25TopK)
   }
 
   /** Positional phrase match — the proximity query an inverted index with

@@ -211,9 +211,11 @@ object Diag {
       val tBm = time(sink(RetrievalQueries.bm25TopK(d, Seq("w17", "w42", "w99"), 20)))
       val tIi = time(sink(RetrievalQueries.postingsPages(d, 100, 30)))
       val tPp = time(sink(RetrievalQueries.phraseTopK(d, "w17", "w42", 20)))
+      val tSv = time(sink(RetrievalQueries.bm25Served(d, Seq("w17", "w42", "w99"), 20)))
       println(f"[retrieval] n=$sz%,d: bm25 $tBm%.1f s (${sz / tBm / 1e6}%.2f M docs/s)  " +
         f"postings $tIi%.1f s (${sz / tIi / 1e6}%.2f M docs/s)  " +
-        f"phrase $tPp%.1f s (${sz / tPp / 1e6}%.2f M docs/s)")
+        f"phrase $tPp%.1f s (${sz / tPp / 1e6}%.2f M docs/s)  " +
+        f"served-bm25 $tSv%.1f s (${sz / tSv / 1e6}%.2f M docs/s)")
     }
   }
 
@@ -234,8 +236,10 @@ object Diag {
         .localCheckpoint()
       val t = time(sink(graft.queries.GraphQueries.pagerank(
         edges, iterations = 3, damping = 0.85, broadcastRanks = false)))
+      val tH = time(sink(graft.queries.GraphQueries.hits(
+        edges, iterations = 3, broadcastRanks = false)))
       println(f"[graph] edges=$sz%,d hosts=$nHosts%,d: 3-iter pagerank $t%.1f s " +
-        f"(${sz * 3 / t / 1e6}%.2f M edge-visits/s)")
+        f"(${sz * 3 / t / 1e6}%.2f M edge-visits/s)  3-iter hits $tH%.1f s")
     }
   }
 
