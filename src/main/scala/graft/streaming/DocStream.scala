@@ -622,6 +622,55 @@ object DocStream {
       .parquet(s"$basePath/batch_id=$batchId")
   }
 
+  final case class FrontierRow(url: String, first_doc: Long)
+
+  /** Streaming crawl frontier: (doc_id, url, html) pages in → first-seen
+    * absolute outlink URLs out — the discovery loop of a crawler, closed
+    * over the same scanner the text path runs. Per page, anchors extract
+    * map-side ([[graft.ext.HtmlText.anchors]]); hrefs resolve+normalize
+    * through [[graft.ext.Urls.frontierUrl]] (url1's rule set); then
+    * first-seen election keys state by the normalized URL. A page's OWN
+    * url marks its key as crawled WITHOUT emitting, so re-discovered
+    * already-crawled pages never re-enter the frontier; a link discovered
+    * before its page is crawled emits once (it WAS frontier then). State
+    * is one boolean per distinct URL — ttlMs bounds it for unbounded
+    * crawls (an evicted URL may re-emit: a frontier dup, never a drop,
+    * and the fetcher's own seen-set is the backstop — the firstSeenDocs
+    * drift contract). */
+  def frontier(spark: SparkSession, pages: DataFrame,
+      ttlMs: Long = 0L): Dataset[FrontierRow] = {
+    import spark.implicits._
+    val timeout =
+      if (ttlMs <= 0) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
+    pages.select(col("doc_id").cast("long").as("doc_id"), col("url"), col("html"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, pageUrl, html) =>
+        // the page's own (normalized) url rides along as a self-marker
+        Iterator.single((graft.ext.Urls.normalize(pageUrl), id, true)) ++
+          graft.ext.HtmlText.anchors(html).iterator
+            .flatMap(a => graft.ext.Urls.frontierUrl(pageUrl, a.href))
+            .map(u => (u, id, false))
+      })
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FrontierRow](
+        OutputMode.Append(), timeout) {
+        (url: String, rows: Iterator[(String, Long, Boolean)], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val out =
+              if (state.exists || rs.exists(_._3)) Iterator.empty[FrontierRow]
+              // min doc_id: batch shuffle order is not deterministic,
+              // discovery attribution must be
+              else Iterator.single(FrontierRow(url, rs.map(_._2).min))
+            state.update(true)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
+  }
+
   /** Incremental inverted-index maintenance: each micro-batch's docs
     * aggregate to their own postings delta — (term, df, first-page doc
     * ids) via [[graft.queries.RetrievalQueries.postingsIndexOf]] — landing

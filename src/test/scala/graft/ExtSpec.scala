@@ -1285,6 +1285,9 @@ class ExtSpec extends AnyFunSuite {
       // kept text never contains raw markup boundaries from well-formed
       // tags (a stray '<' that isn't a tag is legitimately text)
       assert(!out.contains("<script"), soup)
+      // the anchor scanner shares the totality bar on the same soup
+      val as = HtmlText.anchors(soup)
+      assert(as != null && as.forall(_.href.nonEmpty), soup)
     }
     // pathological but structured cases
     assert(HtmlText.extract("<" * 1000) != null)
@@ -1511,5 +1514,25 @@ class ExtSpec extends AnyFunSuite {
     // total on tag soup
     assert(HtmlText.outlinks("<a href=" * 500) != null)
     assert(HtmlText.outlinks("<" * 1000) === Vector.empty)
+  }
+
+  test("url kernels: normalization rules and frontier resolution") {
+    import graft.ext.Urls
+    // the url1 rule set, one rule per case
+    assert(Urls.normalize("https://a.example/p#frag") === "https://a.example/p")
+    assert(Urls.normalize("HTTPS://A.Example/CaseKept") === "https://a.example/CaseKept")
+    assert(Urls.normalize("https://a.example:443/p") === "https://a.example/p")
+    assert(Urls.normalize("https://a.example/p?utm_source=feed&ref=2") ===
+      "https://a.example/p?ref=2")
+    assert(Urls.normalize("https://a.example/p?utm_campaign=x") === "https://a.example/p")
+    assert(Urls.normalize("not a url") === "not a url") // total
+    // resolution: absolute passes, root-relative resolves, rest skipped
+    assert(Urls.resolve("https://h.example/page", "https://x.example/q")
+      === Some("https://x.example/q"))
+    assert(Urls.resolve("https://h.example/page", "/about")
+      === Some("https://h.example/about"))
+    assert(Urls.resolve("https://h.example/page", "rel/path") === None)
+    assert(Urls.resolve("https://h.example/page", "//proto.example/q") === None)
+    assert(Urls.resolve("https://h.example/page", "mailto:x@y") === None)
   }
 }

@@ -1340,6 +1340,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming crawl frontier: first-seen links, crawled-page suppression, resolution") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def page(id: Long, url: String, hrefs: String*): (Long, String, String) =
+      (id, url, hrefs.map(h => s"""<a href="$h">x</a>""").mkString("<p>", " ", "</p>"))
+    // batch A: two pages; one link is root-relative, one carries utm noise,
+    // one points at a page that will be CRAWLED in batch B
+    val batchA = Seq(
+      page(1L, "https://a.example/p1",
+        "/local", "https://b.example/p9?utm_source=f&ref=1", "https://c.example/p5"),
+      page(2L, "https://a.example/p2", "https://c.example/p5")) // dup link in-batch
+    // batch B: c.example/p5 gets crawled (its url was already emitted in A —
+    // state stays marked, no re-emission); it links BACK to a crawled page
+    // (a.example/p1 — suppressed) and to something new
+    val batchB = Seq(
+      page(5L, "https://c.example/p5", "https://a.example/p1", "https://d.example/new"))
+    val stream = MemoryStream[(Long, String, String)]
+    val pages = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("url"),
+      col("_3").as("html"))
+    val out = graft.streaming.DocStream.frontier(spark, pages)
+    val q = out.writeStream.format("memory").queryName("frontier_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    stream.addData(batchA: _*)
+    q.processAllAvailable()
+    val afterA = spark.table("frontier_sink").as[(String, Long)].collect().toMap
+    assert(afterA === Map(
+      "https://a.example/local" -> 1L,          // root-relative resolved
+      "https://b.example/p9?ref=1" -> 1L,       // utm stripped
+      "https://c.example/p5" -> 1L))            // min doc_id wins the dup
+    stream.addData(batchB: _*)
+    q.processAllAvailable()
+    val afterB = spark.table("frontier_sink").as[(String, Long)].collect().toMap
+    q.stop()
+    // only the genuinely-new link appears: c/p5 was already emitted,
+    // a/p1 is a crawled page (self-marked in batch A)
+    assert(afterB === afterA + ("https://d.example/new" -> 5L))
+  }
+
   test("streaming postings index: batch parity, replay idempotence, compaction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
