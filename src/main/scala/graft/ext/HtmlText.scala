@@ -270,6 +270,39 @@ object HtmlText {
       })
   }
 
+  final case class ExtractedLinkedPage(doc_id: Long, url: String, n_blocks: Int,
+      text: String, link_hosts: Seq[String])
+
+  /** [[extractFrameWithUrl]] plus each page's distinct absolute-outlink
+    * hosts, from the SAME single pass (the anchor walk shares the scan;
+    * the crawl shards are still gunzipped + parsed exactly once) — the
+    * link-graph feed [[graft.tools.Curate.fromCrawl]]'s centrality stage
+    * consumes. Map-only: no shuffle. */
+  def extractFrameWithLinks(pages: org.apache.spark.sql.DataFrame): Dataset[ExtractedLinkedPage] = {
+    import pages.sparkSession.implicits._
+    pages.select(col("doc_id"), col("url"), col("html")).as[PageRow]
+      .mapPartitions(_.map { p =>
+        val kept = keptBlocks(p.html)
+        val hosts = anchors(p.html).iterator
+          .flatMap(a => graft.ext.Urls.resolve(p.url, a.href))
+          .flatMap(u => hostOf(u))
+          .toVector.distinct
+        ExtractedLinkedPage(p.doc_id, p.url, kept.size, kept.mkString("\n"), hosts)
+      })
+  }
+
+  /** Lowercased host of an absolute URL (port/path off), None if unparseable. */
+  def hostOf(url: String): Option[String] = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) None
+    else {
+      var end = schemeEnd + 3
+      while (end < url.length && url.charAt(end) != '/' && url.charAt(end) != ':') end += 1
+      val h = url.substring(schemeEnd + 3, end).toLowerCase
+      if (h.isEmpty) None else Some(h)
+    }
+  }
+
   // ------------------------------------------------------ synthetic fixture
 
   /** One deterministic synthetic page per doc_id — the encode half of the

@@ -100,7 +100,10 @@ object Curate {
     // gunzipped + record-parsed exactly ONCE (no join re-running the
     // WARC parse on its probe side — the front door's costliest stage)
     val pages = graft.sources.Warc.readResponses(spark, crawlDir)
-    val extracted = graft.ext.HtmlText.extractFrameWithUrl(pages).toDF()
+    // link_hosts ride the same single pass (anchors share the scan), so
+    // the link-graph stage below never re-parses the crawl shards
+    val extracted = graft.ext.HtmlText.extractFrameWithLinks(pages).toDF()
+      .localCheckpoint() // feeds BOTH the corpus write and the link graph
     val ws = words(col("text"))
     val corpusDir = s"$outDir/corpus"
     extracted
@@ -116,9 +119,25 @@ object Curate {
         length(col("text")).as("n_chars"))
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
     val tFront = (System.nanoTime() - t0) / 1e9
+    // host-centrality artifact (the RefinedWeb/CCNet "reputable domain"
+    // prior): the crawl's own host graph through GraphQueries.pagerank,
+    // landing beside the corpus as (host, pagerank) for downstream
+    // quota/quality stages to join on `source`
+    val t1 = System.nanoTime()
+    val edges = extracted
+      .select(regexp_replace(regexp_replace(lower(col("url")),
+          "^[a-z]+://", ""), "[:/].*$", "").as("src"),
+        explode(col("link_hosts")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    graft.queries.GraphQueries.pagerank(edges, iterations = 3, damping = 0.85,
+        broadcastRanks = false)
+      .select(col("h").as("host"), col("pr").as("pagerank"))
+      .write.mode("overwrite").parquet(s"$outDir/host_rank.parquet")
+    val tGraph = (System.nanoTime() - t1) / 1e9
     graft.queries.Tables.invalidate(corpusDir)
     val r = run(spark, corpusDir, outDir, shards)
-    r.copy(stages = ("crawl_front", tFront) +: r.stages)
+    r.copy(stages = ("crawl_front", tFront) +: ("link_graph", tGraph) +: r.stages)
   }
 
   def main(args: Array[String]): Unit = {

@@ -300,15 +300,17 @@ class ToolsSpec extends AnyFunSuite {
 
   test("curate from a raw crawl: WARC responses -> extracted corpus -> committed artifacts") {
     import org.apache.spark.sql.functions._
-    // synthetic raw crawl: the html1 fixture pages as response records
-    val pages = graft.ext.HtmlText.asGeneratedPages(spark, "/root/testdata/sf0.001")
+    // synthetic raw crawl: the LINKED fixture pages as response records
+    // (per-host urls + cross-host related links; the related block is
+    // all-links and short, so extraction output matches the plain fixture)
+    val pages = graft.ext.HtmlText.asLinkedPages(spark, "/root/testdata/sf0.001")
       .toDF().limit(200)
     val crawl = java.nio.file.Files.createTempDirectory("graft_crawl_t").toString
     graft.sources.Warc.writeResponses(pages, crawl, shards = 3)
     val out = java.nio.file.Files.createTempDirectory("graft_crawlrun_t").toString
     val r = graft.tools.Curate.fromCrawl(spark, crawl, out, shards = 3)
     assert(graft.tools.Curate.committed(spark, out))
-    assert(r.stages.map(_._1).startsWith(Seq("crawl_front", "mix_build")))
+    assert(r.stages.map(_._1).startsWith(Seq("crawl_front", "link_graph", "mix_build")))
     // the materialized corpus carries the documents schema with REAL
     // extraction + provenance: text is the boilerplate-stripped blocks,
     // source the crawl host, lang one of the scorer's classes
@@ -318,10 +320,20 @@ class ToolsSpec extends AnyFunSuite {
     assert(corpus.count() === 200)
     val row = corpus.where(col("doc_id") === 5).head()
     assert(row.getAs[String]("text") ===
+      graft.ext.HtmlText.extract(graft.ext.HtmlText.syntheticLinkedHtml(5L)))
+    assert(row.getAs[String]("text") ===
       graft.ext.HtmlText.extract(graft.ext.HtmlText.syntheticHtml(5L)))
-    assert(row.getAs[String]("source") === "crawl.example")
+    assert(row.getAs[String]("source") === "host5.example")
     assert(Set("en", "de", "es").contains(row.getAs[String]("lang")))
     assert(row.getAs[Long]("n_chars") === row.getAs[String]("text").length.toLong)
+    // the host-centrality artifact: the crawl's own link graph through
+    // pagerank — every host is a corpus source, mass conserves
+    val ranks = spark.read.parquet(s"$out/host_rank.parquet")
+    val srcSet = corpus.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(ranks.count() === srcSet.size)
+    assert(ranks.collect().map(_.getString(0)).toSet === srcSet)
+    val mass = ranks.agg(sum(col("pagerank"))).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6, s"pagerank mass $mass")
     // the downstream artifact set is run()'s, over the extracted corpus
     val manifest = graft.sources.Jsonl.read(spark, s"$out/manifest",
       graft.SparkEntry.queries("cur2_training_mix")(spark, s"$out/corpus").schema)
