@@ -253,8 +253,11 @@ object Diag {
     val shards = 64
     val tWrite = time {
       graft.sources.Warc.writeResponses(
-        spark.range(n).map(id => (id, s"https://site-${id % 997}.example/p/$id",
-            graft.ext.HtmlText.syntheticHtml(id)))
+        // the LINKED fixture so the link_graph stage (r11) has real edges;
+        // host = id % LinkHosts, matching asLinkedPages' provenance shape
+        spark.range(n).map(id => (id,
+            s"https://host${id % graft.ext.HtmlText.LinkHosts}.example/page$id",
+            graft.ext.HtmlText.syntheticLinkedHtml(id)))
           .toDF("doc_id", "url", "html"),
         crawl, shards = shards)
     }
