@@ -454,6 +454,14 @@ class PlanSpec extends AnyFunSuite {
       s"bm1: only the corpus-stats agg may gather:\n$p")
   }
 
+  test("lnk1 outlink extraction is map-only; pp1 is map-only + TakeOrdered") {
+    val p1 = plan("lnk1_outlinks")
+    assert(!p1.contains("Exchange"), s"lnk1 must not shuffle:\n$p1")
+    val p2 = plan("pp1_phrase_match")
+    assert(p2.contains("TakeOrderedAndProject"), s"pp1 must not global-sort:\n$p2")
+    assert(!p2.contains("Exchange hashpartitioning"), s"pp1 must not shuffle by key:\n$p2")
+  }
+
   test("ii1: one vocabulary-keyed exchange carrying bounded bottom-k pages") {
     val p = plan("ii1_postings_page")
     val finalPlan = p.split("== Initial Plan ==").head
