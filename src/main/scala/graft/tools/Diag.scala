@@ -88,6 +88,10 @@ object Diag {
       Compact.nearDupBase(spark, args(1))
       spark.stop(); return
     }
+    if (args.headOption.contains("iicompact")) {
+      Compact.postingsBase(spark, args(1))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ndprobe")) {
       nearDupProbeVariants(spark, args(1),
         args.lift(2).map(_.toLong).getOrElse(10_000_000L))
