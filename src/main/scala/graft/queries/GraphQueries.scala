@@ -157,15 +157,17 @@ object GraphQueries {
       .union(edges.select(col("dst"))).distinct().localCheckpoint()
     val nN = nodes.count().toDouble
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
-    // one half-step: scores keyed by `from` flow along (from → to) edges
+    // one half-step: scores keyed by `from` flow along (from → to) edges.
+    // Unlike pagerank there is NO teleport term, so a node with no
+    // in-flow is EXACTLY zero — iterations carry only the flowed rows
+    // (absent ≡ 0 in the next join, and zeros add nothing to the norm);
+    // the node set is completed once at the end, not per half-step.
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
       val flowed = edges
         .join(hint(scores), col(from) === col("h")).drop("h")
-        .groupBy(col(to)).agg(sum(col("v")).as("s"))
-      val raw = nodes.join(flowed, nodes("h") === flowed(to), "left")
-        .select(col("h"), coalesce(col("s"), lit(0.0)).as("s"))
-      val z = raw.agg(sum(col("s")).as("z"))
-      raw.join(broadcast(z)).select(col("h"), (col("s") / col("z")).as("v"))
+        .groupBy(col(to).as("h")).agg(sum(col("v")).as("s"))
+      val z = flowed.agg(sum(col("s")).as("z"))
+      flowed.join(broadcast(z)).select(col("h"), (col("s") / col("z")).as("v"))
         .localCheckpoint()
     }
     var hub = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("v"))
@@ -174,8 +176,11 @@ object GraphQueries {
       auth = halfStep(hub, "src", "dst")
       hub = halfStep(auth, "dst", "src")
     }
-    auth.withColumnRenamed("v", "authority")
-      .join(hub.withColumnRenamed("v", "hub"), "h")
+    nodes
+      .join(auth.withColumnRenamed("v", "authority"), Seq("h"), "left")
+      .join(hub.withColumnRenamed("v", "hub"), Seq("h"), "left")
+      .select(col("h"), coalesce(col("authority"), lit(0.0)).as("authority"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
   }
 
   private def hitsSql: String = {
