@@ -1378,6 +1378,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB === afterA + ("https://d.example/new" -> 5L))
   }
 
+  test("frontier state survives a checkpointed restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, String)]
+    val pages = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("url"),
+      col("_3").as("html"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_frontier_ck_").toString
+    def runStage(name: String): Set[String] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = graft.streaming.DocStream.frontier(spark, pages)
+        .writeStream.queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+              _: Long) => b.collect().foreach(r => buf.add(r.url))
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSet
+    }
+    def html(hrefs: String*): String =
+      hrefs.map(h => s"""<a href="$h">x</a>""").mkString("<p>", " ", "</p>")
+    stream.addData((1L, "https://a.example/p1",
+      html("https://l.example/one", "https://l.example/two")))
+    assert(runStage("frontier_r1") ===
+      Set("https://l.example/one", "https://l.example/two"))
+    // after the restart the recovered state must still suppress the
+    // emitted link AND the crawled page's own url
+    stream.addData((2L, "https://b.example/p2",
+      html("https://l.example/one", "https://a.example/p1", "https://l.example/three")))
+    assert(runStage("frontier_r2") === Set("https://l.example/three"))
+  }
+
   test("streaming postings index: batch parity, replay idempotence, compaction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
