@@ -49,7 +49,10 @@ object Bench {
     // bpe1's batched entry below)
     // bpe1 IS benched since the batched trainer landed: 256 rules in ~4
     // recount rounds — the tokenizer-training number a user would see
-    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "sp2_family_split",
+    // d16 shares d6's exact-pair oracle anchor (scale path = keepList
+    // over d2's LSH pairs), so it inherits d6's bench exclusion
+    val skip = Set("d3_ngram_jaccard", "d6_dedup_keeplist", "d16_dup_histogram",
+      "sp2_family_split",
       "d14_canonical_quality", "s3_ann_ivf", "sem1_semdedup", "s7_ivf_assign",
       "qc1_lr_quality", "s8_ann_pq", "tok1_bpe_tokens",
       // pk4 + its invariants gate row embed the same KMeans training

@@ -410,6 +410,28 @@ object DedupQueries {
     keepList(exactPairs(s, dir), Tables(s, dir, "documents"))
   }
 
+  /** D16: dup-cluster size histogram — the dedup REPORT a corpus card
+    * carries (how much of the corpus is duplicated, and in what family
+    * sizes): cluster size → number of clusters → docs covered. Derived
+    * from the keeper election, so the gate form shares d6's exact-pair
+    * oracle anchor (and its bench exclusion); at scale the input is
+    * keepList over [[minhashPairs]] and both aggregations are bounded —
+    * keeper-keyed counts then a histogram over at most |distinct sizes|
+    * keys. Σ n_docs = |corpus| by construction (every doc has a keeper). */
+  private val d16DupHistogram = withOracle("d16_dup_histogram",
+    s"""$keepListCtes,
+       |cs AS (SELECT keep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM k GROUP BY keep_id)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY cluster_size""".stripMargin) { (s, dir) =>
+    keepList(exactPairs(s, dir), Tables(s, dir, "documents"))
+      .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
   /** D4 SimHash near-dup pairs: 64-bit signature, bucket on the top 16
     * bits, verify by Hamming distance within buckets.
     *
@@ -1128,5 +1150,5 @@ object DedupQueries {
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
       d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub,
-      d13LineDedup, d14Canonical, d15FuzzyDecontam, sem1SemDedup)
+      d13LineDedup, d14Canonical, d15FuzzyDecontam, d16DupHistogram, sem1SemDedup)
 }
