@@ -127,6 +127,9 @@ object GraphQueries {
     val nodes = edges.select(col("src").as("h"))
       .union(edges.select(col("dst"))).distinct().localCheckpoint()
     val nN = nodes.count().toDouble // one bounded scalar to the driver
+    // edge-less graph: empty result, not a plan-time 1/0 under ANSI
+    // constant folding (a crawl with no absolute links hits this)
+    if (nN == 0) return nodes.select(col("h"), lit(0.0).as("pr"))
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("od")).localCheckpoint()
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
@@ -156,6 +159,11 @@ object GraphQueries {
     val nodes = edges.select(col("src").as("h"))
       .union(edges.select(col("dst"))).distinct().localCheckpoint()
     val nN = nodes.count().toDouble
+    // an edge-less graph (a crawl with no absolute links) has no scores:
+    // return the empty frame instead of letting 1/0 constant-fold under
+    // ANSI mode into a plan-time DIVIDE_BY_ZERO
+    if (nN == 0)
+      return nodes.select(col("h"), lit(0.0).as("authority"), lit(0.0).as("hub"))
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     // one half-step: scores keyed by `from` flow along (from → to) edges.
     // Unlike pagerank there is NO teleport term, so a node with no

@@ -274,4 +274,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(sketch.map(_._2) === exact.map(_._2))
     assert(sketch.toSet === exact.toSet)
   }
+
+  test("graph kernels on an edge-less graph return empty, not a plan-time 1/0") {
+    // a crawl with no absolute links produces zero edges; ANSI constant
+    // folding would turn 1.0/0 into a DIVIDE_BY_ZERO at plan time
+    // (caught live by Smoke's fromCrawl on the unlinked fixture)
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.queries.GraphQueries
+      .pagerank(empty, 3, 0.85, broadcastRanks = false).count() === 0)
+    assert(graft.queries.GraphQueries
+      .hits(empty, 3, broadcastRanks = false).count() === 0)
+  }
 }
