@@ -39,15 +39,18 @@ object GraphQueries {
     * the related-sites absolute links, the share bar) reconstructed from
     * the generating parameters. */
   private val lnk1 = withOracle("lnk1_outlinks",
-    s"""SELECT doc_id, [
+    s"""SELECT doc_id, array_to_string([
        |  '/', '/about', '/contact', '/ref',
        |  'https://host' || ((doc_id*7+1) % ${HtmlText.LinkHosts}) || '.example/page' || doc_id,
        |  'https://host' || ((doc_id*13+2) % ${HtmlText.LinkHosts}) || '.example/page' || doc_id,
        |  'https://host' || ((doc_id*29+3) % ${HtmlText.LinkHosts}) || '.example/page' || doc_id,
-       |  '/tw', '/fb'] AS links
+       |  '/tw', '/fb'], ',') AS links
        |FROM documents""".stripMargin) { (s, dir) =>
+    // gate projection joins the (document-order) list to one string — the
+    // driver's oracle harness can't sort array cells; the kernel keeps
+    // returning the real array
     HtmlText.outlinkDocs(HtmlText.asLinkedPages(s, dir)).toDF()
-      .select(col("doc_id"), col("links"))
+      .select(col("doc_id"), array_join(col("links"), ",").as("links"))
   }
 
   /** Anchor-text aggregation per target host — the classic IR signal
@@ -65,7 +68,7 @@ object GraphQueries {
        |  UNION ALL SELECT (doc_id*13+2) % ${HtmlText.LinkHosts}, doc_id FROM documents
        |  UNION ALL SELECT (doc_id*29+3) % ${HtmlText.LinkHosts}, doc_id FROM documents)
        |SELECT dst AS host, CAST(count(*) AS BIGINT) AS n_links,
-       |       ['site ' || dst] AS anchors
+       |       'site ' || CAST(dst AS VARCHAR) AS anchors
        |FROM raw GROUP BY dst""".stripMargin) { (s, dir) =>
     val abs = HtmlText.anchorDocs(HtmlText.asLinkedPages(s, dir)).toDF()
       .where(col("href").startsWith("https://host"))
@@ -75,6 +78,10 @@ object GraphQueries {
     val texts = abs.distinct().groupBy(col("host"))
       .agg(graft.ext.extfunctions.bottom_k(col("text"), AnchorPage).as("anchors"))
     counts.join(broadcast(texts), "host")
+      // bottom-k page joined to one string for the gate (the harness
+      // can't sort array cells); the fixture has one distinct anchor per
+      // host so the oracle writes it directly
+      .select(col("host"), col("n_links"), array_join(col("anchors"), ",").as("anchors"))
   }
 
   /** Host-graph edges from the linked fixture via the real scanner:

@@ -147,17 +147,25 @@ object RetrievalQueries {
   /** Inverted-index page build: for the [[PostingsTerms]] highest-df terms
     * (term tie-break), the document frequency plus the first postings page
     * — the [[PostingsPage]] smallest doc ids, ascending (index pages are
-    * doc-id-sorted so intersection/skip-list traversal works). */
+    * doc-id-sorted so intersection/skip-list traversal works). The gate
+    * projection flattens the page to a comma-joined string (elements are
+    * already deterministically ordered) because the driver's oracle
+    * harness can't sort array-typed cells; the array-returning kernel
+    * ([[postingsPages]]) is unchanged. */
   private val ii1 = withOracle("ii1_postings_page",
     s"""WITH w AS (SELECT DISTINCT doc_id,
        |             unnest(string_split_regex(lower(trim(text)),'\\s+')) AS term
        |           FROM documents),
        |p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
-       |        (list(doc_id ORDER BY doc_id))[1:$PostingsPage] AS postings
+       |        (list(doc_id ORDER BY doc_id))[1:$PostingsPage] AS page
        |      FROM w GROUP BY term),
        |r AS (SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM p)
-       |SELECT term, df, postings FROM r WHERE rn <= $PostingsTerms""".stripMargin) { (s, dir) =>
+       |SELECT term, df,
+       |       array_to_string(list_transform(page, x -> CAST(x AS VARCHAR)), ',') AS postings
+       |FROM r WHERE rn <= $PostingsTerms""".stripMargin) { (s, dir) =>
     postingsPages(Tables(s, dir, "documents"), PostingsPage, PostingsTerms)
+      .select(col("term"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",").as("postings"))
   }
 
   /** Index-SERVED BM25 — proof the index artifacts answer the ranked
