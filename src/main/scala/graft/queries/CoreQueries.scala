@@ -186,7 +186,55 @@ object CoreQueries {
         round(approx_percentile(col("value"), lit(0.95), lit(1000)), 2).as("p95"))
   }
 
+  /** q9_approx's ORACLE-CHECKED companion (the rh4_quantile_invariants
+    * pattern): the sketch VALUES are approximate by design, but the
+    * sketch's published CONTRACT is checkable exactly —
+    *   - rank accuracy: each reported percentile is an element whose rank
+    *     interval [#(< v)+1, #(≤ v)] intersects the target rank ±
+    *     n/accuracy (Spark's approx_percentile guarantee, re-derived from
+    *     the raw values per group — groups are the bounded event_type
+    *     set, so the second pass is one broadcast join + partial aggs);
+    *   - the reported value is an actual data value of its group (the
+    *     summary returns sampled inputs, never an interpolation);
+    *   - monotonicity: p50 ≤ p95 from the same sketch.
+    * Reduced to values DuckDB derives from the events table alone. */
+  private val q9ApproxInvariants = withOracle("q9_approx_invariants",
+    """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+      |       TRUE AS p50_rank_within_error,
+      |       TRUE AS p95_rank_within_error,
+      |       TRUE AS values_are_data_values,
+      |       TRUE AS quantiles_monotone
+      |FROM events""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events").select("event_type", "value")
+    val apx = ev.groupBy("event_type").agg(
+      approx_percentile(col("value"), lit(0.5), lit(1000)).as("a50"),
+      approx_percentile(col("value"), lit(0.95), lit(1000)).as("a95"),
+      count(lit(1)).cast("double").as("n"))
+    val eps = 1.0 / 1000 // relative rank error = 1/accuracy
+    def rankOk(q: Double, lt: org.apache.spark.sql.Column,
+        le: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lt + 1 <= (lit(q) + eps) * n + 1) && (le >= (lit(q) - eps) * n - 1)
+    ev.join(broadcast(apx), "event_type")
+      .groupBy("event_type")
+      .agg(first("n").as("n"), first("a50").as("a50"), first("a95").as("a95"),
+        sum((col("value") < col("a50")).cast("long")).as("lt50"),
+        sum((col("value") <= col("a50")).cast("long")).as("le50"),
+        sum((col("value") < col("a95")).cast("long")).as("lt95"),
+        sum((col("value") <= col("a95")).cast("long")).as("le95"),
+        max((col("value") === col("a50")).cast("int")).as("hit50"),
+        max((col("value") === col("a95")).cast("int")).as("hit95"))
+      .agg(count(lit(1)).as("n_groups"),
+        every(rankOk(0.5, col("lt50"), col("le50"), col("n")))
+          .as("p50_rank_within_error"),
+        every(rankOk(0.95, col("lt95"), col("le95"), col("n")))
+          .as("p95_rank_within_error"),
+        every(col("hit50") === 1 && col("hit95") === 1)
+          .as("values_are_data_values"),
+        every(col("a50") <= col("a95")).as("quantiles_monotone"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2TopK, q3Join, q4SemiJoin, q5RangeScan, q6Distinct, q7DateBucket, q8Window,
-    q9Percentile, q9PercentileApprox)
+    q9Percentile, q9PercentileApprox, q9ApproxInvariants)
 }

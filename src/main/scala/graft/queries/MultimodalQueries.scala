@@ -193,6 +193,94 @@ object MultimodalQueries {
     dHashPairs(hashes)
   }
 
+  /** 64-bit popcount through an INDEPENDENT code path from `bit_count`:
+    * render to fixed-width hex, map each hex digit to its own popcount
+    * via `translate`, sum the 16 digit-counts. Verification-only. */
+  private def popcountViaHex(x: org.apache.spark.sql.Column) =
+    aggregate(
+      transform(sequence(lit(1), lit(16)),
+        i => substring(translate(lpad(hex(x), 16, "0"),
+          "0123456789ABCDEF", "0112122312232334"), i, lit(1)).cast("int")),
+      lit(0), _ + _)
+
+  /** The mmd1/mmd2 ORACLE-CHECKED companion (the s2/rh4 invariants
+    * pattern): the perceptual HASHES come from real media decode (not
+    * ANSI-expressible — ExtSpec anchors them against brute force), but
+    * everything downstream of the frozen 64-bit hashes is pure algebra —
+    *   - decode totality: every document yields exactly one hash
+    *     (n_docs is the DuckDB-derivable anchor);
+    *   - the banded candidate join re-derived INDEPENDENTLY: band keys
+    *     through the fixed-width hex rendering (string arithmetic, not
+    *     shift/mask) and Hamming through [[popcountViaHex]] (not
+    *     bit_count) must reproduce the output pair set exactly;
+    *   - every emitted distance re-checks ≤ maxHamming through the
+    *     independent popcount;
+    *   - pairs are canonical: doc_a < doc_b, no duplicates. */
+  private def bandInvariants(hashes: org.apache.spark.sql.DataFrame,
+      got: org.apache.spark.sql.DataFrame, maxHamming: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("hash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          conv(substring(lpad(hex(col("hash")), 16, "0"), 13 - 4 * b, 4), 16, 10)
+            .cast("long").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("hash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("hash").as("hash_a"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("hash").as("hash_b"),
+      col("band"), col("key"))
+    val want = a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        popcountViaHex(col("hash_a").bitwiseXOR(col("hash_b"))).as("hamming_w"))
+      .where(col("hamming_w") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+    val disagree = got.join(want, Seq("doc_a", "doc_b"), "full_outer")
+      .where(col("hamming").isNull || col("hamming_w").isNull ||
+        col("hamming") =!= col("hamming_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val pairProps = got.agg(
+      every(col("doc_a") < col("doc_b")).as("pairs_canonical"),
+      (count(lit(1)) === countDistinct(col("doc_a"), col("doc_b")))
+        .as("pairs_distinct"),
+      every(col("hamming") <= maxHamming).as("all_within_hamming"))
+    hashes.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(disagree)).crossJoin(broadcast(pairProps))
+      .select(col("n_docs"),
+        (col("n_disagree") === 0).as("pairs_equal_independent_derivation"),
+        col("all_within_hamming"), col("pairs_canonical"), col("pairs_distinct"))
+  }
+
+  private val mmdInvariantsSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       TRUE AS pairs_equal_independent_derivation,
+      |       TRUE AS all_within_hamming,
+      |       TRUE AS pairs_canonical,
+      |       TRUE AS pairs_distinct
+      |FROM documents""".stripMargin
+
+  private val mmd1Invariants = withOracle("mmd1_band_invariants",
+    mmdInvariantsSql) { (s, dir) =>
+    import s.implicits._
+    val hashes = graft.queries.DedupQueries.memoizedPersisted(dHashCache, s, dir) {
+      Multimodal.asNearDupImages(s, dir)
+        .mapPartitions(_.flatMap(r => Multimodal.dHash(r.media).map(h => (r.doc_id, h))))
+        .toDF("doc_id", "hash")
+    }
+    bandInvariants(hashes, dHashPairs(hashes))
+  }
+
+  private val mmd2Invariants = withOracle("mmd2_band_invariants",
+    mmdInvariantsSql) { (s, dir) =>
+    import s.implicits._
+    val hashes = graft.queries.DedupQueries.memoizedPersisted(audioHashCache, s, dir) {
+      Multimodal.asNearDupAudio(s, dir)
+        .mapPartitions(_.flatMap(r => Multimodal.audioHash(r.media).map(h => (r.doc_id, h))))
+        .toDF("doc_id", "hash")
+    }
+    bandInvariants(hashes, dHashPairs(hashes))
+  }
+
   /** X10 instance fan-out: clone each series for N instances with a
     * templated label (faker.go:106-151) — explode, no custom generator.
     * X9 jitter made deterministic: factor from (event_id*31+i) mod 10. */
@@ -210,5 +298,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(mm1Binary, mm2Decode, mm3Frames, mm4Audio,
-    mm5Video, mm6Header, mmd1ImageNearDup, mmd2AudioNearDup, x10Fanout)
+    mm5Video, mm6Header, mmd1ImageNearDup, mmd1Invariants, mmd2AudioNearDup,
+    mmd2Invariants, x10Fanout)
 }

@@ -336,6 +336,39 @@ object SamplingQueries {
         col("within_cell_hash_order"))
   }
 
+  /** PK4's RAISON-D'ÊTRE as a gate row (completing the layout-invariants
+    * ladder): adjacent documents under the semantic order must be more
+    * similar on average than under a content-blind hash order — the
+    * property In-Context Pretraining buys with the layout, computable
+    * entirely from the frozen assignment. Both orders pair neighbors via
+    * a pos ↔ pos+1 equi-join (shuffle on pos — scale-safe, no global
+    * window); the hash order comes from the sh1 two-pass shuffle kernel.
+    * The means themselves are data-dependent, so the gate hash-checks
+    * the pair count and the comparison boolean. */
+  private val pk4AdjacencyInvariants = withOracle("pk4_adjacency_invariants",
+    """SELECT CAST(count(*) - 1 AS BIGINT) AS n_adjacent_pairs,
+      |       TRUE AS semantic_adjacency_beats_hash_order
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    import graft.ext.extfunctions.cosine_sim
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    def meanAdjCos(posed: DataFrame): DataFrame = {
+      val withVec = posed.select("doc_id", "pos").join(e, "doc_id")
+      val a = withVec.select(col("pos"), col("embedding").as("va"))
+      val b = withVec.select((col("pos") - 1).as("pos"), col("embedding").as("vb"))
+      a.join(b, "pos")
+        .agg(count(lit(1)).as("n_adjacent_pairs"),
+          avg(cosine_sim(col("va"), col("vb"))).as("mean_cos"))
+    }
+    val sem = meanAdjCos(pk4SemanticOrder.fn(s, dir))
+    val hsh = meanAdjCos(
+      graft.ext.Shuffle.deterministicOrder(e, "doc_id", "sh"))
+    sem.crossJoin(broadcast(hsh.select(col("mean_cos").as("mean_cos_hash"))))
+      .select(col("n_adjacent_pairs"),
+        (col("mean_cos") > col("mean_cos_hash"))
+          .as("semantic_adjacency_beats_hash_order"))
+  }
+
   /** SH1: deterministic epoch shuffle — each document's position in the
     * pseudo-random training order for seed "ep1", a pure function of
     * (corpus, seed): reruns, engines, and any partitioning produce THE
@@ -555,5 +588,6 @@ object SamplingQueries {
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
       pk2LengthBuckets, pk3BlockManifest, pk4SemanticOrder, pk4LayoutInvariants,
+      pk4AdjacencyInvariants,
       sh1Shuffle, sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

@@ -188,27 +188,33 @@ object SimilarityQueries {
     * a partition-pruned scan — the classic billion-scale serving layout.
     * Note: this synthetic corpus is isotropic (near-worst case for any
     * space partitioner); recall floor asserted in ExtSpec. */
-  private val s3Ivf = rowsOnly("s3_ann_ivf") { (s, dir) =>
-    val nlist = 16; val nprobe = 6
+  private val S3Nlist = 16
+  private val S3Nprobe = 6
+
+  /** s3's stages, exposed for the invariants row: (assigned corpus
+    * (vec_id, embedding, cell), queries (query_id, qv), probe set
+    * (query_id, cell), candidate pairs, frozen centroid arrays). */
+  private[graft] def s3Parts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Seq[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables(s, dir, "embeddings")
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5).fit(e)
+    val model = new KMeans().setK(S3Nlist).setSeed(42).setMaxIter(5).fit(e)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // nprobe nearest centroids per query, computed driver-side (queries and
     // centroids are both small); candidate fetch = broadcast join on cell
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers = model.clusterCenters.map(_.toArray).toSeq
     val qRows = e.where(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).collect()
-    val probes = qRows.flatMap { r =>
+    val probes = qRows.toSeq.flatMap { r =>
       val qv = r.getSeq[Float](1).toArray
       def dist(c: Array[Double]): Double =
         c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
-      centers.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe)
+      centers.zipWithIndex.sortBy(p => dist(p._1)).take(S3Nprobe)
         .map { case (_, cell) => (r.getLong(0), cell) }
-    }.toSeq
+    }
     import s.implicits._
     val probeDf = probes.toDF("query_id", "cell")
     val queries = e.where(col("vec_id") < NQueries)
@@ -217,11 +223,86 @@ object SimilarityQueries {
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .where(col("query_id") =!= col("vec_id"))
+    (assigned, queries, probeDf, candidates, centers)
+  }
+
+  private val s3Ivf = rowsOnly("s3_ann_ivf") { (s, dir) =>
+    val (_, _, _, candidates, _) = s3Parts(s, dir)
     perQueryTopK(
       candidates.withColumn("cos_full", cosine_sim(col("qv"), col("embedding"))),
       col("cos_full"), TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("score"), 4).as("cos"))
+  }
+
+  /** S3's ORACLE-CHECKED companion (the s2/s6/s8 pattern): KMeans training
+    * isn't ANSI-expressible, but everything DOWNSTREAM of the frozen
+    * centroids is —
+    *   - the corpus assignment is the argmin over the frozen centroids:
+    *     model.transform's cell equals [[nearestCell]] recomputed per row
+    *     from the centroid literal (the declared assignment semantics,
+    *     through a different code path);
+    *   - the probe set is EXACTLY each query's nprobe nearest centroids,
+    *     re-derived distributively (explode the 16-row centroid frame,
+    *     window-rank by the same fold-order squared distance) against the
+    *     driver-side Scala sort that built it;
+    *   - results ⊆ probed-cell candidates, and the ranking is exactly the
+    *     cosine top-k of the candidate set (window re-rank).
+    * Reduced to values DuckDB derives from `embeddings` alone. */
+  private val s3Invariants = withOracle("s3_ivf_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS assignment_is_argmin,
+       |       TRUE AS probes_are_nprobe_nearest,
+       |       TRUE AS results_subset_of_candidates,
+       |       TRUE AS rank_is_exact_topk_of_candidates
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val (assigned, queries, probeDf, candidates, centers) = s3Parts(s, dir)
+    val argminOk = assigned
+      .select((col("cell") ===
+        nearestCell(transform(col("embedding"), _.cast("double")), centers))
+        .as("ok"))
+      .agg(every(col("ok")).as("assignment_is_argmin"))
+    // distributed re-derivation of the probe set: same fold-order distance,
+    // window rank instead of the driver-side sort
+    val centFrame = explode(array(centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("cell"), array(c.toIndexedSeq.map(lit): _*).as("cv"))
+    }: _*)).as("ct")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("cell").asc)
+    val wantProbes = queries.select(col("query_id"), col("qv"), centFrame)
+      .select(col("query_id"), col("ct.cell").as("cell"),
+        aggregate(zip_with(transform(col("qv"), _.cast("double")), col("ct.cv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d2"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= S3Nprobe)
+      .select(col("query_id"), col("cell"))
+    val probeDisagree = probeDf.withColumn("cell", col("cell").cast("long"))
+      .join(wantProbes, Seq("query_id", "cell"), "full_outer")
+      .agg((count(lit(1)) === lit(NQueries.toLong * S3Nprobe))
+        .as("probes_are_nprobe_nearest"))
+    val got = s3Ivf.fn(s, dir)
+    val cands = candidates
+      .withColumn("cos_full", cosine_sim(col("qv"), col("embedding")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    val want = cands
+      .where(col("cos_full").isNotNull && !isnan(col("cos_full")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos_w"))
+    val disagreements = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val outside = got.join(
+        cands.select(col("query_id"), col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(argminOk)).crossJoin(broadcast(probeDisagree))
+      .crossJoin(broadcast(outside)).crossJoin(broadcast(disagreements))
+      .select(col("n_queries"), col("assignment_is_argmin"),
+        col("probes_are_nprobe_nearest"),
+        (col("n_outside") === 0).as("results_subset_of_candidates"),
+        (col("n_disagree") === 0).as("rank_is_exact_topk_of_candidates"))
   }
 
   /** S4: int8 scalar quantization of the embedding column — per-vector
@@ -489,6 +570,42 @@ object SimilarityQueries {
           .cast("long").as("cell"))
   }
 
+  /** S7's ORACLE-CHECKED companion: the centroid TRAINING is learned, but
+    * the assignment downstream of the frozen centroids is pure algebra —
+    *   - totality: every new-batch vector gets exactly one cell, in
+    *     [0, nlist);
+    *   - the map-side [[nearestCell]] fold equals an INDEPENDENT argmin
+    *     formulation: explode the centroid frame, same fold-order squared
+    *     distance, `min(struct(d2, cell))` per vector (a groupBy argmin —
+    *     different operator, same lowest-cell tie-break).
+    * Reduced to values DuckDB derives from `embeddings` alone. */
+  private val s7Invariants = withOracle("s7_assign_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+      |       TRUE AS cells_in_range,
+      |       TRUE AS assignment_is_argmin
+      |FROM embeddings WHERE vec_id % 10 >= 8""".stripMargin) { (s, dir) =>
+    val cents = ivfCentroids(s, dir)
+    val nlist = cents.length
+    val got = s7IvfAssign.fn(s, dir)
+    val centFrame = explode(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("cell"), array(c.toIndexedSeq.map(lit): _*).as("cv"))
+    }: _*)).as("ct")
+    val want = Tables(s, dir, "embeddings")
+      .where(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"), centFrame)
+      .select(col("vec_id"), col("ct.cell").as("cell"),
+        aggregate(zip_with(col("v"), col("ct.cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell_w"))
+    got.join(want, Seq("vec_id"), "full_outer")
+      .agg(count(lit(1)).as("n_assigned"),
+        every(col("cell").isNotNull && col("cell") >= 0 && col("cell") < nlist)
+          .as("cells_in_range"),
+        every(col("cell") === col("cell_w")).as("assignment_is_argmin"))
+  }
+
   /** PQ geometry: M subspaces × K centroids per codebook. dim 64 → subdim
     * 4; codes are M small ints (≈M bytes stored) vs 64 float32s — a 16×
     * candidate-stage layout cut, one tier past s4's 4×. */
@@ -748,6 +865,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s4Quantize, s5Centroid, s6Quantized,
-      s6Invariants, s7IvfAssign, s8AnnPq, s8Invariants, s9Mining)
+    Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s3Invariants, s4Quantize, s5Centroid,
+      s6Quantized, s6Invariants, s7IvfAssign, s7Invariants, s8AnnPq, s8Invariants,
+      s9Mining)
 }
