@@ -210,9 +210,11 @@ object DocStream {
     *   4. acceptance: one keeper (min doc_id) per within-batch component,
     *      and NO member of a component any of whose members verified
     *      against the base (that family is already represented);
-    *   5. accepted (doc_id, sh, sig) rows append to BOTH halves of the
-    *      layout ([[appendNearDupBase]], bands first for crash
-    *      convergence) — the persisted state, exactly d9's base
+    *   5. accepted (doc_id, sh, sig) rows append ONE `delta/batch_id=`
+    *      directory (the cheap bounded write path); the band index is
+    *      derived from the signatures at compaction
+    *      ([[graft.tools.Compact.nearDupBase]] → [[foldCompact]]), never
+    *      on the trigger path — the persisted state, exactly d9's base
     *      content-hash index at near-dup granularity.
     *
     * REPLAY-IDEMPOTENT by construction: a replayed accepted document
@@ -384,18 +386,30 @@ object DocStream {
     * 63 chunks × 1024 dirs at a 10 M-doc base, vs one open per dir
     * here). Spark's In-pushdown threshold is raised (never lowered)
     * past the chunk size on the session — above it, Spark pushes only
-    * a useless [min, max] range over uniform hashes. Chunks are
-    * disjoint, so the union is exact. */
+    * a useless [min, max] range over uniform hashes.
+    *
+    * The union is EXACT (no duplicate rows across chunks): a chunk's
+    * dirs×keys `isin` pair is a cross-product that can re-match a
+    * (dir, key) row another chunk owns whenever dir is NOT a function
+    * of key (MediaStream's band index: dir = pmod(xxhash64(band, key)),
+    * so one key lives in several dirs), so each chunk adds a map-side
+    * In-set post-filter on the packed (dir, key) pair — evaluated after
+    * the pushed predicates prune pages, one hash-set lookup per
+    * surviving row, no shuffle. Chunks partition the pair set, so each
+    * row is kept by at most one chunk. */
   private[graft] def keyPrunedScan(spark: SparkSession, scan: DataFrame,
       keyCol: String, dirCol: String, dirKeys: Array[(Long, Long)]): DataFrame = {
     val k = "spark.sql.parquet.pushdown.inFilterThreshold"
     if (spark.conf.get(k, "10").toInt < KeyPushChunk + 1)
       spark.conf.set(k, KeyPushChunk + 1)
+    val pairCol = concat_ws("|", col(dirCol).cast("string"), col(keyCol).cast("string"))
     dirKeys.sorted.grouped(KeyPushChunk)
       .map { g =>
         val dirs = g.map(_._1).distinct.toIndexedSeq
         val ks = g.map(_._2).distinct.toIndexedSeq
-        scan.where(col(dirCol).isin(dirs: _*) && col(keyCol).isin(ks: _*))
+        val pairs = g.map { case (d, kk) => s"$d|$kk" }.toIndexedSeq
+        scan.where(col(dirCol).isin(dirs: _*) && col(keyCol).isin(ks: _*) &&
+          pairCol.isin(pairs: _*))
       }
       .reduce(_ unionByName _)
   }

@@ -190,22 +190,69 @@ object Downsample {
         s"starting a '$kind' producer would double-count every bucket both emit. " +
         "To migrate: stop the other producer, rebuild the rollup once " +
         "(graft.tools.Compact.run), then delete " + p)
-    if (fs.exists(p)) {
-      val e = existing(); if (e != kind) refuse(e)
-    } else {
-      fs.mkdirs(p.getParent)
-      // Write-then-rename so the marker is never observable half-written:
-      // a concurrent claimer (or a reader racing the winner) sees either
-      // no marker or the full kind string, never an empty file.
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$storeRoot/._rollup_producer.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val won = try fs.rename(tmp, p) catch { case _: java.io.IOException => false }
-      if (!won) { // lost a concurrent claim race: re-check the winner's kind
-        fs.delete(tmp, false)
+    // Claim protocol: an exclusive-create LOCK decides who writes, and the
+    // marker itself is write-tmp + rename so it is never observable
+    // half-written. Rename alone cannot be the claim: on local/POSIX
+    // filesystems RawLocalFileSystem.rename is File.renameTo, which
+    // silently REPLACES an existing destination and returns true — two
+    // concurrent claimers of different kinds would each "win" their rename
+    // and the mixed-producer refuse() would never fire. create(lock,
+    // overwrite=false) throws for exactly one of them on HDFS and local
+    // alike. A claimer that dies between lock and rename leaves a stale
+    // lock; waiters break it after the marker fails to appear within the
+    // grace window and retry the claim from scratch.
+    val lock = new org.apache.hadoop.fs.Path(s"$storeRoot/._rollup_producer.lock")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      if (fs.exists(p)) {
         val e = existing(); if (e != kind) refuse(e)
+        done = true
+      } else {
+        fs.mkdirs(p.getParent)
+        // fs.create(overwrite=false) is atomic on HDFS (server-side) but a
+        // check-then-create on the local filesystem; there, java.nio's
+        // createFile is O_CREAT|O_EXCL — truly exclusive
+        val wonLock =
+          try {
+            fs match {
+              case _: org.apache.hadoop.fs.LocalFileSystem |
+                   _: org.apache.hadoop.fs.RawLocalFileSystem =>
+                java.nio.file.Files.createFile(
+                  java.nio.file.Paths.get(lock.toUri.getPath))
+              case _ => fs.create(lock, false).close()
+            }
+            true
+          } catch { case _: java.io.IOException => false }
+        if (wonLock) {
+          try {
+            // the lock serializes claimers, but a previous winner may have
+            // finished between our exists() and create(): re-check
+            if (fs.exists(p)) {
+              val e = existing(); if (e != kind) refuse(e)
+            } else {
+              val tmp = new org.apache.hadoop.fs.Path(
+                s"$storeRoot/._rollup_producer.${java.util.UUID.randomUUID()}.tmp")
+              val out = fs.create(tmp, true)
+              try out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              if (!fs.rename(tmp, p)) { fs.delete(tmp, false); refuse(existing()) }
+            }
+          } finally fs.delete(lock, false)
+          done = true
+        } else {
+          // lost the lock: wait for the winner's marker, then compare kinds
+          var tries = 0
+          while (!fs.exists(p) && tries < 40) { Thread.sleep(50); tries += 1 }
+          if (fs.exists(p)) {
+            val e = existing(); if (e != kind) refuse(e)
+            done = true
+          } else if (attempts < 3) {
+            fs.delete(lock, false) // stale lock from a dead claimer
+          } else throw new IllegalStateException(
+            s"could not claim $p: lock $lock held with no marker appearing")
+        }
       }
     }
   }

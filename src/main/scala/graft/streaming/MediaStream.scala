@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *   4. accept one keeper (min doc_id) per component, minus components
   *      any of whose members matched the base (family already
   *      represented);
-  *   5. accepted (doc_id, hash) rows append to both halves of the
-  *      layout ([[appendPerceptualBase]]).
+  *   5. accepted (doc_id, hash) rows append ONE `delta/batch_id=`
+  *      directory; the band index is derived at compaction
+  *      ([[graft.tools.Compact.nearDupBase]] → [[foldCompact]]), never
+  *      on the trigger path.
   *
   * REPLAY-IDEMPOTENT like the text sink: a replayed accepted row matches
   * itself in the base (Hamming 0), its component is suppressed, no second

@@ -287,40 +287,46 @@ object Compact {
     * BOTH streaming dedup bases — the text signature base
     * ([[graft.streaming.DocStream.startNearDupSink]]) and the perceptual
     * hash base ([[graft.streaming.MediaStream.startPerceptualSink]]).
-    * Band-partitioned bases (the `bands/` + `sigs|hashes/` hive layout)
-    * are compacted LAYOUT-PRESERVING — partitioning intact, one sorted
-    * file per partition dir; a legacy flat (doc_id-keyed) dir takes the
-    * original range-file rewrite. Compaction only re-lays files, never
-    * re-keys. Run against a stopped (or between-triggers) sink. */
+    * Compaction folds every `delta/batch_id=` directory into the sorted
+    * hive-partitioned tier (`sigs|hashes/db=` + `bands/kb=`) and derives
+    * the band index; the fold itself lives on the stream objects (they
+    * own the layout). A LEGACY flat base — root-level (doc_id-keyed)
+    * parquet written by the pre-two-tier sink — is migrated here first:
+    * the probes read only delta/ + compacted tiers, so flat rows left at
+    * the root would be silently invisible and every dup family they
+    * represent would be re-admitted. Migration renames the root data
+    * files into the reserved `delta/batch_id=-2` partition (real batch
+    * ids are ≥ 0; `-1` is the line-count compaction tier) and the fold
+    * below absorbs them — crash-safe because a half-moved base is still
+    * just flat-files + a delta dir, and re-running converges. Compaction
+    * only re-lays files, never re-keys. Run against a stopped (or
+    * between-triggers) sink. */
   def nearDupBase(spark: SparkSession, basePath: String, files: Int = 8): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
     def has(sub: String) = fs.exists(new org.apache.hadoop.fs.Path(base, sub))
+    val legacy = fs.listStatus(base).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+    if (legacy.nonEmpty) {
+      val mig = new org.apache.hadoop.fs.Path(s"$basePath/delta/batch_id=-2")
+      fs.mkdirs(mig)
+      legacy.foreach { st =>
+        if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(mig, st.getPath.getName)))
+          throw new java.io.IOException(s"legacy base migration: rename failed for ${st.getPath}")
+      }
+    }
     if (has("delta") || has("sigs") || has("hashes") || has("bands")) {
-      // two-tier (delta + compacted) layout: fold every delta into the
-      // sorted hive-partitioned tier and derive the band index — the
-      // stream objects own the fold (they own the layout); tier kind is
-      // told by which content store exists, or by the delta schema for a
-      // never-compacted base
+      // tier kind is told by which content store exists, or by the delta
+      // schema for a never-compacted (or just-migrated) base
       val isText =
         if (has("sigs")) true
         else if (has("hashes")) false
         else spark.read.parquet(s"$basePath/delta").columns.contains("sh")
       if (isText) graft.streaming.DocStream.foldCompact(spark, basePath)
       else graft.streaming.MediaStream.foldCompact(spark, basePath)
-      return
     }
-    val stage = new org.apache.hadoop.fs.Path(basePath + ".compact_stage")
-    spark.read.parquet(basePath)
-      .repartitionByRange(files, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(stage.toString)
-    val old = new org.apache.hadoop.fs.Path(basePath + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(base, old)
-    fs.rename(stage, base)
-    fs.delete(old, true)
   }
 }

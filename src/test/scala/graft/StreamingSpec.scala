@@ -1506,4 +1506,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(runStage("fsd_ttl_3") === Set(5L),
       "…re-emits: the documented miss the batch index catches downstream")
   }
+
+  test("rollup producer claim is atomic: concurrent different-kind claimers — one refuses") {
+    // RawLocalFileSystem.rename silently replaces an existing destination,
+    // so a rename-only claim lets two racing claimers of different kinds
+    // both "win" (last writer replaces the marker). The exclusive-create
+    // lock serializes them: exactly one proceeds, the other sees the
+    // winner's kind and refuses.
+    val root = java.nio.file.Files.createTempDirectory("graft_claim_race_").toString
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq("batch", "stream").map { kind =>
+      new Thread(() => {
+        gate.await()
+        try graft.streaming.Downsample.claimRollupProducer(spark, root, kind)
+        catch { case e: IllegalStateException => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(30000))
+    assert(errs.size === 1, s"exactly one claimer must refuse, got ${errs.size}")
+    assert(errs.peek().getMessage.contains("double-count"))
+    val marker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_rollup_producer")).trim
+    assert(Set("batch", "stream")(marker))
+    // the winner's kind re-claims freely afterwards
+    graft.streaming.Downsample.claimRollupProducer(spark, root, marker)
+  }
+
+  test("rollup producer claim breaks a stale lock left by a dead claimer") {
+    val root = java.nio.file.Files.createTempDirectory("graft_claim_stale_").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "._rollup_producer.lock"))
+    // no marker will ever appear: the claimer must break the lock and win
+    graft.streaming.Downsample.claimRollupProducer(spark, root, "stream")
+    val marker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_rollup_producer")).trim
+    assert(marker === "stream")
+  }
+
+  test("Compact.nearDupBase migrates a legacy flat base into the tiered layout") {
+    // a base written by the pre-two-tier sink is root-level flat parquet;
+    // the probes read only delta/ + compacted tiers, so without migration
+    // those rows are invisible and their dup families get re-admitted
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables(spark, sf, "documents").select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_legacy_base_").toString
+    val basePath = s"$root/neardup_base"
+    val flat = graft.queries.DedupQueries.signaturesOf(docs.where(col("doc_id") < 100))
+    flat.coalesce(1).write.parquet(basePath) // the legacy flat layout
+    val flatIds = flat.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flatIds.nonEmpty)
+
+    // the new sink appends a delta on top — the MIXED state the migration
+    // must not lose either side of
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.startNearDupSink(
+      stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      basePath, s"$root/ckpt", Trigger.AvailableNow())
+    val deltaDocs = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    stream.addData(deltaDocs.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val acceptedDelta = graft.streaming.DocStream.nearDupBaseSigs(spark, basePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedDelta.forall(_ >= 100), "flat rows are not yet visible")
+
+    graft.tools.Compact.nearDupBase(spark, basePath, files = 2)
+    assert(!new java.io.File(s"$basePath/delta").exists())
+    assert(!new java.io.File(basePath).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      "no root-level flat files may remain after migration")
+    val after = graft.streaming.DocStream.nearDupBaseSigs(spark, basePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === (flatIds ++ acceptedDelta),
+      "migration must fold legacy flat rows AND the delta into the tiers")
+    // a legacy doc now self-matches through the pruned probe — its dup
+    // family stays suppressed
+    val probe = graft.streaming.DocStream.nearDupBaseSigs(spark, basePath)
+      .where(col("doc_id") < 10)
+    val matched = graft.streaming.DocStream.probeNearDupBase(spark, probe, basePath)
+      .collect().map(_.getLong(0)).toSet
+    assert(matched.nonEmpty && matched.subsetOf(flatIds))
+    // idempotent: a second compaction over the migrated base is a no-op
+    graft.tools.Compact.nearDupBase(spark, basePath, files = 2)
+    assert(graft.streaming.DocStream.nearDupBaseSigs(spark, basePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === after)
+  }
 }
