@@ -98,37 +98,49 @@ object GraphQueries {
       .where(col("src") =!= col("dst"))
       .distinct()
 
-  private def pagerankSql: String = {
+  /** The oracle's independent PageRank: unrolled iteration CTEs with the
+    * SAME dangling-mass term the Spark kernel applies (d_i = the mass on
+    * nodes that are never a src, redistributed uniformly). `srcFilter`
+    * carves sink nodes out of the fixture for pr2 (empty = the full
+    * sink-free pr1 graph, where every d_i is exactly 0). */
+  private def pagerankSql(srcFilter: String): String = {
     val nH = HtmlText.LinkHosts
     val iters = (1 to Iterations).map { i =>
-      s"""c$i AS (SELECT e.dst AS h, sum(r${i - 1}.pr/deg.od) AS s
+      s"""d$i AS (SELECT coalesce(sum(pr), 0) AS dm FROM r${i - 1} JOIN sinks USING (h)),
+         |c$i AS (SELECT e.dst AS h, sum(r${i - 1}.pr/deg.od) AS s
          |        FROM e JOIN r${i - 1} ON r${i - 1}.h=e.src JOIN deg ON deg.src=e.src GROUP BY e.dst),
-         |r$i AS (SELECT nodes.h, 0.15/n + 0.85*coalesce(c$i.s,0) AS pr
-         |        FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.h=nodes.h)""".stripMargin
+         |r$i AS (SELECT nodes.h, 0.15/n + 0.85*(coalesce(c$i.s,0) + dm/n) AS pr
+         |        FROM nodes CROSS JOIN nn CROSS JOIN d$i LEFT JOIN c$i ON c$i.h=nodes.h)""".stripMargin
     }.mkString(",\n")
     s"""WITH raw AS (
        |  SELECT doc_id % $nH AS src, (doc_id*7+1) % $nH AS dst FROM documents
        |  UNION ALL SELECT doc_id % $nH, (doc_id*13+2) % $nH FROM documents
        |  UNION ALL SELECT doc_id % $nH, (doc_id*29+3) % $nH FROM documents),
-       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst$srcFilter),
        |nodes AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+       |sinks AS (SELECT h FROM nodes WHERE h NOT IN (SELECT src FROM e)),
        |r0 AS (SELECT h, 1.0/n AS pr FROM nodes, nn),
        |$iters
        |SELECT h AS host, round(r$Iterations.pr, 6) AS pagerank FROM r$Iterations""".stripMargin
   }
 
   /** PageRank over an arbitrary (src, dst) edge frame: uniform init,
-    * fixed power iterations, no dangling-mass redistribution (callers
-    * whose graphs have sink nodes add the standard dangling-sum
-    * broadcast term). `broadcastRanks = true` pins the node-sized sides
-    * as broadcast for known-small graphs (the gate fixture); at real
-    * host-graph scale pass false — edges and ranks then co-partition on
-    * the join key and each iteration exchanges node-sized partial sums
-    * only (AQE still broadcasts when the graph turns out small).
-    * localCheckpoint caps lineage per iteration (the Bpe trainer
-    * discipline). Driven at 50 M synthetic edges by `Diag graph`. */
+    * fixed power iterations, WITH the standard dangling-mass
+    * redistribution (Page et al. 1999 §2.6): the rank mass sitting on
+    * sink nodes (no outlinks — every real crawl graph has them) is
+    * summed each iteration (a 1-row aggregate broadcast back, never a
+    * driver value) and redistributed uniformly, so total mass is
+    * conserved at exactly 1. On a sink-free graph the term is
+    * identically zero. `broadcastRanks = true` pins the node-sized
+    * sides as broadcast for known-small graphs (the gate fixture); at
+    * real host-graph scale pass false — edges and ranks then
+    * co-partition on the join key and each iteration exchanges
+    * node-sized partial sums only (AQE still broadcasts when the graph
+    * turns out small). localCheckpoint caps lineage per iteration (the
+    * Bpe trainer discipline). Driven at 50 M synthetic edges by
+    * `Diag graph`. */
   def pagerank(edges: DataFrame, iterations: Int, damping: Double,
       broadcastRanks: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("h"))
@@ -139,6 +151,9 @@ object GraphQueries {
     if (nN == 0) return nodes.select(col("h"), lit(0.0).as("pr"))
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("od")).localCheckpoint()
+    // sink nodes: in the node set but never a src — node-sized, computed once
+    val dangling = nodes.join(deg.select(col("src").as("h")), Seq("h"), "left_anti")
+      .localCheckpoint()
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("pr"))
     for (_ <- 1 to iterations) {
@@ -146,9 +161,14 @@ object GraphQueries {
         .join(hint(ranks), col("src") === col("h")).drop("h")
         .join(hint(deg.withColumnRenamed("src", "dsrc")), col("src") === col("dsrc"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("s"))
+      // the mass parked on sinks this iteration — one scalar, broadcast back
+      val dm = ranks.join(hint(dangling), Seq("h"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       ranks = nodes.join(contrib, nodes("h") === contrib("dst"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("h"),
-          (lit((1 - damping) / nN) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (lit((1 - damping) / nN) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dm") / lit(nN))).as("pr"))
         .localCheckpoint()
     }
     ranks
@@ -231,12 +251,28 @@ object GraphQueries {
 
   /** PageRank over the host graph: damping 0.85, uniform init, fixed
     * $Iterations power iterations (every host has outlinks by
-    * construction, so no dangling-mass redistribution is needed). */
-  private val pr1 = withOracle("pr1_host_pagerank", pagerankSql) { (s, dir) =>
+    * construction, so the kernel's dangling-mass term is exactly 0 here
+    * — pr2 exercises it). */
+  private val pr1 = withOracle("pr1_host_pagerank", pagerankSql("")) { (s, dir) =>
     pagerank(hostEdges(s, dir).localCheckpoint(), Iterations, Damping,
         broadcastRanks = true)
       .select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
   }
 
-  val all: Seq[QueryDef] = Seq(lnk1, lnk2, pr1, hits1)
+  /** PageRank on a SINK-BEARING graph — the shape every real crawl graph
+    * has: hosts ≡ 0 (mod 5) lose all their out-edges (they stay in the
+    * node set as link targets), so each iteration parks rank mass on
+    * them and the kernel's dangling-mass broadcast must hand it back
+    * uniformly. Without the term the kernel leaks ~dm·damping of total
+    * mass per iteration; the oracle recomputes the same redistribution
+    * in unrolled CTEs. Mass conservation (Σpr = 1 exactly, every
+    * iteration) is pinned in ExtSpec. */
+  private val pr2 = withOracle("pr2_dangling_pagerank",
+    pagerankSql(" AND src % 5 != 0")) { (s, dir) =>
+    pagerank(hostEdges(s, dir).where(col("src") % 5 =!= 0).localCheckpoint(),
+        Iterations, Damping, broadcastRanks = true)
+      .select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(lnk1, lnk2, pr1, pr2, hits1)
 }

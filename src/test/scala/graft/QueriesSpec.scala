@@ -286,4 +286,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(graft.queries.GraphQueries
       .hits(empty, 3, broadcastRanks = false).count() === 0)
   }
+
+  test("pagerank conserves mass on a sink-bearing graph (dangling redistribution)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    // node 3 is a pure sink, node 4 reachable only through it — without
+    // the dangling-mass term the kernel loses damping·rank(3) every
+    // iteration and Σpr drifts below 1
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (1L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    for (bcast <- Seq(true, false); iters <- Seq(1, 5)) {
+      val pr = graft.queries.GraphQueries.pagerank(edges, iters, 0.85, bcast)
+      val mass = pr.agg(sum(col("pr"))).head().getDouble(0)
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"mass $mass after $iters iters (broadcast=$bcast)")
+      // sinks still hold rank (they receive, never emit)
+      val sink = pr.where(col("h") === 3L).head().getDouble(1)
+      assert(sink > 0.15 / 5, s"sink rank $sink must exceed bare teleport")
+    }
+  }
 }
