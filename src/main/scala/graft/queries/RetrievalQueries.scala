@@ -126,6 +126,36 @@ object RetrievalQueries {
       .orderBy(col("df").desc, col("term"))
       .limit(nTerms)
 
+  /** Slice a (term, df, postings) frame's doc-id lists into fixed-size
+    * pages: one (term, df, page_no, postings) row per page, page_no
+    * ascending, ids staying globally sorted across pages (page p holds
+    * ranks [p·page, (p+1)·page)) — the skip-list contract an intersecting
+    * reader needs. Map-only. */
+  def paginatePostings(index: org.apache.spark.sql.DataFrame,
+      page: Int): org.apache.spark.sql.DataFrame =
+    index
+      .select(col("term"), col("df"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("postings")) - 1) / page).cast("int")),
+          i => slice(col("postings"), i * page + 1, lit(page))))
+          .as(Seq("page_no", "postings")))
+      .select(col("term"), col("df"), col("page_no").cast("long").as("page_no"),
+        col("postings"))
+
+  /** Multi-page postings build — the (term, page_no) sharding SCALE.md
+    * names as the rung past ii1's single bounded page: per term, the
+    * `maxPages` doc-id pages covering its `page · maxPages` smallest ids.
+    * Same plan shape as [[postingsIndexOf]] — ONE vocabulary-keyed
+    * exchange whose partials are bounded by page·maxPages ids per term
+    * per task (bottom-k at the widened capacity), paginated map-side
+    * after the merge. A FULL index (maxPages unbounded) is a different
+    * regime: the exchange is inherently corpus-sized there, so it becomes
+    * a range-partitioned (term, doc_id) write instead of an aggregate —
+    * this operator is the bounded-page server shard builder. */
+  def postingsShards(docs: org.apache.spark.sql.DataFrame, page: Int,
+      maxPages: Int): org.apache.spark.sql.DataFrame =
+    paginatePostings(postingsIndexOf(docs, page * maxPages), page)
+
   /** Adjacent-pair phrase counts of `docs` — pp1's kernel. */
   def phraseTopK(docs: org.apache.spark.sql.DataFrame, a: String, b: String,
       k: Int): org.apache.spark.sql.DataFrame =
@@ -165,6 +195,38 @@ object RetrievalQueries {
        |FROM r WHERE rn <= $PostingsTerms""".stripMargin) { (s, dir) =>
     postingsPages(Tables(s, dir, "documents"), PostingsPage, PostingsTerms)
       .select(col("term"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",").as("postings"))
+  }
+
+  /** Multi-page postings gate: the [[ShardTerms]] highest-df terms
+    * sharded into [[ShardPage]]-id pages up to [[ShardMaxPages]] deep —
+    * head terms (df ≈ corpus size) span ≥ 3 pages, exercising the
+    * (term, page_no) layout. Pages flattened to joined strings for the
+    * harness (ii1's discipline); the array-paged kernel
+    * ([[postingsShards]]) is what servers read. */
+  private val ShardPage = 50
+  private val ShardMaxPages = 4
+  private val ShardTerms = 10
+  private val ii3 = withOracle("ii3_postings_shards",
+    s"""WITH w AS (SELECT DISTINCT doc_id,
+       |             unnest(string_split_regex(lower(trim(text)),'\\s+')) AS term
+       |           FROM documents),
+       |p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |        (list(doc_id ORDER BY doc_id))[1:${ShardPage * ShardMaxPages}] AS ids
+       |      FROM w GROUP BY term),
+       |r AS (SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM p),
+       |pg AS (SELECT term, df, CAST(t.pg AS BIGINT) AS page_no,
+       |         ids[t.pg*$ShardPage+1 : t.pg*$ShardPage+$ShardPage] AS page
+       |       FROM r, unnest(range((len(ids)-1)//$ShardPage + 1)) AS t(pg)
+       |       WHERE rn <= $ShardTerms)
+       |SELECT term, df, page_no,
+       |       array_to_string(list_transform(page, x -> CAST(x AS VARCHAR)), ',') AS postings
+       |FROM pg""".stripMargin) { (s, dir) =>
+    val head = postingsIndexOf(Tables(s, dir, "documents"), ShardPage * ShardMaxPages)
+      .orderBy(col("df").desc, col("term"))
+      .limit(ShardTerms)
+    paginatePostings(head, ShardPage)
+      .select(col("term"), col("df"), col("page_no"),
         array_join(transform(col("postings"), _.cast("string")), ",").as("postings"))
   }
 
@@ -230,5 +292,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, pp1)
 }

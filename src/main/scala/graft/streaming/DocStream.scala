@@ -733,6 +733,19 @@ object DocStream {
           .as("postings"))
   }
 
+  /** Multi-page serve of the streamed index — the (term, page_no)
+    * sharding over the SAME delta layout: merge at page·maxPages
+    * capacity (each per-batch delta written with that capacity keeps its
+    * batch's smallest ids, so the bottom of their union is the exact
+    * global bottom — run the sink with `page = page·maxPages`), then
+    * paginate map-side ([[graft.queries.RetrievalQueries.paginatePostings]]).
+    * Per-trigger write cost is unchanged; read amplification is the
+    * maxPages factor on the bounded partials only. */
+  def postingsIndexPages(spark: SparkSession, basePath: String,
+      page: Int, maxPages: Int): DataFrame =
+    graft.queries.RetrievalQueries.paginatePostings(
+      postingsIndex(spark, basePath, page * maxPages), page)
+
   /** The accumulated (line, cnt) index over every delta partition —
     * [[graft.queries.DedupQueries.lineDedupIncremental]]'s base side. */
   def lineIndex(spark: SparkSession, basePath: String): DataFrame = {

@@ -473,4 +473,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_bottom_k") || p.contains("bottom_k"),
       s"ii1's postings page must be a partial aggregate, not a full list:\n$p")
   }
+
+  test("ii3: multi-page shards keep ii1's single-exchange shape (pagination is map-side)") {
+    val p = plan("ii3_postings_shards")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("(?m)^\\s*\\+?- Exchange ".r.findAllIn(finalPlan).size === 1,
+      s"ii3: exactly one exchange — the widened bottom-k partials:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ii3 must not global-sort:\n$p")
+    assert(p.contains("Generate posexplode"),
+      s"ii3's pagination must be a map-side generate above the agg:\n$p")
+  }
 }

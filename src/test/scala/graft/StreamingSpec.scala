@@ -1467,6 +1467,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(asMap(index) === expected2)
   }
 
+  test("streaming postings: multi-page merge parity, truncation, compaction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val page = 2; val maxPages = 3
+    // 'alpha' df=7 exceeds the page·maxPages=6 capacity: pages must hold
+    // the 6 globally-smallest ids in sorted 2-id pages, merged ACROSS the
+    // two deltas (neither batch alone holds pages 0-2's ids)
+    val batchA = Seq((5L, "alpha beta"), (2L, "alpha"), (9L, "alpha beta"),
+      (11L, "alpha"))
+    val batchB = Seq((1L, "alpha beta"), (7L, "alpha"), (3L, "alpha gamma"))
+    val root = java.nio.file.Files.createTempDirectory("graft_postings_mp_").toString
+    val basePath = s"$root/ii_base"
+    val stream = MemoryStream[(Long, String)]
+    val docsDf = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    // the sink writes deltas at the widened capacity — each batch keeps
+    // its own 6 smallest, so the merged bottom-6 is exact
+    val q = graft.streaming.DocStream.startPostingsSink(
+      docsDf, basePath, s"$root/ckpt", page * maxPages,
+      Trigger.ProcessingTime("100 milliseconds"))
+    stream.addData(batchA: _*)
+    q.processAllAvailable()
+    stream.addData(batchB: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val all = (batchA ++ batchB).toDF("doc_id", "text")
+    def asPages(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getSeq[Long](3).toList)
+      .toMap
+    val expected = asPages(
+      graft.queries.RetrievalQueries.postingsShards(all, page, maxPages))
+    assert(expected(("alpha", 7L, 0L)) === List(1L, 2L))
+    assert(expected(("alpha", 7L, 1L)) === List(3L, 5L))
+    assert(expected(("alpha", 7L, 2L)) === List(7L, 9L)) // 11 truncated
+    def index = graft.streaming.DocStream.postingsIndexPages(
+      spark, basePath, page, maxPages)
+    assert(asPages(index) === expected)
+    // compaction at the widened capacity: same pages afterwards
+    graft.tools.Compact.postingsBase(spark, basePath, files = 2,
+      page = page * maxPages)
+    assert(asPages(index) === expected, "post-compaction multi-page parity")
+  }
+
   test("firstSeenDocs TTL: evicted content re-emits (dedup miss, never a false drop)") {
     // ProcessingTimeTimeout makes the operator request a batch every
     // trigger forever (to sweep future deadlines), so processAllAvailable
