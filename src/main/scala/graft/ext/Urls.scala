@@ -46,4 +46,15 @@ object Urls {
   /** [[resolve]] then [[normalize]] — the frontier's per-link pipeline. */
   def frontierUrl(pageUrl: String, href: String): Option[String] =
     resolve(pageUrl, href).map(normalize)
+
+  /** The host (authority, lowercased, port kept except the :443 a
+    * normalized URL never carries) of an absolute URL — the politeness
+    * key. Unparseable → the whole string (one bucket per oddball). */
+  def host(u: String): String = {
+    val schemeEnd = u.indexOf("://")
+    if (schemeEnd < 0) return u
+    val pathStart = u.indexOf('/', schemeEnd + 3)
+    val end = if (pathStart < 0) u.length else pathStart
+    u.substring(schemeEnd + 3, end).toLowerCase
+  }
 }

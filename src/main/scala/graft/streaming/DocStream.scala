@@ -685,6 +685,46 @@ object DocStream {
       }
   }
 
+  final case class PoliteRow(host: String, url: String, first_doc: Long)
+
+  /** Per-host politeness gate over the frontier — the rate budget a real
+    * fetch loop needs so one giant host can't monopolize a trigger's
+    * fetch slots (and so the crawler honors per-host courtesy limits):
+    * at most `perTrigger` URLs per host emit per micro-batch; the excess
+    * queues in BOUNDED per-host state (`maxPending` newest-dropped cap —
+    * a drop is a frontier miss the recrawl TTL repairs, never a
+    * correctness break) and drips out on subsequent triggers through
+    * processing-time timeouts, `drainMs` apart, even when no new input
+    * arrives for that host. Emission order inside a host is
+    * deterministic — (first_doc, url) ascending — so replays drip the
+    * same prefix. State per host = ≤maxPending (url, doc) pairs + one
+    * timestamp: bounded by hosts × maxPending, never by crawl volume.
+    * Compose after [[frontier]]; its ttlMs is the recrawl clock (an
+    * evicted URL re-enters here on rediscovery). */
+  def politeFrontier(spark: SparkSession, frontierRows: Dataset[FrontierRow],
+      perTrigger: Int, maxPending: Int = 10000,
+      drainMs: Long = 1000L): Dataset[PoliteRow] = {
+    import spark.implicits._
+    frontierRows
+      .map(r => (graft.ext.Urls.host(r.url), r.url, r.first_doc))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(String, Long)], PoliteRow](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (host: String, rows: Iterator[(String, String, Long)],
+            state: GroupState[Seq[(String, Long)]]) =>
+          val pending = state.getOption.getOrElse(Seq.empty)
+          val incoming = rows.map(r => (r._2, r._3)).toSeq
+            .sortBy { case (url, doc) => (doc, url) }
+          val queue = pending ++ incoming
+          val (emit, rest) = queue.splitAt(perTrigger)
+          if (rest.nonEmpty) {
+            state.update(rest.take(maxPending))
+            state.setTimeoutDuration(drainMs)
+          } else state.remove()
+          emit.iterator.map { case (url, doc) => PoliteRow(host, url, doc) }
+      }
+  }
+
   /** Incremental inverted-index maintenance: each micro-batch's docs
     * aggregate to their own postings delta — (term, df, first-page doc
     * ids) via [[graft.queries.RetrievalQueries.postingsIndexOf]] — landing

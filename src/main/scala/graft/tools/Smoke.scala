@@ -311,7 +311,9 @@ object Smoke {
         back.orderBy($"shard", $"rec_no").select($"doc_id").head.getLong(0))
     }
 
-    // near-dup base compaction: two appended file groups -> one rewrite
+    // near-dup base compaction: a legacy FLAT base (root-level appends)
+    // migrates into the two-tier layout and stays fully readable through
+    // the one read surface (nearDupBaseSigs — never the raw root)
     locally {
       val base = java.nio.file.Files.createTempDirectory("smoke_ndbase_").toString + "/base"
       val rows = Seq((1L, Seq("a b", "b c"), Seq(1L, 2L)), (2L, Seq("c d"), Seq(3L, 4L)))
@@ -320,11 +322,10 @@ object Smoke {
           .write.mode("append").parquet(base)
       }
       graft.tools.Compact.nearDupBase(spark, base, files = 1)
-      println("NDCOMPACT: rows=" + spark.read.parquet(base).count() +
-        " files=" + {
-          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
-          try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
-        })
+      println("NDCOMPACT: rows=" +
+        graft.streaming.DocStream.nearDupBaseSigs(spark, base).count() +
+        " tiers=" + new java.io.File(base).listFiles()
+          .filter(_.isDirectory).map(_.getName).sorted.mkString(","))
     }
     // r9: header-only fast path vs real decode, perceptual near-dup pairs
     locally {
@@ -432,7 +433,41 @@ object Smoke {
       val anchors = graft.SparkEntry.queries("lnk2_anchor_text")(spark, dir)
         .orderBy(org.apache.spark.sql.functions.col("n_links").desc).head()
       println(s"ANCHORS: top host=${anchors.getLong(0)} n_links=${anchors.getLong(1)} " +
-        s"texts=${anchors.getSeq[String](2).mkString("|")}")
+        s"texts=${anchors.getString(2)}")
+    }
+
+    // r12: dangling-mass pagerank, multi-page postings, polite frontier
+    locally {
+      import org.apache.spark.sql.functions.{col, sum}
+      val dir = "/root/testdata/sf0.001"
+      val pr2 = graft.SparkEntry.queries("pr2_dangling_pagerank")(spark, dir)
+      val mass2 = pr2.agg(sum("pagerank")).head().getDouble(0)
+      println(f"PAGERANK-DANGLING: ${pr2.count()} hosts, mass=$mass2%.4f (=1 with sinks)")
+      val shards = graft.SparkEntry.queries("ii3_postings_shards")(spark, dir)
+      val maxPage = shards.agg(org.apache.spark.sql.functions.max("page_no"))
+        .head().getLong(0)
+      println(s"POSTINGS-SHARDS: ${shards.count()} pages, deepest page_no=$maxPage")
+      // polite frontier: one-batch drive through a real streaming query
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[(String, Long)]
+      ms.addData((1L to 5L).map(i => (s"https://h.example/p$i", i)): _*)
+      val seen = new java.util.concurrent.atomic.AtomicInteger()
+      val q = graft.streaming.DocStream.politeFrontier(spark,
+          ms.toDS().map(r => graft.streaming.DocStream.FrontierRow(r._1, r._2)),
+          perTrigger = 2)
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("smoke_polite_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PoliteRow],
+              _: Long) => seen.addAndGet(b.collect().length); ()
+        }
+        .start()
+      q.awaitTermination(60000); q.stop()
+      println(s"POLITE-FRONTIER: ${seen.get()} of 5 urls released (cap 2/host/trigger)")
     }
     spark.stop()
   }

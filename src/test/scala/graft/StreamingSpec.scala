@@ -1467,6 +1467,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(asMap(index) === expected2)
   }
 
+  test("politeFrontier: per-host caps per trigger, bounded drip, frontier recrawl TTL") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_polite_").toString
+    val stream = MemoryStream[(String, Long)]
+    val frontierRows = stream.toDS()
+      .map(r => graft.streaming.DocStream.FrontierRow(r._1, r._2))
+    // batch-grained capture: the per-TRIGGER cap is the contract, and an
+    // AvailableNow run may execute several timeout-fired drain batches
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, String)]]()
+    // ProcessingTimeTimeout drains need trigger activity with no new data:
+    // the deterministic harness is AvailableNow restarts over one
+    // checkpoint (the firstSeenDocs TTL discipline) — restarts fire the
+    // expired drain deadlines
+    def runStage(): Unit = {
+      val q = graft.streaming.DocStream
+        .politeFrontier(spark, frontierRows, perTrigger = 2, maxPending = 3,
+          drainMs = 1L)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PoliteRow],
+              _: Long) =>
+            val rows = b.collect().map(r => (r.host, r.url)).toSeq
+            if (rows.nonEmpty) batches.add(rows); ()
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    // 7 URLs on one host + 1 on another in one batch
+    stream.addData((1L to 7L).map(i => (s"https://big.example/p$i", i)) :+
+      (("https://small.example/x", 9L)): _*)
+    runStage()
+    Thread.sleep(50); runStage() // drain whatever deadlines remained
+    Thread.sleep(50); runStage()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    // per-trigger cap: never more than 2 rows of one host in any batch
+    assert(got.forall(b => b.groupBy(_._1).values.forall(_.size <= 2)),
+      s"per-host per-trigger cap violated: $got")
+    // the small host rides the FIRST batch — the big host's budget never
+    // starves it
+    assert(got.head.contains(("small.example", "https://small.example/x")))
+    // deterministic (first_doc, url) drip order across batches; of the 5
+    // excess only maxPending=3 queued (p3-p5), p6/p7 dropped — the
+    // documented bounded-state frontier miss the recrawl TTL repairs
+    assert(got.flatten.filter(_._1 == "big.example").map(_._2) ===
+      (1 to 5).map(i => s"https://big.example/p$i"))
+    val drained = batches.size
+    Thread.sleep(50); runStage()
+    assert(batches.size === drained, "nothing left after the queue drains")
+
+    // recrawl TTL upstream: a frontier URL whose state expired re-emits
+    // on rediscovery — the politeness stage then budgets it again
+    val pages = MemoryStream[(Long, String, String)]
+    val fr = graft.streaming.DocStream.frontier(spark,
+      pages.toDF().select(col("_1").as("doc_id"), col("_2").as("url"),
+        col("_3").as("html")),
+      ttlMs = 1L)
+    val fBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runFrontier(ck: String): Seq[String] = {
+      val before = fBuf.size
+      val q = fr.writeStream
+        .option("checkpointLocation", s"$root/$ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+              _: Long) => b.collect().foreach(r => fBuf.add(r.url))
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+      import scala.jdk.CollectionConverters._
+      fBuf.asScala.toSeq.drop(before)
+    }
+    val page = (1L, "https://a.example/", """<a href="/next">n</a>""")
+    pages.addData(page)
+    assert(runFrontier("fckpt") === Seq("https://a.example/next"))
+    Thread.sleep(50) // state idles past the 1 ms TTL while the query is down
+    pages.addData((2L, "https://a.example/", """<a href="/next">n</a>"""))
+    assert(runFrontier("fckpt") === Seq("https://a.example/next"),
+      "an expired URL re-emits on rediscovery: the recrawl path")
+  }
+
   test("streaming postings: multi-page merge parity, truncation, compaction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
