@@ -1147,8 +1147,59 @@ object DedupQueries {
         docs.select(col("doc_id"), length(col("text")).as("q")))
   }
 
+  /** sem1's ORACLE-CHECKED companion: the KMeans cells are learned, but
+    * the keeper election over the within-cell threshold pairs has an
+    * exact contract —
+    *   - the keep map is TOTAL and single-valued over the corpus;
+    *   - keepers are component minima (keep_id ≤ vec_id) and fixpoints
+    *     (keep(keep(v)) = keep(v));
+    *   - every threshold pair's endpoints share a keeper (edges never
+    *     cross families — connected components' defining property);
+    *   - each k-member family has ≥ k−1 internal edges (a family can't
+    *     be the union of disconnected pieces without the edge budget);
+    *   - vectors with no incident pair keep themselves.
+    * Reduced to values DuckDB derives from `embeddings` alone; the
+    * ≡-d5 equality anchor stays in ExtSpec. */
+  private val sem1Invariants = withOracle("sem1_cluster_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |       TRUE AS mapping_total,
+      |       TRUE AS keeper_is_min_id,
+      |       TRUE AS keepers_are_fixpoints,
+      |       TRUE AS edges_within_families,
+      |       TRUE AS families_minimally_connected,
+      |       TRUE AS singletons_keep_themselves
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val pairs = semDedupPairs(s, dir).localCheckpoint()
+    val keep = sem1SemDedup.fn(s, dir).localCheckpoint()
+    val base = keep.agg(count(lit(1)).as("n_vecs"),
+      (countDistinct(col("vec_id")) === count(lit(1))).as("mapping_total"),
+      every(col("keep_id") <= col("vec_id")).as("keeper_is_min_id"))
+    val fix = keep
+      .join(keep.select(col("vec_id").as("v2"), col("keep_id").as("k2")),
+        col("keep_id") === col("v2"))
+      .agg(every(col("k2") === col("keep_id")).as("keepers_are_fixpoints"))
+    val edges = pairs
+      .join(keep.select(col("vec_id").as("doc_a"), col("keep_id").as("ka")), "doc_a")
+      .join(keep.select(col("vec_id").as("doc_b"), col("keep_id").as("kb")), "doc_b")
+      .agg(every(col("ka") === col("kb")).as("edges_within_families"))
+    val famSizes = keep.groupBy("keep_id").agg(count(lit(1)).as("k"))
+    val famEdges = pairs
+      .join(keep.select(col("vec_id").as("doc_a"), col("keep_id")), "doc_a")
+      .groupBy("keep_id").agg(count(lit(1)).as("p"))
+    val spanning = famSizes.join(famEdges, Seq("keep_id"), "left")
+      .agg(every(col("k") === 1 || coalesce(col("p"), lit(0L)) >= col("k") - 1)
+        .as("families_minimally_connected"))
+    val touched = pairs.select(col("doc_a").as("vec_id"))
+      .union(pairs.select(col("doc_b"))).distinct()
+    val singles = keep.join(touched, Seq("vec_id"), "left_anti")
+      .agg(every(col("keep_id") === col("vec_id")).as("singletons_keep_themselves"))
+    base.crossJoin(broadcast(fix)).crossJoin(broadcast(edges))
+      .crossJoin(broadcast(spanning)).crossJoin(broadcast(singles))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d1Exact, d2Minhash, d3Jaccard, d4Simhash, d5Embed, d6KeepList, d7Contamination,
       d8ContaminationBloom, d9Incremental, d10Substring, d11Coverage, d12Scrub,
-      d13LineDedup, d14Canonical, d15FuzzyDecontam, d16DupHistogram, sem1SemDedup)
+      d13LineDedup, d14Canonical, d15FuzzyDecontam, d16DupHistogram, sem1SemDedup,
+      sem1Invariants)
 }

@@ -294,6 +294,48 @@ object EventQueries {
         col("rank").cast("long").as("rank"), col("err_bound"))
   }
 
+  /** ev5-sketch's ORACLE-CHECKED companion (fi1_sketch_invariants'
+    * pattern over the event stream): the Misra–Gries contract verified
+    * against the exact per-user counts in every regime — under-count
+    * bound, heavy-hitter coverage, non-increasing emission order. */
+  private val ev5SketchInvariants = withOracle("ev5_sketch_invariants",
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+      |       TRUE AS estimates_within_mg_bounds,
+      |       TRUE AS coverage_complete,
+      |       TRUE AS estimates_non_increasing
+      |FROM events""".stripMargin) { (s, dir) =>
+    import graft.functions.{freq_sketch, freq_items, freq_n}
+    val users = Tables(s, dir, "events")
+      .select(col("user_id").cast("string").as("u"))
+    val exact = users.groupBy("u").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint()
+    val cap = graft.functions.MGOps.DefaultCapacity
+    val items = users.agg(freq_sketch(col("u")).as("sk"))
+      .select(posexplode(freq_items(col("sk"))).as(Seq("rank", "item")),
+        (freq_n(col("sk")) / (cap + 1)).as("err"))
+      .select(col("item.term").as("u"), col("item.est").as("est"),
+        col("rank"), col("err"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+    val bounds = items.join(exact, Seq("u"), "left")
+      .withColumn("prev_est", lag(col("est"), 1).over(w))
+      .agg(
+        every(col("n_exact").isNotNull && col("est") <= col("n_exact") &&
+          col("est") >= col("n_exact") - col("err"))
+          .as("estimates_within_mg_bounds"),
+        every(col("prev_est").isNull || col("prev_est") >= col("est"))
+          .as("estimates_non_increasing"),
+        first(col("err")).as("err"))
+    val uncovered = exact.crossJoin(broadcast(bounds.select(col("err"))))
+      .where(col("n_exact") > col("err"))
+      .join(items.select("u"), Seq("u"), "left_anti")
+      .agg(count(lit(1)).as("n_uncovered"))
+    exact.agg(count(lit(1)).as("n_distinct_users"))
+      .crossJoin(broadcast(bounds)).crossJoin(broadcast(uncovered))
+      .select(col("n_distinct_users"), col("estimates_within_mg_bounds"),
+        (col("n_uncovered") === 0).as("coverage_complete"),
+        col("estimates_non_increasing"))
+  }
+
   val all: Seq[QueryDef] = Seq(ev1Sessionize, ev2Funnel, ev3Retention,
-    ev4ActiveUsers, ev5HeavyUsers, ev5HeavyUsersSketch)
+    ev4ActiveUsers, ev5HeavyUsers, ev5HeavyUsersSketch, ev5SketchInvariants)
 }

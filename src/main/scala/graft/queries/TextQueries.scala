@@ -464,6 +464,67 @@ object TextQueries {
         col("merged"), col("pair_count"))
   }
 
+  /** bpe1's ORACLE-CHECKED companion: the iterative argmax trainer isn't
+    * ANSI-expressible, but its output's defining structure is —
+    *   - every rule's merged token is exactly left || right;
+    *   - steps are the contiguous range 0..n−1 (distinct, gap-free);
+    *   - every rule's pair count is ≥ 1 (a rule is only learnable from
+    *     an observed pair);
+    *   - the FIRST rule is the true argmax over the initial character-
+    *     pair counts (chars + the </w> sentinel), re-derived here with
+    *     the trainer's own (count desc, left asc, right asc) tie-break
+    *     through an independent explode + aggregate + top-1 plan.
+    * Reduced to values DuckDB derives from `documents` alone. */
+  private val bpe1Invariants = withOracle("bpe1_merge_invariants",
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents)
+      |SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words,
+      |       TRUE AS merged_is_concat,
+      |       TRUE AS steps_contiguous,
+      |       TRUE AS counts_positive,
+      |       TRUE AS first_merge_is_argmax
+      |FROM w WHERE w != ''""".stripMargin) { (s, dir) =>
+    val rules = bpe1Merges.fn(s, dir).localCheckpoint()
+    val dict = Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the word count AND the pair recount
+    // initial symbol sequence: characters + the </w> sentinel
+    val sym = concat(
+      transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+      array(lit(graft.ext.Bpe.Eow)))
+    val firstPair = dict
+      .select(col("cnt"), sym.as("sym"))
+      .select(col("cnt"), posexplode(slice(col("sym"), 1, 1024)).as(Seq("p", "l")),
+        col("sym"))
+      .where(col("p") < size(col("sym")) - 1)
+      .select(col("l"), element_at(col("sym"), col("p") + 2).as("r"), col("cnt"))
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
+      .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+      .limit(1)
+    val structural = rules.agg(
+      count(lit(1)).as("n_rules"),
+      every(col("merged") === concat(col("left"), col("right")))
+        .as("merged_is_concat"),
+      (countDistinct(col("step")) === count(lit(1)) &&
+        min(col("step")) === 1 && max(col("step")) === count(lit(1)))
+        .as("steps_contiguous"), // steps are 1-indexed (rule #1 is step 1)
+      every(col("pair_count") >= 1).as("counts_positive"))
+    val first = rules.where(col("step") === 1)
+      .join(broadcast(firstPair),
+        col("left") === col("l") && col("right") === col("r") &&
+          col("pair_count") === col("pc"))
+      .agg((count(lit(1)) === 1).as("first_merge_is_argmax"))
+    dict.agg(count(lit(1)).as("n_distinct_words"))
+      .crossJoin(broadcast(structural.drop("n_rules")))
+      .crossJoin(broadcast(first))
+      .select(col("n_distinct_words"), col("merged_is_concat"),
+        col("steps_contiguous"), col("counts_positive"),
+        col("first_merge_is_argmax"))
+  }
+
   /** TOK1: the corpus tokenized with the LEARNED tokenizer — bpe1's
     * artifact put to work end-to-end: train the merge rules once
     * (dictionary-sized iterations), broadcast them as a literal into a
@@ -632,6 +693,56 @@ object TextQueries {
         col("rank").cast("long").as("rank"), col("err_bound"))
   }
 
+  /** fi1-sketch's ORACLE-CHECKED companion (the rh4/a3 ladder pattern):
+    * the Misra–Gries CONTRACT, verified against the exact counts the
+    * gate already trusts, in every regime (not just the exact one) —
+    *   - under-count bound: every sketched estimate e satisfies
+    *     true − n/(capacity+1) ≤ e ≤ true;
+    *   - coverage: every term whose true count exceeds the error bound
+    *     IS in the summary (the MG theorem's guarantee);
+    *   - items are emitted in non-increasing estimate order.
+    * Reduced to values DuckDB derives from `documents` alone. */
+  private val fi1SketchInvariants = withOracle("fi1_sketch_invariants",
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents)
+      |SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms,
+      |       TRUE AS estimates_within_mg_bounds,
+      |       TRUE AS coverage_complete,
+      |       TRUE AS estimates_non_increasing
+      |FROM w""".stripMargin) { (s, dir) =>
+    import graft.functions.{freq_sketch, freq_items, freq_n}
+    val terms = Tables(s, dir, "documents")
+      .select(explode(words(col("text"))).as("term"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint() // feeds the bound join AND the coverage anti-join
+    val cap = graft.functions.MGOps.DefaultCapacity
+    val items = terms.agg(freq_sketch(col("term")).as("sk"))
+      .select(posexplode(freq_items(col("sk"))).as(Seq("rank", "item")),
+        (freq_n(col("sk")) / (cap + 1)).as("err"))
+      .select(col("item.term").as("term"), col("item.est").as("est"),
+        col("rank"), col("err"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+    val bounds = items.join(exact, Seq("term"), "left")
+      .withColumn("prev_est", lag(col("est"), 1).over(w))
+      .agg(
+        every(col("n_exact").isNotNull && col("est") <= col("n_exact") &&
+          col("est") >= col("n_exact") - col("err"))
+          .as("estimates_within_mg_bounds"),
+        every(col("prev_est").isNull || col("prev_est") >= col("est"))
+          .as("estimates_non_increasing"),
+        first(col("err")).as("err"))
+    val uncovered = exact.crossJoin(broadcast(bounds.select(col("err"))))
+      .where(col("n_exact") > col("err"))
+      .join(items.select("term"), Seq("term"), "left_anti")
+      .agg(count(lit(1)).as("n_uncovered"))
+    exact.agg(count(lit(1)).as("n_distinct_terms"))
+      .crossJoin(broadcast(bounds)).crossJoin(broadcast(uncovered))
+      .select(col("n_distinct_terms"), col("estimates_within_mg_bounds"),
+        (col("n_uncovered") === 0).as("coverage_complete"),
+        col("estimates_non_increasing"))
+  }
+
   /** T11: compression-ratio quality signal — each document's raw-DEFLATE
     * compressed size over its UTF-8 size ([[TextAnalysis.compressionRatios]]).
     * Template spam and boilerplate land far below natural prose; encoded
@@ -644,6 +755,39 @@ object TextQueries {
     * totality, and partitioning-invariance. */
   private val t11Compression = rowsOnly("t11_compression_ratio") { (s, dir) =>
     compressionRatios(Tables(s, dir, "documents"))
+  }
+
+  /** t11's ORACLE-CHECKED companion: DEFLATE bytes aren't ANSI-
+    * expressible, but the signal's defining properties are checkable —
+    *   - totality + positivity: every document gets a ratio > 0;
+    *   - the format's overhead bound: an incompressible doc ≥ 200 B
+    *     cannot exceed ratio 1.1 (stored-block overhead is 5 B/16 KiB
+    *     + a few header bytes);
+    *   - the raison d'être: DOUBLING a document (≤ 32 KiB, inside
+    *     DEFLATE's match window) collapses the second copy to one
+    *     long match, so the doubled ratio must drop well below the
+    *     original — the long-range-repetition detection t6's fixed
+    *     n-grams can't see.
+    * Reduced to values DuckDB derives from `documents` alone. */
+  private val t11Invariants = withOracle("t11_ratio_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       TRUE AS ratios_positive,
+      |       TRUE AS overhead_bounded,
+      |       TRUE AS doubling_detected
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val r1 = compressionRatios(docs)
+      .select(col("doc_id"), col("measured_bytes"), col("ratio"))
+    val r2 = compressionRatios(
+        docs.select(col("doc_id"), concat(col("text"), col("text")).as("text")))
+      .select(col("doc_id"), col("ratio").as("ratio2"))
+    val inWindow = col("measured_bytes") >= 200 && col("measured_bytes") <= 32000
+    r1.join(r2, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        every(col("ratio") > 0).as("ratios_positive"),
+        every(!inWindow || col("ratio") <= 1.1).as("overhead_bounded"),
+        every(!inWindow || col("ratio2") <= col("ratio") * 0.75)
+          .as("doubling_detected"))
   }
 
   /** QC1: model-based quality classification ([[graft.ext.Classifier]]) —
@@ -665,6 +809,36 @@ object TextQueries {
       (col("lang") === "en").cast("double").as("y"))
     val (w, _) = Classifier.train(Classifier.features(docs), labels)
     Classifier.score(docs, w)
+  }
+
+  /** qc1's ORACLE-CHECKED companion: the TRAINING is iterative floating-
+    * point descent (not ANSI-expressible), but scoring downstream of the
+    * frozen weights is pure algebra, and the batch scorer has a second,
+    * independent formulation — [[graft.ext.Classifier.scoreColumn]]'s
+    * map-side HOF fold vs [[graft.ext.Classifier.score]]'s explode +
+    * partial-avg aggregate. The two must agree doc-for-doc at the rounded
+    * precision; scores must live in (0, 1); the prediction must be
+    * exactly the 0.5 threshold. Reduced to DuckDB-derivable values. */
+  private val qc1Invariants = withOracle("qc1_score_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       TRUE AS scores_in_unit_interval,
+      |       TRUE AS predicted_is_threshold,
+      |       TRUE AS agg_form_equals_fold_form
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import graft.ext.Classifier
+    val docs = Tables(s, dir, "documents")
+    val labels = docs.select(col("doc_id"),
+      (col("lang") === "en").cast("double").as("y"))
+    val (w, _) = Classifier.train(Classifier.features(docs), labels)
+    val got = Classifier.score(docs, w)
+    val alt = docs.select(col("doc_id"),
+      Classifier.scoreColumn(col("text"), w).as("score_fold"))
+    got.join(alt, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        every(col("score") > 0 && col("score") < 1).as("scores_in_unit_interval"),
+        every(col("predicted") === (col("score") >= 0.5))
+          .as("predicted_is_threshold"),
+        every(col("score") === col("score_fold")).as("agg_form_equals_fold_form"))
   }
 
   /** T12 Unicode repair — the pre-tokenization cleanup (ftfy's core job,
@@ -726,7 +900,8 @@ object TextQueries {
 
   val all: Seq[QueryDef] =
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
-      t8QualityGate, t9LmScore, t10C4Clean, t11Compression, t12Unicode, fi1TopTerms,
-      fi1TopTermsSketch, bpe1Merges, tok1BpeTokens, tok1Invariants, p1PiiScrub, qc1LrQuality,
+      t8QualityGate, t9LmScore, t10C4Clean, t11Compression, t11Invariants, t12Unicode,
+      fi1TopTerms, fi1TopTermsSketch, fi1SketchInvariants, bpe1Merges, bpe1Invariants,
+      tok1BpeTokens, tok1Invariants, p1PiiScrub, qc1LrQuality, qc1Invariants,
       html1Extract)
 }
