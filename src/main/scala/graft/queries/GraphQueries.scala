@@ -151,9 +151,14 @@ object GraphQueries {
     if (nN == 0) return nodes.select(col("h"), lit(0.0).as("pr"))
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("od")).localCheckpoint()
-    // sink nodes: in the node set but never a src — node-sized, computed once
+    // sink nodes: in the node set but never a src — node-sized, computed
+    // once. hasSinks is one bounded scalar (the nN discipline): a
+    // sink-free graph — every fixture whose pages all carry outlinks —
+    // pays ZERO dangling overhead (no semi-join, no 1-row agg, no
+    // crossJoin per iteration)
     val dangling = nodes.join(deg.select(col("src").as("h")), Seq("h"), "left_anti")
       .localCheckpoint()
+    val hasSinks = dangling.limit(1).count() > 0
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("pr"))
     for (_ <- 1 to iterations) {
@@ -161,11 +166,18 @@ object GraphQueries {
         .join(hint(ranks), col("src") === col("h")).drop("h")
         .join(hint(deg.withColumnRenamed("src", "dsrc")), col("src") === col("dsrc"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("s"))
-      // the mass parked on sinks this iteration — one scalar, broadcast back
-      val dm = ranks.join(hint(dangling), Seq("h"), "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      ranks = nodes.join(contrib, nodes("h") === contrib("dst"), "left")
-        .crossJoin(broadcast(dm))
+      val withDm =
+        if (!hasSinks)
+          nodes.join(contrib, nodes("h") === contrib("dst"), "left")
+            .withColumn("dm", lit(0.0))
+        else {
+          // the mass parked on sinks this iteration — one scalar, broadcast back
+          val dm = ranks.join(hint(dangling), Seq("h"), "left_semi")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+          nodes.join(contrib, nodes("h") === contrib("dst"), "left")
+            .crossJoin(broadcast(dm))
+        }
+      ranks = withDm
         .select(col("h"),
           (lit((1 - damping) / nN) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dm") / lit(nN))).as("pr"))

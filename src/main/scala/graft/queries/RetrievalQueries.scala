@@ -156,6 +156,26 @@ object RetrievalQueries {
       maxPages: Int): org.apache.spark.sql.DataFrame =
     paginatePostings(postingsIndexOf(docs, page * maxPages), page)
 
+  /** Conjunctive boolean retrieval (docs containing ALL query terms) —
+    * the posting-list intersection query an inverted index serves, in
+    * its scan form: the bounded query-term set is a map-side `isin`
+    * BELOW the explode (only query-term instances survive to the
+    * aggregation), per-doc distinct-hit count == |terms| is the AND.
+    * The one exchange carries candidate rows only — ≤ Σ df of the
+    * query terms, never corpus-sized; at 100 TB the same `having`
+    * count runs over the index artifact's postings instead of the
+    * scan (ii2's serve-from-artifacts pattern). */
+  def booleanAnd(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === terms.size)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(k)
+
   /** Adjacent-pair phrase counts of `docs` — pp1's kernel. */
   def phraseTopK(docs: org.apache.spark.sql.DataFrame, a: String, b: String,
       k: Int): org.apache.spark.sql.DataFrame =
@@ -274,6 +294,17 @@ object RetrievalQueries {
     bm25Served(Tables(s, dir, "documents"), Bm25Terms, Bm25TopK)
   }
 
+  private val BoolK = 50
+  private val ii4 = withOracle("ii4_boolean_and",
+    s"""WITH w AS (SELECT DISTINCT doc_id,
+       |             unnest(string_split_regex(lower(trim(text)),'\\s+')) AS term
+       |           FROM documents)
+       |SELECT doc_id FROM w WHERE term IN ('spark','join')
+       |GROUP BY doc_id HAVING count(*) = 2
+       |ORDER BY doc_id LIMIT $BoolK""".stripMargin) { (s, dir) =>
+    booleanAnd(Tables(s, dir, "documents"), Seq("spark", "join"), BoolK)
+  }
+
   /** Positional phrase match — the proximity query an inverted index with
     * positions serves ("hash join" as two adjacent tokens): per-doc
     * occurrence counts are a map-only pass over adjacent token pairs
@@ -292,5 +323,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, pp1)
 }

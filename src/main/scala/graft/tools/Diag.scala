@@ -79,6 +79,10 @@ object Diag {
       retrievalScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("retrieval2")) {
+      retrieval2Scale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("graph")) {
       graphScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L),
         args.lift(2).map(_.toLong).getOrElse(1_000_000L))
@@ -220,6 +224,45 @@ object Diag {
         f"postings $tIi%.1f s (${sz / tIi / 1e6}%.2f M docs/s)  " +
         f"phrase $tPp%.1f s (${sz / tPp / 1e6}%.2f M docs/s)  " +
         f"served-bm25 $tSv%.1f s (${sz / tSv / 1e6}%.2f M docs/s)")
+    }
+  }
+
+  /** r12 retrieval/graph rungs at synthetic scale: multi-page postings
+    * (full-vocabulary index build at page·maxPages capacity vs the
+    * single-page build — both ONE vocab-keyed exchange, so the widened
+    * partials should cost ~the capacity factor on exchange bytes, not a
+    * new plan shape) and dangling-mass pagerank (20% sink hosts — the
+    * per-iteration extra is one node-sized semi-join + 1-row broadcast;
+    * compare against the sink-free graph at the same edge count). */
+  private def retrieval2Scale(spark: SparkSession, n: Long): Unit = {
+    import graft.queries.{GraphQueries, RetrievalQueries}
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val text = concat_ws(" ",
+      transform(sequence(lit(1), lit(60)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    def gen(sz: Long) = spark.range(sz)
+      .select(col("id").as("doc_id"), text.as("text")).localCheckpoint()
+    for (sz <- Seq(n / 100, n / 10, n)) { // small round = JIT warmup
+      val d = gen(sz)
+      val t1 = time(sink(RetrievalQueries.postingsIndexOf(d, 100)))
+      val t4 = time(sink(RetrievalQueries.postingsShards(d, 100, 4)))
+      println(f"[retrieval2] n=$sz%,d: index page=100 $t1%.1f s  " +
+        f"shards 4x100 $t4%.1f s (x${t4 / t1}%.2f)")
+    }
+    val nHosts = math.max(1000L, n / 50)
+    for (sz <- Seq(n / 100, n / 10, n)) {
+      val edges = spark.range(sz).select(
+          pmod(col("id"), lit(nHosts)).as("src"),
+          pmod(xxhash64(col("id") * 2654435761L + 17), lit(nHosts)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val sinky = edges.where(col("src") % 5 =!= 0).localCheckpoint()
+      val tFull = time(sink(GraphQueries.pagerank(edges, 3, 0.85, broadcastRanks = false)))
+      val tDang = time(sink(GraphQueries.pagerank(sinky, 3, 0.85, broadcastRanks = false)))
+      println(f"[retrieval2] edges=$sz%,d hosts=$nHosts%,d: pagerank $tFull%.1f s  " +
+        f"with-20%%-sinks $tDang%.1f s")
     }
   }
 
