@@ -685,6 +685,35 @@ object DocStream {
       }
   }
 
+  /** robots.txt gate over the frontier (RFC 9309 — the access-control
+    * half of politeness; [[politeFrontier]] is the rate half): drop URLs
+    * the host's robots rules disallow for `agent`. `robotsTxt` is a
+    * static (host, robots_txt) frame — the fetched robots corpus,
+    * hosts-sized, so this is a stream-static equi-join (broadcast when
+    * small, host-keyed shuffle at web scale — which also CLUSTERS each
+    * host's rows per task). Rules parse ONCE per (partition, host)
+    * through a per-partition memo ([[graft.ext.Robots]]; the
+    * expensive-init discipline) and evaluation is a map-side
+    * regex-prefix walk. Hosts absent from the corpus allow everything —
+    * fetch robots.txt when a host first appears, then gate. */
+  def robotsGate(spark: SparkSession, rows: Dataset[FrontierRow],
+      robotsTxt: DataFrame, agent: String = "*"): Dataset[FrontierRow] = {
+    import spark.implicits._
+    rows
+      .map(r => (graft.ext.Urls.host(r.url), r.url, r.first_doc))
+      .toDF("host", "url", "first_doc")
+      .join(robotsTxt.select(col("host"), col("robots_txt")), Seq("host"), "left")
+      .select(col("host"), col("url"), col("first_doc"), col("robots_txt"))
+      .as[(String, String, Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, graft.ext.Robots.Rules]
+        it.filter { case (host, url, _, txt) =>
+          memo.getOrElseUpdate(host, graft.ext.Robots.parse(txt, agent))
+            .permits(graft.ext.Robots.pathOf(url))
+        }.map { case (_, url, doc, _) => FrontierRow(url, doc) }
+      }
+  }
+
   final case class PoliteRow(host: String, url: String, first_doc: Long)
 
   /** Per-host politeness gate over the frontier — the rate budget a real

@@ -1535,4 +1535,48 @@ class ExtSpec extends AnyFunSuite {
     assert(Urls.resolve("https://h.example/page", "//proto.example/q") === None)
     assert(Urls.resolve("https://h.example/page", "mailto:x@y") === None)
   }
+
+  test("robots.txt: RFC 9309 group selection, wildcard/anchor rules, longest-match, ties") {
+    import graft.ext.Robots
+    val txt =
+      """# corpus-wide robots fixture
+        |User-agent: otherbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |User-agent: thirdbot
+        |Disallow: /private/
+        |Allow: /private/public$
+        |Disallow: /*.pdf$
+        |Allow: /
+        |
+        |User-agent: *
+        |Disallow: /tmp/
+        |""".stripMargin
+    val r = Robots.parse(txt, "graftbot")
+    assert(r.permits("/")) // Allow: /
+    assert(!r.permits("/private/x")) // Disallow /private/ (9) beats Allow / (1)
+    assert(r.permits("/private/public")) // anchored allow (16) beats /private/ (9)
+    assert(!r.permits("/private/public2")) // $ anchor misses, /private/ applies
+    assert(!r.permits("/docs/file.pdf")) // wildcard + anchor
+    assert(r.permits("/docs/file.pdfx")) // $ means END — falls through to Allow /
+    assert(r.permits("/tmp/x")) // the * group is NOT graftbot's group
+    // unknown agent gets the * group
+    val star = Robots.parse(txt, "unknownbot")
+    assert(!star.permits("/tmp/x") && star.permits("/other"))
+    // totality: empty/null bodies allow everything
+    assert(Robots.parse("", "g").permits("/anything"))
+    assert(Robots.parse(null, "g").permits("/x"))
+    // the classic allow-all idiom: empty Disallow matches nothing
+    assert(Robots.parse("User-agent: *\nDisallow:", "g").permits("/x"))
+    // equal-length tie: Allow wins (RFC 9309 §2.2.2)
+    val t = Robots.parse("User-agent: *\nAllow: /dir\nDisallow: /dir", "g")
+    assert(t.permits("/dir/x"))
+    // prefix-token agent match: group "graft" governs "graftbot"
+    val p = Robots.parse("User-agent: graft\nDisallow: /a\nUser-agent: *\nDisallow: /b", "graftbot")
+    assert(!p.permits("/a") && p.permits("/b"))
+    // pathOf
+    assert(Robots.pathOf("https://h.example/a/b?q=1") === "/a/b?q=1")
+    assert(Robots.pathOf("https://h.example") === "/")
+  }
 }

@@ -1378,6 +1378,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB === afterA + ("https://d.example/new" -> 5L))
   }
 
+  test("robotsGate: host rules filter the frontier stream; absent hosts allow") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val robots = Seq(
+      ("blocked.example", "User-agent: *\nDisallow: /"),
+      ("partial.example", "User-agent: *\nDisallow: /private/\nAllow: /private/ok$"))
+      .toDF("host", "robots_txt")
+    val stream = MemoryStream[(String, Long)]
+    val rows = stream.toDS()
+      .map(r => graft.streaming.DocStream.FrontierRow(r._1, r._2))
+    val q = graft.streaming.DocStream.robotsGate(spark, rows, robots, "graftbot")
+      .writeStream.format("memory").queryName("robots_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    stream.addData(
+      ("https://blocked.example/a", 1L),
+      ("https://partial.example/private/x", 2L),
+      ("https://partial.example/private/ok", 3L),
+      ("https://partial.example/pub", 4L),
+      ("https://open.example/x", 5L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("robots_sink").as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "https://partial.example/private/ok" -> 3L, // anchored Allow beats Disallow
+      "https://partial.example/pub" -> 4L,
+      "https://open.example/x" -> 5L)) // no robots row → allow
+  }
+
+  test("frontier on the RocksDB state store: same semantics, restart survival") {
+    // the web-scale form (SCALE.md §8.7): per-URL state off-heap in
+    // RocksDB — same first-seen election, state must survive a
+    // checkpointed restart exactly like the HDFS-backed default
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, String, String)]
+      val pages = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("url"),
+        col("_3").as("html"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_frontier_rdb_").toString
+      def runStage(name: String): Set[String] = {
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val q = graft.streaming.DocStream.frontier(spark, pages)
+          .writeStream.queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+                _: Long) => b.collect().foreach(r => buf.add(r.url))
+          }
+          .start()
+        try q.awaitTermination(60000) finally q.stop()
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toSet
+      }
+      stream.addData((1L, "https://r.example/p1",
+        """<a href="/one">a</a> <a href="/two">b</a>"""))
+      assert(runStage("frontier_rdb_1") ===
+        Set("https://r.example/one", "https://r.example/two"))
+      // restart over the same checkpoint: /one re-discovered (suppressed by
+      // RocksDB-persisted state), /three is new
+      stream.addData((2L, "https://r.example/p2",
+        """<a href="/one">a</a> <a href="/three">c</a>"""))
+      assert(runStage("frontier_rdb_2") === Set("https://r.example/three"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("frontier state survives a checkpointed restart") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
