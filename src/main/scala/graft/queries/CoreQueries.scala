@@ -234,7 +234,50 @@ object CoreQueries {
         every(col("a50") <= col("a95")).as("quantiles_monotone"))
   }
 
+  /** RJ1: point-in-interval RANGE JOIN — the join family's missing
+    * genus beside equi (q3), semi (q4), and as-of (as1): for every
+    * order date, how many lineitems were in transit (ship ≤ d ≤
+    * receipt; receipt derived deterministically as ship + 1..14 days
+    * so both engines build the same intervals). The naive form is a
+    * theta join (|dates| × |lineitem| comparisons — a cross product no
+    * optimizer saves at 100 TB). The scale form used here BUCKETIZES
+    * THE BOUNDED DIMENSION: each interval explodes into its covered
+    * day buckets (fan-out ≤ the 15-day transit bound, never
+    * data-dependent-unbounded), bucket-keyed partial counts collapse
+    * map-side, and the probe side equi-joins on its day — at day
+    * granularity the bucket IS the containment predicate, so no
+    * residual filter remains (a finer-grained probe keeps the original
+    * range predicate as a residual after the bucket equi-join, same
+    * plan shape). One uniform exchange on the day key; AQE broadcasts
+    * the ~2.4k distinct order dates. */
+  private val rj1RangeJoin = withOracle("rj1_range_join",
+    """WITH li AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship,
+      |         CAST(l_shipdate AS DATE)
+      |           + CAST((l_orderkey*7 + l_linenumber) % 14 + 1 AS INT) AS receipt
+      |  FROM lineitem),
+      |d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT strftime(d.od, '%Y-%m-%d') AS order_date,
+      |       CAST(count(li.ship) AS BIGINT) AS n_in_transit
+      |FROM d LEFT JOIN li ON li.ship <= d.od AND d.od <= li.receipt
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select(
+      to_date(col("l_shipdate")).as("ship"),
+      ((col("l_orderkey") * 7 + col("l_linenumber")) % 14 + 1).cast("int").as("days"))
+    val perDay = li
+      .select(explode(sequence(col("ship"), date_add(col("ship"), col("days"))))
+        .as("od"))
+      .groupBy("od").agg(count(lit(1)).as("n_in_transit"))
+    Tables(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("od")).distinct()
+      .join(perDay, Seq("od"), "left")
+      // string day on both engines — the q7 dtype discipline (DuckDB
+      // DATE arrives as pandas Timestamp, Spark DATE as date)
+      .select(date_format(col("od"), "yyyy-MM-dd").as("order_date"),
+        coalesce(col("n_in_transit"), lit(0L)).as("n_in_transit"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2TopK, q3Join, q4SemiJoin, q5RangeScan, q6Distinct, q7DateBucket, q8Window,
-    q9Percentile, q9PercentileApprox, q9ApproxInvariants)
+    q9Percentile, q9PercentileApprox, q9ApproxInvariants, rj1RangeJoin)
 }

@@ -263,6 +263,63 @@ object TextQueries {
         .as("redacted"))
   }
 
+  /** Luhn check-digit validity of a digit-string column — the verifier
+    * that separates a real card number from any 16-digit run (ISO/IEC
+    * 7812; the standard PII-scrub upgrade over pattern-only matching:
+    * ~90% of random digit runs fail it). Pure fold inside codegen. */
+  private def luhnValid(s: Column): Column = {
+    val rev = reverse(s)
+    val total = aggregate(sequence(lit(1), length(rev)), lit(0), (acc, j) => {
+      val d = rev.substr(j, lit(1)).cast("int")
+      acc + when(j % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    length(s) > 0 && total % 10 === 0
+  }
+
+  /** P2: credit-card PII with Luhn VERIFICATION — p1's detect-and-redact
+    * upgraded to detect → verify → conditionally redact: a 16-digit run
+    * is only PII when its check digit validates, so pattern-only
+    * scrubbing both over-redacts (order ids, hashes) and under-protects
+    * (no verification signal for triage). The fixture plants one
+    * deterministic 16-digit candidate per doc (valid for ~1 in 10 docs —
+    * validity COMPUTED, not planted, so both engines run the full
+    * verifier); detection is a real regex extract over the text.
+    * Map-only scan pass, RE2-safe pattern. */
+  private val p2PiiLuhn = withOracle("p2_pii_luhn",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         '4' || lpad(CAST((doc_id*37) % 1000000000 AS VARCHAR), 15, '0') AS cand,
+      |         text FROM documents),
+      |x AS (
+      |  SELECT doc_id, text || ' card ' || cand AS text,
+      |         regexp_extract(text || ' card ' || cand, '[0-9]{16}', 0) AS cc_found
+      |  FROM t),
+      |v AS (
+      |  SELECT doc_id, text, cc_found,
+      |         len(cc_found) > 0 AND
+      |         list_sum(list_transform(range(1, len(reverse(cc_found))+1), j ->
+      |           CASE WHEN j % 2 = 0 THEN
+      |             CASE WHEN CAST(reverse(cc_found)[j] AS INT)*2 > 9
+      |                  THEN CAST(reverse(cc_found)[j] AS INT)*2 - 9
+      |                  ELSE CAST(reverse(cc_found)[j] AS INT)*2 END
+      |           ELSE CAST(reverse(cc_found)[j] AS INT) END)) % 10 = 0 AS cc_valid
+      |  FROM x)
+      |SELECT doc_id, cc_found, cc_valid,
+      |       CASE WHEN cc_valid THEN replace(text, cc_found, '<CC>') ELSE text END
+      |         AS redacted
+      |FROM v""".stripMargin) { (s, dir) =>
+    val cand = concat(lit("4"),
+      lpad(((col("doc_id") * 37) % 1000000000).cast("string"), 15, "0"))
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(" card "), cand).as("text"))
+      .withColumn("cc_found", regexp_extract(col("text"), "[0-9]{16}", 0))
+      .withColumn("cc_valid", luhnValid(col("cc_found")))
+    t.select(col("doc_id"), col("cc_found"), col("cc_valid"),
+      when(col("cc_valid"), replace(col("text"), col("cc_found"), lit("<CC>")))
+        .otherwise(col("text")).as("redacted"))
+  }
+
   /** T7: rarity-weighted top terms per document — the tf-idf family with an
     * exact cross-engine weight (tf/df instead of tf·log(N/df): one IEEE
     * division is bit-deterministic across engines, `ln` is not). Corpus
@@ -902,6 +959,6 @@ object TextQueries {
     Seq(t1Tokens, t2Quality, t3LangId, t4DocFp, t5Gopher, t6Repetition, t7RareTerms,
       t8QualityGate, t9LmScore, t10C4Clean, t11Compression, t11Invariants, t12Unicode,
       fi1TopTerms, fi1TopTermsSketch, fi1SketchInvariants, bpe1Merges, bpe1Invariants,
-      tok1BpeTokens, tok1Invariants, p1PiiScrub, qc1LrQuality, qc1Invariants,
-      html1Extract)
+      tok1BpeTokens, tok1Invariants, p1PiiScrub, p2PiiLuhn, qc1LrQuality,
+      qc1Invariants, html1Extract)
 }

@@ -474,6 +474,14 @@ class PlanSpec extends AnyFunSuite {
       s"ii1's postings page must be a partial aggregate, not a full list:\n$p")
   }
 
+  test("rj1: range join runs as bucketized equi-join, never a nested-loop theta join") {
+    val p = plan("rj1_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rj1 must not theta-join (|dates| x |lineitem| comparisons):\n$p")
+    assert(p.contains("Generate explode"),
+      s"rj1's interval must explode into bounded day buckets:\n$p")
+  }
+
   test("ii3: multi-page shards keep ii1's single-exchange shape (pagination is map-side)") {
     val p = plan("ii3_postings_shards")
     val finalPlan = p.split("== Initial Plan ==").head

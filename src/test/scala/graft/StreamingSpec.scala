@@ -1406,6 +1406,32 @@ class StreamingSpec extends AnyFunSuite {
       "https://open.example/x" -> 5L)) // no robots row → allow
   }
 
+  test("frontier → robotsGate compose in ONE streaming query") {
+    // stateful first-seen election followed by the stateless
+    // stream-static robots join + map-side filter — one query, no
+    // intermediate sink needed
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val robots = Seq(("deny.example", "User-agent: *\nDisallow: /"))
+      .toDF("host", "robots_txt")
+    val stream = MemoryStream[(Long, String, String)]
+    val pages = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("url"),
+      col("_3").as("html"))
+    val out = graft.streaming.DocStream.robotsGate(spark,
+      graft.streaming.DocStream.frontier(spark, pages), robots, "graftbot")
+    val q = out.writeStream.format("memory").queryName("fr_gate_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    stream.addData((1L, "https://ok.example/p1",
+      """<a href="https://deny.example/x">a</a> <a href="/keep">b</a>"""))
+    q.processAllAvailable()
+    // re-discovery of the kept link stays suppressed by the frontier state
+    stream.addData((2L, "https://ok.example/p2", """<a href="/keep">b</a>"""))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fr_gate_sink").as[(String, Long)].collect().toMap
+    assert(got === Map("https://ok.example/keep" -> 1L))
+  }
+
   test("frontier on the RocksDB state store: same semantics, restart survival") {
     // the web-scale form (SCALE.md §8.7): per-URL state off-heap in
     // RocksDB — same first-seen election, state must survive a
