@@ -254,4 +254,49 @@ object Bpe {
     }
     out.toSeq
   }
+
+  /** Persist learned merge rules as the standard `merges.txt` artifact
+    * (the file every BPE consumer — tokenizers, serving fleets — loads:
+    * one `left right` pair per line, rank order; a `#version` header
+    * line, the huggingface/GPT-2 convention). Rules are the bounded
+    * driver-side training artifact (≤ vocab budget), so this is one
+    * atomic small-file write: tmp + rename, a torn write is never
+    * visible (the ShardIO discipline). Tokens never contain whitespace
+    * (words split on \s+), so the space separator is unambiguous. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[(String, String)], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try {
+      out.write("#version: graft-bpe-1\n".getBytes("UTF-8"))
+      rules.foreach { case (a, b) => out.write(s"$a $b\n".getBytes("UTF-8")) }
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"merges artifact rename failed: $tmp -> $p")
+  }
+
+  /** Load a `merges.txt` artifact back into the rule sequence
+    * [[encodeWords]] / [[bpeUnitCounts]] consume. Strict: a malformed
+    * line throws (a truncated artifact must fail loudly, never tokenize
+    * differently). */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.split("\n").iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"malformed merges line: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toSeq
+  }
 }

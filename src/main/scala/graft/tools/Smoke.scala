@@ -468,6 +468,20 @@ object Smoke {
         .start()
       q.awaitTermination(60000); q.stop()
       println(s"POLITE-FRONTIER: ${seen.get()} of 5 urls released (cap 2/host/trigger)")
+      // merges.txt artifact: write, read back, serve the loaded rules
+      val dict = spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.ext.TextAnalysis.words(col("text"))).as("w"))
+        .where(org.apache.spark.sql.functions.length(col("w")) > 0)
+        .groupBy("w").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val rules = graft.ext.Bpe.batchedMerges(dict, 16, 16).map(m => (m._2, m._3))
+      val mPath = java.nio.file.Files.createTempDirectory("smoke_merges_")
+        .toString + "/merges.txt"
+      graft.ext.Bpe.writeMerges(spark, rules, mPath)
+      val loaded = graft.ext.Bpe.readMerges(spark, mPath)
+      println(s"MERGES-ARTIFACT: ${loaded.size} rules round-tripped, " +
+        s"equal=${loaded == rules}")
     }
     spark.stop()
   }

@@ -324,6 +324,40 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merges artifact: write/read round-trip, encode parity, strictness") {
+    import org.apache.spark.sql.functions._
+    val dict = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rules = graft.ext.Bpe.merges(dict, 12).map(m => (m._2, m._3))
+    val root = java.nio.file.Files.createTempDirectory("graft_merges_").toString
+    val path = s"$root/merges.txt"
+    graft.ext.Bpe.writeMerges(spark, rules, path)
+    assert(graft.ext.Bpe.readMerges(spark, path) === rules)
+    // the loaded artifact tokenizes identically to the in-memory rules
+    val sample = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 10)
+      .select(col("doc_id"), graft.ext.TextAnalysis.words(col("text")).as("ws"))
+    val a = sample.select(graft.ext.Bpe.encodeWords(col("ws"), rules)).collect()
+    val b = sample.select(graft.ext.Bpe.encodeWords(col("ws"),
+      graft.ext.Bpe.readMerges(spark, path))).collect()
+    assert(a.toSeq === b.toSeq)
+    // re-write overwrites atomically (same content, no tmp leftovers)
+    graft.ext.Bpe.writeMerges(spark, rules, path)
+    assert(graft.ext.Bpe.readMerges(spark, path) === rules)
+    assert(!new java.io.File(root).listFiles().exists(_.getName.contains(".tmp-")))
+    // truncated artifact fails loudly, never tokenizes differently
+    // (written through the Hadoop FS so the checksum sidecar stays valid)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(hp, true)
+    try o.write("#version: graft-bpe-1\nab\n".getBytes("UTF-8")) finally o.close()
+    intercept[IllegalArgumentException] {
+      graft.ext.Bpe.readMerges(spark, path)
+    }
+  }
+
   test("bpe encode: column fold = reference application of the learned rules") {
     import org.apache.spark.sql.functions._
     val dict = spark.read.parquet(s"$sf/documents.parquet")
