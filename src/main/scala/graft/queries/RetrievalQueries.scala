@@ -156,6 +156,42 @@ object RetrievalQueries {
       maxPages: Int): org.apache.spark.sql.DataFrame =
     paginatePostings(postingsIndexOf(docs, page * maxPages), page)
 
+  /** FULL inverted index write — the unbounded regime past
+    * [[postingsShards]]' bounded pages: every (term, doc_id) pair lands
+    * range-partitioned by term and sorted by (term, doc_id) within each
+    * shard. Here the exchange is inherently corpus-sized (the index IS
+    * the corpus's distinct pairs), so the right shape is a
+    * repartitionByRange WRITE, not an aggregate: term-range shards give
+    * a serving reader partition pruning by term, and the within-shard
+    * sort gives parquet page-index pruning plus ready-merged posting
+    * runs. One exchange, no per-term state, no driver involvement. */
+  def fullIndexWrite(docs: org.apache.spark.sql.DataFrame, path: String,
+      shards: Int): Unit =
+    docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .repartitionByRange(shards, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.page.row.count.limit", 4096)
+      .parquet(path)
+
+  /** Serve conjunctive boolean retrieval from a [[fullIndexWrite]]
+    * artifact: the bounded term `isin` pushes into the term-sorted
+    * parquet (range shards prune, page indexes skip), then the same
+    * having-count AND as [[booleanAnd]] — the scan never touches text,
+    * only the matched terms' posting rows. */
+  def booleanAndFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(indexPath)
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === terms.size)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(k)
+
   /** Conjunctive boolean retrieval (docs containing ALL query terms) —
     * the posting-list intersection query an inverted index serves, in
     * its scan form: the bounded query-term set is a map-side `isin`

@@ -353,4 +353,35 @@ class ToolsSpec extends AnyFunSuite {
         Array("a", "b").map(org.apache.spark.unsafe.types.UTF8String.fromString))))
     assert(r.getInt(2) === 2)
   }
+
+  test("full postings index: range-sharded write, index-served boolean AND ≡ scan") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_fullidx_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWrite(docs, path, shards = 4)
+    // the artifact holds exactly the corpus's distinct (term, doc_id) pairs
+    val idx = spark.read.parquet(path)
+    val expectPairs = docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.ext.TextAnalysis.words(col("text")))).as("term"))
+    assert(idx.count() === expectPairs.count())
+    assert(idx.join(expectPairs, Seq("doc_id", "term"), "left_anti").isEmpty)
+    // index-served boolean AND answers exactly what the scan form answers
+    val terms = Seq("spark", "join")
+    val served = graft.queries.RetrievalQueries
+      .booleanAndFromIndex(spark, path, terms, 50)
+      .collect().map(_.getLong(0)).toSeq
+    val scanned = graft.queries.RetrievalQueries.booleanAnd(docs, terms, 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === scanned && served.nonEmpty)
+    // the serving scan PUSHES the term predicate into parquet
+    val plan = graft.queries.RetrievalQueries
+      .booleanAndFromIndex(spark, path, terms, 50)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
+      s"term isin must reach the parquet scan:\n$plan")
+  }
 }
