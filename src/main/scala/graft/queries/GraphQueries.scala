@@ -151,14 +151,15 @@ object GraphQueries {
     if (nN == 0) return nodes.select(col("h"), lit(0.0).as("pr"))
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("od")).localCheckpoint()
-    // sink nodes: in the node set but never a src — node-sized, computed
-    // once. hasSinks is one bounded scalar (the nN discipline): a
-    // sink-free graph — every fixture whose pages all carry outlinks —
-    // pays ZERO dangling overhead (no semi-join, no 1-row agg, no
-    // crossJoin per iteration)
-    val dangling = nodes.join(deg.select(col("src").as("h")), Seq("h"), "left_anti")
+    // sink detection is FREE: a sink exists iff fewer distinct srcs than
+    // nodes (both frames are already checkpointed; two bounded counts,
+    // no extra join) — a sink-free graph pays ZERO dangling overhead
+    val hasSinks = deg.count() < nN
+    // sink nodes: in the node set but never a src — node-sized, built
+    // only when they exist
+    lazy val dangling = nodes
+      .join(deg.select(col("src").as("h")), Seq("h"), "left_anti")
       .localCheckpoint()
-    val hasSinks = dangling.limit(1).count() > 0
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("pr"))
     for (_ <- 1 to iterations) {
