@@ -58,12 +58,19 @@ object Bench {
       // pk4 + its invariants gate row embed the same KMeans training
       // one-off as s3 (the serving-side scale path is s7's projection)
       "pk4_semantic_order", "pk4_layout_invariants",
-      // invariant VERIFICATION rows (r11): gate-only shapes — each
+      // invariant VERIFICATION rows (r11/r12): gate-only shapes — each
       // re-derives its operator's output through a deliberately
       // different, verification-grade plan (window re-rank, per-pair
-      // reconstruction identities), which no serving path runs
+      // reconstruction identities, brute re-derivations), which no
+      // serving path runs; several also embed the training one-offs
+      // (KMeans, LR descent, BPE rounds) their operators inherit
       "s2_lsh_invariants", "s6_quantize_invariants", "s8_pq_invariants",
       "rh4_quantile_invariants", "a3_hll_invariants",
+      "s3_ivf_invariants", "s7_assign_invariants", "q9_approx_invariants",
+      "pk4_adjacency_invariants", "mmd1_band_invariants", "mmd2_band_invariants",
+      "fi1_sketch_invariants", "ev5_sketch_invariants", "t11_ratio_invariants",
+      "qc1_score_invariants", "bpe1_merge_invariants", "sem1_cluster_invariants",
+      "pk5_bestfit_invariants",
       // tok1_unit_invariants retrains a BPE model inline (tok1's shape)
       "tok1_unit_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))

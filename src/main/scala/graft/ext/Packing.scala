@@ -125,4 +125,74 @@ object Packing {
         (least(col("__gend"), (col("block_id") + 1L) * blockSize)
           - col("block_id") * blockSize).as("seg_end"))
   }
+
+  /** BEST-FIT packing (Ding et al. 2024, "Fewer Truncations Improve
+    * Language Modeling"): instead of [[packOffsets]]' concatenate-and-
+    * split (which truncates documents at every block boundary), assign
+    * each document WHOLE to a bin of `capacity` tokens via best-fit-
+    * decreasing — the published padding/truncation reducer. Documents
+    * longer than the capacity are clipped to one full bin (the paper's
+    * pre-split; at a real context length almost nothing clips).
+    *
+    * Scale shape: exact FFD/BFD is inherently sequential, so the corpus
+    * shards deterministically (`pmod(xxhash64(id), shards)` — a uniform
+    * hash, never data order) and each shard packs independently inside
+    * ONE task: sort its slice by (tokens desc, id), best-fit via a
+    * remaining-capacity TreeMap (O(n log bins)), bin ids = shard·2³² +
+    * local index so ids never collide across shards. One exchange (the
+    * shard repartition); per-task state is a shard's doc-COUNT-sized
+    * bin table, no driver involvement. Sharding costs packing quality
+    * only at the margin: BFD's all-but-one-bin-over-half-full guarantee
+    * holds PER SHARD (pinned as a gate invariant), so total padding
+    * stays within shards/2 bins of the unsharded run.
+    *
+    * Output: (id, tokens, bin_id) — one row per doc, every doc assigned
+    * exactly once. Deterministic for fixed (corpus, capacity, shards). */
+  def bestFitBins(df: DataFrame, id: String, weight: Column,
+      capacity: Long, shards: Int = 64): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long").as("id"),
+        least(weight.cast("long"), lit(capacity)).as("tokens"),
+        pmod(xxhash64(col(id)), lit(shards.toLong)).cast("int").as("shard"))
+      .repartition(shards, col("shard"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        val docs = it.toArray
+        if (docs.isEmpty) Iterator.empty
+        else {
+          // several shards can share a task when shards > partitions;
+          // pack each independently so bin ids stay shard-scoped
+          docs.groupBy(_._3).iterator.flatMap { case (sh, ds) =>
+            val sorted = ds.sortBy { case (i, w, _) => (-w, i) }
+            // remaining capacity -> bin ids with that exact remainder
+            // (best fit = smallest remainder >= w; ties to the oldest bin)
+            val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
+            val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+            def place(rem: Long, bin: Int): Unit =
+              byRem.computeIfAbsent(rem, _ => new java.util.TreeSet[Int]()).add(bin)
+            def unplace(rem: Long, bin: Int): Unit = {
+              val s = byRem.get(rem); s.remove(bin)
+              if (s.isEmpty) byRem.remove(rem)
+            }
+            sorted.iterator.map { case (docId, w, _) =>
+              val e = byRem.ceilingEntry(w)
+              val bin =
+                if (e == null) { fills += 0L; fills.length - 1 }
+                else {
+                  val b = e.getValue.first()
+                  unplace(e.getKey, b); b
+                }
+              val rem = capacity - fills(bin) - w
+              fills(bin) += w
+              place(rem, bin)
+              (docId, w, sh.toLong * (1L << 32) + bin)
+            }
+          }
+        }
+      }
+      .toDF("id", "tokens", "bin_id")
+      .withColumnRenamed("id", id)
+  }
 }

@@ -369,6 +369,57 @@ object SamplingQueries {
           .as("semantic_adjacency_beats_hash_order"))
   }
 
+  /** PK5: BEST-FIT packing (Ding et al. 2024) — documents assigned WHOLE
+    * to capacity-bounded bins via sharded best-fit-decreasing
+    * ([[graft.ext.Packing.bestFitBins]]), the published reducer of the
+    * truncation pk1's concatenate-and-split inflicts at every block
+    * boundary. Iterative bin search isn't ANSI-expressible → rows-only;
+    * the invariants row pins the operator's contract, ExtSpec pins
+    * exact equality vs a plain-Scala textbook BFD and determinism. */
+  private val Pk5Capacity = 256L
+  private val Pk5Shards = 8
+  private def pk5Bins(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.bestFitBins(
+      Tables(s, dir, "documents"), "doc_id",
+      size(graft.ext.TextAnalysis.words(col("text"))), Pk5Capacity, Pk5Shards)
+
+  private val pk5BestFit = rowsOnly("pk5_bestfit") { (s, dir) => pk5Bins(s, dir) }
+
+  /** PK5's ORACLE-CHECKED companion: the assignment is iterative, the
+    * CONTRACT is not —
+    *   - totality: every document lands in exactly one bin;
+    *   - clipping: each row's token count is exactly
+    *     min(true whitespace count, capacity), re-derived from the text;
+    *   - capacity: no bin's fill exceeds the capacity;
+    *   - the BFD quality theorem, PER SHARD: at most one bin is ≤ half
+    *     full (two such bins would have been merged by best-fit) — the
+    *     bound that keeps sharded packing within shards/2 bins of the
+    *     sequential run. */
+  private val pk5Invariants = withOracle("pk5_bestfit_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       TRUE AS assignment_total,
+      |       TRUE AS tokens_clipped,
+      |       TRUE AS bins_within_capacity,
+      |       TRUE AS halffull_bound_per_shard
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val bins = pk5Bins(s, dir).localCheckpoint()
+    val truth = Tables(s, dir, "documents").select(col("doc_id"),
+      least(size(graft.ext.TextAnalysis.words(col("text"))).cast("long"),
+        lit(Pk5Capacity)).as("want_tokens"))
+    val doc = bins.join(truth, Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("n_docs"),
+        every(col("bin_id").isNotNull && col("want_tokens").isNotNull)
+          .as("assignment_total"),
+        every(col("tokens") === col("want_tokens")).as("tokens_clipped"))
+    val perBin = bins.groupBy("bin_id").agg(sum(col("tokens")).as("fill"))
+    val cap = perBin.agg(every(col("fill") <= Pk5Capacity).as("bins_within_capacity"))
+    val half = perBin
+      .groupBy((col("bin_id") / lit(1L << 32)).cast("long").as("shard"))
+      .agg(sum((col("fill") * 2 <= Pk5Capacity).cast("long")).as("n_under"))
+      .agg(every(col("n_under") <= 1).as("halffull_bound_per_shard"))
+    doc.crossJoin(broadcast(cap)).crossJoin(broadcast(half))
+  }
+
   /** SH1: deterministic epoch shuffle — each document's position in the
     * pseudo-random training order for seed "ep1", a pure function of
     * (corpus, seed): reruns, engines, and any partitioning produce THE
@@ -588,6 +639,6 @@ object SamplingQueries {
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
       pk2LengthBuckets, pk3BlockManifest, pk4SemanticOrder, pk4LayoutInvariants,
-      pk4AdjacencyInvariants,
+      pk4AdjacencyInvariants, pk5BestFit, pk5Invariants,
       sh1Shuffle, sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

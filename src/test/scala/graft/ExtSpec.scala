@@ -1570,6 +1570,51 @@ class ExtSpec extends AnyFunSuite {
     assert(Urls.resolve("https://h.example/page", "mailto:x@y") === None)
   }
 
+  test("best-fit packing: ≡ textbook BFD per shard, deterministic, capacity-safe") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cap = 256L
+    // shards=1 → the whole corpus through ONE sequential BFD: must equal
+    // the plain-Scala textbook run bin-for-bin
+    val got = graft.ext.Packing.bestFitBins(docs, "doc_id",
+        size(graft.ext.TextAnalysis.words(col("text"))), cap, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val weights = docs.select(col("doc_id"),
+        least(size(graft.ext.TextAnalysis.words(col("text"))).cast("long"), lit(cap)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def refBfd(ds: Seq[(Long, Long)]): Map[Long, Long] = {
+      val sorted = ds.sortBy { case (i, w) => (-w, i) }
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.map { case (i, w) =>
+        // best fit: smallest remaining >= w; oldest bin on ties
+        val cands = fills.zipWithIndex.filter { case (f, _) => cap - f >= w }
+        val bin =
+          if (cands.isEmpty) { fills += 0L; fills.length - 1 }
+          else cands.minBy { case (f, b) => (cap - f - w, b) }._2
+        fills(bin) += w
+        i -> bin.toLong
+      }.toMap
+    }
+    val want = refBfd(weights)
+    assert(got.map(r => r._1 -> r._3).toMap === want)
+    // sharded run: deterministic, total, capacity-safe, BFD bound per shard
+    def run() = graft.ext.Packing.bestFitBins(docs, "doc_id",
+        size(graft.ext.TextAnalysis.words(col("text"))), cap, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = run()
+    assert(a === run(), "determinism across runs")
+    assert(a.map(_._1).distinct.size === weights.length, "every doc exactly once")
+    val fills = a.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._2).sum }
+    assert(fills.values.forall(_ <= cap))
+    fills.groupBy(_._1 >> 32).foreach { case (sh, bins) =>
+      assert(bins.values.count(_ * 2 <= cap) <= 1,
+        s"shard $sh: more than one under-half bin (BFD bound)")
+    }
+    // the raison d'être: fewer bins than pk1's truncating block count is
+    // not guaranteed, but padding waste must beat NAIVE one-doc-per-bin
+    assert(fills.size < weights.length)
+  }
+
   test("robots.txt: RFC 9309 group selection, wildcard/anchor rules, longest-match, ties") {
     import graft.ext.Robots
     val txt =
