@@ -83,6 +83,10 @@ object Diag {
       retrieval2Scale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("pack")) {
+      packScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("graph")) {
       graphScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L),
         args.lift(2).map(_.toLong).getOrElse(1_000_000L))
@@ -224,6 +228,25 @@ object Diag {
         f"postings $tIi%.1f s (${sz / tIi / 1e6}%.2f M docs/s)  " +
         f"phrase $tPp%.1f s (${sz / tPp / 1e6}%.2f M docs/s)  " +
         f"served-bm25 $tSv%.1f s (${sz / tSv / 1e6}%.2f M docs/s)")
+    }
+  }
+
+  /** Best-fit packing at synthetic scale: bestFitBins over n docs with
+    * realistic token-length spread (lognormal-ish via hash mixing),
+    * capacity 8192, shards scaled so each task's sequential BFD stays
+    * ~n/shards docs. Cost model: one shard exchange + per-task
+    * O(k log bins) TreeMap packing — should scale linearly in docs. */
+  private def packScale(spark: SparkSession, n: Long): Unit = {
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    for (sz <- Seq(n / 100, n / 10, n)) { // small round = JIT warmup
+      val shards = math.max(64, (sz / 200000).toInt)
+      val docs = spark.range(sz).select(col("id").as("doc_id"),
+          (pmod(xxhash64(col("id") * 31 + 7), lit(2000)) + 50).as("tokens"))
+        .localCheckpoint()
+      val t = time(graft.ext.Packing
+        .bestFitBins(docs, "doc_id", col("tokens"), 8192L, shards)
+        .write.format("noop").mode("overwrite").save())
+      println(f"[pack] n=$sz%,d shards=$shards: bestfit $t%.1f s (${sz / t / 1e6}%.2f M docs/s)")
     }
   }
 
