@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF(+int8) ANN serving index — the artifact rung past the
+  * inline train-per-query stages in [[graft.queries.SimilarityQueries]]:
+  * train ONCE, write the codebook + cell-partitioned codes, and let every
+  * subsequent query read only its probed cells. (Reference anchor: the
+  * in-memory series index snapshot+reload pattern, clickhouse.go:155-204
+  * — the same build-an-artifact-then-serve shape, here for vectors.)
+  *
+  * Layout under `path`:
+  *   centroids/            (cell INT, cv ARRAY<DOUBLE>) — nlist rows
+  *   codes/cell=N/…        (vec_id, embedding, mn, mx, codes) — the corpus,
+  *                         DIRECTORY-partitioned by IVF cell
+  *   _INDEX_SUCCESS        commit marker, written LAST
+  *
+  * Scale shape:
+  *  - The build is one KMeans pass (a bounded one-off; at 100 TB train on
+  *    a sample — centroid quality is statistical, not per-row) plus ONE
+  *    corpus exchange: the cell repartition that becomes the directory
+  *    layout. Files are written cell-sorted by vec_id under zstd, so the
+  *    artifact's bytes are deterministic for a fixed (corpus, nlist, seed).
+  *  - SERVING an nprobe query reads ONLY the probed cells' directories —
+  *    partition pruning, pinned in PlanSpec — and inside them the int8
+  *    code columns are ¼ the bytes of the float array for a candidate
+  *    stage that never touches full precision (s6's discipline; the
+  *    `embedding` column is read only for the bounded re-rank set).
+  *  - Each table write is an independent Spark parquet job (its own
+  *    `_SUCCESS`); the artifact SET commits atomically via the final
+  *    `_INDEX_SUCCESS` marker (tmp + rename, the merges.txt discipline),
+  *    so [[committed]] never admits a half-built index and a rebuild in
+  *    place is observable only at marker flip.
+  *
+  * The int8 columns are exactly s4's oracle-checked quantization (per-
+  * vector min/max affine, ties-away-from-zero) so a reader can mix served
+  * and inline stages bit-for-bit.
+  */
+object AnnIndex {
+
+  /** Train centroids on `embeddings` (vec_id, embedding ARRAY<FLOAT>) and
+    * write the full artifact set under `path`. Returns the centroid
+    * arrays (cell-ordered) so a caller composing build+serve in one job
+    * skips the re-read. */
+  def write(spark: SparkSession, embeddings: DataFrame, path: String,
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 5): Seq[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false) // rebuild: uncommit first
+
+    val e = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(e)
+    val cents = model.clusterCenters.map(_.toArray).toSeq
+
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "cv")
+      .coalesce(1).sortWithinPartitions("cell")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/centroids")
+
+    // cell assignment at build time (the model's own transform — identical
+    // to the inline s3 assignment); int8 codes are s4's exact formula
+    val v = transform(col("embedding"), _.cast("double"))
+    model.transform(e)
+      .select(col("vec_id"), col("embedding"),
+        col("prediction").cast("int").as("cell"), v.as("v"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"), col("v"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        col("mn"), col("mx"),
+        transform(col("v"), x =>
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0)
+              .cast("int"))).as("codes"))
+      .repartition(nlist, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell")
+      .option("compression", "zstd")
+      .parquet(s"$path/codes")
+
+    // commit marker LAST — tmp + rename so a crash mid-build never leaves
+    // a committed-looking artifact, and readers flip atomically
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/._INDEX_SUCCESS.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"nlist=$nlist seed=$seed\n".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"index commit rename failed: $tmp -> $marker")
+    }
+    cents
+  }
+
+  /** True iff a [[write]] completed — the only state a consumer may read. */
+  def committed(spark: SparkSession, path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
+  /** The codebook, cell-ordered — nlist rows, a driver-side read exactly
+    * like the inline stages' in-memory centroid literal. */
+  def readCentroids(spark: SparkSession, path: String): Seq[Array[Double]] = {
+    require(committed(spark, path), s"ANN index at $path is not committed")
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+      .toSeq
+  }
+
+  /** The cell-partitioned coded corpus. Filter on `cell` BEFORE anything
+    * else — that predicate is what prunes to the probed directories. */
+  def readCodes(spark: SparkSession, path: String): DataFrame = {
+    require(committed(spark, path), s"ANN index at $path is not committed")
+    spark.read.parquet(s"$path/codes")
+  }
+}

@@ -260,9 +260,15 @@ object Bpe {
     * one `left right` pair per line, rank order; a `#version` header
     * line, the huggingface/GPT-2 convention). Rules are the bounded
     * driver-side training artifact (≤ vocab budget), so this is one
-    * atomic small-file write: tmp + rename, a torn write is never
-    * visible (the ShardIO discipline). Tokens never contain whitespace
-    * (words split on \s+), so the space separator is unambiguous. */
+    * small-file write: tmp + rename, so a torn write is never visible
+    * (the ShardIO discipline). On local/POSIX filesystems rename
+    * REPLACES an existing target atomically, so overwrite publication
+    * has no missing-file window; on filesystems that reject
+    * rename-over-existing (HDFS) we fall back to delete-then-rename,
+    * which has a brief not-found window for concurrent readers — there
+    * the artifact is replaced, never torn. A failed rename cleans up
+    * its tmp file. Tokens never contain whitespace (words split on
+    * \s+), so the space separator is unambiguous. */
   def writeMerges(spark: org.apache.spark.sql.SparkSession,
       rules: Seq[(String, String)], path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -270,14 +276,25 @@ object Bpe {
     fs.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
     try {
-      out.write("#version: graft-bpe-1\n".getBytes("UTF-8"))
-      rules.foreach { case (a, b) => out.write(s"$a $b\n".getBytes("UTF-8")) }
-    } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"merges artifact rename failed: $tmp -> $p")
+      val out = fs.create(tmp, true)
+      try {
+        out.write("#version: graft-bpe-1\n".getBytes("UTF-8"))
+        rules.foreach { case (a, b) => out.write(s"$a $b\n".getBytes("UTF-8")) }
+      } finally out.close()
+      // try rename-in-place first: local File.renameTo replaces the target
+      // atomically, keeping the artifact continuously readable. Only when
+      // the FS rejects rename-over-existing (HDFS) delete-then-rename.
+      if (!fs.rename(tmp, p)) {
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"merges artifact rename failed: $tmp -> $p")
+      }
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw e
+    }
   }
 
   /** Load a `merges.txt` artifact back into the rule sequence

@@ -153,8 +153,13 @@ object Packing {
     require(capacity > 0 && shards > 0)
     val spark = df.sparkSession
     import spark.implicits._
+    // least() skips NULLs (SQL semantics): an unguarded NULL weight would
+    // silently become tokens=capacity — a whole bin per NULL doc — and the
+    // tokens_clipped gate invariant re-derives through the same least(),
+    // so it could never catch it. NULL/negative weights count as 0.
     df.select(col(id).cast("long").as("id"),
-        least(weight.cast("long"), lit(capacity)).as("tokens"),
+        least(greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)),
+          lit(capacity)).as("tokens"),
         pmod(xxhash64(col(id)), lit(shards.toLong)).cast("int").as("shard"))
       .repartition(shards, col("shard"))
       .as[(Long, Long, Int)]

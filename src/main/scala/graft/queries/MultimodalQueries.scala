@@ -155,7 +155,104 @@ object MultimodalQueries {
     (org.apache.spark.sql.SparkSession, String),
     (org.apache.spark.sql.DataFrame, Long)]()
 
-  private val mmd1ImageNearDup = rowsOnly("mmd1_image_neardup") { (s, dir) =>
+  /** The t4 macro set (overflow-safe u64 arithmetic + splitmix64) shared
+    * by the mmd1/mmd2 DIRECT oracles below. */
+  private val u64Macros =
+    """CREATE OR REPLACE MACRO graft_u64(x) AS
+      |  CAST(CAST(x AS HUGEINT) % 18446744073709551616 AS UBIGINT);
+      |CREATE OR REPLACE MACRO graft_mulmod(a, bhi, blo) AS graft_u64(
+      |  (CAST(a AS HUGEINT) * blo) % 18446744073709551616 +
+      |  ((CAST(a AS HUGEINT) * bhi) % 4294967296) * 4294967296);
+      |CREATE OR REPLACE MACRO graft_mix1(x) AS
+      |  graft_u64(CAST(x AS HUGEINT) + 11400714819323198485);
+      |CREATE OR REPLACE MACRO graft_mix2(x) AS
+      |  graft_mulmod(xor(x, x >> 30), 3210233709, 484763065);
+      |CREATE OR REPLACE MACRO graft_mix3(x) AS
+      |  graft_mulmod(xor(x, x >> 27), 2496678331, 321982955);
+      |CREATE OR REPLACE MACRO graft_smix(x) AS
+      |  xor(graft_mix3(graft_mix2(graft_mix1(x))),
+      |      graft_mix3(graft_mix2(graft_mix1(x))) >> 31);""".stripMargin
+
+  /** The banded-pair tail shared by both direct oracles: 4×16-bit band
+    * equi-join + popcount Hamming ≤ 3, canonical distinct pairs — the
+    * exact [[dHashPairs]] contract, re-stated over a `h(doc_id, hash_u)`
+    * CTE the caller provides. */
+  private def bandedPairsSql(maxHamming: Int) =
+    s"""banded AS (
+       |  SELECT doc_id, hash_u, b.b AS band,
+       |         CAST((hash_u >> CAST(b.b * 16 AS INT)) % 65536 AS INT) AS key
+       |  FROM h, (SELECT unnest(range(4)) AS b) b),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.hash_u, c.hash_u)) AS INT) AS hamming
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+       |  WHERE a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHamming""".stripMargin
+
+  /** mmd1's DIRECT oracle (r13, upgraded from rows-only + invariants):
+    * the dHash of the planted PNG fixture is a deterministic pure
+    * function of doc_id, so DuckDB recomputes it END-TO-END — the block
+    * texture via splitmix64, the 3 sequential clamped ±4 ripple pixels,
+    * the bilinear 9×8 downscale (empirically pinned: each destination
+    * sample is round-half-up of the mean of the four source pixels at
+    * (4x+1..4x+2, 4y+1..4y+2) — all four share the block value, so only
+    * ripple pixels with coords ≡1,2 (mod 4) perturb a sample; verified
+    * hash-exact against javax.imageio+Java2D for every doc at sf0.01 AND
+    * sf0.1, including every round-tie case), the 64 gradient bits, and
+    * the same banded pair join. The Spark side still decodes REAL PNG
+    * bytes — the oracle derives from generation parameters (the mm2
+    * round-trip discipline, here through two codecs and a resampler). */
+  private val mmd1ImageNearDup = withOracle("mmd1_image_neardup",
+    s"""$u64Macros
+       |CREATE OR REPLACE MACRO graft_png_g(family, x, y) AS
+       |  CAST(graft_smix(CAST(family AS HUGEINT) * 1000003 + x + y * 16) % 256 AS INT);
+       |CREATE OR REPLACE MACRO graft_clamp8(v) AS least(255, greatest(0, v));
+       |WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS family,
+       |         CASE WHEN doc_id % 2 = 0 THEN 4 ELSE -4 END AS dd
+       |  FROM documents),
+       |rip AS (  -- the 3 sequential ripple pixel positions of a copy doc
+       |  SELECT doc_id,
+       |         list_transform(range(3), k -> CAST(
+       |           graft_smix(CAST(doc_id AS HUGEINT) * 31 + k)
+       |             % 2147483648 % 1152 AS INT)) AS rp
+       |  FROM d WHERE doc_id >= 50),
+       |rvals AS (  -- final value of each DISTINCT rippled pixel after the
+       |            -- sequential clamped ±4 fold (a pixel can ripple twice)
+       |  SELECT r.doc_id, t.p,
+       |         graft_clamp8(
+       |           graft_clamp8(
+       |             graft_clamp8(
+       |               graft_png_g(d.family, (t.p % 36) // 4, (t.p // 36) // 4)
+       |               + CASE WHEN r.rp[1] = t.p THEN d.dd ELSE 0 END)
+       |             + CASE WHEN r.rp[2] = t.p THEN d.dd ELSE 0 END)
+       |           + CASE WHEN r.rp[3] = t.p THEN d.dd ELSE 0 END) AS vfinal,
+       |         graft_png_g(d.family, (t.p % 36) // 4, (t.p // 36) // 4) AS g
+       |  FROM rip r JOIN d USING (doc_id), unnest(list_distinct(r.rp)) AS t(p)),
+       |deltas AS (  -- ripples landing inside a sampled 2x2 sub-window
+       |  SELECT doc_id, (p % 36) // 4 AS wx, (p // 36) // 4 AS wy,
+       |         SUM(vfinal - g) AS delta
+       |  FROM rvals
+       |  WHERE (p % 36) % 4 IN (1, 2) AND ((p // 36) % 4) IN (1, 2)
+       |  GROUP BY ALL),
+       |grid AS (  -- the 9x8 downscaled luma, round-half-up of the window mean
+       |  SELECT d.doc_id, xy.x, xy.y,
+       |         CAST(round((4 * graft_png_g(d.family, xy.x, xy.y)
+       |                     + coalesce(dl.delta, 0)) / 4.0) AS INT) AS s
+       |  FROM d
+       |  CROSS JOIN (SELECT a.x, b.y FROM (SELECT unnest(range(9)) AS x) a,
+       |              (SELECT unnest(range(8)) AS y) b) xy
+       |  LEFT JOIN deltas dl ON dl.doc_id = d.doc_id AND dl.wx = xy.x AND dl.wy = xy.y),
+       |cells AS (
+       |  SELECT doc_id, list(s ORDER BY y, x) AS cs FROM grid GROUP BY doc_id),
+       |h AS (  -- MSB-first gradient bits, row-major
+       |  SELECT doc_id,
+       |         graft_u64(list_sum(list_transform(range(64), i ->
+       |           CASE WHEN cs[(i // 8) * 9 + (i % 8) + 1] > cs[(i // 8) * 9 + (i % 8) + 2]
+       |                THEN CAST(1 AS HUGEINT) << CAST(63 - i AS INT)
+       |                ELSE CAST(0 AS HUGEINT) END))) AS hash_u
+       |  FROM cells),
+       |${bandedPairsSql(3)}""".stripMargin) { (s, dir) =>
     import s.implicits._
     // PERSIST the hash table before the band self-join: both join sides
     // read it, and without the persist each side re-runs the decode +
@@ -183,7 +280,45 @@ object MultimodalQueries {
     * rows-only with the ExtSpec brute-force parity anchor. Scale shape
     * identical to mmd1: one narrow (doc_id, hash) frame, four equi-joins
     * on 16-bit keys — bucketed candidates, never an all-pairs cross. */
-  private val mmd2AudioNearDup = rowsOnly("mmd2_audio_neardup") { (s, dir) =>
+  /** mmd2's DIRECT oracle (r13, mmd1's upgrade for sound): the WAV
+    * fixture's windows are square waves of constant amplitude aligned
+    * exactly with the fingerprint's 65 energy windows (wlen=100,
+    * n=6500 ⇒ window w covers samples [100w, 100w+100)), so each
+    * window's L1 energy is 100·⌊amp⌋ and the 64 comparison bits reduce
+    * to ⌊amp_k⌋ > ⌊amp_{k+1}⌋ — amp = (base [· 1.02|0.98 on the rippled
+    * window]) · gain in IEEE double, identical arithmetic on both
+    * engines (verified hash-exact against the real javax.sound decode
+    * for every doc at sf0.01 AND sf0.1). Banded pairs as mmd1. */
+  private val mmd2AudioNearDup = withOracle("mmd2_audio_neardup",
+    s"""$u64Macros
+       |WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS family,
+       |         CASE WHEN doc_id % 2 = 0 THEN 1.02 ELSE 0.98 END AS rf,
+       |         CASE WHEN doc_id >= 50
+       |              THEN 1.0 + ((doc_id % 16) + 1) / 200.0 ELSE 1.0 END AS gain,
+       |         CASE WHEN doc_id >= 50
+       |              THEN CAST(graft_smix(CAST(doc_id AS HUGEINT) * 17 + 3)
+       |                        % 2147483648 % 65 AS BIGINT)
+       |              ELSE -1 END AS ripple
+       |  FROM documents),
+       |env AS (  -- per-window floor(amplitude); energy = 100x this, so
+       |          -- comparisons are unchanged
+       |  SELECT doc_id,
+       |         list_transform(range(65), w ->
+       |           floor((CASE WHEN w = ripple
+       |                       THEN (CAST(graft_smix(CAST(family AS HUGEINT) * 1000003 + w)
+       |                                  % 16384 AS DOUBLE) + 256.0) * rf
+       |                       ELSE CAST(graft_smix(CAST(family AS HUGEINT) * 1000003 + w)
+       |                                 % 16384 AS DOUBLE) + 256.0 END) * gain)) AS es
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id,
+       |         graft_u64(list_sum(list_transform(range(64), k ->
+       |           CASE WHEN es[k + 1] > es[k + 2]
+       |                THEN CAST(1 AS HUGEINT) << CAST(63 - k AS INT)
+       |                ELSE CAST(0 AS HUGEINT) END))) AS hash_u
+       |  FROM env),
+       |${bandedPairsSql(3)}""".stripMargin) { (s, dir) =>
     import s.implicits._
     val hashes = graft.queries.DedupQueries.memoizedPersisted(audioHashCache, s, dir) {
       Multimodal.asNearDupAudio(s, dir)

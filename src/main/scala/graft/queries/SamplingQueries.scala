@@ -336,6 +336,55 @@ object SamplingQueries {
         col("within_cell_hash_order"))
   }
 
+  /** PK4's FULL-ORDERING companion (r13, closing the ladder's last rung):
+    * the layout row above takes pk4's cell column as given — this row
+    * re-derives the ENTIRE ordering from the frozen centroids through an
+    * independent path and proves positional equality doc-for-doc:
+    *   - assignment: the same seeded training's centroids, but the cell
+    *     re-computed via the explode + groupBy-argmin formulation (s7's
+    *     independent check — different operator tree, same lowest-cell
+    *     tie-break) instead of model.transform;
+    *   - ordering: ONE global sort rank over (cell, md5, doc_id) instead
+    *     of pk4's base-offset + per-cell window composition. A global
+    *     window is a deliberate verification-grade plan (single ordered
+    *     pass; the serving operator keeps its partitioned form) — this
+    *     row is bench-excluded like every invariants re-derivation.
+    * KMeans training itself stays out of the oracle (not
+    * ANSI-expressible); everything downstream of the frozen centroids is
+    * algebra, reduced to DuckDB-derivable counts + TRUE. */
+  private val pk4OrderInvariants = withOracle("pk4_order_invariants",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       TRUE AS assignment_is_argmin,
+      |       TRUE AS full_order_reproduced
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5).fit(e)
+    val cents = model.clusterCenters.map(_.toArray).toSeq
+    val centFrame = explode(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("cell"), array(c.toIndexedSeq.map(lit): _*).as("cv"))
+    }: _*)).as("ct")
+    val want = e
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), _.cast("double")).as("v"), centFrame)
+      .select(col("doc_id"), col("ct.cell").as("cell"),
+        aggregate(zip_with(col("v"), col("ct.cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("d2"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell_w"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(
+      col("cell_w"), md5(concat(lit("pk4:"), col("doc_id").cast("string"))),
+      col("doc_id"))
+    val wantPos = want.withColumn("pos_w", row_number().over(wAll) - 1)
+    val got = pk4SemanticOrder.fn(s, dir)
+    got.join(wantPos, Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("n_docs"),
+        every(col("cell") === col("cell_w")).as("assignment_is_argmin"),
+        every(col("pos") === col("pos_w")).as("full_order_reproduced"))
+  }
+
   /** PK4's RAISON-D'ÊTRE as a gate row (completing the layout-invariants
     * ladder): adjacent documents under the semantic order must be more
     * similar on average than under a content-blind hash order — the
@@ -639,6 +688,6 @@ object SamplingQueries {
   val all: Seq[QueryDef] =
     Seq(sm1Stratified, sm2Quota, sp1Split, sp2FamilySplit, pk1Pack,
       pk2LengthBuckets, pk3BlockManifest, pk4SemanticOrder, pk4LayoutInvariants,
-      pk4AdjacencyInvariants, pk5BestFit, pk5Invariants,
+      pk4OrderInvariants, pk4AdjacencyInvariants, pk5BestFit, pk5Invariants,
       sh1Shuffle, sm3Temperature, sm4TokenBudget, sm5Dsir)
 }

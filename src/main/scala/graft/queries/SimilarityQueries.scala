@@ -208,13 +208,7 @@ object SimilarityQueries {
     val centers = model.clusterCenters.map(_.toArray).toSeq
     val qRows = e.where(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).collect()
-    val probes = qRows.toSeq.flatMap { r =>
-      val qv = r.getSeq[Float](1).toArray
-      def dist(c: Array[Double]): Double =
-        c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
-      centers.zipWithIndex.sortBy(p => dist(p._1)).take(S3Nprobe)
-        .map { case (_, cell) => (r.getLong(0), cell) }
-    }
+    val probes = probeSet(qRows, centers, S3Nprobe)
     import s.implicits._
     val probeDf = probes.toDF("query_id", "cell")
     val queries = e.where(col("vec_id") < NQueries)
@@ -275,9 +269,13 @@ object SimilarityQueries {
           (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d2"))
       .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= S3Nprobe)
       .select(col("query_id"), col("cell"))
+    // expected count derives from the ACTUAL number of queries (corpora
+    // with < NQueries embeddings yield fewer), mirroring the oracle's
+    // least(count(*), NQueries): a full-outer row count equal to
+    // queries×nprobe means the two nprobe-sets coincide exactly
     val probeDisagree = probeDf.withColumn("cell", col("cell").cast("long"))
       .join(wantProbes, Seq("query_id", "cell"), "full_outer")
-      .agg((count(lit(1)) === lit(NQueries.toLong * S3Nprobe))
+      .agg((count(lit(1)) === countDistinct(col("query_id")) * lit(S3Nprobe.toLong))
         .as("probes_are_nprobe_nearest"))
     val got = s3Ivf.fn(s, dir)
     val cands = candidates
@@ -864,8 +862,107 @@ object SimilarityQueries {
       .select(col("src_id"), col("tgt_id"), round(col("margin"), 4).as("margin"))
   }
 
+  /** nprobe nearest centroids per collected query row (rows are
+    * (id: Long, embedding: Seq[Float])) — ONE definition shared by the
+    * inline s3 stage and the artifact-served s10 path, so their probe
+    * sets are definitionally identical (same Float→Double widening, same
+    * stable sort with centroid-order tie-break). */
+  private[graft] def probeSet(qRows: Array[org.apache.spark.sql.Row],
+      centers: Seq[Array[Double]], nprobe: Int): Seq[(Long, Int)] =
+    qRows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray
+      def dist(c: Array[Double]): Double =
+        c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+      centers.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe)
+        .map { case (_, cell) => (r.getLong(0), cell) }
+    }
+
+  /** S10 serving kernel: answer an s3-shaped nprobe cosine top-k from a
+    * committed [[graft.ext.AnnIndex]] artifact — the persisted-index rung
+    * past s3's inline train-per-query. The codebook is a driver-side
+    * nlist-row read; the corpus scan touches ONLY the probed cells'
+    * directories (`cell` is the artifact's partition column, so the
+    * bounded isin prunes at the directory level — PlanSpec-pinned); the
+    * probe map and query vectors broadcast into it; ranking is the same
+    * bounded [[perQueryTopK]] every ANN stage uses. Zero training, zero
+    * corpus-keyed shuffle — at 100 TB a query costs nprobe/nlist of one
+    * cell-pruned scan. */
+  private[graft] def ivfServedTopK(s: SparkSession, indexPath: String,
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val centers = graft.ext.AnnIndex.readCentroids(s, indexPath)
+    val qRows = queries.select(col("query_id"), col("qv")).collect()
+    val probes = probeSet(qRows, centers, nprobe)
+    val probeDf = probes.toDF("query_id", "cell")
+    val cells = probes.map(_._2).distinct.sorted
+    val codes = graft.ext.AnnIndex.readCodes(s, indexPath)
+      .where(col("cell").isin(cells: _*)) // directory-level partition pruning
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val candidates = codes
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .where(col("query_id") =!= col("vec_id"))
+    perQueryTopK(
+      candidates.withColumn("cos_full", cosine_sim(col("qv"), col("embedding"))),
+      col("cos_full"), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cos"))
+  }
+
+  /** Build-once artifact cache keyed by corpus dir: the index build is a
+    * write-side one-off (s3's bench-excluded training category), so gate
+    * and bench calls after the first measure pure SERVING — which is the
+    * point of the artifact. Process-scoped temp dirs. */
+  private val indexCache = scala.collection.mutable.Map.empty[String, String]
+  private[graft] def servedIndexFor(s: SparkSession, dir: String): String =
+    indexCache.synchronized {
+      indexCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_ann_index_")
+          .toString + "/index"
+        graft.ext.AnnIndex.write(s, Tables(s, dir, "embeddings"), p, S3Nlist)
+        p
+      })
+    }
+
+  private def s10Queries(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** S10: the artifact-SERVED IVF query — s3's request answered from the
+    * persisted index instead of an inline-trained one. KMeans training
+    * (now at build time) is still not ANSI-expressible → rows-only; the
+    * ⊕ companion below proves served ≡ inline hash-exactly. */
+  private val s10Served = rowsOnly("s10_ann_served") { (s, dir) =>
+    ivfServedTopK(s, servedIndexFor(s, dir), s10Queries(s, dir), S3Nprobe, TopK)
+  }
+
+  /** S10's ORACLE-CHECKED companion: the artifact round-trip changes no
+    * answer — the served result set equals the inline s3 result pair-for-
+    * pair, score-for-score (same seeded training → same centroids → same
+    * probe sets by [[probeSet]] sharing → same candidates → same ranked
+    * top-k; floats round-trip parquet exactly), and the artifact reports
+    * committed. Reduced to DuckDB-derivable values over `embeddings`. */
+  private val s10Invariants = withOracle("s10_served_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS artifact_committed,
+       |       TRUE AS served_equals_inline
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val idx = servedIndexFor(s, dir)
+    val ok = graft.ext.AnnIndex.committed(s, idx)
+    val got = s10Served.fn(s, dir)
+    val want = s3Ivf.fn(s, dir).withColumnRenamed("cos", "cos_w")
+    val disagree = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(disagree))
+      .select(col("n_queries"), lit(ok).as("artifact_committed"),
+        (col("n_disagree") === 0).as("served_equals_inline"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s3Invariants, s4Quantize, s5Centroid,
       s6Quantized, s6Invariants, s7IvfAssign, s7Invariants, s8AnnPq, s8Invariants,
-      s9Mining)
+      s9Mining, s10Served, s10Invariants)
 }

@@ -754,6 +754,45 @@ object DocStream {
       }
   }
 
+  /** Recrawl-after-TTL as an intentional POLICY — the rung past the
+    * frontier's TTL, where re-crawling was an eviction SIDE-EFFECT (an
+    * evicted URL re-emits only if some page happens to link to it again).
+    * Here the schedule is explicit: crawled pages in → recrawl-due
+    * [[FrontierRow]]s out, one per URL per elapsed `intervalMs` since its
+    * LATEST crawl. Per-URL state is (last_crawl_doc) plus a processing-
+    * time deadline `intervalMs` after the latest sighting; a re-crawl
+    * inside the interval re-arms the deadline and emits nothing (not-due
+    * suppression), and a fired deadline emits the URL as due and clears
+    * its state — the refetch's own crawl re-arms the clock, so a URL
+    * emits at most once per interval regardless of replay count. Compose
+    * the output ahead of [[politeFrontier]] so recrawls pay the same
+    * per-host budget as fresh discoveries. State: one (doc, deadline)
+    * per tracked URL — crawled-set sized, the same bound the frontier's
+    * seen-set carries, on the same RocksDB provider at scale. */
+  def recrawlDue(spark: SparkSession, crawled: DataFrame,
+      intervalMs: Long): Dataset[FrontierRow] = {
+    import spark.implicits._
+    crawled.select(col("url"), col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(r => graft.ext.Urls.normalize(r._1))
+      .flatMapGroupsWithState[Long, FrontierRow](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (url: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val doc = state.get
+            state.remove()
+            Iterator.single(FrontierRow(url, doc))
+          } else {
+            // newest crawl wins attribution; the deadline re-arms from the
+            // latest sighting — a within-interval recrawl is NOT due
+            val doc = rows.map(_._2).max
+            state.update(math.max(doc, state.getOption.getOrElse(Long.MinValue)))
+            state.setTimeoutDuration(intervalMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Incremental inverted-index maintenance: each micro-batch's docs
     * aggregate to their own postings delta — (term, df, first-page doc
     * ids) via [[graft.queries.RetrievalQueries.postingsIndexOf]] — landing

@@ -200,32 +200,63 @@ object Downsample {
     // overwrite=false) throws for exactly one of them on HDFS and local
     // alike. A claimer that dies between lock and rename leaves a stale
     // lock; waiters break it after the marker fails to appear within the
-    // grace window and retry the claim from scratch.
+    // grace window (graft.rollup.lockGraceMs, default 2000 — raise it on
+    // GC-pausey or slow-FS deployments) and retry the claim from scratch.
+    // Stale-lock break is not perfectly safe against a LIVE-but-slow
+    // holder, so the lock carries an OWNERSHIP TOKEN: the winner writes a
+    // UUID into the lock and re-verifies it immediately before the marker
+    // rename — a holder whose lock was broken (token gone or replaced)
+    // backs off and retries instead of renaming over the new winner's
+    // marker; and after the rename it re-reads the marker and refuses on
+    // kind mismatch, closing the remaining verify→rename microsecond
+    // window on replace-on-rename filesystems.
     val lock = new org.apache.hadoop.fs.Path(s"$storeRoot/._rollup_producer.lock")
+    val graceMs = spark.conf.getOption("graft.rollup.lockGraceMs")
+      .map(_.toLong).getOrElse(2000L)
+    val pollMs = 50L
+    val polls = math.max(1L, graceMs / pollMs).toInt
+    def readLockToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     var attempts = 0
     var done = false
     while (!done) {
       attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"could not claim $p after $attempts attempts (lock contention on $lock)")
       if (fs.exists(p)) {
         val e = existing(); if (e != kind) refuse(e)
         done = true
       } else {
         fs.mkdirs(p.getParent)
+        val token = java.util.UUID.randomUUID().toString
         // fs.create(overwrite=false) is atomic on HDFS (server-side) but a
         // check-then-create on the local filesystem; there, java.nio's
-        // createFile is O_CREAT|O_EXCL — truly exclusive
+        // createFile is O_CREAT|O_EXCL — truly exclusive. The token write
+        // follows the exclusive create: a reader may briefly see an empty
+        // lock, which it treats as "not mine" (only an exact match counts).
         val wonLock =
           try {
             fs match {
               case _: org.apache.hadoop.fs.LocalFileSystem |
                    _: org.apache.hadoop.fs.RawLocalFileSystem =>
-                java.nio.file.Files.createFile(
-                  java.nio.file.Paths.get(lock.toUri.getPath))
-              case _ => fs.create(lock, false).close()
+                val lp = java.nio.file.Paths.get(lock.toUri.getPath)
+                java.nio.file.Files.createFile(lp)
+                java.nio.file.Files.write(lp,
+                  token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              case _ =>
+                val out = fs.create(lock, false)
+                try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
             }
             true
           } catch { case _: java.io.IOException => false }
         if (wonLock) {
+          var ownershipLost = false
           try {
             // the lock serializes claimers, but a previous winner may have
             // finished between our exists() and create(): re-check
@@ -237,21 +268,42 @@ object Downsample {
               val out = fs.create(tmp, true)
               try out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               finally out.close()
-              if (!fs.rename(tmp, p)) { fs.delete(tmp, false); refuse(existing()) }
+              // ownership check: if a waiter judged us dead and broke the
+              // lock, our token is gone — renaming now could replace the
+              // new winner's marker on local FS. Back off and retry.
+              if (!readLockToken().contains(token)) {
+                fs.delete(tmp, false)
+                ownershipLost = true
+              } else if (!fs.rename(tmp, p)) {
+                fs.delete(tmp, false); refuse(existing())
+              } else {
+                // post-rename re-read: on replace-on-rename filesystems a
+                // racing claimer in the verify→rename window could have
+                // replaced our marker; a kind mismatch here means a MIXED
+                // pair raced — refuse rather than double-count.
+                val e = existing(); if (e != kind) refuse(e)
+              }
             }
-          } finally fs.delete(lock, false)
-          done = true
+          } finally if (!ownershipLost) {
+            // delete only a lock we still own — unconditionally deleting
+            // would break the NEXT claimer's lock if ours was already broken
+            if (readLockToken().contains(token)) fs.delete(lock, false)
+          }
+          if (!ownershipLost) done = true
+          else Thread.sleep(pollMs)
         } else {
           // lost the lock: wait for the winner's marker, then compare kinds
           var tries = 0
-          while (!fs.exists(p) && tries < 40) { Thread.sleep(50); tries += 1 }
+          while (!fs.exists(p) && tries < polls) { Thread.sleep(pollMs); tries += 1 }
           if (fs.exists(p)) {
             val e = existing(); if (e != kind) refuse(e)
             done = true
-          } else if (attempts < 3) {
-            fs.delete(lock, false) // stale lock from a dead claimer
-          } else throw new IllegalStateException(
-            s"could not claim $p: lock $lock held with no marker appearing")
+          } else {
+            // no marker within the grace window: the holder is presumed
+            // dead — break the stale lock and retry the claim from scratch.
+            // (A live-but-slow holder is protected by its token check.)
+            fs.delete(lock, false)
+          }
         }
       }
     }

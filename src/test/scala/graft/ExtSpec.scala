@@ -1287,6 +1287,71 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("dHash closed-form model (the mmd1 SQL oracle's contract) matches the real decode") {
+    // mmd1's DIRECT oracle re-derives the hash arithmetically; this pins
+    // its one empirical premise against THIS JVM's Java2D: each 9x8
+    // sample = round-half-up of the mean of the 4 source pixels at
+    // (4x+1..4x+2, 4y+1..4y+2). A JDK that changed the bilinear kernel
+    // would fail here before it could silently break the oracle.
+    val families = 50
+    def modelHash(docId: Long): Long = {
+      val px = Array.tabulate(32, 36)((y, x) =>
+        (graft.ext.ExtOps.splitmix64(
+          (docId % families) * 1000003L + x / 4 + (y / 4) * 16) & 0xff).toInt)
+      if (docId >= families) {
+        var k = 0
+        while (k < 3) {
+          val p = (graft.ext.ExtOps.splitmix64(docId * 31 + k) & 0x7fffffff) % (36 * 32)
+          val x = (p % 36).toInt; val y = (p / 36).toInt
+          px(y)(x) = math.min(255, math.max(0,
+            px(y)(x) + (if (docId % 2 == 0) 4 else -4)))
+          k += 1
+        }
+      }
+      def s(x: Int, y: Int): Int = math.floor((px(4 * y + 1)(4 * x + 1) +
+        px(4 * y + 1)(4 * x + 2) + px(4 * y + 2)(4 * x + 1) +
+        px(4 * y + 2)(4 * x + 2)) / 4.0 + 0.5).toInt
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        h <<= 1; if (s(x, y) > s(x + 1, y)) h |= 1L
+      }
+      h
+    }
+    for (id <- 0L until 600L)
+      assert(modelHash(id) ===
+        Multimodal.dHash(Multimodal.syntheticNearDupPng(id, families)).get,
+        s"closed-form dHash model diverged from Java2D at doc $id")
+  }
+
+  test("audioHash closed-form model (the mmd2 SQL oracle's contract) matches the real decode") {
+    // mmd2's oracle premise: generation windows align with the
+    // fingerprint's 65 energy windows, so each bit is
+    // floor(amp_k) > floor(amp_{k+1}) with amp = (base[*rf])*gain in
+    // IEEE double — the exact expression the SQL evaluates.
+    val families = 50
+    def modelHash(docId: Long): Long = {
+      val family = (docId % families).toInt
+      val copy = docId >= families
+      val gain = if (copy) 1.0 + ((docId % 16).toInt + 1) / 200.0 else 1.0
+      val ripple =
+        if (copy) ((graft.ext.ExtOps.splitmix64(docId * 17 + 3) & 0x7fffffffL) % 65).toInt
+        else -1
+      val es = Array.tabulate(65) { w =>
+        val base = ((graft.ext.ExtOps.splitmix64(
+          family.toLong * 1000003L + w) & 0x3fffL) + 256L).toDouble
+        val rippled = if (w == ripple) base * (if (docId % 2 == 0) 1.02 else 0.98) else base
+        math.floor(rippled * gain)
+      }
+      var h = 0L
+      for (k <- 0 until 64) { h <<= 1; if (es(k) > es(k + 1)) h |= 1L }
+      h
+    }
+    for (id <- 0L until 600L)
+      assert(modelHash(id) ===
+        Multimodal.audioHash(Multimodal.syntheticNearDupWav(id, families)).get,
+        s"closed-form audioHash model diverged from the JDK decode at doc $id")
+  }
+
   test("mmd1 band join equals brute-force Hamming<=3 pairs (pigeonhole recall 1.0)") {
     val got = graft.SparkEntry.queries("mmd1_image_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1651,6 +1651,104 @@ class StreamingSpec extends AnyFunSuite {
       "an expired URL re-emits on rediscovery: the recrawl path")
   }
 
+  test("politeFrontier on the RocksDB state store: same cap/drip semantics") {
+    // the scale rung the frontier already runs on (SCALE.md §8.7), now for
+    // the politeness stage's per-host drip state: same per-trigger cap and
+    // deterministic drain order with the state off-heap in RocksDB
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_polite_rdb_").toString
+      val stream = MemoryStream[(String, Long)]
+      val frontierRows = stream.toDS()
+        .map(r => graft.streaming.DocStream.FrontierRow(r._1, r._2))
+      val batches =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, String)]]()
+      def runStage(): Unit = {
+        val q = graft.streaming.DocStream
+          .politeFrontier(spark, frontierRows, perTrigger = 2, maxPending = 10,
+            drainMs = 1L)
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PoliteRow],
+                _: Long) =>
+              val rows = b.collect().map(r => (r.host, r.url)).toSeq
+              if (rows.nonEmpty) batches.add(rows); ()
+          }
+          .start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+      stream.addData((1L to 5L).map(i => (s"https://rdb.example/p$i", i)): _*)
+      runStage()
+      Thread.sleep(50); runStage() // restarts fire the expired drain deadlines
+      Thread.sleep(50); runStage()
+      import scala.jdk.CollectionConverters._
+      val got = batches.asScala.toSeq
+      assert(got.forall(_.size <= 2), s"per-trigger cap violated on RocksDB: $got")
+      assert(got.flatten.map(_._2) === (1 to 5).map(i => s"https://rdb.example/p$i"),
+        "deterministic (first_doc, url) drip order must survive the provider swap")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("recrawlDue: not-due suppression, due-at-interval emission, once per interval") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_recrawl_").toString
+    def runDue(stream: MemoryStream[(Long, String)], ck: String,
+        intervalMs: Long,
+        buf: java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]): Unit = {
+      val crawled = stream.toDF()
+        .select(col("_2").as("url"), col("_1").as("doc_id"))
+      val q = graft.streaming.DocStream.recrawlDue(spark, crawled, intervalMs)
+        .writeStream
+        .option("checkpointLocation", s"$root/$ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+              _: Long) => b.collect().foreach(r => buf.add((r.url, r.first_doc)))
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+
+    // NOT-DUE: with a long interval, neither the first crawl nor a prompt
+    // re-crawl emits — the re-crawl just re-arms the deadline
+    val sup = MemoryStream[(Long, String)]
+    val supBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    sup.addData((1L, "https://r.example/page"))
+    runDue(sup, "sup", intervalMs = 600000L, supBuf)
+    sup.addData((2L, "https://r.example/page")) // recrawled well inside the interval
+    runDue(sup, "sup", intervalMs = 600000L, supBuf)
+    assert(supBuf.isEmpty, s"not-due URL must stay suppressed: ${supBuf.asScala}")
+
+    // DUE: with a tiny interval, the deadline fires on the first trigger
+    // after it elapses (an AvailableNow run's trailing batch may already
+    // be past the 1 ms deadline, so the emission may land in the crawl's
+    // own run or the next — both are "after the interval"): the URL
+    // emits as recrawl work, attributed to its LATEST crawl, exactly
+    // once (state clears on emission)
+    val due = MemoryStream[(Long, String)]
+    val dueBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    due.addData((3L, "https://r.example/hot"), (4L, "https://r.example/hot"))
+    runDue(due, "due", intervalMs = 1L, dueBuf)
+    Thread.sleep(50) // the interval elapses while the query is down
+    runDue(due, "due", intervalMs = 1L, dueBuf)
+    assert(dueBuf.asScala.toSeq === Seq(("https://r.example/hot", 4L)),
+      "due URL emits once, attributed to its latest crawl")
+    Thread.sleep(50); runDue(due, "due", intervalMs = 1L, dueBuf)
+    assert(dueBuf.size === 1, "a fired URL does not re-emit without a new crawl")
+  }
+
   test("streaming postings: multi-page merge parity, truncation, compaction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

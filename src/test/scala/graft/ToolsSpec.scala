@@ -384,4 +384,75 @@ class ToolsSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
       s"term isin must reach the parquet scan:\n$plan")
   }
+
+  test("scored full index: BM25 served from the artifact ≡ full scan, term pushdown") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_scoredidx_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWriteScored(docs, path, shards = 4)
+    // served BM25 answers exactly what the one-pass scan form answers
+    val terms = Seq("spark", "join", "window")
+    val served = graft.queries.RetrievalQueries
+      .bm25FromIndex(spark, path, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scanned = graft.queries.RetrievalQueries.bm25TopK(docs, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === scanned && served.nonEmpty)
+    // the posting scan PUSHES the term predicate into parquet — serving
+    // reads |terms| posting runs, never the corpus. bm25FromIndex
+    // localCheckpoints the pruned scan (it feeds df counts AND scoring),
+    // so the final plan shows the checkpointed RDD; the pushdown fires
+    // when that checkpoint materializes — assert it on the identical
+    // pre-checkpoint scan expression the kernel builds.
+    val plan = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(terms: _*))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
+      s"term isin must reach the postings scan:\n$plan")
+    // stats artifact carries exactly the two corpus scalars
+    val st = spark.read.parquet(s"$path/stats").head()
+    assert(st.getDouble(0) === docs.count().toDouble)
+  }
+
+  test("ANN index artifact: commit protocol, served ≡ inline, cell partition pruning") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_")
+      .toString + "/index"
+    assert(!graft.ext.AnnIndex.committed(spark, path))
+    val cents = graft.ext.AnnIndex.write(spark, emb, path, nlist = 16)
+    assert(graft.ext.AnnIndex.committed(spark, path))
+    assert(cents.length === 16)
+    // centroid round-trip is exact (doubles through parquet)
+    val reread = graft.ext.AnnIndex.readCentroids(spark, path)
+    assert(reread.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    // every corpus vector is in the artifact exactly once, with its cell
+    val codes = graft.ext.AnnIndex.readCodes(spark, path)
+    assert(codes.count() === emb.count())
+    assert(codes.select("vec_id").distinct().count() === emb.count())
+    // served s3-shaped query ≡ the inline-trained s3 answer (same seed →
+    // same centroids → same probes/candidates/ranking)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = graft.queries.SimilarityQueries
+      .ivfServedTopK(spark, path, queries, 6, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = graft.SparkEntry.queries("s3_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === inline && served.nonEmpty)
+    // the serve PRUNES to the probed cells at the directory level
+    val plan = graft.queries.SimilarityQueries
+      .ivfServedTopK(spark, path, queries, 6, 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell isin must prune artifact partitions:\n$plan")
+    // rebuild-in-place: marker drops during rebuild, returns on commit
+    graft.ext.AnnIndex.write(spark, emb, path, nlist = 16)
+    assert(graft.ext.AnnIndex.committed(spark, path))
+  }
 }
