@@ -38,6 +38,11 @@ object Diag {
       eventStreamScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("polite")) {
+      politeScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L),
+        args.lift(2).map(_.toLong).getOrElse(100_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("docs")) {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -609,6 +614,53 @@ object Diag {
     }
     // unload RocksDB providers BEFORE spark.stop(): their native logger
     // callback segfaults if a maintenance thread logs during JVM teardown
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
+  /** politeFrontier at URL volumes the gate fixture can't show, on the
+    * RocksDB provider the scale story names (SCALE.md §8): `n` frontier
+    * URLs over `hosts` hosts stream through the per-host budget
+    * (perTrigger=8 against ~n/8/hosts arrivals per host per trigger, so
+    * hosts genuinely QUEUE), and the probe reports throughput plus the
+    * state-store telemetry the per-host sizing contract quotes —
+    * bytes/host on disk, keyed rows vs host count. Drainage after the
+    * input exhausts is timeout-driven (restart-fired in the suite); this
+    * probe measures the ingest-side cost and the state bound. */
+  private def politeScale(spark: SparkSession, n: Long, hosts: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = java.nio.file.Files.createTempDirectory("graft_polite_scale_").toString
+    spark.range(n).select(
+        concat(lit("https://h"),
+          pmod(xxhash64(col("id")), lit(hosts)).cast("string"),
+          lit(".example/p"), col("id").cast("string")).as("url"),
+        col("id").as("first_doc"))
+      .repartition(8).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .as[graft.streaming.DocStream.FrontierRow]
+    val q = graft.streaming.DocStream
+      .politeFrontier(spark, src, perTrigger = 8, maxPending = 10000, drainMs = 1L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("noop").start()
+    val t0 = System.nanoTime()
+    q.processAllAvailable()
+    val t = (System.nanoTime() - t0) / 1e9
+    for (op <- Option(q.lastProgress).toSeq.flatMap(_.stateOperators)) {
+      val cm = op.customMetrics
+      val sst = Option(cm.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L)
+      val mem = Option(cm.get("rocksdbTotalMemoryUsageBytes")).map(_.longValue)
+        .getOrElse(op.memoryUsedBytes)
+      println(f"[polite] state[${op.operatorName}]: rows=${op.numRowsTotal}%,d " +
+        f"sst_bytes=$sst%,d mem_bytes=$mem%,d " +
+        f"bytes_per_host=${if (op.numRowsTotal > 0) sst.toDouble / op.numRowsTotal else 0d}%.1f")
+    }
+    q.stop()
+    println(f"[polite] n=$n%,d hosts=$hosts%,d: $t%.1f s (${n / t / 1e6}%.2f M urls/s)")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
