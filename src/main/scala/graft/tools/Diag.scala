@@ -623,9 +623,14 @@ object Diag {
     * (perTrigger=8 against ~n/8/hosts arrivals per host per trigger, so
     * hosts genuinely QUEUE), and the probe reports throughput plus the
     * state-store telemetry the per-host sizing contract quotes —
-    * bytes/host on disk, keyed rows vs host count. Drainage after the
-    * input exhausts is timeout-driven (restart-fired in the suite); this
-    * probe measures the ingest-side cost and the state bound. */
+    * bytes/host on disk, peak keyed rows vs host count. Harness: with
+    * ProcessingTimeTimeout the engine ALWAYS schedules another batch to
+    * check deadlines (shouldRunAnotherBatch is unconditionally true), so
+    * neither processAllAvailable nor AvailableNow self-terminates while
+    * any state exists — the drip itself proceeds batch-after-batch
+    * inside one run (drainMs=1), so the probe polls the emitted count
+    * and stops the query once it stalls (only empty deadline-check
+    * batches remain). */
   private def politeScale(spark: SparkSession, n: Long, hosts: Long): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -639,6 +644,9 @@ object Diag {
         col("id").as("first_doc"))
       .repartition(8).write.parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
+    val acc = spark.sparkContext.longAccumulator("polite_emitted")
+    var peakRows = 0L; var peakSst = 0L; var lastMem = 0L
+    val t0 = System.nanoTime()
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
       .as[graft.streaming.DocStream.FrontierRow]
@@ -646,21 +654,32 @@ object Diag {
       .politeFrontier(spark, src, perTrigger = 8, maxPending = 10000, drainMs = 1L)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
-      .format("noop").start()
-    val t0 = System.nanoTime()
-    q.processAllAvailable()
-    val t = (System.nanoTime() - t0) / 1e9
-    for (op <- Option(q.lastProgress).toSeq.flatMap(_.stateOperators)) {
-      val cm = op.customMetrics
-      val sst = Option(cm.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L)
-      val mem = Option(cm.get("rocksdbTotalMemoryUsageBytes")).map(_.longValue)
-        .getOrElse(op.memoryUsedBytes)
-      println(f"[polite] state[${op.operatorName}]: rows=${op.numRowsTotal}%,d " +
-        f"sst_bytes=$sst%,d mem_bytes=$mem%,d " +
-        f"bytes_per_host=${if (op.numRowsTotal > 0) sst.toDouble / op.numRowsTotal else 0d}%.1f")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PoliteRow],
+            _: Long) => acc.add(b.count()); ()
+      }
+      .start()
+    var lastEmitted = -1L; var idlePolls = 0
+    while (q.isActive && idlePolls < 10 && acc.value < n) {
+      Thread.sleep(1000)
+      val e = acc.value
+      if (e == lastEmitted) idlePolls += 1 else { idlePolls = 0; lastEmitted = e }
+      for (op <- Option(q.lastProgress).toSeq.flatMap(_.stateOperators)) {
+        val cm = op.customMetrics
+        peakRows = math.max(peakRows, op.numRowsTotal)
+        peakSst = math.max(peakSst,
+          Option(cm.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L))
+        lastMem = Option(cm.get("rocksdbTotalMemoryUsageBytes")).map(_.longValue)
+          .getOrElse(op.memoryUsedBytes)
+      }
     }
+    val t = (System.nanoTime() - t0) / 1e9
     q.stop()
-    println(f"[polite] n=$n%,d hosts=$hosts%,d: $t%.1f s (${n / t / 1e6}%.2f M urls/s)")
+    println(f"[polite] state peak: rows=$peakRows%,d sst_bytes=$peakSst%,d " +
+      f"mem_bytes=$lastMem%,d " +
+      f"bytes_per_host=${if (peakRows > 0) peakSst.toDouble / peakRows else 0d}%.1f")
+    println(f"[polite] n=$n%,d hosts=$hosts%,d: $t%.1f s " +
+      f"(${n / t / 1e6}%.2f M urls/s) emitted=${acc.value}%,d drained=${acc.value == n}")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
