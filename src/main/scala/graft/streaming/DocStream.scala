@@ -636,6 +636,76 @@ object DocStream {
       .parquet(s"$basePath/batch_id=$batchId")
   }
 
+  /** The §8.5 rung PAST the two-tier parquet base: the band index as
+    * KEYED STATE — `flatMapGroupsWithState` keyed by (band, band_hash)
+    * on the RocksDB provider, so probing a micro-batch costs O(1) point
+    * lookups per batch band key with NO base scan at all (the parquet
+    * tiers' floor at a multi-billion-doc base is the narrow index scan;
+    * here the store IS the index). The declared trade, exactly as
+    * SCALE.md names it:
+    *  - verification is SIGNATURE-ESTIMATED Jaccard (matching minhash
+    *    component fraction — E[est] = J, 64 components) instead of the
+    *    parquet path's exact shingle Jaccard: estimator-grade
+    *    precision/recall at the threshold boundary;
+    *  - per-bucket membership is CAPPED (`maxPerBucket`, the
+    *    MaxLshBucket rationale: a bucket past the cap is an
+    *    exact/near-dup family the d1 exact pass already collapses);
+    *    an uncached member cannot match later dups — miss-direction
+    *    drift, bounded by the cap and surfaced per-bucket;
+    *  - state duplicates each signature ×Bands (the classic LSH index
+    *    cost) — RocksDB spills it off-heap.
+    * Emissions are (new_id, base_id, est) candidate verdicts, possibly
+    * repeated across bands — consumers dedup per micro-batch
+    * (`.dropDuplicates("new_id","base_id")` in their foreachBatch).
+    * Within a batch, docs probe in doc_id order against state ∪
+    * earlier-in-batch members, so pairs are deterministic; replays
+    * re-emit (at-least-once, the store's idempotent-sink contract
+    * absorbs it). */
+  def nearDupMatchesStateful(spark: SparkSession, docs: DataFrame,
+      estThreshold: Double = graft.queries.DedupQueries.JaccardThreshold,
+      maxPerBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.queries.DedupQueries.{Bands, MinhashK}
+    val rowsPerBand = MinhashK / Bands
+    val sigs = graft.queries.DedupQueries.signaturesOf(docs)
+      .select(col("doc_id"), col("sig"))
+    sigs
+      .select(col("doc_id"), col("sig"), posexplode(
+        array((0 until Bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "band_hash")))
+      .select(col("band"), col("band_hash"), col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+            state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+          members ++= state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            var i = 0
+            while (i < members.length) {
+              val (bid, bsig) = members(i)
+              if (bid != id) {
+                var m = 0; var j = 0
+                while (j < MinhashK) { if (sig(j) == bsig(j)) m += 1; j += 1 }
+                val est = m.toDouble / MinhashK
+                if (est >= estThreshold) out += ((id, bid, est))
+              }
+              i += 1
+            }
+            // idempotent add: a replayed batch's docs are already members
+            if (members.length < maxPerBucket && !members.exists(_._1 == id))
+              members += ((id, sig))
+          }
+          state.update(members.toSeq)
+          out.iterator
+      }
+      .toDF("new_id", "base_id", "est")
+  }
+
   final case class FrontierRow(url: String, first_doc: Long)
 
   /** Streaming crawl frontier: (doc_id, url, html) pages in → first-seen

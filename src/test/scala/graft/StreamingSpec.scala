@@ -1651,6 +1651,84 @@ class StreamingSpec extends AnyFunSuite {
       "an expired URL re-emits on rediscovery: the recrawl path")
   }
 
+  test("stateful band-keyed near-dup (the §8.5 rung) ≡ independent estimator reference, on RocksDB") {
+    // the band index AS keyed state: flatMapGroupsWithState keyed by
+    // (band, band_hash) on RocksDB, signature-estimated verify. Expected
+    // pair set derived independently: banded candidates from the batch
+    // DataFrame kernel + plain-Scala component-match estimate + the
+    // operator's declared ordering (base batch before probe batch,
+    // doc_id order within a batch), none of the stateful machinery.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val docs = graft.queries.Tables(spark, sf, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (odd, even) = docs.partition(_._1 % 2 == 1)
+      val batchOf = docs.map { case (id, _) => id -> (if (id % 2 == 1) 0 else 1) }.toMap
+
+      val root = java.nio.file.Files.createTempDirectory("graft_ndstate_").toString
+      val stream = MemoryStream[(Long, String)]
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      def runStage(): Unit = {
+        val q = graft.streaming.DocStream.nearDupMatchesStateful(spark,
+            stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+            maxPerBucket = 10000)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              emitted.add((r.getLong(0), r.getLong(1), r.getDouble(2)))); ()
+          }
+          .start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      stream.addData(odd: _*)
+      runStage()
+      stream.addData(even: _*)
+      runStage() // second query start over the same checkpoint: RocksDB state survives
+
+      import scala.jdk.CollectionConverters._
+      val got = emitted.asScala.toSet // consumers dedup multi-band repeats
+
+      // independent reference over the static union
+      val allDf = docs.toSeq.toDF("doc_id", "text")
+      val sigRows = graft.queries.DedupQueries.signaturesOf(allDf)
+        .select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val banded = graft.queries.DedupQueries.bandedKeys(
+          graft.queries.DedupQueries.signaturesOf(allDf))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val want = banded.groupBy(t => (t._2, t._3)).values.toSeq.flatMap { bucket =>
+        val ids = bucket.map(_._1).distinct.toSeq
+        for {
+          n <- ids; b <- ids
+          if b != n
+          // b is "earlier": prior batch, or same batch with smaller id
+          if batchOf(b) < batchOf(n) || (batchOf(b) == batchOf(n) && b < n)
+          est = sigRows(n).zip(sigRows(b)).count { case (x, y) => x == y } / 64.0
+          if est >= graft.queries.DedupQueries.JaccardThreshold
+        } yield (n, b, est)
+      }.toSet
+      assert(want.nonEmpty, "fixture must contain estimator-grade near-dups")
+      assert(got === want,
+        s"stateful ≠ reference; missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      // cross-batch pairs exist — the RocksDB state carried batch 1's members
+      assert(got.exists { case (n, b, _) => batchOf(n) == 1 && batchOf(b) == 0 },
+        "no cross-batch match: state did not survive the restart")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("politeFrontier on the RocksDB state store: same cap/drip semantics") {
     // the scale rung the frontier already runs on (SCALE.md §8.7), now for
     // the politeness stage's per-host drip state: same per-trigger cap and
