@@ -909,6 +909,69 @@ object SimilarityQueries {
         round(col("score"), 4).as("cos"))
   }
 
+  /** S11 serving kernel: the s6-shaped QUANTIZED query answered from the
+    * [[graft.ext.AnnIndex]] artifact — the candidate stage reads ONLY the
+    * stored (mn, mx, codes) columns (¼ the bytes of the float array; at
+    * 100 TB the scan never touches full precision), dequantizes and
+    * scores map-side exactly as the inline s6 stage does, and the
+    * bounded survivor set re-ranks against the artifact's own float
+    * column. No centroids, no training at serve time — the cell layout
+    * just rides along as the artifact's partitioning. Same kernels as
+    * s6Parts/s6Rerank, so served ≡ inline is exact. */
+  private[graft] def quantizedServedTopK(s: SparkSession, indexPath: String,
+      queries0: DataFrame, k: Int): DataFrame = {
+    val codes = graft.ext.AnnIndex.readCodes(s, indexPath)
+    val scale = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise((col("mx") - col("mn")) / 255)
+    val deq = transform(col("codes"), c => col("mn") + c.cast("double") * scale)
+    val coded = codes
+      .select(col("vec_id"), deq.as("deq"))
+      .select(col("vec_id"), col("deq"), sqrt(ddot(col("deq"), col("deq"))).as("dnrm"))
+    val queries = queries0
+      .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"))
+    val candK = TopK * 3
+    val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_approx", ddot(col("qv"), col("deq")) / (col("qnrm") * col("dnrm")))
+    val cands = perQueryTopK(scored, col("cos_approx"), candK)
+      .select(col("query_id"), col("vec_id"))
+    val reranked = codes
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
+    perQueryTopK(reranked, col("cos_full"), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cos"))
+  }
+
+  /** S11: the artifact-SERVED quantized query — s6's request answered
+    * from the persisted index's int8 columns. Rows-only (the artifact's
+    * cell layout comes from KMeans); the ⊕ companion proves served ≡
+    * inline s6 hash-exactly. */
+  private val s11Served = rowsOnly("s11_ann_served_quantized") { (s, dir) =>
+    quantizedServedTopK(s, servedIndexFor(s, dir), s10Queries(s, dir), TopK)
+  }
+
+  /** S11's ORACLE-CHECKED companion: the stored (mn, mx, codes) columns
+    * are s4's exact quantization and the float column round-trips
+    * parquet exactly, so the artifact-served quantized query equals the
+    * inline s6 answer pair-for-pair score-for-score. */
+  private val s11Invariants = withOracle("s11_served_quantized_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS served_equals_inline
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val got = s11Served.fn(s, dir)
+    val want = s6Quantized.fn(s, dir).withColumnRenamed("cos", "cos_w")
+    val disagree = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(disagree))
+      .select(col("n_queries"), (col("n_disagree") === 0).as("served_equals_inline"))
+  }
+
   /** Build-once artifact cache keyed by corpus dir: the index build is a
     * write-side one-off (s3's bench-excluded training category), so gate
     * and bench calls after the first measure pure SERVING — which is the
@@ -964,5 +1027,5 @@ object SimilarityQueries {
   val all: Seq[QueryDef] =
     Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s3Invariants, s4Quantize, s5Centroid,
       s6Quantized, s6Invariants, s7IvfAssign, s7Invariants, s8AnnPq, s8Invariants,
-      s9Mining, s10Served, s10Invariants)
+      s9Mining, s10Served, s10Invariants, s11Served, s11Invariants)
 }
