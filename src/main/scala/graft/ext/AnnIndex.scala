@@ -42,11 +42,17 @@ object AnnIndex {
   /** Train centroids on `embeddings` (vec_id, embedding ARRAY<FLOAT>) and
     * write the full artifact set under `path`. Returns the centroid
     * arrays (cell-ordered) so a caller composing build+serve in one job
-    * skips the re-read. */
+    * skips the re-read. With `pq = true` (default) the codes table also
+    * carries the PQ columns (`pq_codes`, `pq_rnrm` — the code-only norm,
+    * exact because subspaces are disjoint coordinates) and the artifact
+    * gains `pq_codebooks/`, so the s8-shaped ADC query serves from codes
+    * alone. */
   def write(spark: SparkSession, embeddings: DataFrame, path: String,
-      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 5): Seq[Array[Double]] = {
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 5,
+      pq: Boolean = true): Seq[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import graft.queries.SimilarityQueries.{nearestCell, pqCodebooksOf, PqM}
     val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) fs.delete(marker, false) // rebuild: uncommit first
@@ -62,10 +68,22 @@ object AnnIndex {
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/centroids")
 
+    val pqCb = if (pq) Some(pqCodebooksOf(embeddings)) else None
+    pqCb.foreach { cb =>
+      cb.zipWithIndex.flatMap { case (mk, mi) =>
+        mk.zipWithIndex.map { case (c, ki) => (mi, ki, c.toSeq) }
+      }.toSeq.toDF("m", "k", "cv")
+        .coalesce(1).sortWithinPartitions("m", "k")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$path/pq_codebooks")
+    }
+
     // cell assignment at build time (the model's own transform — identical
-    // to the inline s3 assignment); int8 codes are s4's exact formula
+    // to the inline s3 assignment); int8 codes are s4's exact formula;
+    // PQ encode = one argmin fold per subspace (s7's kernel) with the
+    // code-only norm precomputed — all write-side columns
     val v = transform(col("embedding"), _.cast("double"))
-    model.transform(e)
+    val base = model.transform(e)
       .select(col("vec_id"), col("embedding"),
         col("prediction").cast("int").as("cell"), v.as("v"))
       .select(col("vec_id"), col("embedding"), col("cell"),
@@ -75,7 +93,25 @@ object AnnIndex {
         transform(col("v"), x =>
           when(col("mx") === col("mn"), lit(0))
             .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0)
-              .cast("int"))).as("codes"))
+              .cast("int"))).as("codes"), col("v"))
+    val coded = pqCb match {
+      case None => base.drop("v")
+      case Some(cb) =>
+        val sub = cb(0)(0).length
+        val cn2Lit = array(cb.map(mk =>
+          array(mk.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+        val seqM = sequence(lit(0), lit(PqM - 1))
+        base
+          .withColumn("pq_codes", array((0 until PqM).map { mi =>
+            nearestCell(slice(col("v"), mi * sub + 1, sub), cb(mi).toIndexedSeq)
+          }: _*))
+          .withColumn("pq_rnrm", sqrt(aggregate(
+            transform(seqM, m => element_at(element_at(cn2Lit, m + 1),
+              element_at(col("pq_codes"), m + 1) + 1)),
+            lit(0.0), _ + _)))
+          .drop("v")
+    }
+    coded
       .repartition(nlist, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("cell")
@@ -118,5 +154,16 @@ object AnnIndex {
   def readCodes(spark: SparkSession, path: String): DataFrame = {
     require(committed(spark, path), s"ANN index at $path is not committed")
     spark.read.parquet(s"$path/codes")
+  }
+
+  /** The PQ codebooks, (m, k)-ordered — M×K×subdim doubles (~16 KB), a
+    * driver-side read like [[readCentroids]]. */
+  def readPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    require(committed(spark, path), s"ANN index at $path is not committed")
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(rows.map(_._1).max + 1)(mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3))
   }
 }

@@ -616,10 +616,16 @@ object SimilarityQueries {
     * the artifact is M×K×subdim doubles — ~16 KB, a driver-side literal
     * like s7's centroid set. */
   private[graft] def pqCodebooks(s: SparkSession, dir: String,
+      m: Int = PqM, k: Int = PqK): Array[Array[Array[Double]]] =
+    pqCodebooksOf(Tables(s, dir, "embeddings"), m, k)
+
+  /** [[pqCodebooks]] over any (vec_id, embedding) frame — the build-time
+    * form [[graft.ext.AnnIndex]] trains its persisted codebooks with
+    * (identical input + seeds ⇒ identical codebooks ⇒ served ≡ inline). */
+  private[graft] def pqCodebooksOf(e: DataFrame,
       m: Int = PqM, k: Int = PqK): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -972,6 +978,76 @@ object SimilarityQueries {
       .select(col("n_queries"), (col("n_disagree") === 0).as("served_equals_inline"))
   }
 
+  /** S12 serving kernel: the s8-shaped PQ/ADC query answered from the
+    * [[graft.ext.AnnIndex]] artifact — the candidate stage reads ONLY the
+    * stored `pq_codes` (M small ints ≈ M bytes, the 16× tier past s11's
+    * ¼) plus the precomputed code-only norm `pq_rnrm`; each query's M×K
+    * inner-product LUT comes from the persisted codebooks, so scoring a
+    * candidate is M table lookups with no vector read at all. Bounded
+    * survivors re-rank against the artifact's float column. Same ADC
+    * expressions as the inline s8 stage, same codebook seeds at build ⇒
+    * served ≡ inline exactly. */
+  private[graft] def pqServedTopK(s: SparkSession, indexPath: String,
+      queries0: DataFrame, k: Int): DataFrame = {
+    val cb = graft.ext.AnnIndex.readPqCodebooks(s, indexPath)
+    val sub = cb(0)(0).length
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val codes = graft.ext.AnnIndex.readCodes(s, indexPath)
+    val queries = queries0
+      .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"),
+        transform(seqM, m =>
+          transform(sequence(lit(0), lit(PqK - 1)), c =>
+            ddot(slice(col("qv"), m * sub + 1, lit(sub)),
+              element_at(element_at(cbLit, m + 1), c + 1)))).as("lut"))
+    val candK = TopK * 5 // s8's wider pool — PQ codes are lossier
+    val adc = aggregate(
+      transform(seqM, m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("pq_codes"), m + 1) + 1)),
+      lit(0.0), _ + _)
+    val scored = codes.select(col("vec_id"), col("pq_codes"), col("pq_rnrm"))
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_adc", adc / (col("qnrm") * col("pq_rnrm")))
+    val cands = perQueryTopK(scored, col("cos_adc"), candK)
+      .select(col("query_id"), col("vec_id"))
+    val reranked = codes
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
+      .join(broadcast(queries.select("query_id", "qv", "qnrm")), "query_id")
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
+    perQueryTopK(reranked, col("cos_full"), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cos"))
+  }
+
+  /** S12: the artifact-SERVED PQ query — s8's request from the persisted
+    * index's code columns. Rows-only (PQ codebooks are trained); the ⊕
+    * companion proves served ≡ inline s8 hash-exactly. */
+  private val s12Served = rowsOnly("s12_ann_served_pq") { (s, dir) =>
+    pqServedTopK(s, servedIndexFor(s, dir), s10Queries(s, dir), TopK)
+  }
+
+  /** S12's ORACLE-CHECKED companion: identical training input + seeds at
+    * build ⇒ identical codebooks ⇒ identical codes, norms, LUTs,
+    * candidates and ranking — served equals the inline s8 answer
+    * pair-for-pair. */
+  private val s12Invariants = withOracle("s12_served_pq_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS served_equals_inline
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val got = s12Served.fn(s, dir)
+    val want = s8AnnPq.fn(s, dir).withColumnRenamed("cos", "cos_w")
+    val disagree = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(disagree))
+      .select(col("n_queries"), (col("n_disagree") === 0).as("served_equals_inline"))
+  }
+
   /** Build-once artifact cache keyed by corpus dir: the index build is a
     * write-side one-off (s3's bench-excluded training category), so gate
     * and bench calls after the first measure pure SERVING — which is the
@@ -1027,5 +1103,6 @@ object SimilarityQueries {
   val all: Seq[QueryDef] =
     Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s3Invariants, s4Quantize, s5Centroid,
       s6Quantized, s6Invariants, s7IvfAssign, s7Invariants, s8AnnPq, s8Invariants,
-      s9Mining, s10Served, s10Invariants, s11Served, s11Invariants)
+      s9Mining, s10Served, s10Invariants, s11Served, s11Invariants,
+      s12Served, s12Invariants)
 }

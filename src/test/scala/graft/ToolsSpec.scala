@@ -430,6 +430,14 @@ class ToolsSpec extends AnyFunSuite {
     // centroid round-trip is exact (doubles through parquet)
     val reread = graft.ext.AnnIndex.readCentroids(spark, path)
     assert(reread.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    // PQ codebooks ride the same artifact, (m, k)-shaped and round-tripped
+    val pqCb = graft.ext.AnnIndex.readPqCodebooks(spark, path)
+    assert(pqCb.length === graft.queries.SimilarityQueries.PqM)
+    assert(pqCb.forall(_.length === graft.queries.SimilarityQueries.PqK))
+    val pqWant = graft.queries.SimilarityQueries.pqCodebooksOf(
+      emb.select("vec_id", "embedding"))
+    assert(pqCb.zip(pqWant).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
     // every corpus vector is in the artifact exactly once, with its cell
     val codes = graft.ext.AnnIndex.readCodes(spark, path)
     assert(codes.count() === emb.count())
