@@ -132,6 +132,79 @@ object AnnIndex {
     cents
   }
 
+  /** Incremental maintenance — the index's daily-ingest path (the reason
+    * the inline s7 assignment stage exists, now against the real
+    * artifact): assign `newEmbeddings` to the FROZEN centroids entirely
+    * map-side ([[graft.queries.SimilarityQueries.nearestCell]] — zero
+    * exchanges beyond the cell-partitioned append, zero retraining),
+    * quantize with s4's formula, PQ-encode with the STORED codebooks,
+    * and append into the existing cell directories. Centroids stay
+    * frozen by design: cell quality degrades only as the data
+    * distribution drifts, and a periodic [[write]] rebuild re-trains —
+    * the classic IVF maintenance contract. The marker drops for the
+    * duration and re-commits after, so [[committed]] readers never see a
+    * half-appended index; a crash mid-append leaves it uncommitted
+    * (rebuild or re-append to recover). Callers must not append a
+    * vec_id already in the index (the store's series-dedup discipline
+    * applies upstream). */
+  def append(spark: SparkSession, path: String, newEmbeddings: DataFrame): Unit = {
+    import graft.queries.SimilarityQueries.{nearestCell, PqM}
+    val cents = readCentroids(spark, path)
+    val hasPq = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/pq_codebooks")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val pqCb = if (hasPq) Some(readPqCodebooks(spark, path)) else None
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+
+    val v = transform(col("embedding"), _.cast("double"))
+    val base = newEmbeddings
+      .select(col("vec_id"), col("embedding"),
+        nearestCell(v, cents).cast("int").as("cell"), v.as("v"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"), col("v"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        col("mn"), col("mx"),
+        transform(col("v"), x =>
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0)
+              .cast("int"))).as("codes"), col("v"))
+    val coded = pqCb match {
+      case None => base.drop("v")
+      case Some(cb) =>
+        val sub = cb(0)(0).length
+        val cn2Lit = array(cb.map(mk =>
+          array(mk.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+        val seqM = sequence(lit(0), lit(PqM - 1))
+        base
+          .withColumn("pq_codes", array((0 until PqM).map { mi =>
+            nearestCell(slice(col("v"), mi * sub + 1, sub), cb(mi).toIndexedSeq)
+          }: _*))
+          .withColumn("pq_rnrm", sqrt(aggregate(
+            transform(seqM, m => element_at(element_at(cn2Lit, m + 1),
+              element_at(col("pq_codes"), m + 1) + 1)),
+            lit(0.0), _ + _)))
+          .drop("v")
+    }
+    coded
+      .repartition(cents.length, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("cell")
+      .option("compression", "zstd")
+      .parquet(s"$path/codes")
+
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/._INDEX_SUCCESS.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write("appended\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"index re-commit rename failed: $tmp -> $marker")
+    }
+  }
+
   /** True iff a [[write]] completed — the only state a consumer may read. */
   def committed(spark: SparkSession, path: String): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_SUCCESS")

@@ -463,4 +463,69 @@ class ToolsSpec extends AnyFunSuite {
     graft.ext.AnnIndex.write(spark, emb, path, nlist = 16)
     assert(graft.ext.AnnIndex.committed(spark, path))
   }
+
+  test("ANN index append: frozen-centroid incremental maintenance, served ≡ reference") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val baseSlice = emb.where(col("vec_id") % 10 < 8)  // d9's snapshot split
+    val newSlice = emb.where(col("vec_id") % 10 >= 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_annappend_")
+      .toString + "/index"
+    graft.ext.AnnIndex.write(spark, baseSlice, path, nlist = 16)
+    graft.ext.AnnIndex.append(spark, path, newSlice)
+    assert(graft.ext.AnnIndex.committed(spark, path))
+    val codes = graft.ext.AnnIndex.readCodes(spark, path)
+    assert(codes.count() === emb.count())
+    assert(codes.select("vec_id").distinct().count() === emb.count())
+    // EVERY row's cell (build-time transform and append-time map-side
+    // assignment alike) equals the frozen-centroid argmin
+    val cents = graft.ext.AnnIndex.readCentroids(spark, path)
+    val mismatch = codes.select(col("vec_id"), col("cell"),
+        graft.queries.SimilarityQueries.nearestCell(
+          transform(col("embedding"), _.cast("double")), cents).as("cell_w"))
+      .where(col("cell") =!= col("cell_w")).count()
+    assert(mismatch === 0L, "appended/built cells must be the frozen-centroid argmin")
+    // appended PQ columns carry the STORED codebooks' encoding: the
+    // code-only norm identity holds on new-slice rows
+    val cb = graft.ext.AnnIndex.readPqCodebooks(spark, path)
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val recon = flatten(transform(sequence(lit(0), lit(cb.length - 1)), m =>
+      element_at(element_at(cbLit, m + 1), element_at(col("pq_codes"), m + 1) + 1)))
+    def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val badNorm = codes.join(newSlice.select("vec_id"), "vec_id")
+      .select(col("pq_rnrm"), recon.as("recon"))
+      .where(abs(col("pq_rnrm") - sqrt(ddot(col("recon"), col("recon"))))
+        > lit(1e-6) * (col("pq_rnrm") + 1)).count()
+    assert(badNorm === 0L, "appended pq_rnrm must equal the reconstruction norm")
+    // serving the grown index ≡ an independent window re-rank over the
+    // probed cells of the SAME frozen centroids (s3Invariants' style)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = graft.queries.SimilarityQueries
+      .ivfServedTopK(spark, path, queries, 6, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probes = graft.queries.SimilarityQueries.probeSet(
+      queries.collect(), cents, 6)
+    import spark.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val assigned = codes.select(col("vec_id"), col("embedding"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val want = assigned.join(probeDf, "cell")
+      .join(queries, "query_id")
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", graft.ext.extfunctions.cosine_sim(col("qv"), col("embedding")))
+      .where(col("cos").isNotNull && !isnan(col("cos")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === want && served.nonEmpty)
+    // the grown index actually serves NEW vectors as neighbors
+    assert(served.exists { case (_, nb, _) => nb % 10 >= 8 },
+      "no appended vector ever surfaces: append is not being served")
+  }
 }
