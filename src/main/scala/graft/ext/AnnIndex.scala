@@ -55,6 +55,8 @@ object AnnIndex {
     import graft.queries.SimilarityQueries.{nearestCell, pqCodebooksOf, PqM}
     val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = acquireBuildLock(spark, path)
+    try {
     if (fs.exists(marker)) fs.delete(marker, false) // rebuild: uncommit first
 
     val e = embeddings.withColumn("features", array_to_vector(col("embedding")))
@@ -130,6 +132,62 @@ object AnnIndex {
       throw new java.io.IOException(s"index commit rename failed: $tmp -> $marker")
     }
     cents
+    } finally releaseBuildLock(spark, path, lock)
+  }
+
+  /** Mutation guard: one builder at a time per index path. Two concurrent
+    * [[write]]s (or a write racing an [[append]]) would interleave table
+    * overwrites — an appender could encode against centroids a rebuilder
+    * is replacing. Exclusive-create lock with an ownership token (the
+    * rollup-claim discipline, streaming/Downsample.scala): O_EXCL on
+    * local, create(overwrite=false) on HDFS; a second builder fails FAST
+    * and LOUD (index builds are long — queueing silently would hide an
+    * operational error); a stale lock from a dead builder is broken
+    * after `graft.ann.lockStaleMs` (default 1 h — longer than any sane
+    * build of one index) and only then retried once. */
+  private def acquireBuildLock(spark: SparkSession, path: String): String = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path/._INDEX_LOCK")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    val staleMs = spark.conf.getOption("graft.ann.lockStaleMs")
+      .map(_.toLong).getOrElse(3600000L)
+    def tryOnce(): Boolean =
+      try {
+        fs match {
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+               _: org.apache.hadoop.fs.RawLocalFileSystem =>
+            val lp = java.nio.file.Paths.get(lock.toUri.getPath)
+            java.nio.file.Files.createFile(lp)
+            java.nio.file.Files.write(lp, token.getBytes("UTF-8"))
+          case _ =>
+            val out = fs.create(lock, false)
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+        }
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryOnce()) return token
+    val st = try Some(fs.getFileStatus(lock)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    val stale = st.exists(s => System.currentTimeMillis() - s.getModificationTime > staleMs)
+    if (stale) { fs.delete(lock, false); if (tryOnce()) return token }
+    throw new IllegalStateException(
+      s"ANN index at $path is being built by another process (lock $lock); " +
+        "concurrent builds would interleave table overwrites. If the holder is " +
+        "dead, delete the lock (it auto-breaks after graft.ann.lockStaleMs).")
+  }
+
+  private def releaseBuildLock(spark: SparkSession, path: String,
+      token: String): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path/._INDEX_LOCK")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete only a lock we still own (a stale-break may have replaced it)
+    val mine = try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), "UTF-8").trim == token finally in.close()
+    } catch { case _: java.io.IOException => false }
+    if (mine) fs.delete(lock, false)
   }
 
   /** Incremental maintenance — the index's daily-ingest path (the reason
@@ -149,6 +207,8 @@ object AnnIndex {
     * applies upstream). */
   def append(spark: SparkSession, path: String, newEmbeddings: DataFrame): Unit = {
     import graft.queries.SimilarityQueries.{nearestCell, PqM}
+    val lockTok = acquireBuildLock(spark, path)
+    try {
     val cents = readCentroids(spark, path)
     val hasPq = {
       val p = new org.apache.hadoop.fs.Path(s"$path/pq_codebooks")
@@ -203,6 +263,7 @@ object AnnIndex {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"index re-commit rename failed: $tmp -> $marker")
     }
+    } finally releaseBuildLock(spark, path, lockTok)
   }
 
   /** True iff a [[write]] completed — the only state a consumer may read. */

@@ -527,5 +527,18 @@ class ToolsSpec extends AnyFunSuite {
     // the grown index actually serves NEW vectors as neighbors
     assert(served.exists { case (_, nb, _) => nb % 10 >= 8 },
       "no appended vector ever surfaces: append is not being served")
+    // MUTATION GUARD: a held build lock makes a second builder fail fast
+    // (concurrent write/append would interleave table overwrites); the
+    // completed operations above released theirs, so the index mutates
+    // freely once the lock is gone
+    val lock = new java.io.File(s"$path/._INDEX_LOCK")
+    assert(!lock.exists, "a completed build/append must release its lock")
+    java.nio.file.Files.write(lock.toPath, "someone-else".getBytes)
+    intercept[IllegalStateException] {
+      graft.ext.AnnIndex.append(spark, path, newSlice.limit(1))
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath)) === "someone-else",
+      "a failed acquirer must not delete a lock it does not own")
+    lock.delete()
   }
 }
