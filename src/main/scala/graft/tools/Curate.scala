@@ -29,7 +29,7 @@ object Curate {
       stages: Seq[(String, Double)] = Seq.empty)
 
   def run(spark: SparkSession, corpusDir: String, outDir: String,
-      shards: Int = 8): Result = {
+      shards: Int = 8, searchIndex: Boolean = false): Result = {
     val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -68,14 +68,34 @@ object Curate {
           graft.SparkEntry.queries("rp1_corpus_stats")(spark, corpusDir),
           s"$outDir/card", shards = 1, keyCol = "source")
       }
+      // opt-in search-index artifact over the KEPT mix (decontamination-by-
+      // retrieval and eval-neighbor audits run BM25 against exactly the
+      // corpus that trains — indexing the raw corpus would surface docs
+      // the mix dropped): the scored full index, served by
+      // RetrievalQueries.bm25FromIndex / booleanAndFromIndex
+      if (searchIndex) timed("index_export") {
+        val kept = manifest.select(col("doc_id"))
+          .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        graft.queries.RetrievalQueries.fullIndexWriteScored(
+          kept, s"$outDir/bm25_index", shards)
+      }
       Result(nDocs, shards, stages.toSeq)
     } finally manifest.unpersist(blocking = false)
   }
 
-  /** True iff every artifact of a [[run]] completed. */
-  def committed(spark: SparkSession, outDir: String): Boolean =
-    Seq("shards", "manifest", "card")
+  /** True iff every artifact of a [[run]] completed — including the
+    * opt-in search index when one was requested (its two parquet tables
+    * each carry Spark's own `_SUCCESS`; a bm25_index dir with either
+    * missing is a half-written run). */
+  def committed(spark: SparkSession, outDir: String): Boolean = {
+    val core = Seq("shards", "manifest", "card")
       .forall(d => graft.sources.ShardIO.committed(spark, s"$outDir/$d"))
+    val idx = new org.apache.hadoop.fs.Path(s"$outDir/bm25_index")
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    core && (!fs.exists(idx) ||
+      Seq("postings", "stats").forall(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/bm25_index/$t/_SUCCESS"))))
+  }
 
   /** The WHOLE pipeline from a raw crawl: WARC `response` shards in,
     * committed training artifacts out. Stages ahead of [[run]] are the

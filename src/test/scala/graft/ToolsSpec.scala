@@ -272,7 +272,31 @@ class ToolsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_curate_t").toString
-    val r = graft.tools.Curate.run(spark, sf, out, shards = 3)
+    val r = graft.tools.Curate.run(spark, sf, out, shards = 3, searchIndex = true)
+    assert(graft.tools.Curate.committed(spark, out))
+
+    // the opt-in search index serves ranked retrieval over EXACTLY the
+    // kept mix: every ranked doc is in the manifest, and the scores match
+    // a direct scan of the kept corpus
+    val keptIds = graft.SparkEntry.queries("cur2_training_mix")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = graft.queries.RetrievalQueries
+      .bm25FromIndex(spark, s"$out/bm25_index", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty && served.forall { case (id, _) => keptIds(id) })
+    val keptDocs = graft.queries.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+      .where(col("doc_id").isin(keptIds.toSeq: _*))
+    val scanned = graft.queries.RetrievalQueries
+      .bm25TopK(keptDocs, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === scanned)
+    // a half-written index (missing stats _SUCCESS) flips committed off
+    val statsSuccess = new java.io.File(s"$out/bm25_index/stats/_SUCCESS")
+    assert(statsSuccess.exists)
+    statsSuccess.delete()
+    assert(!graft.tools.Curate.committed(spark, out))
+    java.nio.file.Files.createFile(statsSuccess.toPath)
     assert(graft.tools.Curate.committed(spark, out))
 
     // the manifest is exactly cur2's mix
