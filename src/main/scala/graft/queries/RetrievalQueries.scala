@@ -209,7 +209,51 @@ object RetrievalQueries {
       .parquet(s"$path/postings")
     docs
       .select(size(words(col("text"))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"),
+        avg(col("dl")).as("avgdl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats")
+  }
+
+  /** Incremental maintenance of a [[fullIndexWriteScored]] artifact — the
+    * postings sink's discipline for the FULL regime: a new batch's
+    * (term, doc_id, dl, tf) rows append as extra range-partitioned files
+    * (term pruning still holds per file via row-group stats + page
+    * indexes; a periodic [[fullIndexWriteScored]] rebuild is the
+    * compaction that re-coalesces them), and the stats table merges
+    * EXACTLY — `sum_dl` is stored precisely for this, so the merged
+    * avgdl is (Σ old + Σ batch)/(n old + n batch), not a
+    * lossy avg-of-avgs. Serving needs no change: df already derives from
+    * the pruned scan, so appended postings are picked up on the next
+    * query. Callers must not append a doc_id already indexed (the
+    * store's dedup discipline applies upstream). */
+  def fullIndexAppendScored(docs: org.apache.spark.sql.DataFrame,
+      path: String, shards: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .repartitionByRange(shards, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .option("parquet.page.row.count.limit", 4096)
+      .parquet(s"$path/postings")
+    val old = spark.read.parquet(s"$path/stats")
+      .select("n", "sum_dl").head()
+    val b = docs
+      .select(size(words(col("text"))).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sum_dl")).head()
+    val n = old.getDouble(0) + b.getDouble(0)
+    val sumDl = old.getDouble(1) + b.getDouble(1)
+    Seq((n, sumDl, if (n > 0) sumDl / n else 0.0))
+      .toDF("n", "sum_dl", "avgdl")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/stats")
   }

@@ -441,6 +441,38 @@ class ToolsSpec extends AnyFunSuite {
     assert(st.getDouble(0) === docs.count().toDouble)
   }
 
+  test("scored full index append: incremental maintenance ≡ full rebuild") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val inc = java.nio.file.Files.createTempDirectory("graft_scoredinc_")
+      .toString + "/index"
+    val full = java.nio.file.Files.createTempDirectory("graft_scoredfull_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWriteScored(odd, inc, shards = 4)
+    graft.queries.RetrievalQueries.fullIndexAppendScored(even, inc, shards = 4)
+    graft.queries.RetrievalQueries.fullIndexWriteScored(docs, full, shards = 4)
+    // postings: identical row SET (append adds files, never rows)
+    val pInc = spark.read.parquet(s"$inc/postings")
+    val pFull = spark.read.parquet(s"$full/postings")
+    assert(pInc.count() === pFull.count())
+    assert(pInc.join(pFull, Seq("term", "doc_id", "dl", "tf"), "left_anti").isEmpty)
+    // stats: n exact, avgdl merged from the stored exact sum
+    val sInc = spark.read.parquet(s"$inc/stats").head()
+    val sFull = spark.read.parquet(s"$full/stats").head()
+    assert(sInc.getDouble(0) === sFull.getDouble(0))
+    assert(math.abs(sInc.getDouble(2) - sFull.getDouble(2)) < 1e-9)
+    // the served ranked answer is identical
+    val terms = Seq("spark", "join", "window")
+    val a = graft.queries.RetrievalQueries.bm25FromIndex(spark, inc, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.queries.RetrievalQueries.bm25FromIndex(spark, full, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("ANN index artifact: commit protocol, served ≡ inline, cell partition pruning") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
