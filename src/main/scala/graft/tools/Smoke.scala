@@ -482,6 +482,38 @@ object Smoke {
       val loaded = graft.ext.Bpe.readMerges(spark, mPath)
       println(s"MERGES-ARTIFACT: ${loaded.size} rules round-tripped, " +
         s"equal=${loaded == rules}")
+
+      // r13 serving artifacts: persisted ANN index (build once, serve the
+      // s3/s6/s8-shaped queries + frozen-centroid append) and the scored
+      // BM25 full index (serve + incremental append)
+      val annPath = java.nio.file.Files.createTempDirectory("smoke_ann_")
+        .toString + "/index"
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.ext.AnnIndex.write(spark, emb.where(col("vec_id") % 10 < 8), annPath)
+      graft.ext.AnnIndex.append(spark, annPath, emb.where(col("vec_id") % 10 >= 8))
+      val annQ = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val ivf = graft.queries.SimilarityQueries
+        .ivfServedTopK(spark, annPath, annQ, 6, 5).count()
+      val qnt = graft.queries.SimilarityQueries
+        .quantizedServedTopK(spark, annPath, annQ, 5).count()
+      val pq = graft.queries.SimilarityQueries
+        .pqServedTopK(spark, annPath, annQ, 5).count()
+      println(s"ANN-INDEX: committed=${graft.ext.AnnIndex.committed(spark, annPath)} " +
+        s"ivf_rows=$ivf quantized_rows=$qnt pq_rows=$pq")
+
+      val fidx = java.nio.file.Files.createTempDirectory("smoke_fidx_")
+        .toString + "/index"
+      val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      graft.queries.RetrievalQueries.fullIndexWriteScored(
+        docsAll.where(col("doc_id") % 2 === 1), fidx, shards = 4)
+      graft.queries.RetrievalQueries.fullIndexAppendScored(
+        docsAll.where(col("doc_id") % 2 === 0), fidx, shards = 4)
+      val bm = graft.queries.RetrievalQueries
+        .bm25FromIndex(spark, fidx, Seq("spark", "join"), 10).collect()
+      println(s"BM25-FULL-INDEX: top=${bm.take(3).map(r =>
+        s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} rows=${bm.length}")
     }
     spark.stop()
   }
