@@ -1827,6 +1827,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(dueBuf.size === 1, "a fired URL does not re-emit without a new crawl")
   }
 
+  test("recrawl composes ahead of politeFrontier: due URLs pay the per-host budget") {
+    // the documented composition, made concrete: two flatMapGroupsWithState
+    // stages can't chain in one query, so recrawl-due rows LAND as files
+    // and the politeness stage streams the landing dir — the same
+    // file-relay every multi-stage crawl loop here uses
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_recrawl_comp_").toString
+    val landing = s"$root/due"
+    new java.io.File(landing).mkdirs()
+
+    // stage 1: crawled pages -> recrawl-due rows -> parquet landing dir
+    val crawls = MemoryStream[(Long, String)]
+    def runDueStage(): Unit = {
+      val q = graft.streaming.DocStream.recrawlDue(spark,
+          crawls.toDF().select(col("_2").as("url"), col("_1").as("doc_id")),
+          intervalMs = 1L)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt_due")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+              _: Long) =>
+            if (!b.isEmpty) b.toDF()
+              .select(col("url"), col("first_doc"))
+              .write.mode("append").parquet(landing); ()
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    // 5 crawled pages on one host, all due after the 1 ms interval
+    crawls.addData((1L to 5L).map(i => (i, s"https://re.example/p$i")): _*)
+    runDueStage()
+    Thread.sleep(50); runDueStage() // fire the elapsed deadlines
+    val due = spark.read.parquet(landing)
+    assert(due.count() === 5, "all 5 URLs must come due")
+
+    // stage 2: the landing dir streams into politeFrontier — the recrawl
+    // work drips under the same per-host cap as fresh discoveries
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, String)]]()
+    def runPolite(): Unit = {
+      val src = spark.readStream.schema(due.schema).parquet(landing)
+        .as[graft.streaming.DocStream.FrontierRow]
+      val q = graft.streaming.DocStream
+        .politeFrontier(spark, src, perTrigger = 2, maxPending = 10, drainMs = 1L)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt_polite")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PoliteRow],
+              _: Long) =>
+            val rows = b.collect().map(r => (r.host, r.url)).toSeq
+            if (rows.nonEmpty) batches.add(rows); ()
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runPolite()
+    Thread.sleep(50); runPolite()
+    Thread.sleep(50); runPolite()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    assert(got.forall(_.size <= 2), s"recrawl work must honor the cap: $got")
+    assert(got.flatten.map(_._2).toSet ===
+      (1L to 5L).map(i => s"https://re.example/p$i").toSet,
+      "every due URL must eventually drip out")
+  }
+
   test("streaming postings: multi-page merge parity, truncation, compaction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
