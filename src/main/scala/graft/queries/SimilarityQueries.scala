@@ -1048,6 +1048,139 @@ object SimilarityQueries {
       .select(col("n_queries"), (col("n_disagree") === 0).as("served_equals_inline"))
   }
 
+  /** S13 serving kernel — the COMPOSED IVF+PQ query, the billion-scale
+    * serving layout proper (FAISS's IVFADC, Jégou et al. 2011 §IV): the
+    * coarse quantizer prunes the scan to the probed cells' DIRECTORIES
+    * (s10's partition pruning), the ADC stage scores only those cells'
+    * `pq_codes` (M byte-lookups per candidate, no vector read — s12's
+    * 16× tier), and the bounded survivors re-rank at full precision. A
+    * query's candidate cost is nprobe/nlist × M bytes/vector — the
+    * product of both prunings; nothing in the pipeline reads the float
+    * column except the ≤ queries×candK re-rank sliver. */
+  private[graft] def ivfPqServedTopK(s: SparkSession, indexPath: String,
+      queries0: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val cents = graft.ext.AnnIndex.readCentroids(s, indexPath)
+    val qRows = queries0.select(col("query_id"), col("qv")).collect()
+    val probes = probeSet(qRows, cents, nprobe)
+    val probeDf = probes.toDF("query_id", "cell")
+    val cells = probes.map(_._2).distinct.sorted
+    val cb = graft.ext.AnnIndex.readPqCodebooks(s, indexPath)
+    val sub = cb(0)(0).length
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val codes = graft.ext.AnnIndex.readCodes(s, indexPath)
+      .where(col("cell").isin(cells: _*)) // directory-level partition pruning
+    val queries = queries0
+      .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"),
+        transform(seqM, m =>
+          transform(sequence(lit(0), lit(PqK - 1)), c =>
+            ddot(slice(col("qv"), m * sub + 1, lit(sub)),
+              element_at(element_at(cbLit, m + 1), c + 1)))).as("lut"))
+    val adc = aggregate(
+      transform(seqM, m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("pq_codes"), m + 1) + 1)),
+      lit(0.0), _ + _)
+    val candK = TopK * 5
+    val scored = codes.select(col("vec_id"), col("cell"), col("pq_codes"), col("pq_rnrm"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_adc", adc / (col("qnrm") * col("pq_rnrm")))
+    val cands = perQueryTopK(scored, col("cos_adc"), candK)
+      .select(col("query_id"), col("vec_id"))
+    val reranked = codes
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
+      .join(broadcast(queries.select("query_id", "qv", "qnrm")), "query_id")
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
+    perQueryTopK(reranked, col("cos_full"), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cos"))
+  }
+
+  /** S13: the composed IVF+PQ serve. Rows-only (both quantizers are
+    * trained); the ⊕ companion re-derives the ENTIRE two-stage pipeline
+    * through independent formulations. */
+  private val s13Served = rowsOnly("s13_ann_served_ivfpq") { (s, dir) =>
+    ivfPqServedTopK(s, servedIndexFor(s, dir), s10Queries(s, dir), S3Nprobe, TopK)
+  }
+
+  /** S13's ORACLE-CHECKED companion — both stages re-derived through
+    * deliberately different operator trees over the SAME artifact:
+    *   - the ADC candidate stage re-scored via the RECONSTRUCTION dot
+    *     (⟨q, x̂⟩ with x̂ = flatten of per-subspace codebook rows — the
+    *     ADC identity s8's companion pins) and window-ranked instead of
+    *     the bounded-aggregate top-k;
+    *   - the final answer re-derived as the window-ranked full-precision
+    *     cosine top-k of that candidate set;
+    *   - results ⊆ probed-cell members (the IVF pruning contract).
+    * Reduced to DuckDB-derivable values over `embeddings`. */
+  private val s13Invariants = withOracle("s13_served_ivfpq_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS results_subset_of_probed_cells,
+       |       TRUE AS pipeline_equals_window_rederivation
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val idx = servedIndexFor(s, dir)
+    val cents = graft.ext.AnnIndex.readCentroids(s, idx)
+    val queries0 = s10Queries(s, dir)
+    val probes = probeSet(queries0.collect(), cents, S3Nprobe)
+    import s.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val cb = graft.ext.AnnIndex.readPqCodebooks(s, idx)
+    val sub = cb(0)(0).length
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val recon = flatten(transform(seqM, m =>
+      element_at(element_at(cbLit, m + 1), element_at(col("pq_codes"), m + 1) + 1)))
+    val codes = graft.ext.AnnIndex.readCodes(s, idx)
+    val queries = queries0
+      .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"))
+    // probed-cell members scored through the reconstruction identity
+    val members = codes
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .where(col("query_id") =!= col("vec_id"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("cos_recon").desc, col("vec_id").asc)
+    val candsW = members
+      .withColumn("cos_recon",
+        ddot(col("qv"), recon) / (col("qnrm") * col("pq_rnrm")))
+      .where(col("cos_recon").isNotNull && !isnan(col("cos_recon")))
+      .withColumn("rn", row_number().over(wAdc)).where(col("rn") <= TopK * 5)
+      .select(col("query_id"), col("vec_id"))
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    val want = candsW
+      .join(codes.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("fv")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_full",
+        ddot(col("qv"), col("fv")) / (col("qnrm") * sqrt(ddot(col("fv"), col("fv")))))
+      .where(col("cos_full").isNotNull && !isnan(col("cos_full")))
+      .withColumn("rn", row_number().over(wFull)).where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos_w"))
+    val got = s13Served.fn(s, dir)
+    val disagree = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val outside = got.join(
+        members.select(col("query_id"), col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(outside)).crossJoin(broadcast(disagree))
+      .select(col("n_queries"),
+        (col("n_outside") === 0).as("results_subset_of_probed_cells"),
+        (col("n_disagree") === 0).as("pipeline_equals_window_rederivation"))
+  }
+
   /** Build-once artifact cache keyed by corpus dir: the index build is a
     * write-side one-off (s3's bench-excluded training category), so gate
     * and bench calls after the first measure pure SERVING — which is the
@@ -1104,5 +1237,5 @@ object SimilarityQueries {
     Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s3Invariants, s4Quantize, s5Centroid,
       s6Quantized, s6Invariants, s7IvfAssign, s7Invariants, s8AnnPq, s8Invariants,
       s9Mining, s10Served, s10Invariants, s11Served, s11Invariants,
-      s12Served, s12Invariants)
+      s12Served, s12Invariants, s13Served, s13Invariants)
 }

@@ -651,7 +651,7 @@ object DocStream {
     *    MaxLshBucket rationale: a bucket past the cap is an
     *    exact/near-dup family the d1 exact pass already collapses);
     *    an uncached member cannot match later dups — miss-direction
-    *    drift, bounded by the cap and surfaced per-bucket;
+    *    drift, bounded by the cap;
     *  - state duplicates each signature ×Bands (the classic LSH index
     *    cost) — RocksDB spills it off-heap.
     * Emissions are (new_id, base_id, est) candidate verdicts, possibly
