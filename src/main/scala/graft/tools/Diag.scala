@@ -43,6 +43,11 @@ object Diag {
         args.lift(2).map(_.toLong).getOrElse(100_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("annserve")) {
+      annServeScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L),
+        args.lift(2).map(_.toInt).getOrElse(256))
+      spark.stop(); return
+    }
     if (args.headOption.contains("docs")) {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -681,6 +686,62 @@ object Diag {
     println(f"[polite] n=$n%,d hosts=$hosts%,d: $t%.1f s " +
       f"(${n / t / 1e6}%.2f M urls/s) emitted=${acc.value}%,d drained=${acc.value == n}")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
+  /** The persisted ANN index at vector volumes the gate fixture can't
+    * show: `n` synthetic 64-dim vectors (splitmix-derived, mildly
+    * clusterable) → one [[graft.ext.AnnIndex.write]] build (`nlist`
+    * cells + int8 + PQ), then the SERVING ladder timed against the exact
+    * brute-force scan on the same data in the same window — the ratios
+    * are window-insensitive even on a degraded co-tenant box. The claim
+    * under test is the §8 one: IVF serving costs ~nprobe/nlist of a
+    * scan, ADC another ~16× off the candidate bytes. */
+  private def annServeScale(spark: SparkSession, n: Long, nlist: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val dir = java.nio.file.Files.createTempDirectory("graft_annserve_").toString
+    // 64-dim vectors with 32 planted cluster centers so IVF has real
+    // structure: component = center(c,i) + small per-vector jitter
+    spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(pmod(col("id"), lit(32)), i), lit(1000)) / 500.0 - 1.0) +
+            (pmod(xxhash64(col("id"), i, lit(7)), lit(100)) / 500.0 - 0.1))
+            .cast("float")).as("embedding"))
+      .repartition(32).write.parquet(s"$dir/emb")
+    val emb = spark.read.parquet(s"$dir/emb")
+    val tBuild = time {
+      graft.ext.AnnIndex.write(spark, emb, s"$dir/index", nlist = nlist)
+    }
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    // exact brute baseline: the s1 shape over the same parquet
+    def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val v = transform(col("embedding"), _.cast("double"))
+    val corpus = emb.select(col("vec_id"), v.as("fv"))
+      .select(col("vec_id"), col("fv"), sqrt(ddot(col("fv"), col("fv"))).as("nrm"))
+    val q = queries.select(col("query_id"),
+        transform(col("qv"), _.cast("double")).as("dq"))
+      .select(col("query_id"), col("dq"), sqrt(ddot(col("dq"), col("dq"))).as("qnrm"))
+    val brute = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (ddot(col("dq"), col("fv")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .groupBy("query_id").agg(max_by(col("vec_id"), col("cos")).as("nn"))
+    val tBrute = (1 to 3).map(_ => time(sink(brute))).min
+    val nprobe = math.max(1, nlist / 32)
+    val tIvf = (1 to 3).map(_ => time(sink(
+      graft.queries.SimilarityQueries.ivfServedTopK(
+        spark, s"$dir/index", queries, nprobe, 5)))).min
+    val tIvfPq = (1 to 3).map(_ => time(sink(
+      graft.queries.SimilarityQueries.ivfPqServedTopK(
+        spark, s"$dir/index", queries, nprobe, 5)))).min
+    println(f"[annserve] n=$n%,d nlist=$nlist nprobe=$nprobe dim=64: " +
+      f"build=$tBuild%.1f s, brute=$tBrute%.2f s, " +
+      f"ivf=$tIvf%.2f s (${tBrute / tIvf}%.1fx), " +
+      f"ivfpq=$tIvfPq%.2f s (${tBrute / tIvfPq}%.1fx)")
   }
 
   /** Dedup family at a corpus sf0.1 can't show (default 1 M docs, ~60
