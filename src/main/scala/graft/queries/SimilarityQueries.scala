@@ -936,7 +936,7 @@ object SimilarityQueries {
     val queries = queries0
       .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
       .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"))
-    val candK = TopK * 3
+    val candK = k * 3 // s6's pool contract scales with the REQUESTED k
     val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("cos_approx", ddot(col("qv"), col("deq")) / (col("qnrm") * col("dnrm")))
     val cands = perQueryTopK(scored, col("cos_approx"), candK)
@@ -1002,7 +1002,7 @@ object SimilarityQueries {
           transform(sequence(lit(0), lit(PqK - 1)), c =>
             ddot(slice(col("qv"), m * sub + 1, lit(sub)),
               element_at(element_at(cbLit, m + 1), c + 1)))).as("lut"))
-    val candK = TopK * 5 // s8's wider pool — PQ codes are lossier
+    val candK = k * 5 // s8's wider pool (scaled to the requested k) — PQ codes are lossier
     val adc = aggregate(
       transform(seqM, m => element_at(element_at(col("lut"), m + 1),
         element_at(col("pq_codes"), m + 1) + 1)),
@@ -1083,7 +1083,7 @@ object SimilarityQueries {
       transform(seqM, m => element_at(element_at(col("lut"), m + 1),
         element_at(col("pq_codes"), m + 1) + 1)),
       lit(0.0), _ + _)
-    val candK = TopK * 5
+    val candK = k * 5 // scales with the requested k, like pqServedTopK
     val scored = codes.select(col("vec_id"), col("cell"), col("pq_codes"), col("pq_rnrm"))
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))

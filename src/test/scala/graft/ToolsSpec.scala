@@ -430,15 +430,48 @@ class ToolsSpec extends AnyFunSuite {
     // so the final plan shows the checkpointed RDD; the pushdown fires
     // when that checkpoint materializes — assert it on the identical
     // pre-checkpoint scan expression the kernel builds.
-    val plan = spark.read.parquet(s"$path/postings")
+    val plan = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
       .where(col("term").isin(terms: _*))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
       s"term isin must reach the postings scan:\n$plan")
-    // stats artifact carries exactly the two corpus scalars
-    val st = spark.read.parquet(s"$path/stats").head()
+    // stats artifact carries exactly the corpus scalars
+    val st = graft.queries.RetrievalQueries.readScoredStats(spark, path).head()
     assert(st.getDouble(0) === docs.count().toDouble)
+
+    // CAPPED serve (the impact-ordered rung): at a generous cap the
+    // answer is EXACT; at a binding cap the candidate set shrinks to
+    // each term's highest-impact prefix and the rank predicate reaches
+    // the parquet scan
+    val capped = graft.queries.RetrievalQueries
+      .bm25FromIndexCapped(spark, path, terms, 20, 1L << 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(capped === scanned, "generous cap must be exact (cap ≥ every df)")
+    val posts = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+    val fullRows = posts.where(col("term").isin(terms: _*)).count()
+    val capRows = posts
+      .where(col("term").isin(terms: _*) && col("rank") <= 3).count()
+    assert(capRows < fullRows && capRows <= 3L * terms.size,
+      "a binding cap must read only the per-term impact prefix")
+    // rank 1 really is the term's highest-impact posting: no other
+    // posting of the same term has a larger tf-part score
+    val impact = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+        lit(st.getDouble(2))))
+    val byTerm = posts.where(col("term").isin(terms: _*))
+      .select(col("term"), col("rank"), impact.as("imp"))
+    val best = byTerm.where(col("rank") === 1)
+      .groupBy("term").agg(max(col("imp")).as("imp1"))
+    val violated = byTerm.join(best, "term")
+      .where(col("imp") > col("imp1") + lit(1e-12)).count()
+    assert(violated === 0L, "rank must be the per-term impact order")
+    val capPlan = posts
+      .where(col("term").isin(terms: _*) && col("rank") <= 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*rank".r.findFirstIn(capPlan).isDefined,
+      s"rank cap must reach the postings scan:\n$capPlan")
   }
 
   test("scored full index append: incremental maintenance ≡ full rebuild") {
@@ -454,14 +487,14 @@ class ToolsSpec extends AnyFunSuite {
     graft.queries.RetrievalQueries.fullIndexWriteScored(odd, inc, shards = 4)
     graft.queries.RetrievalQueries.fullIndexAppendScored(even, inc, shards = 4)
     graft.queries.RetrievalQueries.fullIndexWriteScored(docs, full, shards = 4)
-    // postings: identical row SET (append adds files, never rows)
-    val pInc = spark.read.parquet(s"$inc/postings")
-    val pFull = spark.read.parquet(s"$full/postings")
+    // postings: identical row SET (append adds a generation, never rows)
+    val pInc = graft.queries.RetrievalQueries.readScoredPostings(spark, inc)
+    val pFull = graft.queries.RetrievalQueries.readScoredPostings(spark, full)
     assert(pInc.count() === pFull.count())
     assert(pInc.join(pFull, Seq("term", "doc_id", "dl", "tf"), "left_anti").isEmpty)
     // stats: n exact, avgdl merged from the stored exact sum
-    val sInc = spark.read.parquet(s"$inc/stats").head()
-    val sFull = spark.read.parquet(s"$full/stats").head()
+    val sInc = graft.queries.RetrievalQueries.readScoredStats(spark, inc).head()
+    val sFull = graft.queries.RetrievalQueries.readScoredStats(spark, full).head()
     assert(sInc.getDouble(0) === sFull.getDouble(0))
     assert(math.abs(sInc.getDouble(2) - sFull.getDouble(2)) < 1e-9)
     // the served ranked answer is identical
@@ -471,6 +504,67 @@ class ToolsSpec extends AnyFunSuite {
     val b = graft.queries.RetrievalQueries.bm25FromIndex(spark, full, terms, 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a === b && a.nonEmpty)
+  }
+
+  test("scored full index: zero-downtime commits, exact stats under racing appenders") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_scoredzdt_")
+      .toString + "/index"
+    val third0 = docs.where(col("doc_id") % 3 === 0)
+    val third1 = docs.where(col("doc_id") % 3 === 1)
+    val third2 = docs.where(col("doc_id") % 3 === 2)
+    graft.queries.RetrievalQueries.fullIndexWriteScored(third0, path, shards = 4)
+    assert(graft.queries.RetrievalQueries.scoredIndexCommitted(spark, path))
+
+    // TWO RACING APPENDERS: the mutation lock serializes them — exactly
+    // one wins each acquire, the loser fails FAST (never a lost stats
+    // update, never a torn snapshot); retrying the loser converges
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(d: org.apache.spark.sql.DataFrame) = new Thread(() =>
+      try graft.queries.RetrievalQueries.fullIndexAppendScored(d, path, 4)
+      catch { case e: Throwable => errs.add(e) })
+    val (ta, tb) = (appender(third1), appender(third2))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(errs.size <= 1, s"at most one appender may lose: $errs")
+    errs.forEach(e => assert(e.isInstanceOf[IllegalStateException],
+      s"the loser must fail the LOCK, not corrupt state: $e"))
+    if (errs.size == 1) { // replay the loser serially — appends converge
+      val doneN = graft.queries.RetrievalQueries.readScoredStats(spark, path)
+        .head().getDouble(0)
+      val loser = if (doneN == third0.count() + third1.count()) third2 else third1
+      graft.queries.RetrievalQueries.fullIndexAppendScored(loser, path, 4)
+    }
+    // stats EXACT after the race + replay: sum_dl additive, n additive
+    val st = graft.queries.RetrievalQueries.readScoredStats(spark, path).head()
+    assert(st.getDouble(0) === docs.count().toDouble)
+    val wantSum = docs
+      .select(coalesce(sum(size(split(lower(trim(col("text"))), "\\s+"))
+        .cast("double")), lit(0.0))).head().getDouble(0)
+    assert(math.abs(st.getDouble(1) - wantSum) < 1e-6 * (wantSum + 1))
+
+    // ZERO-DOWNTIME: committed() stays true while another append runs
+    // (poll from a reader thread during the mutation)
+    val sawUncommitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stopPoll = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => while (!stopPoll.get()) {
+      if (!graft.queries.RetrievalQueries.scoredIndexCommitted(spark, path))
+        sawUncommitted.set(true)
+      Thread.sleep(1)
+    })
+    poller.start()
+    try graft.queries.RetrievalQueries.fullIndexWriteScored(docs, path, shards = 4)
+    finally { stopPoll.set(true); poller.join() }
+    assert(!sawUncommitted.get(),
+      "a rebuild must never un-commit the index — readers serve the old snapshot")
+    // the rebuild re-coalesced the generations and still serves exactly
+    val terms = Seq("spark", "join", "window")
+    val served = graft.queries.RetrievalQueries.bm25FromIndex(spark, path, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scanned = graft.queries.RetrievalQueries.bm25TopK(docs, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === scanned && served.nonEmpty)
   }
 
   test("ANN index artifact: commit protocol, served ≡ inline, cell partition pruning") {
@@ -596,5 +690,113 @@ class ToolsSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(lock.toPath)) === "someone-else",
       "a failed acquirer must not delete a lock it does not own")
     lock.delete()
+  }
+
+  test("ANN index zero-downtime maintenance: old snapshot serves through append and rebuild") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val baseSlice = emb.where(col("vec_id") % 10 < 8)
+    val newSlice = emb.where(col("vec_id") % 10 >= 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_annzdt_")
+      .toString + "/index"
+    graft.ext.AnnIndex.write(spark, baseSlice, path, nlist = 16)
+    val c0 = graft.ext.AnnIndex.readCodes(spark, path).count()
+    val snap0 = graft.ext.AnnIndex.readSnapshot(spark, path).get
+
+    // APPEND: the beforeCommit seam runs after the new generation is
+    // fully written, immediately before the atomic flip — a reader at
+    // that moment must see the index COMMITTED and EXACTLY the old rows
+    var duringAppend = Option.empty[(Boolean, Long, Int)]
+    graft.ext.AnnIndex.append(spark, path, newSlice, beforeCommit = () =>
+      duringAppend = Some((
+        graft.ext.AnnIndex.committed(spark, path),
+        graft.ext.AnnIndex.readCodes(spark, path).count(),
+        graft.ext.AnnIndex.readSnapshot(spark, path).get.v)))
+    assert(duringAppend.contains((true, c0, snap0.v)),
+      "a reader mid-append must serve the untouched old snapshot")
+    val c1 = graft.ext.AnnIndex.readCodes(spark, path).count()
+    assert(c1 === emb.count(), "the flip must publish the appended rows")
+    val snap1 = graft.ext.AnnIndex.readSnapshot(spark, path).get
+    assert(snap1.v === snap0.v + 1 && snap1.codes.size === 2
+      && snap1.centroids === snap0.centroids,
+      "append extends the generation list under frozen centroids")
+
+    // REBUILD: same contract — the old snapshot serves while v=N+1 builds
+    var duringRebuild = Option.empty[(Boolean, Long, Int)]
+    graft.ext.AnnIndex.write(spark, emb, path, nlist = 16, beforeCommit = () =>
+      duringRebuild = Some((
+        graft.ext.AnnIndex.committed(spark, path),
+        graft.ext.AnnIndex.readCodes(spark, path).count(),
+        graft.ext.AnnIndex.readSnapshot(spark, path).get.v)))
+    assert(duringRebuild.contains((true, c1, snap1.v)),
+      "a reader mid-rebuild must serve the untouched old snapshot")
+    val snap2 = graft.ext.AnnIndex.readSnapshot(spark, path).get
+    assert(snap2.v === snap1.v + 1 && snap2.codes.size === 1,
+      "rebuild re-coalesces the generations into one")
+    // retention: the replaced snapshot's dirs survive one flip (readers
+    // mid-scan), anything older is swept at the NEXT rebuild
+    assert(new java.io.File(s"$path/codes/v=0").exists,
+      "the immediately-prior snapshot must be retained for in-flight readers")
+    graft.ext.AnnIndex.write(spark, emb, path, nlist = 16)
+    assert(!new java.io.File(s"$path/codes/v=0").exists,
+      "two flips later the old snapshot's dirs are swept")
+    assert(new java.io.File(s"$path/codes/v=${snap2.v}").exists)
+
+    // a holder whose lock is BROKEN mid-build must NOT commit (the
+    // pre-flip token re-verify): break it through the seam
+    val snapBefore = graft.ext.AnnIndex.readSnapshot(spark, path).get
+    val lock = new java.io.File(s"$path/._INDEX_LOCK")
+    intercept[IllegalStateException] {
+      graft.ext.AnnIndex.append(spark, path, newSlice.limit(1),
+        beforeCommit = () =>
+          java.nio.file.Files.write(lock.toPath, "breaker".getBytes))
+    }
+    assert(graft.ext.AnnIndex.readSnapshot(spark, path).get === snapBefore,
+      "a broken-lock holder must never flip the marker")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath)) === "breaker",
+      "the aborting holder must not delete the breaker's lock")
+    lock.delete()
+
+    // a STALE lock from a dead builder breaks, and the breaker proceeds
+    // only after reading its OWN token back (the TOCTOU guard)
+    java.nio.file.Files.write(lock.toPath, "dead-builder".getBytes)
+    spark.conf.set("graft.ann.lockStaleMs", "1")
+    try {
+      Thread.sleep(10)
+      graft.ext.AnnIndex.append(spark, path, newSlice.limit(1))
+      assert(!lock.exists, "the breaker must release its own lock after commit")
+    } finally spark.conf.unset("graft.ann.lockStaleMs")
+  }
+
+  test("ANN index rebuild with pq=false drops the PQ surface cleanly") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_annpqoff_")
+      .toString + "/index"
+    graft.ext.AnnIndex.write(spark, emb, path, nlist = 16)
+    assert(graft.ext.AnnIndex.readPqCodebooks(spark, path).nonEmpty)
+    // rebuild WITHOUT pq over the pq snapshot: the marker (not a leftover
+    // directory) decides — readers and appenders see a clean non-PQ index
+    graft.ext.AnnIndex.write(spark, emb, path, nlist = 16, pq = false)
+    assert(!graft.ext.AnnIndex.readSnapshot(spark, path).get.pq)
+    intercept[IllegalStateException] {
+      graft.ext.AnnIndex.readPqCodebooks(spark, path)
+    }
+    assert(!graft.ext.AnnIndex.readCodes(spark, path).columns.contains("pq_codes"))
+    // append consults the marker: no PQ columns encoded against stale
+    // codebooks, no mixed parquet schemas
+    val before = graft.ext.AnnIndex.readCodes(spark, path).count()
+    graft.ext.AnnIndex.append(spark, path,
+      emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")).limit(3))
+    val grown = graft.ext.AnnIndex.readCodes(spark, path)
+    assert(grown.count() === before + 3)
+    assert(!grown.columns.contains("pq_codes") && !grown.columns.contains("pq_rnrm"))
+    // an EMPTY batch is a no-op: no fileless generation ever commits
+    val snapBefore = graft.ext.AnnIndex.readSnapshot(spark, path).get
+    graft.ext.AnnIndex.append(spark, path, emb.where(col("vec_id") < 0))
+    assert(graft.ext.AnnIndex.readSnapshot(spark, path).get === snapBefore)
+    assert(graft.ext.AnnIndex.readCodes(spark, path).count() === before + 3)
   }
 }
