@@ -177,85 +177,202 @@ object RetrievalQueries {
       .parquet(path)
 
   /** FULL index write, SCORED layout — [[fullIndexWrite]]'s range-
-    * partitioned (term, doc_id) discipline extended with the columns
-    * ranked retrieval needs so BM25 serves from the artifact alone:
-    *   postings/  (term, doc_id, dl, tf) — tf per pair, the doc-length
-    *              norm DENORMALIZED into the posting row (Lucene's norms
-    *              are a doc-keyed side table; denormalizing removes the
-    *              corpus-sized norms join from every serve — the posting
-    *              row grows 8 bytes, the query loses an exchange)
-    *   stats/     one row (n, avgdl) — the two corpus scalars BM25 needs,
-    *              precomputed at build so serving reads zero corpus-sized
-    *              tables
+    * partitioned term discipline extended with the columns ranked
+    * retrieval needs so BM25 serves from the artifact alone. VERSIONED
+    * snapshot tables under `path`, named by an `_INDEX_SUCCESS` marker
+    * ([[graft.ext.ArtifactCommit]] — same zero-downtime contract as the
+    * ANN index: mutators build beside the live tables and flip the
+    * marker last, readers are never taken offline, mutations serialize
+    * through the ownership-token lock):
+    *   postings/v=N/g=G/ (term, doc_id, dl, tf, rank) — tf per pair,
+    *              the doc-length norm DENORMALIZED into the posting row
+    *              (Lucene's norms are a doc-keyed side table;
+    *              denormalizing removes the corpus-sized norms join from
+    *              every serve — the posting row grows 8 bytes, the query
+    *              loses an exchange), plus the per-term IMPACT rank
+    *              [[writePostingsGen]] sorts the files by — the layout
+    *              that lets [[bm25FromIndexCapped]] read only each
+    *              term's highest-impact prefix
+    *   stats/v=N/ one row (n, sum_dl, avgdl) — the corpus scalars BM25
+    *              needs, precomputed at build so serving reads zero
+    *              corpus-sized tables; sum_dl stored exactly so appends
+    *              merge without avg-of-avgs
     * Build cost: one vocabulary-keyed exchange (the groupBy's partials
-    * combine map-side; dl rides the key as a doc_id-functional column)
-    * plus the range-partition write, and one stats pass. Per-term df is
-    * NOT stored: it equals the term's posting count, which a serve
-    * derives from its own pruned scan — candidate-bounded, and immune to
-    * the df-vs-postings drift a stored copy could develop. */
+    * combine map-side; dl rides the key as a doc_id-functional column),
+    * the rank window on the same key, the range-partition write, and one
+    * stats pass. Per-term df is NOT stored: it equals the term's posting
+    * count, which a serve derives from its own pruned scan —
+    * candidate-bounded, and immune to the df-vs-postings drift a stored
+    * copy could develop. */
   def fullIndexWriteScored(docs: org.apache.spark.sql.DataFrame, path: String,
       shards: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val token = graft.ext.ArtifactCommit.acquireLock(spark, path,
+      what = "scored BM25 index")
+    try {
+      val prior = graft.ext.ArtifactCommit.readMarker(spark, path)
+      val tv = prior.map(_("v").toInt + 1).getOrElse(0)
+      // stats FIRST — the postings build needs avgdl for the impact rank;
+      // sum_dl is stored exactly so appends merge without avg-of-avgs
+      val st = docs
+        .select(size(words(col("text"))).cast("double").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          coalesce(sum(col("dl")), lit(0.0)).as("sum_dl")).head()
+      val (n, sumDl) = (st.getDouble(0), st.getDouble(1))
+      val avgdl = if (n > 0) sumDl / n else 0.0
+      Seq((n, sumDl, avgdl)).toDF("n", "sum_dl", "avgdl")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats/v=$tv")
+      writePostingsGen(docs, s"$path/postings/v=$tv/g=0", shards, avgdl)
+      graft.ext.ArtifactCommit.verifyLock(spark, path, token, "scored BM25 index")
+      graft.ext.ArtifactCommit.writeMarker(spark, path, Map(
+        "v" -> tv.toString,
+        "postings" -> s"postings/v=$tv/g=0",
+        "stats" -> s"stats/v=$tv"))
+      // retention: keep the new snapshot + the one it replaced (in-flight
+      // readers), sweep anything older including crashed-mutation orphans
+      val keep = Set(s"postings/v=$tv", s"stats/v=$tv") ++
+        prior.toSeq.flatMap(p => p("postings").split(',').toSeq :+ p("stats")).toSet
+      graft.ext.ArtifactCommit.sweepVersions(spark, path,
+        Seq("postings", "stats"), keep)
+    } finally graft.ext.ArtifactCommit.releaseLock(spark, path, token)
+  }
+
+  /** One postings generation: (term, doc_id, dl, tf, rank) where `rank`
+    * is the term's IMPACT order — 1 = the posting contributing the most
+    * BM25 mass for its term (idf is term-constant, so ordering by the tf
+    * part `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` IS the exact per-term
+    * score order; doc_id tie-break). Files are range-sharded and sorted
+    * by (term, rank), so a `rank <= cap` predicate skips every page past
+    * the cap via parquet page indexes — the WAND/impact-ordering layout
+    * that lets [[bm25FromIndexCapped]] read only each query term's
+    * highest-impact prefix. The rank window is one term-keyed exchange
+    * at BUILD time (the same key the groupBy already shuffles on; a
+    * stop-word-grade head term makes a big partition — acceptable for a
+    * write-side one-off, and the rebuild cadence re-coalesces). */
+  private def writePostingsGen(docs: org.apache.spark.sql.DataFrame,
+      genPath: String, shards: Int, avgdl: Double): Unit = {
+    val safeAvg = if (avgdl > 0) avgdl else 1.0
+    val impact = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(safeAvg)))
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
         explode(col("ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .repartitionByRange(shards, col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")
+          .orderBy(impact.desc, col("doc_id"))).cast("long"))
+      .repartitionByRange(shards, col("term"), col("rank"))
+      .sortWithinPartitions("term", "rank")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.page.row.count.limit", 4096)
-      .parquet(s"$path/postings")
-    docs
-      .select(size(words(col("text"))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"),
-        avg(col("dl")).as("avgdl"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats")
+      .parquet(genPath)
   }
 
   /** Incremental maintenance of a [[fullIndexWriteScored]] artifact — the
-    * postings sink's discipline for the FULL regime: a new batch's
-    * (term, doc_id, dl, tf) rows append as extra range-partitioned files
-    * (term pruning still holds per file via row-group stats + page
-    * indexes; a periodic [[fullIndexWriteScored]] rebuild is the
-    * compaction that re-coalesces them), and the stats table merges
+    * postings sink's discipline for the FULL regime, under the
+    * zero-downtime commit protocol: a new batch's (term, doc_id, dl, tf,
+    * rank) rows land as a NEW generation dir beside the live ones (term
+    * pruning holds per generation; a periodic [[fullIndexWriteScored]]
+    * rebuild is the compaction that re-coalesces them), the stats merge
     * EXACTLY — `sum_dl` is stored precisely for this, so the merged
-    * avgdl is (Σ old + Σ batch)/(n old + n batch), not a
-    * lossy avg-of-avgs. Serving needs no change: df already derives from
-    * the pruned scan, so appended postings are picked up on the next
-    * query. Callers must not append a doc_id already indexed (the
-    * store's dedup discipline applies upstream). */
+    * avgdl is (Σ old + Σ batch)/(n old + n batch), never a lossy
+    * avg-of-avgs — into a FRESH versioned dir, and ONE atomic marker
+    * flip publishes postings + stats together: a reader never sees new
+    * postings against stale (n, avgdl), or a stats-less window, and a
+    * crash anywhere leaves the old snapshot live. Mutations serialize
+    * through the ownership-token lock (two concurrent appenders can't
+    * lose an update — the second fails fast and retries after the
+    * first's flip). Serving needs no change: df already derives from the
+    * pruned scan, so appended postings are picked up on the next query.
+    * Callers must not append a doc_id already indexed (the store's dedup
+    * discipline applies upstream). */
   def fullIndexAppendScored(docs: org.apache.spark.sql.DataFrame,
       path: String, shards: Int): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .repartitionByRange(shards, col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("compression", "zstd")
-      .option("parquet.page.row.count.limit", 4096)
-      .parquet(s"$path/postings")
-    val old = spark.read.parquet(s"$path/stats")
-      .select("n", "sum_dl").head()
-    val b = docs
-      .select(size(words(col("text"))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        coalesce(sum(col("dl")), lit(0.0)).as("sum_dl")).head()
-    val n = old.getDouble(0) + b.getDouble(0)
-    val sumDl = old.getDouble(1) + b.getDouble(1)
-    Seq((n, sumDl, if (n > 0) sumDl / n else 0.0))
-      .toDF("n", "sum_dl", "avgdl")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats")
+    val token = graft.ext.ArtifactCommit.acquireLock(spark, path,
+      what = "scored BM25 index")
+    try {
+      val snap = graft.ext.ArtifactCommit.readMarker(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"scored BM25 index at $path is not committed — nothing to append to"))
+      val old = spark.read.parquet(s"$path/${snap("stats")}")
+        .select("n", "sum_dl").head()
+      val b = docs
+        .select(size(words(col("text"))).cast("double").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          coalesce(sum(col("dl")), lit(0.0)).as("sum_dl")).head()
+      if (b.getDouble(0) == 0) return // empty batch: the snapshot stands
+      val n = old.getDouble(0) + b.getDouble(0)
+      val sumDl = old.getDouble(1) + b.getDouble(1)
+      val avgdl = if (n > 0) sumDl / n else 0.0
+      val tv = snap("v").toInt + 1
+      // batch postings land as a NEW generation dir under the live
+      // postings version (gen = 1 + the max on DISK, so a crashed
+      // append's orphan is never half-reused); gen-LOCAL impact ranks are
+      // computed against the MERGED avgdl — a valid impact order per gen;
+      // the capped serve reads each gen's prefix (a superset of the
+      // global prefix) and the rebuild cadence re-coalesces to one gen
+      val postRoot = snap("postings").split(',').head.split("/g=")(0)
+      val rootPath = new org.apache.hadoop.fs.Path(s"$path/$postRoot")
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val diskGens = (try fs.listStatus(rootPath) catch {
+        case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus]
+      }).map(_.getPath.getName).filter(_.startsWith("g="))
+        .map(_.stripPrefix("g=").toInt)
+      val gen = (diskGens ++ snap("postings").split(',')
+        .map(_.split("/g=")(1).toInt)).max + 1
+      val genDir = s"$postRoot/g=$gen"
+      writePostingsGen(docs, s"$path/$genDir", shards, avgdl)
+      // merged stats to a FRESH versioned dir — never overwrite in place
+      // (a reader racing an in-place Overwrite could see no stats at all)
+      Seq((n, sumDl, avgdl)).toDF("n", "sum_dl", "avgdl")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats/v=$tv")
+      graft.ext.ArtifactCommit.verifyLock(spark, path, token, "scored BM25 index")
+      // ONE atomic flip publishes postings + stats together: a reader
+      // always sees a consistent (postings set, n, avgdl) snapshot and a
+      // crash between the table writes leaves the OLD snapshot live
+      graft.ext.ArtifactCommit.writeMarker(spark, path, Map(
+        "v" -> tv.toString,
+        "postings" -> (snap("postings").split(',').toSeq :+ genDir).mkString(","),
+        "stats" -> s"stats/v=$tv"))
+      val keep = Set(s"stats/v=$tv", snap("stats"))
+      graft.ext.ArtifactCommit.sweepVersions(spark, path, Seq("stats"), keep)
+    } finally graft.ext.ArtifactCommit.releaseLock(spark, path, token)
+  }
+
+  /** True iff the scored index has a committed snapshot — stays true
+    * through every append/rebuild (the versioned-marker contract). */
+  def scoredIndexCommitted(spark: SparkSession, path: String): Boolean =
+    graft.ext.ArtifactCommit.committed(spark, path)
+
+  private def scoredSnap(spark: SparkSession, path: String): Map[String, String] =
+    graft.ext.ArtifactCommit.readMarker(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"scored BM25 index at $path is not committed"))
+
+  /** The live snapshot's postings — the UNION of its generation dirs
+    * (term and rank predicates push through the Union into every
+    * generation's scan). */
+  private[graft] def readScoredPostings(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val snap = scoredSnap(spark, path)
+    snap("postings").split(',').toSeq
+      .map(d => spark.read.parquet(s"$path/$d")).reduce(_.unionByName(_))
+  }
+
+  /** The live snapshot's 1-row (n, sum_dl, avgdl) stats table. */
+  private[graft] def readScoredStats(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val snap = scoredSnap(spark, path)
+    spark.read.parquet(s"$path/${snap("stats")}")
   }
 
   /** Serve BM25 top-k from a [[fullIndexWriteScored]] artifact: the
@@ -270,15 +387,48 @@ object RetrievalQueries {
     * against bm1's oracle. */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame =
+    bm25OverPostings(spark,
+      readScoredPostings(spark, indexPath).where(col("term").isin(terms: _*)),
+      readScoredStats(spark, indexPath), k)
+
+  /** CAPPED serve — the WAND/impact-ordering rung: read only each query
+    * term's `maxPostingsPerTerm` HIGHEST-IMPACT postings (the `rank`
+    * predicate skips the tail at the parquet page level — the layout
+    * [[writePostingsGen]] sorts for), then score exactly as
+    * [[bm25FromIndex]]. Cap-vs-exactness contract: per-term df is
+    * derived from the capped scan, i.e. min(df, cap), and docs ranked
+    * past the cap for EVERY query term can't surface — so the answer is
+    * EXACT whenever cap ≥ every query term's true df, and otherwise a
+    * principled approximation that keeps each term's top-impact mass
+    * (for a stop-word-grade head term this is the difference between a
+    * corpus-sized read and a cap-sized one). Against appended
+    * generations the cap applies per generation (gen-local ranks) — a
+    * superset of the global prefix, still exact at generous caps. */
+  def bm25FromIndexCapped(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, terms: Seq[String], k: Int,
+      maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame =
+    bm25OverPostings(spark,
+      readScoredPostings(spark, indexPath)
+        .where(col("term").isin(terms: _*) &&
+          col("rank") <= maxPostingsPerTerm),
+      readScoredStats(spark, indexPath), k)
+
+  /** The one BM25 scoring tree both serve forms share (kept identical to
+    * [[bm25Served]]/[[bm25TopK]] term for term, so every form is
+    * hash-identical against bm1's oracle): df per term from the pruned
+    * scan itself, the 1-row stats broadcast in, candidate-row scoring +
+    * doc-keyed sum + top-k. */
+  private def bm25OverPostings(spark: org.apache.spark.sql.SparkSession,
+      prunedPostings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val post = spark.read.parquet(s"$indexPath/postings")
-      .where(col("term").isin(terms: _*))
+    val post = prunedPostings
       .localCheckpoint() // candidate-bounded; feeds df counts AND scoring
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-    val st = spark.read.parquet(s"$indexPath/stats")
     post
       .join(broadcast(dfs), "term")
-      .join(broadcast(st))
+      .join(broadcast(stats.select("n", "avgdl")))
       .select(col("doc_id"),
         (log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(2.2)) /
@@ -466,6 +616,22 @@ object RetrievalQueries {
     bm25FromIndex(s, scoredIndexFor(s, dir), Bm25Terms, Bm25TopK)
   }
 
+  /** Generous cap for the gate form of the capped serve: far above any
+    * fixture term's df, so the answer is provably EXACT against bm1's
+    * oracle (the cap-vs-exactness contract); the cap-BINDING behavior —
+    * fewer candidate rows, rank predicate pushed to the parquet scan —
+    * is pinned in ToolsSpec where approximation is assertable. */
+  private val CapGenerous = 1L << 20
+
+  /** ii6: the impact-ordered CAPPED serve from the scored full index —
+    * the WAND-rung answer to a stop-word-grade head term whose postings
+    * approach corpus size. Hash-checked against the same oracle as
+    * bm1/ii2/ii5. */
+  private val ii6 = withOracle("ii6_bm25_capped", bm25Sql) { (s, dir) =>
+    bm25FromIndexCapped(s, scoredIndexFor(s, dir), Bm25Terms, Bm25TopK,
+      CapGenerous)
+  }
+
   private val BoolK = 50
   private val ii4 = withOracle("ii4_boolean_and",
     s"""WITH w AS (SELECT DISTINCT doc_id,
@@ -495,5 +661,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, pp1)
 }

@@ -84,17 +84,17 @@ object Curate {
   }
 
   /** True iff every artifact of a [[run]] completed — including the
-    * opt-in search index when one was requested (its two parquet tables
-    * each carry Spark's own `_SUCCESS`; a bm25_index dir with either
-    * missing is a half-written run). */
+    * opt-in search index when one was requested (it carries its own
+    * versioned-snapshot marker, flipped only after both tables landed —
+    * a bm25_index dir without it is a half-written run). */
   def committed(spark: SparkSession, outDir: String): Boolean = {
     val core = Seq("shards", "manifest", "card")
       .forall(d => graft.sources.ShardIO.committed(spark, s"$outDir/$d"))
     val idx = new org.apache.hadoop.fs.Path(s"$outDir/bm25_index")
     val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
     core && (!fs.exists(idx) ||
-      Seq("postings", "stats").forall(t =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/bm25_index/$t/_SUCCESS"))))
+      graft.queries.RetrievalQueries.scoredIndexCommitted(
+        spark, s"$outDir/bm25_index"))
   }
 
   /** The WHOLE pipeline from a raw crawl: WARC `response` shards in,
