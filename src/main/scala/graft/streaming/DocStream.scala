@@ -863,6 +863,58 @@ object DocStream {
       }
   }
 
+  /** [[recrawlDue]] in EVENT time — the replay-correct form: the
+    * processing-time variant schedules off the wall clock, so a backfill
+    * replay or an AvailableNow drain of historical crawls distorts every
+    * deadline (a crawl from last week and one from a minute ago both
+    * come due `intervalMs` of WALL time after the drain). Here the
+    * schedule keys off the data's own `crawl_ts`: per-URL state is
+    * (latest_doc, latest_crawl_ts) and the deadline is an
+    * EventTimeTimeout at `latest_crawl_ts + intervalMs` — it fires when
+    * the WATERMARK passes it, so draining a month of history emits each
+    * URL as due exactly when the month's event time says it was,
+    * identically on every replay. A re-crawl inside the interval re-arms
+    * the deadline from the LATEST sighting (event-time max — late
+    * out-of-order rows never rewind it) and emits nothing; a fired URL
+    * clears its state, so it emits at most once per interval regardless
+    * of replay count. A deadline already behind the watermark (deep
+    * backfill) is clamped to watermark+1 and fires on the next trigger.
+    * Keep [[recrawlDue]] for live drips where arrival time IS the
+    * schedule; compose either ahead of [[politeFrontier]]. State: one
+    * (doc, ts) pair per tracked URL — crawled-set sized, same RocksDB
+    * provider bound as the frontier's seen-set. */
+  def recrawlDueEventTime(spark: SparkSession, crawled: DataFrame,
+      intervalMs: Long, watermarkDelay: String = "0 seconds"): Dataset[FrontierRow] = {
+    import spark.implicits._
+    crawled
+      .select(col("url"), col("doc_id").cast("long").as("doc_id"),
+        col("crawl_ts").cast("timestamp").as("crawl_ts"))
+      .withWatermark("crawl_ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(r => graft.ext.Urls.normalize(r._1))
+      .flatMapGroupsWithState[(Long, Long), FrontierRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (url: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (doc, _) = state.get
+            state.remove()
+            Iterator.single(FrontierRow(url, doc))
+          } else {
+            val batch = rows.map(r => (r._2, r._3.getTime)).toSeq
+            val (doc0, arm0) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            val doc = math.max(batch.map(_._1).max, doc0)
+            val arm = math.max(batch.map(_._2).max, arm0)
+            state.update((doc, arm))
+            // Spark rejects a timeout at or behind the current watermark:
+            // clamp a deep-backfill deadline to wm+1 (fires next trigger)
+            state.setTimeoutTimestamp(
+              math.max(arm + intervalMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Incremental inverted-index maintenance: each micro-batch's docs
     * aggregate to their own postings delta — (term, df, first-page doc
     * ids) via [[graft.queries.RetrievalQueries.postingsIndexOf]] — landing

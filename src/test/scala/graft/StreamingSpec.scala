@@ -1827,6 +1827,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(dueBuf.size === 1, "a fired URL does not re-emit without a new crawl")
   }
 
+  test("recrawlDueEventTime: due at interval in EVENT time, replay-deterministic") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_recrawl_et_").toString
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def run(): Unit = {
+      val crawled = stream.toDF()
+        .select(col("_2").as("url"), col("_1").as("doc_id"),
+          col("_3").as("crawl_ts"))
+      val q = graft.streaming.DocStream
+        .recrawlDueEventTime(spark, crawled, intervalMs = 60000L)
+        .writeStream
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+              _: Long) => b.collect().foreach(r => buf.add((r.url, r.first_doc)))
+        }
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val a = "https://et.example/a"
+
+    // a crawled at 0s, RE-crawled at 30s (re-arms the deadline to 90s in
+    // event time), plus a watermark pusher at 70s: a is NOT due — its
+    // re-armed deadline sits past the watermark. Wall-clock sleeps play
+    // no part anywhere in this test; the 60 s interval is event time.
+    stream.addData((1L, a, ts(0)), (2L, a, ts(30000)),
+      (9L, "https://et.example/p1", ts(70000)))
+    run()
+    assert(!buf.asScala.exists(_._1 == a),
+      s"re-armed URL must not fire before its EVENT-time deadline: ${buf.asScala}")
+
+    // a pusher at 200s drives the watermark past 90s: a comes due,
+    // attributed to its LATEST crawl (doc 2) — within wall-clock
+    // milliseconds of a 60 s event-time schedule (replay determinism)
+    stream.addData((10L, "https://et.example/p2", ts(200000)))
+    run()
+    assert(buf.asScala.toSeq.filter(_._1 == a) === Seq((a, 2L)),
+      s"URL must fire once at its event-time deadline, latest-doc attributed: ${buf.asScala}")
+
+    // no re-fire without a new crawl, however far the watermark advances
+    stream.addData((11L, "https://et.example/p3", ts(500000)))
+    run()
+    assert(buf.asScala.count(_._1 == a) === 1,
+      "a fired URL must not re-emit without a new crawl")
+    // every URL fires at most once per interval across the whole drain
+    val counts = buf.asScala.groupBy(identity).map(_._2.size)
+    assert(counts.forall(_ == 1), s"duplicate emissions: ${buf.asScala}")
+  }
+
   test("recrawl composes ahead of politeFrontier: due URLs pay the per-host budget") {
     // the documented composition, made concrete: two flatMapGroupsWithState
     // stages can't chain in one query, so recrawl-due rows LAND as files

@@ -291,12 +291,14 @@ class ToolsSpec extends AnyFunSuite {
       .bm25TopK(keptDocs, Seq("spark", "join"), 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served === scanned)
-    // a half-written index (missing stats _SUCCESS) flips committed off
-    val statsSuccess = new java.io.File(s"$out/bm25_index/stats/_SUCCESS")
-    assert(statsSuccess.exists)
-    statsSuccess.delete()
+    // a half-written index (marker never flipped) flips committed off —
+    // the versioned-snapshot marker is the index's single commit bit
+    val marker = new java.io.File(s"$out/bm25_index/_INDEX_SUCCESS")
+    assert(marker.exists)
+    val payload = java.nio.file.Files.readAllBytes(marker.toPath)
+    marker.delete()
     assert(!graft.tools.Curate.committed(spark, out))
-    java.nio.file.Files.createFile(statsSuccess.toPath)
+    java.nio.file.Files.write(marker.toPath, payload)
     assert(graft.tools.Curate.committed(spark, out))
 
     // the manifest is exactly cur2's mix
