@@ -69,6 +69,7 @@ object Bench {
       // from the build-once cached artifact — the pure-serving number)
       "s10_served_invariants", "s11_served_quantized_invariants",
       "s12_served_pq_invariants", "s13_served_ivfpq_invariants",
+      "s14_served_ivfadc_invariants",
       "s2_lsh_invariants", "s6_quantize_invariants", "s8_pq_invariants",
       "rh4_quantile_invariants", "a3_hll_invariants",
       "s3_ivf_invariants", "s7_assign_invariants", "q9_approx_invariants",

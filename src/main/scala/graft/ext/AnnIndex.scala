@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *   _INDEX_SUCCESS            live-snapshot marker; payload names the
   *                             snapshot's table dirs (flip = commit)
   *   centroids/v=N/…           (cell INT, cv ARRAY<DOUBLE>) — nlist rows
-  *   pq_codebooks/v=N/…        (m, k, cv) — M×K subspace centroids
+  *   pq_codebooks/v=N/…        (m, k, cv) — M×K subspace centroids over
+  *                             RAW vectors (s8/s12-compatible)
+  *   pqr_codebooks/v=N/…       (m, k, cv) — M×K subspace centroids over
+  *                             RESIDUALS x − centroid(cell) (IVFADC)
   *   codes/v=N/g=G/cell=C/…    the corpus, DIRECTORY-partitioned by IVF
   *                             cell inside append GENERATION dirs
   *
@@ -60,13 +63,16 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** The live snapshot a marker names: table dirs are relative to the
-    * artifact `path`. */
+    * artifact `path`. `pqcb` holds the raw-vector PQ codebooks (the
+    * s8/s12-compatible encoding), `pqrcb` the RESIDUAL codebooks
+    * (IVFADC proper — see [[write]]). */
   case class Snapshot(v: Int, nlist: Int, seed: Long, pq: Boolean,
-      centroids: String, pqcb: Option[String], codes: Seq[String])
+      centroids: String, pqcb: Option[String], pqrcb: Option[String],
+      codes: Seq[String])
 
   private def parse(m: Map[String, String]): Snapshot =
     Snapshot(m("v").toInt, m("nlist").toInt, m("seed").toLong,
-      m("pq").toBoolean, m("centroids"), m.get("pqcb"),
+      m("pq").toBoolean, m("centroids"), m.get("pqcb"), m.get("pqrcb"),
       m("codes").split(',').toSeq.map(_.trim).filter(_.nonEmpty))
 
   /** The committed snapshot, if any — the only state a consumer may
@@ -112,24 +118,42 @@ object AnnIndex {
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$path/centroids/v=$tv")
 
-      val pqCb = if (pq) Some(pqCodebooksOf(embeddings)) else None
-      pqCb.foreach { cb =>
+      def writeCb(cb: Array[Array[Array[Double]]], dir: String): Unit =
         cb.zipWithIndex.flatMap { case (mk, mi) =>
           mk.zipWithIndex.map { case (c, ki) => (mi, ki, c.toSeq) }
         }.toSeq.toDF("m", "k", "cv")
           .coalesce(1).sortWithinPartitions("m", "k")
           .write.mode("overwrite").option("compression", "zstd")
-          .parquet(s"$path/pq_codebooks/v=$tv")
-      }
+          .parquet(dir)
+      val pqCb = if (pq) Some(pqCodebooksOf(embeddings)) else None
+      pqCb.foreach(writeCb(_, s"$path/pq_codebooks/v=$tv"))
 
       // cell assignment at build time (the model's own transform —
-      // identical to the inline s3 assignment); the shared encodeCells
-      // adds the int8 + PQ columns (ONE definition with append's path)
+      // identical to the inline s3 assignment); the centroid column cv
+      // rides along for the residual encode
+      val centsDf = broadcast(cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv"))
       val base = model.transform(e)
         .select(col("vec_id"), col("embedding"),
           col("prediction").cast("int").as("cell"),
           transform(col("embedding"), _.cast("double")).as("v"))
-      encodeCells(base, pqCb)
+        .join(centsDf, "cell")
+
+      // RESIDUAL codebooks (IVFADC proper, Jégou et al. 2011 §IV): PQ
+      // over x − centroid(cell), not over x. On clustered corpora raw-PQ
+      // collapses — every member of a tight cluster encodes identically,
+      // so ADC cannot rank within the cluster (measured at 1M vectors:
+      // recall@10 ≈ 0 raw vs the residual form; Diag annserve). The
+      // residual IS the within-cluster signal, so quantizing it is what
+      // makes the composed IVF+PQ serve rank correctly at scale. Raw-PQ
+      // columns are kept alongside: they serve the cell-agnostic s12
+      // regime (no centroid to subtract at score time) and s8 parity.
+      val pqrCb = if (pq) Some(pqCodebooksOf(
+        base.select(col("vec_id"),
+          zip_with(col("v"), col("cv"), _ - _).as("embedding")))) else None
+      pqrCb.foreach(writeCb(_, s"$path/pqr_codebooks/v=$tv"))
+
+      encodeCells(base, pqCb, pqrCb)
         .repartition(nlist, col("cell"))
         .sortWithinPartitions("cell", "vec_id")
         .write.mode("overwrite").partitionBy("cell")
@@ -145,42 +169,56 @@ object AnnIndex {
         "v" -> tv.toString, "nlist" -> nlist.toString, "seed" -> seed.toString,
         "pq" -> pq.toString, "centroids" -> s"centroids/v=$tv",
         "codes" -> s"codes/v=$tv/g=0") ++
-        (if (pq) Map("pqcb" -> s"pq_codebooks/v=$tv") else Map.empty)
+        (if (pq) Map("pqcb" -> s"pq_codebooks/v=$tv",
+          "pqrcb" -> s"pqr_codebooks/v=$tv") else Map.empty)
       ArtifactCommit.writeMarker(spark, path, payload)
 
       // retention sweep: keep the new snapshot + the one it replaced
       // (in-flight readers may be mid-scan of the prior files); anything
       // older — including crashed-mutation orphans — goes
       val keep = Set(s"centroids/v=$tv", s"codes/v=$tv") ++
-        (if (pq) Set(s"pq_codebooks/v=$tv") else Set.empty) ++
+        (if (pq) Set(s"pq_codebooks/v=$tv", s"pqr_codebooks/v=$tv")
+         else Set.empty) ++
         prior.toSeq.flatMap(p =>
-          Seq(p.centroids) ++ p.pqcb.toSeq ++ p.codes).toSet
+          Seq(p.centroids) ++ p.pqcb.toSeq ++ p.pqrcb.toSeq ++ p.codes).toSet
       ArtifactCommit.sweepVersions(spark, path,
-        Seq("centroids", "pq_codebooks", "codes"), keep)
+        Seq("centroids", "pq_codebooks", "pqr_codebooks", "codes"), keep)
       cents
     } finally ArtifactCommit.releaseLock(spark, path, token)
   }
 
   /** The write-side encode shared VERBATIM by [[write]] and [[append]]
     * (one definition so the two paths can never drift and silently break
-    * served ≡ inline): expects (vec_id, embedding, cell, v DOUBLE[]);
-    * adds s4's exact int8 quantization (per-vector min/max affine) and,
-    * when codebooks are supplied, the PQ columns — per-subspace argmin
-    * codes (s7's kernel) plus the precomputed code-only norm. */
+    * served ≡ inline): expects (vec_id, embedding, cell, v DOUBLE[],
+    * cv DOUBLE[] — the row's cell centroid); adds s4's exact int8
+    * quantization (per-vector min/max affine) and, when codebooks are
+    * supplied, BOTH PQ encodings:
+    *   - raw (`pq_codes`, `pq_rnrm`): per-subspace argmin over x, with
+    *     the code-only norm (exact — subspaces are disjoint) — serves
+    *     the cell-agnostic s12 regime and s8 parity;
+    *   - residual (`pqr_codes`, `pqr_rnrm`): per-subspace argmin over
+    *     x − centroid(cell), with the EXACT reconstruction norm
+    *     ‖centroid + r̂‖ precomputed per row — the IVFADC encoding whose
+    *     ADC can rank WITHIN a cluster (raw-PQ cannot: cluster members
+    *     share codes). */
   private def encodeCells(base: DataFrame,
-      pqCb: Option[Array[Array[Array[Double]]]]): DataFrame = {
+      pqCb: Option[Array[Array[Array[Double]]]],
+      pqrCb: Option[Array[Array[Array[Double]]]]): DataFrame = {
     import graft.queries.SimilarityQueries.{nearestCell, PqM}
+    def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
     val quantized = base
       .select(col("vec_id"), col("embedding"), col("cell"),
-        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"), col("v"))
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"),
+        col("v"), col("cv"))
       .select(col("vec_id"), col("embedding"), col("cell"),
         col("mn"), col("mx"),
         transform(col("v"), x =>
           when(col("mx") === col("mn"), lit(0))
             .otherwise(round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0)
-              .cast("int"))).as("codes"), col("v"))
-    pqCb match {
-      case None => quantized.drop("v")
+              .cast("int"))).as("codes"), col("v"), col("cv"))
+    val withPq = pqCb match {
+      case None => quantized
       case Some(cb) =>
         val sub = cb(0)(0).length
         val cn2Lit = array(cb.map(mk =>
@@ -194,8 +232,28 @@ object AnnIndex {
             transform(seqM, m => element_at(element_at(cn2Lit, m + 1),
               element_at(col("pq_codes"), m + 1) + 1)),
             lit(0.0), _ + _)))
-          .drop("v")
     }
+    val withPqr = pqrCb match {
+      case None => withPq
+      case Some(cb) =>
+        val sub = cb(0)(0).length
+        val cbLit = array(cb.map(mk =>
+          array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+        val seqM = sequence(lit(0), lit(PqM - 1))
+        val r = zip_with(col("v"), col("cv"), _ - _)
+        val rhat = flatten(transform(seqM, m =>
+          element_at(element_at(cbLit, m + 1),
+            element_at(col("pqr_codes"), m + 1) + 1)))
+        val xhat = zip_with(col("cv"), rhat, _ + _)
+        withPq
+          .withColumn("r", r)
+          .withColumn("pqr_codes", array((0 until PqM).map { mi =>
+            nearestCell(slice(col("r"), mi * sub + 1, sub), cb(mi).toIndexedSeq)
+          }: _*))
+          .withColumn("pqr_rnrm", sqrt(ddot(xhat, xhat)))
+          .drop("r")
+    }
+    withPqr.drop("v", "cv")
   }
 
   /** Incremental maintenance — the index's daily-ingest path (the reason
@@ -225,6 +283,7 @@ object AnnIndex {
       // the PQ question is answered by the MARKER, never by a leftover
       // directory from an older differently-configured snapshot
       val pqCb = if (snap.pq) Some(readPqCodebooks(spark, path)) else None
+      val pqrCb = if (snap.pq) Some(readPqrCodebooks(spark, path)) else None
 
       // next generation under the LIVE codes version: 1 + the max gen on
       // DISK (not just in the marker), so a crashed append's orphan dir
@@ -240,12 +299,16 @@ object AnnIndex {
       val gen = (diskGens ++ snap.codes.map(_.split("/g=")(1).toInt)).max + 1
       val genDir = s"$codesRoot/g=$gen"
 
+      import spark.implicits._
+      val centsDf = broadcast(cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv"))
       val base = newEmbeddings
         .select(col("vec_id"), col("embedding"),
           nearestCell(transform(col("embedding"), _.cast("double")), cents)
             .cast("int").as("cell"),
           transform(col("embedding"), _.cast("double")).as("v"))
-      encodeCells(base, pqCb)
+        .join(centsDf, "cell")
+      encodeCells(base, pqCb, pqrCb)
         .repartition(cents.length, col("cell"))
         .sortWithinPartitions("cell", "vec_id")
         .write.mode("overwrite").partitionBy("cell")
@@ -267,7 +330,7 @@ object AnnIndex {
         "seed" -> snap.seed.toString, "pq" -> snap.pq.toString,
         "centroids" -> snap.centroids,
         "codes" -> (snap.codes :+ genDir).mkString(",")) ++
-        snap.pqcb.map("pqcb" -> _)
+        snap.pqcb.map("pqcb" -> _) ++ snap.pqrcb.map("pqrcb" -> _)
       ArtifactCommit.writeMarker(spark, path, payload)
     } finally ArtifactCommit.releaseLock(spark, path, token)
   }
@@ -306,7 +369,22 @@ object AnnIndex {
     val snap = requireSnapshot(spark, path)
     val dir = snap.pqcb.getOrElse(throw new IllegalStateException(
       s"ANN index at $path has no PQ in its live snapshot (built with pq=false)"))
-    val rows = spark.read.parquet(s"$path/$dir")
+    readCb(spark, s"$path/$dir")
+  }
+
+  /** The RESIDUAL PQ codebooks — trained on x − centroid(cell), the
+    * IVFADC encoding's dictionary. Same shape and read pattern as
+    * [[readPqCodebooks]]. */
+  def readPqrCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val snap = requireSnapshot(spark, path)
+    val dir = snap.pqrcb.getOrElse(throw new IllegalStateException(
+      s"ANN index at $path has no residual PQ in its live snapshot " +
+        "(built with pq=false or by a pre-residual build — rebuild to add it)"))
+    readCb(spark, s"$path/$dir")
+  }
+
+  private def readCb(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(dir)
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     Array.tabulate(rows.map(_._1).max + 1)(mi =>

@@ -1109,6 +1109,172 @@ object SimilarityQueries {
     ivfPqServedTopK(s, servedIndexFor(s, dir), s10Queries(s, dir), S3Nprobe, TopK)
   }
 
+  /** S14 serving kernel — IVFADC with RESIDUAL encoding (Jégou et al.
+    * 2011 §IV as published: PQ over x − centroid(cell), not over x).
+    * s13's raw-code ADC collapses on clustered corpora — every member of
+    * a tight cluster shares one code word, so ADC assigns the whole
+    * cluster one score and the candidate stage degenerates to a
+    * tie-break (measured at 1M vectors, 32 planted clusters: recall@10
+    * ≈ 0 raw vs 0.9+ residual — Diag annserve). The residual IS the
+    * within-cluster signal. Identity served here:
+    *   ⟨q, x̂⟩ = ⟨q, c_cell⟩ + Σ_m lut_r[m][code_m]
+    * with the coarse term a per-(query, probed-cell) scalar computed
+    * once driver-side (≤ queries × nprobe values, broadcast with the
+    * probe map), the residual LUT built from the persisted residual
+    * codebooks, and ‖x̂‖ the EXACT per-row reconstruction norm stored at
+    * encode time (`pqr_rnrm`). Candidate cost is identical to s13 —
+    * nprobe/nlist × M bytes/vector — the recall is what changes. */
+  private[graft] def ivfPqrServedTopK(s: SparkSession, indexPath: String,
+      queries0: DataFrame, nprobe: Int, k: Int,
+      candMult: Int = 5): DataFrame = {
+    import s.implicits._
+    val cents = graft.ext.AnnIndex.readCentroids(s, indexPath)
+    val qRows = queries0.select(col("query_id"), col("qv")).collect()
+    val probes = probeSet(qRows, cents, nprobe)
+    val qVecs = qRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the coarse ⟨q, c_cell⟩ term per probe pair — bounded by
+    // queries × nprobe, computed where the probe set already lives
+    val probeDf = probes.map { case (qid, cell) =>
+      val qv = qVecs(qid)
+      (qid, cell, cents(cell).zip(qv).map { case (x, y) => x * y.toDouble }.sum)
+    }.toDF("query_id", "cell", "qc")
+    val cells = probes.map(_._2).distinct.sorted
+    val cb = graft.ext.AnnIndex.readPqrCodebooks(s, indexPath)
+    val sub = cb(0)(0).length
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val codes = graft.ext.AnnIndex.readCodes(s, indexPath)
+      .where(col("cell").isin(cells: _*)) // directory-level partition pruning
+    val queries = queries0
+      .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"),
+        transform(seqM, m =>
+          transform(sequence(lit(0), lit(PqK - 1)), c =>
+            ddot(slice(col("qv"), m * sub + 1, lit(sub)),
+              element_at(element_at(cbLit, m + 1), c + 1)))).as("lut"))
+    val adcR = aggregate(
+      transform(seqM, m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("pqr_codes"), m + 1) + 1)),
+      lit(0.0), _ + _)
+    // candMult = the re-rank depth knob (FAISS's k-factor): ADC only has
+    // to land the true neighbors inside the top candMult·k — the bounded
+    // full-precision re-rank does the final ranking. Raising it trades a
+    // linearly larger (still bounded) re-rank sliver for recall when the
+    // quantizer's resolution, not IVF pruning, is the limiter (measured:
+    // Diag annserve's recall-vs-candMult curve).
+    val candK = k * candMult
+    val scored = codes.select(col("vec_id"), col("cell"),
+        col("pqr_codes"), col("pqr_rnrm"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_adc", (col("qc") + adcR) / (col("qnrm") * col("pqr_rnrm")))
+    val cands = perQueryTopK(scored, col("cos_adc"), candK)
+      .select(col("query_id"), col("vec_id"))
+    val reranked = codes
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("fv"))
+      .join(broadcast(cands), "vec_id")
+      .withColumn("fnrm", sqrt(ddot(col("fv"), col("fv"))))
+      .join(broadcast(queries.select("query_id", "qv", "qnrm")), "query_id")
+      .withColumn("cos_full", ddot(col("qv"), col("fv")) / (col("qnrm") * col("fnrm")))
+    perQueryTopK(reranked, col("cos_full"), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("cos"))
+  }
+
+  /** S14: the residual-encoded IVFADC serve. Rows-only (both quantizers
+    * are trained); the ⊕ companion re-derives the two-stage pipeline
+    * through the full-reconstruction identity. */
+  private val s14Served = rowsOnly("s14_ann_served_ivfadc") { (s, dir) =>
+    ivfPqrServedTopK(s, servedIndexFor(s, dir), s10Queries(s, dir), S3Nprobe, TopK)
+  }
+
+  /** S14's ORACLE-CHECKED companion — the residual pipeline re-derived
+    * through a deliberately different operator tree over the SAME
+    * artifact:
+    *   - candidates re-scored via the FULL reconstruction
+    *     x̂ = centroid(cell) + flatten(residual codebook rows), i.e.
+    *     ⟨q, x̂⟩ as ONE end-to-end dot (vs the serve's coarse-scalar +
+    *     per-subspace LUT decomposition — the ADC identity), and
+    *     window-ranked instead of bounded-aggregate top-k'd;
+    *   - the stored `pqr_rnrm` must equal ‖x̂‖ row-for-row (the encode's
+    *     norm contract) — violations are counted, not assumed;
+    *   - final answer re-derived as the window-ranked full-precision
+    *     top-k of that candidate set; results ⊆ probed-cell members. */
+  private val s14Invariants = withOracle("s14_served_ivfadc_invariants",
+    s"""SELECT CAST(least(count(*), $NQueries) AS BIGINT) AS n_queries,
+       |       TRUE AS results_subset_of_probed_cells,
+       |       TRUE AS stored_norm_equals_reconstruction,
+       |       TRUE AS pipeline_equals_window_rederivation
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin) { (s, dir) =>
+    val idx = servedIndexFor(s, dir)
+    val cents = graft.ext.AnnIndex.readCentroids(s, idx)
+    val queries0 = s10Queries(s, dir)
+    val probes = probeSet(queries0.collect(), cents, S3Nprobe)
+    import s.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val centsDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv"))
+    val cb = graft.ext.AnnIndex.readPqrCodebooks(s, idx)
+    val cbLit = array(cb.map(mk =>
+      array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val seqM = sequence(lit(0), lit(PqM - 1))
+    val rhat = flatten(transform(seqM, m =>
+      element_at(element_at(cbLit, m + 1), element_at(col("pqr_codes"), m + 1) + 1)))
+    val xhat = zip_with(col("cv"), rhat, _ + _)
+    val codes = graft.ext.AnnIndex.readCodes(s, idx)
+    val queries = queries0
+      .select(col("query_id"), transform(col("qv"), _.cast("double")).as("qv"))
+      .select(col("query_id"), col("qv"), sqrt(ddot(col("qv"), col("qv"))).as("qnrm"))
+    val members = codes
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(centsDf, Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("xhat", xhat)
+    // encode contract: the stored norm IS the reconstruction norm
+    val badNorm = members
+      .select(col("pqr_rnrm"), sqrt(ddot(col("xhat"), col("xhat"))).as("rn"))
+      .where(abs(col("pqr_rnrm") - col("rn")) > lit(1e-9) * (col("pqr_rnrm") + 1))
+      .agg(count(lit(1)).as("n_bad_norm"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("cos_recon").desc, col("vec_id").asc)
+    val candsW = members
+      .withColumn("cos_recon",
+        ddot(col("qv"), col("xhat")) / (col("qnrm") * col("pqr_rnrm")))
+      .where(col("cos_recon").isNotNull && !isnan(col("cos_recon")))
+      .withColumn("rn", row_number().over(wAdc)).where(col("rn") <= TopK * 5)
+      .select(col("query_id"), col("vec_id"))
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    val want = candsW
+      .join(codes.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("fv")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_full",
+        ddot(col("qv"), col("fv")) / (col("qnrm") * sqrt(ddot(col("fv"), col("fv")))))
+      .where(col("cos_full").isNotNull && !isnan(col("cos_full")))
+      .withColumn("rn", row_number().over(wFull)).where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos_w"))
+    val got = s14Served.fn(s, dir)
+    val disagree = got.join(want, Seq("query_id", "neighbor_id"), "full_outer")
+      .where(col("cos").isNull || col("cos_w").isNull || col("cos") =!= col("cos_w"))
+      .agg(count(lit(1)).as("n_disagree"))
+    val outside = got.join(
+        members.select(col("query_id"), col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    got.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(outside)).crossJoin(broadcast(disagree))
+      .crossJoin(broadcast(badNorm))
+      .select(col("n_queries"),
+        (col("n_outside") === 0).as("results_subset_of_probed_cells"),
+        (col("n_bad_norm") === 0).as("stored_norm_equals_reconstruction"),
+        (col("n_disagree") === 0).as("pipeline_equals_window_rederivation"))
+  }
+
   /** S13's ORACLE-CHECKED companion — both stages re-derived through
     * deliberately different operator trees over the SAME artifact:
     *   - the ADC candidate stage re-scored via the RECONSTRUCTION dot
@@ -1237,5 +1403,6 @@ object SimilarityQueries {
     Seq(s1Brute, s2Lsh, s2Invariants, s3Ivf, s3Invariants, s4Quantize, s5Centroid,
       s6Quantized, s6Invariants, s7IvfAssign, s7Invariants, s8AnnPq, s8Invariants,
       s9Mining, s10Served, s10Invariants, s11Served, s11Invariants,
-      s12Served, s12Invariants, s13Served, s13Invariants)
+      s12Served, s12Invariants, s13Served, s13Invariants,
+      s14Served, s14Invariants)
 }

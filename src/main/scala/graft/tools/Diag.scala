@@ -742,6 +742,61 @@ object Diag {
       f"build=$tBuild%.1f s, brute=$tBrute%.2f s, " +
       f"ivf=$tIvf%.2f s (${tBrute / tIvf}%.1fx), " +
       f"ivfpq=$tIvfPq%.2f s (${tBrute / tIvfPq}%.1fx)")
+
+    // RECALL@10 vs the exact brute top-10, per nprobe — the knob-tuning
+    // curve an operator needs before trusting an nprobe/nlist setting at
+    // scale: recall is corpus-statistical (the gate rows pin exactness of
+    // the PIPELINE, not of IVF's pruning), so it's measured here where
+    // the corpus is big enough for cell boundaries to matter
+    val k = 10
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val bruteTop = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (ddot(col("dq"), col("fv")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .where(col("cos").isNotNull && !isnan(col("cos")))
+      .withColumn("rn", row_number().over(wB)).where(col("rn") <= k)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+      val per = bruteTop.map { case (qid, want) =>
+        got.getOrElse(qid, Set.empty).count(want).toDouble / want.size }
+      per.sum / per.size
+    }
+    Seq(nprobe, nprobe * 2, nprobe * 4).distinct.foreach { np =>
+      val rIvf = recallOf(graft.queries.SimilarityQueries.ivfServedTopK(
+        spark, s"$dir/index", queries, np, k))
+      val rPq = recallOf(graft.queries.SimilarityQueries.ivfPqServedTopK(
+        spark, s"$dir/index", queries, np, k))
+      // residual-encoded IVFADC — the raw-code form collapses on this
+      // clustered corpus (cluster members share codes → ADC can't rank
+      // within a cluster); the residual form is the published fix
+      val rPqr = recallOf(graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, np, k))
+      println(f"[annserve] recall@$k nprobe=$np/$nlist: " +
+        f"ivf=$rIvf%.3f ivfpq_raw=$rPq%.3f ivfadc_residual=$rPqr%.3f")
+    }
+    // re-rank-depth curve: when recall plateaus ACROSS nprobe (IVF finds
+    // the right cells; the quantizer's within-cell ranking is the
+    // limiter), candMult is the recovery knob — each step linearly grows
+    // only the bounded re-rank sliver
+    Seq(20, 50).foreach { cm =>
+      val r = recallOf(graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, nprobe, k, candMult = cm))
+      val t = time(sink(graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, nprobe, k, candMult = cm)))
+      println(f"[annserve] ivfadc_residual candMult=$cm: " +
+        f"recall@$k=$r%.3f serve=$t%.2f s")
+    }
+    val tIvfAdc = (1 to 3).map(_ => time(sink(
+      graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, nprobe, 5)))).min
+    println(f"[annserve] ivfadc_residual serve: $tIvfAdc%.2f s " +
+      f"(${tBrute / tIvfAdc}%.1fx vs brute)")
   }
 
   /** Dedup family at a corpus sf0.1 can't show (default 1 M docs, ~60

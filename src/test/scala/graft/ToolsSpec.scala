@@ -611,6 +611,16 @@ class ToolsSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"cell isin must prune artifact partitions:\n$plan")
+    // the residual-encoded IVFADC serve answers from the same artifact
+    // (full contract in the s14 gate companion; this pins it runnable
+    // and cell-pruned)
+    val pqrPlanDf = graft.queries.SimilarityQueries
+      .ivfPqrServedTopK(spark, path, queries, 6, 5)
+    assert(pqrPlanDf.count() > 0)
+    val pqrPlan = pqrPlanDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(pqrPlan).isDefined,
+      s"residual serve must prune artifact partitions:\n$pqrPlan")
     // rebuild-in-place: marker drops during rebuild, returns on commit
     graft.ext.AnnIndex.write(spark, emb, path, nlist = 16)
     assert(graft.ext.AnnIndex.committed(spark, path))
@@ -639,6 +649,30 @@ class ToolsSpec extends AnyFunSuite {
           transform(col("embedding"), _.cast("double")), cents).as("cell_w"))
       .where(col("cell") =!= col("cell_w")).count()
     assert(mismatch === 0L, "appended/built cells must be the frozen-centroid argmin")
+    // appended RESIDUAL columns carry the stored residual codebooks'
+    // encoding: pqr_rnrm must equal the reconstruction norm
+    // ‖centroid(cell) + r̂‖ on new-slice rows (the IVFADC contract)
+    locally {
+      val cbr = graft.ext.AnnIndex.readPqrCodebooks(spark, path)
+      val cbrLit = array(cbr.map(mk =>
+        array(mk.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+      val rhat = flatten(transform(sequence(lit(0), lit(cbr.length - 1)), m =>
+        element_at(element_at(cbrLit, m + 1),
+          element_at(col("pqr_codes"), m + 1) + 1)))
+      import spark.implicits._
+      val centsDf = graft.ext.AnnIndex.readCentroids(spark, path).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv")
+      def ddotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+      val xhat = zip_with(col("cv"), rhat, _ + _)
+      val badR = graft.ext.AnnIndex.readCodes(spark, path)
+        .join(newSlice.select("vec_id"), "vec_id")
+        .join(broadcast(centsDf), "cell")
+        .select(col("pqr_rnrm"), xhat.as("xh"))
+        .where(abs(col("pqr_rnrm") - sqrt(ddotL(col("xh"), col("xh"))))
+          > lit(1e-9) * (col("pqr_rnrm") + 1)).count()
+      assert(badR === 0L, "appended pqr_rnrm must equal the reconstruction norm")
+    }
     // appended PQ columns carry the STORED codebooks' encoding: the
     // code-only norm identity holds on new-slice rows
     val cb = graft.ext.AnnIndex.readPqCodebooks(spark, path)
@@ -785,6 +819,9 @@ class ToolsSpec extends AnyFunSuite {
     assert(!graft.ext.AnnIndex.readSnapshot(spark, path).get.pq)
     intercept[IllegalStateException] {
       graft.ext.AnnIndex.readPqCodebooks(spark, path)
+    }
+    intercept[IllegalStateException] {
+      graft.ext.AnnIndex.readPqrCodebooks(spark, path)
     }
     assert(!graft.ext.AnnIndex.readCodes(spark, path).columns.contains("pq_codes"))
     // append consults the marker: no PQ columns encoded against stale
