@@ -109,6 +109,11 @@ object Bench {
     // The parallel stamp saturates the requested parallelism, so
     // probe_par/nominal ≈ the oversubscription factor the QUERIES saw.
     def probeParMs(): Double = graft.tools.MachineProbe.stampParMs(cpus.toInt)
+    // The CPU stamps are register-bound and BLIND to a co-tenant stealing
+    // memory bandwidth/LLC (observed r14: CPU stamps within 5% of nominal,
+    // every memory-bound scan a uniform ~1.2× slow). The memory stamp
+    // inflates in exactly that mode.
+    def probeMemMs(): Double = graft.tools.MachineProbe.stampMemMs()
 
     // Ingest workload: 2M Prometheus-shaped samples through the full write
     // path (fingerprint + new-series anti-join + partitioned sorted
@@ -139,11 +144,13 @@ object Bench {
     val order = defs.map(_.name)
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
     val probesPar = scala.collection.mutable.ArrayBuffer[Double]()
+    val probesMem = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestDirs = scala.collection.mutable.ArrayBuffer[String]()
     val ingestSecs = scala.collection.mutable.ArrayBuffer[Double]()
     val samples = (0 until 3).flatMap { round =>
       probes += probeMs()
       probesPar += probeParMs()
+      probesMem += probeMemMs()
       val qTimes = defs.map { d =>
         val t0 = System.nanoTime()
         try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -162,6 +169,7 @@ object Bench {
     }
     probes += probeMs()
     probesPar += probeParMs()
+    probesMem += probeMemMs()
     val byName = samples.groupBy(_._1)
     val results = order.map(n => n -> byName(n).map(_._2).min)
     // median alongside the min: for a deterministic workload min is the
@@ -203,6 +211,7 @@ object Bench {
     val total = results.map(_._2).sum
     val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
     val probeParJson = probesPar.map(p => f"$p%.0f").mkString("[", ",", "]")
+    val probeMemJson = probesMem.map(p => f"$p%.0f").mkString("[", ",", "]")
     val ingestJson = ingestSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
     // Probe-normalized total: total × (nominal/measured serial stamp), so a
     // cross-round comparison is not hostage to a co-tenant window (r8's
@@ -241,10 +250,19 @@ object Bench {
     // keeps the r8-era 225 ms pin so it stays comparable to every prior
     // round's artifact.
     val SerialQuietMs = 308.0
+    // quiet-window memory stamp on this box (re-measure with the serial
+    // pin whenever the box changes): 8×256 MB xor-fold passes, measured
+    // 292-312 ms steady on 2026-08-15 (provisional — taken in a window
+    // whose CPU stamps were nominal; re-pin alongside the serial nominal)
+    val MemQuietMs = sys.env.getOrElse("SPARK_GRAFT_MEM_QUIET_MS", "295").toDouble
     val probeParMed = median(probesPar.toSeq)
+    val probeMemMed = median(probesMem.toSeq)
     val serialRatio = probeMed / SerialQuietMs
     val parRatio = probeParMed / probeMed
-    val degraded = parRatio > 1.2 || serialRatio > 1.3
+    val memRatio = probeMemMed / MemQuietMs
+    // memRatio > 1.3 = a bandwidth/LLC co-tenant the CPU stamps can't
+    // see (uniform scan inflation); stamped AND gating, like the others
+    val degraded = parRatio > 1.2 || serialRatio > 1.3 || memRatio > 1.3
     // The full artifact lands IN THE REPO by default: /tmp does not
     // outlive the sandbox, which truncated the committed bench record two
     // rounds running.
@@ -264,14 +282,15 @@ object Bench {
     val qsHead = headline.filter(resMap.contains)
       .map(k => "\"" + k + f"\":${resMap(k)}%.3f").mkString("{", ",", "}")
     val stampFields =
-      f""""degraded":$degraded,"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f"""
+      f""""degraded":$degraded,"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     if (degraded) System.err.println(
       f"[bench] DEGRADED WINDOW: par/serial $parRatio%.2fx (>1.2 = core-stealing), " +
-        f"serial/quiet $serialRatio%.2fx (>1.3 = serial stall) " +
+        f"serial/quiet $serialRatio%.2fx (>1.3 = serial stall), " +
+        f"mem/quiet $memRatio%.2fx (>1.3 = bandwidth co-tenant) " +
         "— totals are not comparable across rounds; per-query ratios only")
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).

@@ -17,6 +17,37 @@ object MachineProbe {
     ms
   }
 
+  /** MEMORY-bandwidth stamp: xor-fold 8 sequential passes over a
+    * 256 MB long array (≈2 GB moved — far past every cache level, so
+    * the time is the memory system's, not the core's). The splitmix
+    * stamps are REGISTER-bound and blind to a co-tenant stealing
+    * BANDWIDTH/LLC — a mode observed r14: serial and par CPU stamps
+    * within 5% of nominal while every memory-bound scan ran a uniform
+    * ~1.2× slow. This stamp inflates in exactly that mode. The buffer
+    * allocates once per JVM (driver-side, 256 MB) and its init cost is
+    * excluded. */
+  def stampMemMs(): Double = {
+    val a = memBuf
+    val t0 = System.nanoTime()
+    var pass = 0
+    var acc = 0L
+    while (pass < 8) {
+      var i = 0
+      while (i < a.length) { acc ^= a(i); i += 1 }
+      pass += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (acc == 42L) System.err.println("") // consume: defeat DCE
+    ms
+  }
+  private lazy val memBuf: Array[Long] = {
+    val a = new Array[Long](32 << 20) // 32M longs = 256 MB
+    var i = 0
+    var h = 0x9e3779b97f4a7c15L
+    while (i < a.length) { h = graft.ext.ExtOps.splitmix64(h); a(i) = h; i += 1 }
+    a
+  }
+
   /** Parallel variant: wall-clock ms for `threads` concurrent copies of
     * the same workload. The single-thread stamp is blind to a co-tenant
     * STEALING CORES (one thread still gets a full core and reads nominal

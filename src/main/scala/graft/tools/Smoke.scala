@@ -499,8 +499,11 @@ object Smoke {
         .quantizedServedTopK(spark, annPath, annQ, 5).count()
       val pq = graft.queries.SimilarityQueries
         .pqServedTopK(spark, annPath, annQ, 5).count()
+      val adc = graft.queries.SimilarityQueries
+        .ivfPqrServedTopK(spark, annPath, annQ, 6, 5, candMult = 20).count()
       println(s"ANN-INDEX: committed=${graft.ext.AnnIndex.committed(spark, annPath)} " +
-        s"ivf_rows=$ivf quantized_rows=$qnt pq_rows=$pq")
+        s"ivf_rows=$ivf quantized_rows=$qnt pq_rows=$pq ivfadc_residual_rows=$adc " +
+        s"snapshot=${graft.ext.AnnIndex.readSnapshot(spark, annPath).map(_.v)}")
 
       val fidx = java.nio.file.Files.createTempDirectory("smoke_fidx_")
         .toString + "/index"
@@ -512,8 +515,14 @@ object Smoke {
         docsAll.where(col("doc_id") % 2 === 0), fidx, shards = 4)
       val bm = graft.queries.RetrievalQueries
         .bm25FromIndex(spark, fidx, Seq("spark", "join"), 10).collect()
+      val bmCap = graft.queries.RetrievalQueries
+        .bm25FromIndexCapped(spark, fidx, Seq("spark", "join"), 10, 1L << 20)
+        .collect()
       println(s"BM25-FULL-INDEX: top=${bm.take(3).map(r =>
-        s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} rows=${bm.length}")
+        s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} rows=${bm.length} " +
+        s"capped_equal=${bm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+          bmCap.map(r => (r.getLong(0), r.getDouble(1))).toSeq} " +
+        s"committed=${graft.queries.RetrievalQueries.scoredIndexCommitted(spark, fidx)}")
     }
     spark.stop()
   }
