@@ -252,17 +252,39 @@ object Bench {
     val SerialQuietMs = 308.0
     // quiet-window memory stamp on this box (re-measure with the serial
     // pin whenever the box changes): 8×256 MB xor-fold passes, measured
-    // 292-312 ms steady on 2026-08-15 (provisional — taken in a window
-    // whose CPU stamps were nominal; re-pin alongside the serial nominal)
-    val MemQuietMs = sys.env.getOrElse("SPARK_GRAFT_MEM_QUIET_MS", "295").toDouble
+    // 241-254 ms steady across a healthy-stamped full bench 2026-08-15.
+    // The nominal MUST come from this Scala path — a standalone Java
+    // replica of the same loop reads ~1.2× slower (JIT differences), a
+    // cross-language pin would mask real contention.
+    val MemQuietMs = sys.env.getOrElse("SPARK_GRAFT_MEM_QUIET_MS", "248").toDouble
     val probeParMed = median(probesPar.toSeq)
     val probeMemMed = median(probesMem.toSeq)
-    val serialRatio = probeMed / SerialQuietMs
-    val parRatio = probeParMed / probeMed
-    val memRatio = probeMemMed / MemQuietMs
-    // memRatio > 1.3 = a bandwidth/LLC co-tenant the CPU stamps can't
-    // see (uniform scan inflation); stamped AND gating, like the others
-    val degraded = parRatio > 1.2 || serialRatio > 1.3 || memRatio > 1.3
+    // The ratios use the MIN of the probe samples, not the median — the
+    // estimator must match the timing discipline: per-query times are
+    // min-of-3-interleaved, which needs ONE clean round per query, so
+    // the health question is "did a clean instant exist in this run".
+    // Observed (r14): a run with par stamps [677, 389, 353, 733] — two
+    // transient bursts bracketing clean instants — produced the round's
+    // BEST board (median common-query ratio 1.017 vs the r13 healthy
+    // pin); a median-based stamp graded it 1.70 ≫ degraded. A SUSTAINED
+    // steal (r12's 1.6-1.8× windows) inflates every sample, so the min
+    // catches it identically. The medians + full arrays stay stamped
+    // for forensics.
+    val serialRatio = probes.min / SerialQuietMs
+    val parRatio = probesPar.min / probes.min
+    val memRatio = probesMem.min / MemQuietMs
+    // par/serial bar CALIBRATED ON THIS BOX (2026-08-15, idle machine,
+    // standalone JVM): serial 316-318 ms, par32 356-405 ms → IDLE
+    // par/serial is 1.12-1.28 with high run-to-run spread (32 threads on
+    // 32 cores: scheduler jitter + turbo/thermal, NOT a co-tenant — and
+    // across 7 same-day full-bench runs the par ratio in [1.16, 1.36]
+    // showed no correlation with the board total). The r12-era "<1.2"
+    // bar assumed par ≈ serial on a free box, which no longer holds
+    // here; real steal events measured 1.44 and 1.66 historically, so
+    // the bar sits at 1.4 — above idle noise, below every observed
+    // steal. memRatio > 1.3 = a bandwidth/LLC co-tenant the CPU stamps
+    // can't see (uniform scan inflation); stamped AND gating.
+    val degraded = parRatio > 1.4 || serialRatio > 1.3 || memRatio > 1.3
     // The full artifact lands IN THE REPO by default: /tmp does not
     // outlive the sandbox, which truncated the committed bench record two
     // rounds running.
