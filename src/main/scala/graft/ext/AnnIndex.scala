@@ -70,10 +70,18 @@ object AnnIndex {
       centroids: String, pqcb: Option[String], pqrcb: Option[String],
       codes: Seq[String])
 
-  private def parse(m: Map[String, String]): Snapshot =
+  private def parse(m: Map[String, String]): Snapshot = {
+    // Pre-versioned markers (payloads like 'nlist=16 seed=42' with no
+    // snapshot pointer) would otherwise surface as a bare
+    // NoSuchElementException from an artifact committed() calls live —
+    // fail with the actual diagnosis instead
+    if (!m.contains("v")) throw new IllegalStateException(
+      "legacy pre-versioned ANN index marker (no 'v' key) — " +
+        "rebuild the index with AnnIndex.write to migrate it")
     Snapshot(m("v").toInt, m("nlist").toInt, m("seed").toLong,
       m("pq").toBoolean, m("centroids"), m.get("pqcb"), m.get("pqrcb"),
       m("codes").split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+  }
 
   /** The committed snapshot, if any — the only state a consumer may
     * read. */
@@ -332,6 +340,56 @@ object AnnIndex {
         "codes" -> (snap.codes :+ genDir).mkString(",")) ++
         snap.pqcb.map("pqcb" -> _) ++ snap.pqrcb.map("pqrcb" -> _)
       ArtifactCommit.writeMarker(spark, path, payload)
+    } finally ArtifactCommit.releaseLock(spark, path, token)
+  }
+
+  /** Generation compaction — the re-coalesce rung BETWEEN [[append]]s
+    * and a full [[write]] rebuild: appends accumulate `g=0..G` dirs that
+    * [[readCodes]] unions per query (cell pruning holds per generation,
+    * but file handles, parquet footers, and task counts all scale with
+    * G). A rebuild re-trains KMeans and re-encodes the corpus;
+    * compaction instead rewrites ONLY the layout: the live generations'
+    * already-encoded rows (centroids, codebooks, and every code column
+    * FROZEN — encode determinism means there is nothing to recompute)
+    * land as a single `g=0` under `codes/v=N+1`, cell-repartitioned and
+    * (cell, vec_id)-sorted exactly like a fresh build. Same
+    * zero-downtime contract as every mutation: build beside the live
+    * dirs, ONE marker flip, [[committed]] true throughout, lock +
+    * pre-flip token re-verify; a crash leaves the old snapshot live and
+    * an orphan for the next sweep. Cost: one index-sized exchange (the
+    * cell repartition) — no KMeans, no corpus re-encode. No-op on a
+    * single-generation snapshot. */
+  def compactGenerations(spark: SparkSession, path: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val token = ArtifactCommit.acquireLock(spark, path, what = "ANN index")
+    try {
+      val snap = requireSnapshot(spark, path)
+      if (snap.codes.size <= 1) return // already one generation
+      val tv = snap.v + 1
+      snap.codes.map(d => spark.read.parquet(s"$path/$d"))
+        .reduce(_.unionByName(_))
+        .repartition(snap.nlist, col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(s"$path/codes/v=$tv/g=0")
+      beforeCommit()
+      ArtifactCommit.verifyLock(spark, path, token, "ANN index")
+      val payload = Map(
+        "v" -> tv.toString, "nlist" -> snap.nlist.toString,
+        "seed" -> snap.seed.toString, "pq" -> snap.pq.toString,
+        "centroids" -> snap.centroids,
+        "codes" -> s"codes/v=$tv/g=0") ++
+        snap.pqcb.map("pqcb" -> _) ++ snap.pqrcb.map("pqrcb" -> _)
+      ArtifactCommit.writeMarker(spark, path, payload)
+      // retention: the new codes version + the prior snapshot's (for
+      // in-flight readers mid-union) + the STILL-LIVE centroid/codebook
+      // dirs (compaction never replaces them — sweeping by omission
+      // would delete the live tables)
+      val keep = Set(s"codes/v=$tv", snap.centroids) ++
+        snap.pqcb.toSeq ++ snap.pqrcb.toSeq ++ snap.codes
+      ArtifactCommit.sweepVersions(spark, path,
+        Seq("centroids", "pq_codebooks", "pqr_codebooks", "codes"), keep)
     } finally ArtifactCommit.releaseLock(spark, path, token)
   }
 

@@ -157,7 +157,9 @@ object ArtifactCommit {
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       Some(text.split('\n').map(_.trim).filter(_.nonEmpty).map { line =>
         val i = line.indexOf('=')
-        require(i > 0, s"malformed marker line at $marker: '$line'")
+        require(i > 0, s"malformed marker line at $marker: '$line' " +
+          "(a bare word here is a legacy pre-versioned marker — " +
+          "rebuild the artifact to migrate it)")
         (line.substring(0, i), line.substring(i + 1))
       }.toMap)
     } catch { case _: java.io.FileNotFoundException => None }

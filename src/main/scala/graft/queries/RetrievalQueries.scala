@@ -252,16 +252,27 @@ object RetrievalQueries {
     * stop-word-grade head term makes a big partition — acceptable for a
     * write-side one-off, and the rebuild cadence re-coalesces). */
   private def writePostingsGen(docs: org.apache.spark.sql.DataFrame,
-      genPath: String, shards: Int, avgdl: Double): Unit = {
-    val safeAvg = if (avgdl > 0) avgdl else 1.0
-    val impact = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(safeAvg)))
-    docs
+      genPath: String, shards: Int, avgdl: Double): Unit =
+    writeRankedPairs(docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
         explode(col("ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")),
+      genPath, shards, avgdl)
+
+  /** Rank + layout pass shared by [[writePostingsGen]] and
+    * [[compactScoredIndex]] (one definition so a compaction can never
+    * drift from the build's impact order): expects (term, doc_id, dl,
+    * tf), adds the per-term impact `rank` against `avgdl`, and writes
+    * the (term, rank)-sorted range-sharded layout the capped serve's
+    * page skips depend on. */
+  private def writeRankedPairs(pairs: org.apache.spark.sql.DataFrame,
+      genPath: String, shards: Int, avgdl: Double): Unit = {
+    val safeAvg = if (avgdl > 0) avgdl else 1.0
+    val impact = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(safeAvg)))
+    pairs
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")
           .orderBy(impact.desc, col("doc_id"))).cast("long"))
@@ -271,6 +282,53 @@ object RetrievalQueries {
       .option("compression", "zstd")
       .option("parquet.page.row.count.limit", 4096)
       .parquet(genPath)
+  }
+
+  /** Generation compaction for a [[fullIndexWriteScored]] artifact — the
+    * re-coalesce rung BETWEEN appends and a full rebuild: each
+    * [[fullIndexAppendScored]] leaves a `g=G` dir that every serve
+    * unions (term pruning still holds per generation, but file handles,
+    * footers, and the capped serve's per-gen prefix all scale with G).
+    * A full rebuild re-tokenizes the corpus; compaction instead rewrites
+    * ONLY the index itself: the live generations' (term, doc_id, dl, tf)
+    * rows — already exact — re-rank in ONE term-keyed window against the
+    * live stats' exact merged avgdl (so the impact order becomes GLOBAL
+    * again: the capped serve's prefix returns to the true per-term
+    * top-impact set instead of the per-gen superset) and land as a
+    * single `g=0` under `v=N+1`. Stats are untouched (already exact by
+    * the sum_dl merge discipline). Same zero-downtime contract as every
+    * mutation: build beside the live tables, ONE marker flip, readers
+    * never offline, lock + pre-flip token re-verify; a crash leaves the
+    * old snapshot live and an orphan dir for the next sweep. Cost: one
+    * index-sized exchange (the window's term key) + the range-partition
+    * write — no corpus scan. No-op on a single-generation snapshot. */
+  def compactScoredIndex(spark: SparkSession, path: String, shards: Int,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val token = graft.ext.ArtifactCommit.acquireLock(spark, path,
+      what = "scored BM25 index")
+    try {
+      val snap = scoredSnap(spark, path)
+      val gens = snap("postings").split(',').toSeq
+      if (gens.size <= 1) return // already one generation: nothing to do
+      val tv = snap("v").toInt + 1
+      val avgdl = spark.read.parquet(s"$path/${snap("stats")}")
+        .select("avgdl").head().getDouble(0)
+      val merged = gens.map(d => spark.read.parquet(s"$path/$d"))
+        .reduce(_.unionByName(_))
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      writeRankedPairs(merged, s"$path/postings/v=$tv/g=0", shards, avgdl)
+      beforeCommit()
+      graft.ext.ArtifactCommit.verifyLock(spark, path, token, "scored BM25 index")
+      graft.ext.ArtifactCommit.writeMarker(spark, path, Map(
+        "v" -> tv.toString,
+        "postings" -> s"postings/v=$tv/g=0",
+        "stats" -> snap("stats")))
+      // retention: the new postings version + the prior snapshot's (for
+      // in-flight readers mid-union) + the still-live stats dir
+      val keep = Set(s"postings/v=$tv", snap("stats")) ++ gens
+      graft.ext.ArtifactCommit.sweepVersions(spark, path,
+        Seq("postings", "stats"), keep)
+    } finally graft.ext.ArtifactCommit.releaseLock(spark, path, token)
   }
 
   /** Incremental maintenance of a [[fullIndexWriteScored]] artifact — the
@@ -440,14 +498,41 @@ object RetrievalQueries {
   }
 
   /** Serve conjunctive boolean retrieval from a [[fullIndexWrite]]
-    * artifact: the bounded term `isin` pushes into the term-sorted
-    * parquet (range shards prune, page indexes skip), then the same
-    * having-count AND as [[booleanAnd]] — the scan never touches text,
-    * only the matched terms' posting rows. */
+    * artifact — the FLAT unversioned (term, doc_id) layout ONLY (one
+    * parquet root, no marker). For the VERSIONED scored artifact use
+    * [[booleanAndFromScoredIndex]] — pointing this at a
+    * [[fullIndexWriteScored]] root would read `postings/v=*` and
+    * `stats/v=*` as one table. The bounded term `isin` pushes into the
+    * term-sorted parquet (range shards prune, page indexes skip), then
+    * the same having-count AND as [[booleanAnd]] — the scan never
+    * touches text, only the matched terms' posting rows. */
   def booleanAndFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, terms: Seq[String],
       k: Int): org.apache.spark.sql.DataFrame =
     spark.read.parquet(indexPath)
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === terms.size)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(k)
+
+  /** Serve conjunctive boolean retrieval from a [[fullIndexWriteScored]]
+    * artifact — the versioned-snapshot counterpart of
+    * [[booleanAndFromIndex]]: the scored postings rows carry everything
+    * the AND needs (term, doc_id), so the serve is the same bounded term
+    * `isin` (pushed through the generation Union into every gen's
+    * term-sorted scan — range shards prune, page indexes skip) followed
+    * by the having-count intersection over candidate rows only (≤ Σ df
+    * of the query terms). Generation-transparent: postings appended by
+    * [[fullIndexAppendScored]] participate with no rebuild, and the
+    * distinct-per-gen (term, doc_id) key keeps the count exact across
+    * generations (a doc_id appears for a term in at most one gen — the
+    * no-duplicate-doc append contract). */
+  def booleanAndFromScoredIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame =
+    readScoredPostings(spark, indexPath)
       .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
       .where(col("n_hit") === terms.size)

@@ -1126,7 +1126,7 @@ object SimilarityQueries {
     * nprobe/nlist × M bytes/vector — the recall is what changes. */
   private[graft] def ivfPqrServedTopK(s: SparkSession, indexPath: String,
       queries0: DataFrame, nprobe: Int, k: Int,
-      candMult: Int = 5): DataFrame = {
+      candMult: Int = 20): DataFrame = {
     import s.implicits._
     val cents = graft.ext.AnnIndex.readCentroids(s, indexPath)
     val qRows = queries0.select(col("query_id"), col("qv")).collect()
@@ -1161,8 +1161,13 @@ object SimilarityQueries {
     // to land the true neighbors inside the top candMult·k — the bounded
     // full-precision re-rank does the final ranking. Raising it trades a
     // linearly larger (still bounded) re-rank sliver for recall when the
-    // quantizer's resolution, not IVF pruning, is the limiter (measured:
-    // Diag annserve's recall-vs-candMult curve).
+    // quantizer's resolution, not IVF pruning, is the limiter. The
+    // default sits at the MEASURED operating point (Diag annserve,
+    // 1M vectors: clustered corpus recall@10 = 0.58 at 5 → 0.79 at 20 →
+    // 0.90 at 50 with serve cost nearly flat 1.64→1.78 s since ADC
+    // dominates; smooth corpora saturate far earlier) — candMult = 20 is
+    // where the recall curve crosses its knee on the adversarial regime
+    // while the re-rank sliver stays k-bounded.
     val candK = k * candMult
     val scored = codes.select(col("vec_id"), col("cell"),
         col("pqr_codes"), col("pqr_rnrm"))
@@ -1244,7 +1249,9 @@ object SimilarityQueries {
       .withColumn("cos_recon",
         ddot(col("qv"), col("xhat")) / (col("qnrm") * col("pqr_rnrm")))
       .where(col("cos_recon").isNotNull && !isnan(col("cos_recon")))
-      .withColumn("rn", row_number().over(wAdc)).where(col("rn") <= TopK * 5)
+      // candidate depth = the serve's default candMult (20): the
+      // re-derivation must walk the identical pipeline
+      .withColumn("rn", row_number().over(wAdc)).where(col("rn") <= TopK * 20)
       .select(col("query_id"), col("vec_id"))
     val wFull = Window.partitionBy("query_id")
       .orderBy(col("cos_full").desc, col("vec_id").asc)

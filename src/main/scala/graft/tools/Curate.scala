@@ -72,7 +72,9 @@ object Curate {
       // retrieval and eval-neighbor audits run BM25 against exactly the
       // corpus that trains — indexing the raw corpus would surface docs
       // the mix dropped): the scored full index, served by
-      // RetrievalQueries.bm25FromIndex / booleanAndFromIndex
+      // RetrievalQueries.bm25FromIndex / bm25FromIndexCapped /
+      // booleanAndFromScoredIndex (all versioned-snapshot-aware; the flat
+      // booleanAndFromIndex serves only fullIndexWrite's unversioned layout)
       if (searchIndex) timed("index_export") {
         val kept = manifest.select(col("doc_id"))
           .join(docs.select(col("doc_id"), col("text")), "doc_id")

@@ -838,4 +838,180 @@ class ToolsSpec extends AnyFunSuite {
     assert(graft.ext.AnnIndex.readSnapshot(spark, path).get === snapBefore)
     assert(graft.ext.AnnIndex.readCodes(spark, path).count() === before + 3)
   }
+
+  test("ANN index generation compaction: one g=0, served hash-equal, committed throughout") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_anncompact_")
+      .toString + "/index"
+    // base build + TWO appends → three generation dirs unioned per query
+    graft.ext.AnnIndex.write(spark, emb.where(col("vec_id") % 3 === 0), path, nlist = 16)
+    graft.ext.AnnIndex.append(spark, path, emb.where(col("vec_id") % 3 === 1))
+    graft.ext.AnnIndex.append(spark, path, emb.where(col("vec_id") % 3 === 2))
+    val snapPre = graft.ext.AnnIndex.readSnapshot(spark, path).get
+    assert(snapPre.codes.size === 3)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def serveAll() = Seq(
+      graft.queries.SimilarityQueries.ivfServedTopK(spark, path, queries, 6, 5),
+      graft.queries.SimilarityQueries.ivfPqServedTopK(spark, path, queries, 6, 5),
+      graft.queries.SimilarityQueries.ivfPqrServedTopK(spark, path, queries, 6, 5))
+      .map(_.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    val preServe = serveAll()
+    val preRows = graft.ext.AnnIndex.readCodes(spark, path)
+      .collect().map(_.toString).toSet
+
+    // compact: the beforeCommit seam runs after the merged g=0 is fully
+    // written, immediately before the flip — a reader at that moment
+    // still serves the THREE-generation snapshot, committed
+    var during = Option.empty[(Boolean, Int, Int)]
+    graft.ext.AnnIndex.compactGenerations(spark, path, beforeCommit = () => {
+      val s = graft.ext.AnnIndex.readSnapshot(spark, path).get
+      during = Some((graft.ext.AnnIndex.committed(spark, path), s.v, s.codes.size))
+    })
+    assert(during.contains((true, snapPre.v, 3)),
+      "a reader mid-compaction must serve the untouched old snapshot")
+    val snapPost = graft.ext.AnnIndex.readSnapshot(spark, path).get
+    assert(snapPost.v === snapPre.v + 1 && snapPost.codes.size === 1,
+      "compaction must publish ONE generation under v=N+1")
+    assert(snapPost.centroids === snapPre.centroids &&
+      snapPost.pqcb === snapPre.pqcb && snapPost.pqrcb === snapPre.pqrcb,
+      "compaction must not touch centroids or codebooks")
+    // the coded corpus is IDENTICAL row-for-row (pure layout rewrite)
+    val postRows = graft.ext.AnnIndex.readCodes(spark, path)
+      .collect().map(_.toString).toSet
+    assert(postRows === preRows, "compaction must preserve every encoded row")
+    // every serve form answers hash-equal to its pre-compaction answer
+    assert(serveAll() === preServe)
+    // retention: the prior generation dirs survive one flip (in-flight
+    // readers), the live centroid/codebook dirs are NEVER swept
+    assert(new java.io.File(s"$path/${snapPre.codes.head}").exists,
+      "the replaced generations must be retained one flip for in-flight readers")
+    assert(new java.io.File(s"$path/${snapPost.centroids}").exists)
+    // compacting a single-generation snapshot is a no-op
+    graft.ext.AnnIndex.compactGenerations(spark, path)
+    assert(graft.ext.AnnIndex.readSnapshot(spark, path).get === snapPost)
+    assert(!new java.io.File(s"$path/._INDEX_LOCK").exists,
+      "a completed/no-op compaction must release its lock")
+  }
+
+  test("scored index generation compaction: global impact prefix, serve hash-equal") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_scoredcompact_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWriteScored(
+      docs.where(col("doc_id") % 3 === 0), path, shards = 4)
+    graft.queries.RetrievalQueries.fullIndexAppendScored(
+      docs.where(col("doc_id") % 3 === 1), path, shards = 4)
+    graft.queries.RetrievalQueries.fullIndexAppendScored(
+      docs.where(col("doc_id") % 3 === 2), path, shards = 4)
+    val snapPre = graft.ext.ArtifactCommit.readMarker(spark, path).get
+    assert(snapPre("postings").split(',').length === 3)
+    val terms = Seq("spark", "join", "window")
+    def serves() = Seq(
+      graft.queries.RetrievalQueries.bm25FromIndex(spark, path, terms, 20),
+      graft.queries.RetrievalQueries.bm25FromIndexCapped(spark, path, terms, 20, 1L << 20),
+      graft.queries.RetrievalQueries.booleanAndFromScoredIndex(
+        spark, path, Seq("spark", "join"), 50))
+      .map(_.collect().map(_.toString).toSeq)
+    val preServe = serves()
+
+    var during = Option.empty[(Boolean, Int)]
+    graft.queries.RetrievalQueries.compactScoredIndex(spark, path, shards = 4,
+      beforeCommit = () => {
+        val m = graft.ext.ArtifactCommit.readMarker(spark, path)
+        during = Some((m.isDefined, m.get("postings").split(',').length))
+      })
+    assert(during.contains((true, 3)),
+      "a reader mid-compaction must serve the untouched old snapshot")
+    val snapPost = graft.ext.ArtifactCommit.readMarker(spark, path).get
+    assert(snapPost("v").toInt === snapPre("v").toInt + 1)
+    assert(snapPost("postings").split(',').length === 1,
+      "compaction must publish ONE postings generation")
+    assert(snapPost("stats") === snapPre("stats"),
+      "stats are already exact — compaction must not touch them")
+    // every serve form answers hash-equal to its pre-compaction answer
+    assert(serves() === preServe)
+    // the impact rank is GLOBAL again: exactly one rank-1 row per term
+    // (three gen-local prefixes would carry three), and it is the term's
+    // true max-impact posting
+    val posts = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+    val st = graft.queries.RetrievalQueries.readScoredStats(spark, path).head()
+    val rank1 = posts.where(col("term").isin(terms: _*) && col("rank") === 1)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 1).count()
+    assert(rank1 === 0L, "post-compaction ranks must be globally unique per term")
+    val impact = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(st.getDouble(2))))
+    val byTerm = posts.where(col("term").isin(terms: _*))
+      .select(col("term"), col("rank"), impact.as("imp"))
+    val best = byTerm.where(col("rank") === 1)
+      .groupBy("term").agg(max(col("imp")).as("imp1"))
+    assert(byTerm.join(best, "term")
+      .where(col("imp") > col("imp1") + lit(1e-12)).count() === 0L,
+      "post-compaction rank 1 must be the term's global max-impact posting")
+    // postings row set unchanged (pure re-rank + layout rewrite)
+    val full = java.nio.file.Files.createTempDirectory("graft_scoredcfull_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWriteScored(docs, full, shards = 4)
+    val pFull = graft.queries.RetrievalQueries.readScoredPostings(spark, full)
+    assert(posts.count() === pFull.count())
+    assert(posts.join(pFull, Seq("term", "doc_id", "dl", "tf", "rank"),
+      "left_anti").isEmpty,
+      "compacted postings must equal a from-scratch build's, rank included")
+    // no-op on a single generation
+    graft.queries.RetrievalQueries.compactScoredIndex(spark, path, shards = 4)
+    assert(graft.ext.ArtifactCommit.readMarker(spark, path).get === snapPost)
+  }
+
+  test("boolean AND from the scored artifact ≡ scan form, term pushdown, gen-transparent") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_boolscored_")
+      .toString + "/index"
+    // split build + append so the AND must see BOTH generations
+    graft.queries.RetrievalQueries.fullIndexWriteScored(
+      docs.where(col("doc_id") % 2 === 0), path, shards = 4)
+    graft.queries.RetrievalQueries.fullIndexAppendScored(
+      docs.where(col("doc_id") % 2 === 1), path, shards = 4)
+    val terms = Seq("spark", "join")
+    val served = graft.queries.RetrievalQueries
+      .booleanAndFromScoredIndex(spark, path, terms, 50)
+      .collect().map(_.getLong(0)).toSeq
+    val scanned = graft.queries.RetrievalQueries.booleanAnd(docs, terms, 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === scanned && served.nonEmpty)
+    // docs from both generations surface (even AND odd ids present)
+    assert(served.exists(_ % 2 === 0) && served.exists(_ % 2 === 1),
+      "the AND must be generation-transparent")
+    // the term predicate reaches every generation's parquet scan
+    val plan = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+      .where(col("term").isin(terms: _*))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
+      s"term isin must reach the postings scan:\n$plan")
+  }
+
+  test("legacy pre-versioned ANN marker fails with a clear diagnosis") {
+    val path = java.nio.file.Files.createTempDirectory("graft_annlegacy_")
+      .toString + "/index"
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_INDEX_SUCCESS"),
+      "nlist=16\nseed=42\n".getBytes("UTF-8"))
+    // committed() is marker-existence (the legacy artifact DID commit);
+    // every read path must name the actual problem, not throw a bare
+    // NoSuchElementException
+    assert(graft.ext.AnnIndex.committed(spark, path))
+    val e = intercept[IllegalStateException] {
+      graft.ext.AnnIndex.readCentroids(spark, path)
+    }
+    assert(e.getMessage.contains("legacy"),
+      s"legacy marker must be diagnosed by name: ${e.getMessage}")
+  }
 }
