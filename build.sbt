@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Durable per-run test reports: the default target/test-reports is
+// clobbered by every run — which is how the name of a 1-in-269 failing
+// test was lost in r14 (the isolated rerun overwrote the failing run's
+// XML before anyone read it). Every sbt load archives its reports to a
+// timestamped dir as well; prune target/test-reports-archive manually.
+Test / testListeners += new sbt.JUnitXmlTestsListener(
+  ("target/test-reports-archive/" +
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+      .format(java.time.LocalDateTime.now())))
 // Pass the forked program's stdout through unprefixed: the bench/verify
 // drivers parse the process output (one JSON line), and sbt's default
 // logger strategy wraps every line in "[info] " which breaks that.

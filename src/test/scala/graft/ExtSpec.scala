@@ -1393,13 +1393,21 @@ class ExtSpec extends AnyFunSuite {
     assert(HtmlText.extract("&amp" * 500) != null)
     assert(HtmlText.extract("<p>" + "a" * 100) === "a" * 100) // unclosed block flushes at EOF
     assert(HtmlText.extract("<a href='x'>" + "b" * 100) === "") // all-link block dies
-    // big-input linearity sanity: 1 MB of paragraphs stays sub-second
+    // big-input linearity sanity: 1 MB of paragraphs parses in well under
+    // a second quiet (measured ~0.1 s); the bound exists to catch an
+    // accidental O(n²) (which would take minutes here). MIN-OF-3: this is
+    // a wall-clock assert inside a 32-way suite on a sandbox with
+    // documented multi-second co-tenant stalls — a single sample once
+    // flaked the full run (r14's 268/269); one stall window won't cover
+    // three separated samples, and a real quadratic inflates all three.
     val big = ("<p>" + "word " * 40 + "</p>") * 5000
-    val t0 = System.nanoTime()
-    val bigOut = HtmlText.keptBlocks(big)
-    val secs = (System.nanoTime() - t0) / 1e9
-    assert(bigOut.size === 5000)
-    assert(secs < 5.0, f"1 MB page took $secs%.1f s")
+    val secs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val bigOut = HtmlText.keptBlocks(big)
+      assert(bigOut.size === 5000)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    assert(secs < 5.0, f"1 MB page took $secs%.1f s (min of 3)")
   }
 
   test("audioHash: gain-invariant for re-masters, near for planted copies, far across families") {

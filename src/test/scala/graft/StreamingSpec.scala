@@ -1950,6 +1950,141 @@ class StreamingSpec extends AnyFunSuite {
       "every due URL must eventually drip out")
   }
 
+  test("event-time recrawl → politeFrontier under an AvailableNow backfill: once each, host-budgeted, replay-identical") {
+    // the scenario recrawlDueEventTime EXISTS for: a month of crawl
+    // history drained as a backfill. Deadlines must key off the data's
+    // own crawl_ts (draining the month in seconds of wall time must not
+    // collapse every deadline into "now + interval"), each URL must come
+    // due exactly once, the due work must pay the same per-host budget
+    // as fresh discoveries, and a second replay of the same month must
+    // produce the identical board. Two flatMapGroupsWithState stages
+    // can't chain in one query, so due rows land as files and the
+    // politeness stage streams the landing dir — the same relay the
+    // processing-time composition test uses.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_recrawl_et_comp_").toString
+    val Day = 86400000L
+    def ts(day: Double) = new java.sql.Timestamp(T0 + (day * Day).toLong)
+    // month-shaped history: 3 hosts, crawls spread over days 0-20; one
+    // URL re-crawled inside the 7-day interval (re-arms, single due);
+    // the day-40 pusher drives the closing watermark (its own deadline,
+    // day 47, stays past the watermark and must never emit)
+    val week12: Seq[(Long, String, java.sql.Timestamp)] =
+      Seq((1L, "https://big.example/p1", ts(0)), (2L, "https://big.example/p2", ts(1)),
+        (3L, "https://big.example/p3", ts(2)), (4L, "https://big.example/p4", ts(3)),
+        (5L, "https://mid.example/a", ts(4)), (6L, "https://mid.example/b", ts(5)),
+        (7L, "https://small.example/only", ts(6)),
+        (8L, "https://big.example/p1", ts(3.5))) // re-crawl: re-arms p1 to day 10.5
+    val week34: Seq[(Long, String, java.sql.Timestamp)] =
+      Seq((9L, "https://big.example/p5", ts(14)), (10L, "https://mid.example/c", ts(15)),
+        (11L, "https://big.example/p6", ts(20)),
+        (99L, "https://pusher.example/wm", ts(40)))
+    def replayDue(tag: String): Seq[(String, Long)] = {
+      val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      def run(): Unit = {
+        val crawled = stream.toDF().select(col("_2").as("url"),
+          col("_1").as("doc_id"), col("_3").as("crawl_ts"))
+        val q = graft.streaming.DocStream
+          .recrawlDueEventTime(spark, crawled, intervalMs = 7 * Day)
+          .writeStream
+          .option("checkpointLocation", s"$root/$tag/ck")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.FrontierRow],
+                _: Long) => b.collect().foreach(r => buf.add((r.url, r.first_doc)))
+          }
+          .start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+      // identical drain schedule each replay: weeks 1-2, then weeks 3-4 +
+      // pusher, then a restart to flush deadlines the closing watermark
+      // released (an AvailableNow drain stops with data, not timeouts)
+      stream.addData(week12: _*); run()
+      stream.addData(week34: _*); run()
+      run()
+      buf.asScala.toSeq
+    }
+    val dueA = replayDue("a")
+    val dueB = replayDue("b")
+    // every URL once, latest-crawl attributed (p1 → the day-3.5 re-crawl's
+    // doc 8), the pusher never due
+    val want = Set(("https://big.example/p1", 8L), ("https://big.example/p2", 2L),
+      ("https://big.example/p3", 3L), ("https://big.example/p4", 4L),
+      ("https://mid.example/a", 5L), ("https://mid.example/b", 6L),
+      ("https://small.example/only", 7L), ("https://big.example/p5", 9L),
+      ("https://mid.example/c", 10L), ("https://big.example/p6", 11L))
+    assert(dueA.toSet === want, s"due set: $dueA")
+    assert(dueA.size === want.size, s"each URL due exactly once: $dueA")
+    assert(dueA.sorted === dueB.sorted,
+      s"two replays of the same month must emit the identical due board: $dueA vs $dueB")
+
+    // relay: the due board lands as files (sorted write — stage-2 input
+    // is byte-identical across its own replays by construction)
+    val landing = s"$root/due"
+    dueA.sortBy(identity).toDF("url", "first_doc")
+      .coalesce(1).write.parquet(landing)
+    def replayPolite(tag: String): Seq[Set[(String, String, Long)]] = {
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[(String, String, Long)]]()
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema(spark.read.parquet(landing).schema).parquet(landing)
+          .as[graft.streaming.DocStream.FrontierRow]
+        val q = graft.streaming.DocStream
+          .politeFrontier(spark, src, perTrigger = 2, maxPending = 10, drainMs = 1L)
+          .writeStream
+          .option("checkpointLocation", s"$root/$tag/ck_polite")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PoliteRow],
+                _: Long) =>
+              val rows = b.collect().map(r => (r.host, r.url, r.first_doc)).toSet
+              if (rows.nonEmpty) batches.add(rows); ()
+          }
+          .start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+      run()
+      Thread.sleep(50); run()
+      Thread.sleep(50); run()
+      batches.asScala.toSeq
+    }
+    val politeA = replayPolite("a")
+    val politeB = replayPolite("b")
+    // both replays independently honor the budget discipline. NOTE: raw
+    // batch STRUCTURE is deliberately not compared across replays —
+    // drainMs drips on PROCESSING-time timeouts, so how many drain
+    // batches an AvailableNow restart fires is wall-clock-dependent; the
+    // replay-stable claims are the due board (stage 1, event time), the
+    // emitted row set, the per-trigger caps, and the drip order.
+    for ((polite, tag) <- Seq((politeA, "a"), (politeB, "b"))) {
+      // per-trigger host budget holds for recrawl work exactly as for
+      // fresh discoveries (big.example has 6 due URLs → ≥3 drip batches)
+      polite.foreach { batch =>
+        val perHost = batch.groupBy(_._1).map(_._2.size)
+        assert(perHost.forall(_ <= 2), s"[$tag] host budget violated: $batch")
+      }
+      assert(polite.flatten.map(_._2).toSet === want.map(_._1),
+        s"[$tag] every due URL drips out under the budget")
+      assert(polite.flatten.size === want.size, s"[$tag] no URL emits twice")
+      // the drip follows the documented deterministic (first_doc, url)
+      // ascending queue: per host, every row in an earlier batch
+      // precedes every row in a later one
+      polite.flatten.map(_._1).toSet.foreach { (h: String) =>
+        val perBatchDocs = polite.map(_.filter(_._1 == h).map(_._3)).filter(_.nonEmpty)
+        perBatchDocs.sliding(2).foreach {
+          case Seq(prev, next) =>
+            assert(prev.max < next.min, s"[$tag] $h dripped out of order: $perBatchDocs")
+          case _ =>
+        }
+      }
+    }
+    assert(politeA.flatten.toSet === politeB.flatten.toSet,
+      "two replays must emit the identical row board")
+  }
+
   test("streaming postings: multi-page merge parity, truncation, compaction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
