@@ -718,14 +718,25 @@ object RetrievalQueries {
   }
 
   private val BoolK = 50
-  private val ii4 = withOracle("ii4_boolean_and",
+  private def boolAndSql =
     s"""WITH w AS (SELECT DISTINCT doc_id,
        |             unnest(string_split_regex(lower(trim(text)),'\\s+')) AS term
        |           FROM documents)
        |SELECT doc_id FROM w WHERE term IN ('spark','join')
        |GROUP BY doc_id HAVING count(*) = 2
-       |ORDER BY doc_id LIMIT $BoolK""".stripMargin) { (s, dir) =>
+       |ORDER BY doc_id LIMIT $BoolK""".stripMargin
+  private val ii4 = withOracle("ii4_boolean_and", boolAndSql) { (s, dir) =>
     booleanAnd(Tables(s, dir, "documents"), Seq("spark", "join"), BoolK)
+  }
+
+  /** ii7: ii4's conjunctive AND answered from the VERSIONED scored
+    * artifact via [[booleanAndFromScoredIndex]] (r15 — the flat-layout
+    * serve cannot read a versioned root; this is the one that can).
+    * Hash-checked against ii4's oracle; the serve reads only the two
+    * query terms' posting runs, never the corpus. */
+  private val ii7 = withOracle("ii7_boolean_served", boolAndSql) { (s, dir) =>
+    booleanAndFromScoredIndex(s, scoredIndexFor(s, dir), Seq("spark", "join"),
+      BoolK)
   }
 
   /** Positional phrase match — the proximity query an inverted index with
@@ -746,5 +757,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, pp1)
 }

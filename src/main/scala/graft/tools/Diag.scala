@@ -48,6 +48,16 @@ object Diag {
         args.lift(2).map(_.toInt).getOrElse(256))
       spark.stop(); return
     }
+    if (args.headOption.contains("annrecall")) {
+      annRecallScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L),
+        args.lift(2).map(_.toInt).getOrElse(256),
+        regime = args.lift(3).getOrElse("clustered"))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("iicap")) {
+      iiCapScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("docs")) {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -797,6 +807,151 @@ object Diag {
         spark, s"$dir/index", queries, nprobe, 5)))).min
     println(f"[annserve] ivfadc_residual serve: $tIvfAdc%.2f s " +
       f"(${tBrute / tIvfAdc}%.1fx vs brute)")
+  }
+
+  /** TWO-REGIME recall curve for the served-ANN ladder (IVF-served,
+    * raw-code IVF+PQ, residual IVFADC) — `regime` picks the embedding
+    * distribution:
+    *   - `clustered`: 32 tight planted centers (±0.1 jitter on ±1.0
+    *     centers) — the ADVERSARIAL extreme for PQ (cluster members
+    *     share code words; r14's probe measured raw-code ADC at recall
+    *     0.000 here) and the FAVORABLE one for IVF's cell pruning;
+    *   - `smooth`: isotropic hash noise in [-1,1]^64 — no cluster
+    *     structure at all, the opposite extreme: hardest for IVF's
+    *     space partitioning (neighbors spread across cell boundaries),
+    *     most forgiving for PQ (no shared-code degeneracy).
+    * Real embedding corpora sit between the two; an operator picks
+    * (nprobe, candMult) from whichever row matches their corpus shape.
+    * Recall is corpus-statistical — the gate rows pin pipeline
+    * exactness, this probe prices the PRUNING. */
+  private def annRecallScale(spark: SparkSession, n: Long, nlist: Int,
+      regime: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_annrecall_${regime}_").toString
+    val component: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      regime match {
+        case "clustered" => i =>
+          ((pmod(xxhash64(pmod(col("id"), lit(32)), i), lit(1000)) / 500.0 - 1.0) +
+            (pmod(xxhash64(col("id"), i, lit(7)), lit(100)) / 500.0 - 0.1))
+            .cast("float")
+        case "smooth" => i =>
+          (pmod(xxhash64(col("id"), i, lit(11)), lit(1000)) / 500.0 - 1.0)
+            .cast("float")
+        case other => throw new IllegalArgumentException(
+          s"regime must be clustered|smooth, got $other")
+      }
+    spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), component).as("embedding"))
+      .repartition(32).write.parquet(s"$dir/emb")
+    val emb = spark.read.parquet(s"$dir/emb")
+    val tBuild = time {
+      graft.ext.AnnIndex.write(spark, emb, s"$dir/index", nlist = nlist)
+    }
+    println(f"[annrecall] regime=$regime n=$n%,d nlist=$nlist dim=64: build=$tBuild%.1f s")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val corpus = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("fv"))
+      .select(col("vec_id"), col("fv"), sqrt(ddot(col("fv"), col("fv"))).as("nrm"))
+    val q = queries.select(col("query_id"),
+        transform(col("qv"), _.cast("double")).as("dq"))
+      .select(col("query_id"), col("dq"), sqrt(ddot(col("dq"), col("dq"))).as("qnrm"))
+    val k = 10
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val bruteTop = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (ddot(col("dq"), col("fv")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .where(col("cos").isNotNull && !isnan(col("cos")))
+      .withColumn("rn", row_number().over(wB)).where(col("rn") <= k)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+      val per = bruteTop.map { case (qid, want) =>
+        got.getOrElse(qid, Set.empty).count(want).toDouble / want.size }
+      per.sum / per.size
+    }
+    val nprobe = math.max(1, nlist / 32)
+    Seq(nprobe, nprobe * 2, nprobe * 4).distinct.foreach { np =>
+      val rIvf = recallOf(graft.queries.SimilarityQueries.ivfServedTopK(
+        spark, s"$dir/index", queries, np, k))
+      val rPq = recallOf(graft.queries.SimilarityQueries.ivfPqServedTopK(
+        spark, s"$dir/index", queries, np, k))
+      val rPqr = recallOf(graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, np, k))
+      println(f"[annrecall] regime=$regime recall@$k nprobe=$np/$nlist: " +
+        f"ivf=$rIvf%.3f ivfpq_raw=$rPq%.3f ivfadc_residual=$rPqr%.3f")
+    }
+    Seq(5, 20, 50).foreach { cm =>
+      val r = recallOf(graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, nprobe, k, candMult = cm))
+      val t = time(sink(graft.queries.SimilarityQueries.ivfPqrServedTopK(
+        spark, s"$dir/index", queries, nprobe, k, candMult = cm)))
+      println(f"[annrecall] regime=$regime ivfadc_residual candMult=$cm: " +
+        f"recall@$k=$r%.3f serve=$t%.2f s")
+    }
+  }
+
+  /** Answer-quality curve for the impact-ordered CAPPED BM25 serve (ii6's
+    * scale knob): at what cap does `bm25FromIndexCapped` stop changing
+    * the answer? Corpus: n docs × 60 tokens over a 10 k vocabulary
+    * (per-term df ≈ n·60/10 000 — ~60 k at n=10 M) plus a PLANTED
+    * stop-word-grade head term (`the`, appended to 40% of docs → df =
+    * 0.4·n, the posting list that makes uncapped reads corpus-sized).
+    * Measures top-20 overlap vs the exact uncapped serve at caps
+    * {1 k, 10 k, 100 k} for two query shapes — head+tail (`the` + two
+    * body terms: the WAND case the cap exists for) and tail-only (all
+    * dfs under the generous cap: must be overlap 1.0, the ii6 exactness
+    * contract at scale) — plus serve times, pricing what the cap buys. */
+  private def iiCapScale(spark: SparkSession, n: Long): Unit = {
+    import graft.queries.RetrievalQueries
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val dir = java.nio.file.Files.createTempDirectory("graft_iicap_").toString
+    val body = concat_ws(" ",
+      transform(sequence(lit(1), lit(60)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val text = when(pmod(xxhash64(col("id"), lit(13)), lit(10)) < 4,
+      concat(body, lit(" the"))).otherwise(body)
+    val docs = spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+    val tBuild = time(RetrievalQueries.fullIndexWriteScored(docs, s"$dir/index",
+      shards = math.max(32, (n / 250000).toInt)))
+    println(f"[iicap] n=$n%,d vocab=10k planted-df=${(0.4 * n).toLong}%,d: " +
+      f"scored index build $tBuild%.1f s")
+    val k = 20
+    def top(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    // serve timings are min-of-3 (single-shot samples on this sandbox
+    // carry multi-second co-tenant bursts — a capped serve reading
+    // strictly fewer bytes once measured 4× "slower" than exact);
+    // overlaps are deterministic, computed once
+    for ((label, terms) <- Seq(
+        ("head+tail", Seq("the", "w17", "w42")),
+        ("tail-only", Seq("w17", "w42", "w99")))) {
+      val exact = top(RetrievalQueries.bm25FromIndex(spark, s"$dir/index", terms, k))
+      val tExact = (1 to 3).map(_ => time {
+        top(RetrievalQueries.bm25FromIndex(spark, s"$dir/index", terms, k)); () }).min
+      println(f"[iicap] $label exact (uncapped): $tExact%.2f s")
+      for (cap <- Seq(1000L, 10000L, 100000L)) {
+        val capped = top(RetrievalQueries.bm25FromIndexCapped(
+          spark, s"$dir/index", terms, k, cap))
+        val tCap = (1 to 3).map(_ => time {
+          top(RetrievalQueries.bm25FromIndexCapped(
+            spark, s"$dir/index", terms, k, cap)); () }).min
+        val overlap = (exact.toSet intersect capped.toSet).size.toDouble / k
+        println(f"[iicap] $label cap=$cap%,d: top-$k overlap=$overlap%.2f " +
+          f"serve=$tCap%.2f s (${tExact / tCap}%.1fx vs exact)")
+      }
+    }
   }
 
   /** Dedup family at a corpus sf0.1 can't show (default 1 M docs, ~60
