@@ -195,6 +195,15 @@ object Bench {
     // every memory-bound scan a uniform ~1.2× slow). The memory stamp
     // inflates in exactly that mode.
     def probeMemMs(): Double = graft.tools.MachineProbe.stampMemMs()
+    // Memory-LATENCY stamp (r15, stamped but NON-GATING): two same-day
+    // healthy-stamped boards ran a uniform ~1.15x apart while all three
+    // gating stamps matched — the signature of an LLC/TLB-polluting
+    // co-tenant (pointer-heavy Spark code slows; ALU loops and
+    // prefetched streaming don't). Stamped so future cross-round drift
+    // can be attributed; it joins the GATE only once a verified-quiet
+    // nominal exists (today's windows may themselves be polluted — a
+    // nominal pinned on them would re-blind the stamp).
+    def probeLatMs(): Double = graft.tools.MachineProbe.stampLatMs()
 
     // Ingest workload: 2M Prometheus-shaped samples through the full write
     // path (fingerprint + new-series anti-join + partitioned sorted
@@ -230,11 +239,13 @@ object Bench {
     graft.tools.MachineProbe.stampMs()
     graft.tools.MachineProbe.stampParMs(cpus.toInt)
     graft.tools.MachineProbe.stampMemMs()
+    graft.tools.MachineProbe.stampLatMs()
 
     val order = defs.map(_.name)
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
     val probesPar = scala.collection.mutable.ArrayBuffer[Double]()
     val probesMem = scala.collection.mutable.ArrayBuffer[Double]()
+    val probesLat = scala.collection.mutable.ArrayBuffer[Double]()
     val ingestDirs = scala.collection.mutable.ArrayBuffer[String]()
     val ingestSecs = scala.collection.mutable.ArrayBuffer[Double]()
     // Each probe triple is preceded by an UNTIMED full GC: the triple
@@ -257,6 +268,7 @@ object Bench {
       probes += (1 to 3).map(_ => probeMs()).min
       probesPar += (1 to 3).map(_ => probeParMs()).min
       probesMem += (1 to 3).map(_ => probeMemMs()).min
+      probesLat += (1 to 3).map(_ => probeLatMs()).min
     }
     val roundSamples = (0 until 3).map { round =>
       probeTriple()
@@ -347,6 +359,7 @@ object Bench {
     val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
     val probeParJson = probesPar.map(p => f"$p%.0f").mkString("[", ",", "]")
     val probeMemJson = probesMem.map(p => f"$p%.0f").mkString("[", ",", "]")
+    val probeLatJson = probesLat.map(p => f"$p%.0f").mkString("[", ",", "]")
     val ingestJson = ingestSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
     // Probe-normalized total: total × (nominal/measured serial stamp), so a
     // cross-round comparison is not hostage to a co-tenant window (r8's
@@ -367,6 +380,7 @@ object Bench {
     val totalNorm = total * (ProbeNominalMs / probeMed)
     val probeParMed = median(probesPar.toSeq)
     val probeMemMed = median(probesMem.toSeq)
+    val probeLatMed = median(probesLat.toSeq)
     // Min-based global ratios: AUXILIARY since r15 (the gate is the
     // clean-bracketed-rounds test above — see that comment). Stamped for
     // comparability with r13/r14-era artifacts, whose gates used these.
@@ -393,11 +407,11 @@ object Bench {
       .map(k => "\"" + k + f"\":${resMap(k)}%.3f").mkString("{", ",", "}")
     val cleanRoundsJson = cleanRounds.mkString("[", ",", "]")
     val stampFields =
-      f""""degraded":$degraded,"probe_gate":"clean_bracketed_rounds","probe_clean_rounds":$cleanRoundsJson,"probe_bars":{"par_serial":$ParBar%.2f,"serial_quiet":$SerialBar%.2f,"mem_quiet":$MemBar%.2f},"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f"""
+      f""""degraded":$degraded,"probe_gate":"clean_bracketed_rounds","probe_clean_rounds":$cleanRoundsJson,"probe_bars":{"par_serial":$ParBar%.2f,"serial_quiet":$SerialBar%.2f,"mem_quiet":$MemBar%.2f},"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f,"probe_lat_ms_median":$probeLatMed%.0f"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"probe_lat_ms":$probeLatJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     if (degraded) System.err.println(
       f"[bench] DEGRADED WINDOW: no timing round was bracketed by two healthy probes " +
         f"(bars: par/serial>$ParBar%.1f = core-stealing, serial/quiet>$SerialBar%.1f = " +

@@ -48,6 +48,41 @@ object MachineProbe {
     a
   }
 
+  /** MEMORY-LATENCY stamp: 2^22 dependent pointer-chase steps through a
+    * 128 MB random-cycle permutation (every load's address depends on
+    * the previous load's VALUE — no prefetch, no ILP; the time is pure
+    * cache-miss/TLB latency). The FOURTH co-tenant mode, found r15: two
+    * same-day healthy-stamped boards ran a uniform ~1.15× apart while
+    * serial ALU, 32-way ALU, and streaming BANDWIDTH all matched — a
+    * co-tenant polluting LLC/TLB raises pointer-heavy code's latency
+    * without touching ALU throughput or prefetched sequential bandwidth,
+    * and Spark query code is exactly pointer-heavy. This stamp inflates
+    * in exactly that mode. Cycle built once per JVM (Sattolo's
+    * algorithm, splitmix-seeded, deterministic). */
+  def stampLatMs(): Double = {
+    val next = latBuf
+    val t0 = System.nanoTime()
+    var i = 0
+    var p = 0
+    while (i < (1 << 22)) { p = next(p); i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (p == -1) System.err.println("") // consume: defeat DCE
+    ms
+  }
+  private lazy val latBuf: Array[Int] = {
+    val n = 16 << 20 // 16M ints = 64 MB of pointers over a 16M-slot space
+    val a = Array.tabulate(n)(identity)
+    var h = 0x243f6a8885a308d3L
+    var i = n - 1
+    while (i > 0) { // Sattolo: one full cycle, so the chase never shortcuts
+      h = graft.ext.ExtOps.splitmix64(h)
+      val j = (((h % i) + i) % i).toInt // 0 <= j < i
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
   /** Parallel variant: wall-clock ms for `threads` concurrent copies of
     * the same workload. The single-thread stamp is blind to a co-tenant
     * STEALING CORES (one thread still gets a full core and reads nominal
