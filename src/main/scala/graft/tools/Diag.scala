@@ -55,7 +55,8 @@ object Diag {
       spark.stop(); return
     }
     if (args.headOption.contains("iicap")) {
-      iiCapScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L))
+      iiCapScale(spark, args.lift(1).map(_.toLong).getOrElse(10_000_000L),
+        regime = args.lift(2).getOrElse("uniform"))
       spark.stop(); return
     }
     if (args.headOption.contains("docs")) {
@@ -913,20 +914,33 @@ object Diag {
     * body terms: the WAND case the cap exists for) and tail-only (all
     * dfs under the generous cap: must be overlap 1.0, the ii6 exactness
     * contract at scale) — plus serve times, pricing what the cap buys. */
-  private def iiCapScale(spark: SparkSession, n: Long): Unit = {
+  private def iiCapScale(spark: SparkSession, n: Long,
+      regime: String = "uniform"): Unit = {
     import graft.queries.RetrievalQueries
     def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
     val dir = java.nio.file.Files.createTempDirectory("graft_iicap_").toString
+    // `uniform` = every doc exactly 60 body tokens: the TIE-DEGENERATE
+    // worst case for prefix overlap (the head term's tf=1/dl≈const
+    // impact order carries no information). `varied` = doc length
+    // 20..99 by hash: dl spread gives the head term a real impact
+    // order (short docs first — the docs where its BM25 mass is
+    // largest), the realistic-corpus case.
+    val bodyLen = regime match {
+      case "uniform" => lit(60)
+      case "varied" => (pmod(xxhash64(col("id"), lit(3)), lit(80)) + lit(20))
+      case other => throw new IllegalArgumentException(
+        s"regime must be uniform|varied, got $other")
+    }
     val body = concat_ws(" ",
-      transform(sequence(lit(1), lit(60)),
+      transform(sequence(lit(1), bodyLen),
         i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
     val text = when(pmod(xxhash64(col("id"), lit(13)), lit(10)) < 4,
       concat(body, lit(" the"))).otherwise(body)
     val docs = spark.range(n).select(col("id").as("doc_id"), text.as("text"))
     val tBuild = time(RetrievalQueries.fullIndexWriteScored(docs, s"$dir/index",
       shards = math.max(32, (n / 250000).toInt)))
-    println(f"[iicap] n=$n%,d vocab=10k planted-df=${(0.4 * n).toLong}%,d: " +
-      f"scored index build $tBuild%.1f s")
+    println(f"[iicap] regime=$regime n=$n%,d vocab=10k " +
+      f"planted-df=${(0.4 * n).toLong}%,d: scored index build $tBuild%.1f s")
     val k = 20
     def top(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.collect().map(_.getLong(0)).toSeq
