@@ -14,12 +14,31 @@ run / fork := true
 // Durable per-run test reports: the default target/test-reports is
 // clobbered by every run — which is how the name of a 1-in-269 failing
 // test was lost in r14 (the isolated rerun overwrote the failing run's
-// XML before anyone read it). Every sbt load archives its reports to a
-// timestamped dir as well; prune target/test-reports-archive manually.
-Test / testListeners += new sbt.JUnitXmlTestsListener(
-  ("target/test-reports-archive/" +
-    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
-      .format(java.time.LocalDateTime.now())))
+// XML before anyone read it). The archive dir is picked in doInit —
+// PER TEST EXECUTION, not at sbt load time — so two runs inside one
+// interactive sbt session land in two dirs and a rerun can never
+// overwrite the failing run's XML (r15 ADVICE: a load-time timestamp
+// only protected fresh sbt processes). Prune
+// target/test-reports-archive manually.
+Test / testListeners += new sbt.TestsListener {
+  @volatile private var delegate: Option[sbt.JUnitXmlTestsListener] = None
+  def doInit(): Unit = {
+    val d = new sbt.JUnitXmlTestsListener(
+      "target/test-reports-archive/" +
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+          .format(java.time.LocalDateTime.now()))
+    d.doInit()
+    delegate = Some(d)
+  }
+  def doComplete(finalResult: sbt.protocol.testing.TestResult): Unit =
+    delegate.foreach(_.doComplete(finalResult))
+  def startGroup(name: String): Unit = delegate.foreach(_.startGroup(name))
+  def testEvent(event: sbt.TestEvent): Unit = delegate.foreach(_.testEvent(event))
+  def endGroup(name: String, t: Throwable): Unit =
+    delegate.foreach(_.endGroup(name, t))
+  def endGroup(name: String, result: sbt.protocol.testing.TestResult): Unit =
+    delegate.foreach(_.endGroup(name, result))
+}
 // Pass the forked program's stdout through unprefixed: the bench/verify
 // drivers parse the process output (one JSON line), and sbt's default
 // logger strategy wraps every line in "[info] " which breaks that.

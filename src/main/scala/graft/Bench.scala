@@ -67,7 +67,13 @@ object Bench {
     if (!java.nio.file.Files.exists(path))
       die(s"no calibration file at $path — run `Bench --calibrate` on a quiet window " +
         "or set SPARK_GRAFT_SERIAL_QUIET_MS + SPARK_GRAFT_MEM_QUIET_MS")
-    val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    // The free-form "note" field is prose and may legally contain other
+    // keys' names in quotes ('"host":' etc.) — strip every string-valued
+    // field except the two string pins BEFORE the first-match regex runs,
+    // so the parse can't be poisoned by field ordering (r15 ADVICE).
+    val txt = "\"(?!host\")(?!measured_utc\")[A-Za-z_]+\"\\s*:\\s*\"(?:[^\"\\\\]|\\\\.)*\""
+      .r.replaceAllIn(raw, "")
     def field(k: String): String =
       ("\"" + k + "\"\\s*:\\s*\"?([^\",}]+)").r.findFirstMatchIn(txt)
         .getOrElse(die(s"calibration file $path missing field '$k'")).group(1)
@@ -409,9 +415,9 @@ object Bench {
     val stampFields =
       f""""degraded":$degraded,"probe_gate":"clean_bracketed_rounds","probe_clean_rounds":$cleanRoundsJson,"probe_bars":{"par_serial":$ParBar%.2f,"serial_quiet":$SerialBar%.2f,"mem_quiet":$MemBar%.2f},"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f,"probe_lat_ms_median":$probeLatMed%.0f"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_of_3_interleaved","queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"probe_lat_ms":$probeLatJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"probe_lat_ms":$probeLatJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     if (degraded) System.err.println(
       f"[bench] DEGRADED WINDOW: no timing round was bracketed by two healthy probes " +
         f"(bars: par/serial>$ParBar%.1f = core-stealing, serial/quiet>$SerialBar%.1f = " +

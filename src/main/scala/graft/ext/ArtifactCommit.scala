@@ -116,58 +116,126 @@ object ArtifactCommit {
     if (readToken(spark, dir).contains(token)) fsOf(spark, lock).delete(lock, false)
   }
 
-  /** Atomically publish `payload` as the snapshot marker: tmp + rename,
-    * renaming OVER the existing marker first (local/POSIX rename
-    * replaces atomically — the artifact is continuously committed);
-    * only a filesystem that rejects rename-over-existing (HDFS) falls
-    * back to delete-then-rename, whose brief not-found window replaces
-    * the marker but never tears it (the merges.txt discipline,
-    * ext/Bpe.scala). */
+  /** Atomically publish `payload` as the snapshot marker: tmp +
+    * rename-over-existing, per filesystem.
+    *
+    * Hadoop's `FileSystem.rename(src, dst)` REFUSES an existing dst
+    * (ChecksumFileSystem, HDFS; S3A "rename" is copy+delete), so the
+    * pre-r16 tmp+`fs.rename` form took a delete-then-rename fallback on
+    * EVERY replace — and its marker-not-found window was observed by a
+    * 1 ms poller mid-rebuild (r15), violating the zero-downtime contract
+    * both serving artifacts advertise. The flip is now atomic where the
+    * filesystem can do it:
+    *   - local FS: `Files.move(tmp, marker, ATOMIC_MOVE,
+    *     REPLACE_EXISTING)` — rename(2) replaces atomically; readers see
+    *     the old or the new marker, never none. The tmp is NIO-written
+    *     (no checksum sidecar) and any legacy `.crc` from a pre-r16
+    *     fs-written marker is dropped first — a stale sidecar would fail
+    *     verification of the new content, while a missing one is merely
+    *     unverified.
+    *   - HDFS: `FileContext.rename(…, Options.Rename.OVERWRITE)` —
+    *     atomic there by contract.
+    *   - object stores with no FileContext binding: the old
+    *     delete-then-rename window survives as the last resort, which is
+    *     why [[readMarker]] carries a bounded not-found retry on
+    *     non-local filesystems (defense in depth, not a license). */
   def writeMarker(spark: SparkSession, dir: String,
       payload: Map[String, String]): Unit = {
     val marker = markerPath(dir)
     val fs = fsOf(spark, marker)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir/._INDEX_SUCCESS.tmp-${java.util.UUID.randomUUID()}")
-    try {
-      val out = fs.create(tmp, true)
-      try out.write(payload.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(tmp, marker)) {
-        if (fs.exists(marker)) fs.delete(marker, false)
-        if (!fs.rename(tmp, marker))
-          throw new java.io.IOException(
-            s"artifact marker rename failed: $tmp -> $marker")
-      }
-    } catch {
-      case e: Throwable =>
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw e
+    val bytes = payload.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val mp = java.nio.file.Paths.get(marker.toUri.getPath)
+        java.nio.file.Files.createDirectories(mp.getParent)
+        val tmp = mp.resolveSibling(
+          s"._INDEX_SUCCESS.tmp-${java.util.UUID.randomUUID()}")
+        try {
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.deleteIfExists(
+            mp.resolveSibling("._INDEX_SUCCESS.crc"))
+          java.nio.file.Files.move(tmp, mp,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch {
+          case e: Throwable =>
+            try java.nio.file.Files.deleteIfExists(tmp)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
+      case _ =>
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$dir/._INDEX_SUCCESS.tmp-${java.util.UUID.randomUUID()}")
+        try {
+          val out = fs.create(tmp, true)
+          try out.write(bytes) finally out.close()
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              marker.toUri, spark.sparkContext.hadoopConfiguration)
+            fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+                 _: UnsupportedOperationException =>
+              // last resort (object store without an AbstractFileSystem
+              // binding): the replace has a not-found window; readers
+              // retry (readMarker)
+              if (fs.exists(marker)) fs.delete(marker, false)
+              if (!fs.rename(tmp, marker))
+                throw new java.io.IOException(
+                  s"artifact marker rename failed: $tmp -> $marker")
+          }
+        } catch {
+          case e: Throwable =>
+            try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+            throw e
+        }
     }
   }
 
   /** Parse the live snapshot marker, if committed. Keys and values are
-    * trimmed; blank lines ignored; the first `=` splits. */
+    * trimmed; blank lines ignored; the first `=` splits. On a NON-local
+    * filesystem a not-found gets ONE bounded retry: the only replace
+    * path with a marker-absent window is the object-store
+    * delete-then-rename last resort in [[writeMarker]] (local flips are
+    * ATOMIC_MOVE, HDFS flips are Rename.OVERWRITE — no window), so the
+    * retry is defense in depth there and dead code here. */
   def readMarker(spark: SparkSession, dir: String): Option[Map[String, String]] = {
     val marker = markerPath(dir)
     val fs = fsOf(spark, marker)
-    try {
-      val in = fs.open(marker)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(text.split('\n').map(_.trim).filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('=')
-        require(i > 0, s"malformed marker line at $marker: '$line' " +
-          "(a bare word here is a legacy pre-versioned marker — " +
-          "rebuild the artifact to migrate it)")
-        (line.substring(0, i), line.substring(i + 1))
-      }.toMap)
-    } catch { case _: java.io.FileNotFoundException => None }
+    def once(): Option[Map[String, String]] =
+      try {
+        val in = fs.open(marker)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(text.split('\n').map(_.trim).filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('=')
+          require(i > 0, s"malformed marker line at $marker: '$line' " +
+            "(a bare word here is a legacy pre-versioned marker — " +
+            "rebuild the artifact to migrate it)")
+          (line.substring(0, i), line.substring(i + 1))
+        }.toMap)
+      } catch { case _: java.io.FileNotFoundException => None }
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    once().orElse {
+      if (local) None
+      else { Thread.sleep(25); once() }
+    }
   }
 
+  /** True iff a snapshot marker is present. Same non-local bounded
+    * retry as [[readMarker]] — on local FS and HDFS the flip is atomic
+    * and a single `exists` is the truth. */
   def committed(spark: SparkSession, dir: String): Boolean = {
     val marker = markerPath(dir)
-    fsOf(spark, marker).exists(marker)
+    val fs = fsOf(spark, marker)
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    fs.exists(marker) || {
+      if (local) false
+      else { Thread.sleep(25); fs.exists(marker) }
+    }
   }
 
   /** Retention sweep after a marker flip: under each `root` (an

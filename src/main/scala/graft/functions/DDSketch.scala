@@ -254,10 +254,17 @@ case class DDQuantile(child: Expression, q: Double) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     DDOps.quantileOrNull(input.asInstanceOf[Array[Byte]], q)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Double r = graft.functions.DDOps.quantileOrNull($c, ${q}D);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, NOT a fixed local: two dd_quantile calls in one
+      // projection (p50/p90/p99 is the common shape) land in ONE
+      // generated function — a fixed `r` made Janino reject the whole
+      // function ("Redefinition of local variable r") and the plan fell
+      // back to interpreted eval silently (r15 verdict).
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Double $r = graft.functions.DDOps.quantileOrNull($c, ${q}D);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """})
   override protected def withNewChildInternal(c: Expression): DDQuantile = copy(child = c)
   override def prettyName: String = "dd_quantile"
 }

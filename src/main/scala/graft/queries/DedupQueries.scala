@@ -169,6 +169,17 @@ object DedupQueries {
       docShingles(s, dir).withColumn("sig", minhash_signature(col("sh"), MinhashK))
     }
 
+  /** Test hooks: the live memoized frame for the entry a suite OWNS.
+    * Memoization asserts must pin THESE (instance identity, the frame's
+    * own `storageLevel`), never the global `getPersistentRDDs.size` —
+    * 13 suites share one SparkContext in parallel and the TTL evicts,
+    * so the global count is mutated by code the asserting test doesn't
+    * own (the r15 flake class). */
+  private[graft] def signatureCacheFrame(s: SparkSession, dir: String): Option[DataFrame] =
+    Option(signatureCache.get((s, dir))).map(_._1)
+  private[graft] def benchNgramCacheFrame(s: SparkSession, dir: String): Option[DataFrame] =
+    Option(benchNgramCache.get((s, dir))).map(_._1)
+
   /** Drop any cached corpus-derived frame for `dir` (all sessions, both
     * the signature table and d8's bench n-gram set); the next dedup run
     * re-reads the corpus. Call after rewriting the corpus dir — the

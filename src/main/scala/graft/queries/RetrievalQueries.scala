@@ -462,7 +462,12 @@ object RetrievalQueries {
     * (for a stop-word-grade head term this is the difference between a
     * corpus-sized read and a cap-sized one). Against appended
     * generations the cap applies per generation (gen-local ranks) — a
-    * superset of the global prefix, still exact at generous caps. */
+    * superset of the global prefix, still exact at generous caps.
+    * MEASURED limit (r15 `Diag iicap`, 10 M docs): when the cap BINDS on
+    * a stop-word-grade head term the prefix is structurally wrong
+    * (top-20 overlap ≈ 0 at any cap, both corpora) — at binding caps
+    * serve [[bm25FromIndexTwoStage]] instead, which completes the capped
+    * candidate set with exact df/tf at a small multiple of this cost. */
   def bm25FromIndexCapped(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, terms: Seq[String], k: Int,
       maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame =
@@ -471,6 +476,46 @@ object RetrievalQueries {
         .where(col("term").isin(terms: _*) &&
           col("rank") <= maxPostingsPerTerm),
       readScoredStats(spark, indexPath), k)
+
+  /** TWO-STAGE capped serve — the shape the r15 10 M-doc measurement
+    * (`Diag iicap`, SCALE.md) demands when a cap BINDS on a
+    * stop-word-grade head term: a hard per-term prefix structurally
+    * cannot know which body-selected docs carry the head term's additive
+    * mass (overlap ≈ 0 at ANY cap, on both measured corpora), so instead
+    * of truncating the head term's mass away:
+    *   stage 1 — CANDIDATES: the capped prefixes (rank ≤ cap per term,
+    *     page-skipped exactly like [[bm25FromIndexCapped]]) vote the
+    *     candidate doc set, ≤ |terms|·cap ids;
+    *   stage 2 — EXACT COMPLETION: every candidate is scored with the
+    *     TRUE df (counted from the full pruned term runs — a term-column
+    *     scan, no row materialization) and its true tf for EVERY query
+    *     term (the semi-join against the candidate set keeps candidate
+    *     rows only), through the identical scoring tree.
+    * The answer equals [[bm25FromIndex]] whenever the exact top-k docs
+    * each carry at least one query term inside that term's capped prefix
+    * — in particular whenever the cap clears every DISCRIMINATIVE term's
+    * df, no matter how hard it binds on head terms (the case the plain
+    * prefix serve gets structurally wrong; suite-pinned on a planted
+    * head+tail corpus). Cost: the capped read + a term-column df count +
+    * a candidate-bounded completion — a small multiple of the capped
+    * serve, far under the uncapped read's shuffle (the completion scan
+    * reads the head run's columns but aggregates only candidate rows).
+    * This is the serve to default to at binding caps; the plain
+    * [[bm25FromIndexCapped]] remains the measurement rung and the
+    * exact-at-generous-caps gate form. */
+  def bm25FromIndexTwoStage(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, terms: Seq[String], k: Int,
+      maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame = {
+    val all = readScoredPostings(spark, indexPath)
+      .where(col("term").isin(terms: _*))
+    val cands = all.where(col("rank") <= maxPostingsPerTerm)
+      .select(col("doc_id")).distinct()
+    val post = all.join(broadcast(cands), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // candidate-bounded; feeds the scoring stage
+    val dfs = all.groupBy(col("term")) // TRUE df — never min(df, cap)
+      .agg(count(lit(1)).cast("double").as("df"))
+    bm25Rank(post, dfs, readScoredStats(spark, indexPath), k)
+  }
 
   /** The one BM25 scoring tree both serve forms share (kept identical to
     * [[bm25Served]]/[[bm25TopK]] term for term, so every form is
@@ -484,6 +529,19 @@ object RetrievalQueries {
     val post = prunedPostings
       .localCheckpoint() // candidate-bounded; feeds df counts AND scoring
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    bm25Rank(post, dfs, stats, k)
+  }
+
+  /** Scoring tail shared by every index serve: candidate postings ×
+    * broadcast per-term df × broadcast 1-row stats → per-(doc, term)
+    * contribution → doc-keyed sum → top-k. Exactness is decided entirely
+    * by what the caller passes as `dfs` ([[bm25OverPostings]] counts the
+    * pruned scan — min(df, cap) under a binding cap;
+    * [[bm25FromIndexTwoStage]] counts the full term runs — true df). */
+  private def bm25Rank(post: org.apache.spark.sql.DataFrame,
+      dfs: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
     post
       .join(broadcast(dfs), "term")
       .join(broadcast(stats.select("n", "avgdl")))
@@ -495,7 +553,6 @@ object RetrievalQueries {
       .orderBy(col("s").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), round(col("s"), 4).as("bm25"))
-  }
 
   /** Serve conjunctive boolean retrieval from a [[fullIndexWrite]]
     * artifact — the FLAT unversioned (term, doc_id) layout ONLY (one
@@ -717,6 +774,26 @@ object RetrievalQueries {
       CapGenerous)
   }
 
+  /** BINDING cap for the ii8 gate: far under every fixture term's df
+    * (≈380-410 at sf0.001/sf0.01 — the cap genuinely prunes ~70% of
+    * every posting run), yet measured to keep the two-stage completion
+    * EXACT at both gate SFs (overlap knee at cap≈96; 128 = knee + margin;
+    * the plain prefix serve at this cap is NOT exact — that contrast is
+    * the ToolsSpec planted-corpus pin). At sf0.1 the same cap is an
+    * approximation (overlap 10/20) — sf0.1 is the bench's SF, where the
+    * row measures serving cost, not the correctness gate's. */
+  private val CapBinding = 128L
+
+  /** ii8: the TWO-STAGE capped serve — capped prefixes vote candidates,
+    * exact df/tf complete them ([[bm25FromIndexTwoStage]], the r15 iicap
+    * answer to binding caps). Hash-checked against the same EXACT oracle
+    * as bm1/ii2/ii5/ii6 while the cap BINDS on every query term — the
+    * property the plain capped serve cannot have. */
+  private val ii8 = withOracle("ii8_bm25_two_stage", bm25Sql) { (s, dir) =>
+    bm25FromIndexTwoStage(s, scoredIndexFor(s, dir), Bm25Terms, Bm25TopK,
+      CapBinding)
+  }
+
   private val BoolK = 50
   private def boolAndSql =
     s"""WITH w AS (SELECT DISTINCT doc_id,
@@ -757,5 +834,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, pp1)
 }

@@ -49,7 +49,7 @@ object MachineProbe {
   }
 
   /** MEMORY-LATENCY stamp: 2^22 dependent pointer-chase steps through a
-    * 128 MB random-cycle permutation (every load's address depends on
+    * 64 MB random-cycle permutation (every load's address depends on
     * the previous load's VALUE — no prefetch, no ILP; the time is pure
     * cache-miss/TLB latency). The FOURTH co-tenant mode, found r15: two
     * same-day healthy-stamped boards ran a uniform ~1.15× apart while

@@ -97,25 +97,43 @@ class ExtSpec extends AnyFunSuite {
     assert(d1.length == 1 && d1.head.getAs[Long]("keep_id") == 1L)
   }
 
-  test("d2 signature table is memoized: repeated dedup runs add no cached frames") {
+  // Memoization asserts pin the identity of the cache entry the test OWNS
+  // (a private corpus dir + the private[graft] RddId hooks), never the
+  // global getPersistentRDDs.size: 13 suites share one SparkContext in
+  // parallel and the 5-minute TTL evicts, so the global count is mutated
+  // by code these tests don't own (the r15 flake: observed 28 ≠ 30).
+
+  test("d2 signature table is memoized: repeated dedup runs reuse one cached frame") {
     // the signature persist() must not stack a fresh executor-storage copy
     // per call in a long-lived serving session — one cached frame per
     // corpus dir, reused across minhashPairs AND oversizedLshBuckets
-    graft.queries.DedupQueries.minhashPairs(spark, sf).count()
-    val n1 = spark.sparkContext.getPersistentRDDs.size
-    graft.queries.DedupQueries.minhashPairs(spark, sf).count()
-    graft.queries.DedupQueries.oversizedLshBuckets(spark, sf).count()
-    graft.queries.DedupQueries.minhashPairs(spark, sf, maxBucket = 10).count()
-    assert(spark.sparkContext.getPersistentRDDs.size === n1,
+    val dir = java.nio.file.Files.createTempDirectory("graft_d2memo_").toString
+    spark.read.parquet(s"$sf/documents.parquet").limit(40)
+      .write.parquet(s"$dir/documents.parquet")
+    graft.queries.DedupQueries.minhashPairs(spark, dir).count()
+    val f1 = graft.queries.DedupQueries.signatureCacheFrame(spark, dir)
+    assert(f1.nonEmpty, "first d2 run must memoize the signature frame")
+    assert(f1.get.storageLevel.useMemory, "the memoized frame must be persisted")
+    graft.queries.DedupQueries.minhashPairs(spark, dir).count()
+    graft.queries.DedupQueries.oversizedLshBuckets(spark, dir).count()
+    graft.queries.DedupQueries.minhashPairs(spark, dir, maxBucket = 10).count()
+    assert(graft.queries.DedupQueries.signatureCacheFrame(spark, dir)
+      .exists(_ eq f1.get),
       "repeated d2 runs must reuse the memoized signature frame")
   }
 
-  test("d8 bench n-gram set is memoized: repeated decontamination runs add no cached frames") {
-    graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf).count()
-    val n1 = spark.sparkContext.getPersistentRDDs.size
-    graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf).count()
-    graft.SparkEntry.queries("d8_decontam_bloom")(spark, sf).count()
-    assert(spark.sparkContext.getPersistentRDDs.size === n1,
+  test("d8 bench n-gram set is memoized: repeated decontamination runs reuse one cached frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_d8memo_").toString
+    spark.read.parquet(s"$sf/documents.parquet").limit(40)
+      .write.parquet(s"$dir/documents.parquet")
+    graft.SparkEntry.queries("d8_decontam_bloom")(spark, dir).count()
+    val f1 = graft.queries.DedupQueries.benchNgramCacheFrame(spark, dir)
+    assert(f1.nonEmpty, "first d8 run must memoize the bench n-gram frame")
+    assert(f1.get.storageLevel.useMemory, "the memoized frame must be persisted")
+    graft.SparkEntry.queries("d8_decontam_bloom")(spark, dir).count()
+    graft.SparkEntry.queries("d8_decontam_bloom")(spark, dir).count()
+    assert(graft.queries.DedupQueries.benchNgramCacheFrame(spark, dir)
+      .exists(_ eq f1.get),
       "repeated d8 runs must reuse the memoized bench n-gram frame")
   }
 
@@ -130,13 +148,19 @@ class ExtSpec extends AnyFunSuite {
     // pinning that the invalidation sweep matches parameterized keys
     val spanDocsBefore = DedupQueries
       .substringSpans(spark, dir, 5).select("doc_id").distinct().count()
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val owned = DedupQueries.signatureCacheFrame(spark, dir)
+    assert(owned.nonEmpty && owned.get.storageLevel.useMemory)
     // rewrite the corpus out-of-band: without invalidation the TTL'd cache
     // would keep serving the 30-doc signature frame
     spark.read.parquet(s"$sf/documents.parquet").limit(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     DedupQueries.invalidateSignatures(dir)
-    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore,
+    assert(DedupQueries.signatureCacheFrame(spark, dir).isEmpty,
+      "invalidation must evict this dir's signature entry")
+    // the owned frame's own storageLevel is the race-free unpersist
+    // signal (asserting the global persistent-RDD count was not:
+    // parallel suites persist/evict concurrently)
+    assert(owned.get.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "invalidation must unpersist the evicted signature frame")
     assert(DedupQueries.minhashPairs(spark, dir).count() === 0L,
       s"post-invalidation run must see the rewritten 1-doc corpus (before: $before pairs)")

@@ -406,6 +406,23 @@ class PlanSpec extends AnyFunSuite {
       s"s6: the corpus must not shuffle into a join:\n$p")
   }
 
+  test("dd_quantile multi-quantile projection compiles under CODEGEN_ONLY") {
+    // r15: a fixed local `r` in DDQuantile.doGenCode made Janino reject
+    // any generated function holding two+ dd_quantile calls (the
+    // p50/p90/p99 shape in rh4, the sampling q1/q2/q3, curation's
+    // ten-point spectrum) and Spark fell back to interpreted eval for
+    // the whole projection, SILENTLY — correct answers, un-codegen'd
+    // plan. CODEGEN_ONLY turns that fallback into a failure; an isolated
+    // newSession keeps the conf flip invisible to parallel suites.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val df = SparkEntry.queries("rh4_quantile_rollup")(s2, dir)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      s"the multi-quantile projection must stay inside a codegen span:\n$p")
+  }
+
   test("fingerprint expression stays inside whole-stage codegen") {
     val p = plan("x1_fingerprint")
     assert(p.contains("*(")) // WholeStageCodegen spans render as *(n)

@@ -997,6 +997,94 @@ class ToolsSpec extends AnyFunSuite {
       s"term isin must reach the postings scan:\n$plan")
   }
 
+  test("two-stage capped serve: exact where the plain prefix is structurally wrong") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The planted head+tail scenario the r15 10 M-doc measurement proved
+    // hard truncation cannot answer (SCALE.md iicap): 800 SHORT docs
+    // carry the stop-word-grade head term "the" (its top-impact prefix
+    // is all short docs); 60 LONG docs carry the rare tail term "zebra",
+    // and the 30 of them that also carry "the" (ids 5000+) are the true
+    // top docs — but their "the" postings rank far past any binding cap,
+    // so the plain prefix serve can never see the head term's mass on
+    // them. Unique per-doc fillers fix dl without adding shared terms.
+    def filler(i: Int, n: Int) = (0 until n).map(j => s"f${i}x$j").mkString(" ")
+    val head = (1 to 800).map(i => (i.toLong, s"the ${filler(i, 2)}"))
+    val zebraThe = (5000 until 5030).map(i => (i.toLong, s"zebra the ${filler(i, 10)}"))
+    val zebraOnly = (1000 until 1030).map(i => (i.toLong, s"zebra ${filler(i, 11)}"))
+    val docs = (head ++ zebraThe ++ zebraOnly).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_twostage_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWriteScored(docs, path, shards = 4)
+    val terms = Seq("the", "zebra")
+    val cap = 60L // binds hard on "the" (df 830), clears "zebra" (df 60)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = rows(graft.queries.RetrievalQueries
+      .bm25FromIndex(spark, path, terms, 20))
+    assert(exact.map(_._1).toSet === (5000L until 5020L).toSet,
+      "scenario check: exact top-20 must be zebra+the docs")
+    val plain = rows(graft.queries.RetrievalQueries
+      .bm25FromIndexCapped(spark, path, terms, 20, cap))
+    val overlap = plain.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    assert(overlap <= 5,
+      s"scenario check: the plain prefix must be structurally wrong here ($overlap/20)")
+    val two = rows(graft.queries.RetrievalQueries
+      .bm25FromIndexTwoStage(spark, path, terms, 20, cap))
+    assert(two === exact,
+      "two-stage must complete the capped candidate set to the exact answer")
+  }
+
+  test("marker flip hammer: never absent, never torn, across 400 consecutive flips") {
+    // The r15 full run caught the flip taking a delete-then-rename window
+    // on LocalFileSystem (Hadoop's FileSystem.rename refuses an existing
+    // dst) — a 1 ms poller saw committed()==false mid-rebuild, violating
+    // the zero-downtime contract under BOTH serving artifacts. The flip
+    // is now an ATOMIC_MOVE on local FS; this hammer spin-polls (no
+    // sleep) from three reader threads across 400 consecutive flips of
+    // the shared primitive (sub-ms each — the hammer outnumbers the r15
+    // repro by orders of magnitude), alternating the two artifacts' payload
+    // shapes, and asserts the marker is never absent and never torn.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fliphammer_").toString
+    def payload(i: Int): Map[String, String] =
+      if (i % 2 == 0) Map("v" -> i.toString, // scored-BM25 shape
+        "postings" -> (0 to i % 5).map(g => s"postings/v=$g").mkString(","),
+        "stats" -> s"stats/v=$i")
+      else Map("v" -> i.toString, // ANN shape
+        "nlist" -> "16", "seed" -> "42",
+        "centroids" -> s"centroids/v=$i", "codes" -> s"codes/v=$i")
+    graft.ext.ArtifactCommit.writeMarker(spark, dir, payload(0))
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 3).map(_ => new Thread(() => {
+      while (!stop.get()) {
+        if (!graft.ext.ArtifactCommit.committed(spark, dir))
+          misses.incrementAndGet()
+        try graft.ext.ArtifactCommit.readMarker(spark, dir) match {
+          case None => misses.incrementAndGet()
+          case Some(m) =>
+            // internal consistency of ONE payload version: a tear or a
+            // mixed read fails one of these
+            val v = m.get("v").map(_.toInt)
+            val ok = v.isDefined && (
+              if (v.get % 2 == 0) m.get("stats").contains(s"stats/v=${v.get}") &&
+                m.get("postings").exists(_.split(',').length == v.get % 5 + 1)
+              else m.get("codes").contains(s"codes/v=${v.get}") &&
+                m.contains("nlist"))
+            if (!ok) torn.add(m.toString)
+        } catch { case e: IllegalArgumentException => torn.add(e.getMessage) }
+      }
+    }))
+    readers.foreach(_.start())
+    try (1 to 400).foreach(i =>
+      graft.ext.ArtifactCommit.writeMarker(spark, dir, payload(i)))
+    finally { stop.set(true); readers.foreach(_.join()) }
+    assert(misses.get() === 0,
+      s"marker absent ${misses.get()} times across 400 atomic flips")
+    assert(torn.isEmpty, s"torn/mixed marker payloads observed: $torn")
+  }
+
   test("legacy pre-versioned ANN marker fails with a clear diagnosis") {
     val path = java.nio.file.Files.createTempDirectory("graft_annlegacy_")
       .toString + "/index"
