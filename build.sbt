@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites run PARALLEL in the forked JVM on purpose: serializing them
+// (Test/parallelExecution := false) would roughly double the ~35 min
+// wall time to dodge flakes that were really shared-global asserts.
+// The contract instead: suites share one SparkContext, so a test may
+// only assert on state it OWNS (its temp dir, its cache entry, its
+// frame's storageLevel) — never on global counts like
+// getPersistentRDDs.size (the r15 flake class, fixed r16). Genuinely
+// timing-based asserts use min-of-3.
 // Durable per-run test reports: the default target/test-reports is
 // clobbered by every run — which is how the name of a 1-in-269 failing
 // test was lost in r14 (the isolated rerun overwrote the failing run's

@@ -33,9 +33,19 @@ object Bench {
   //     per-core slowdown (≈1.0 healthy).
   //   MemBar: memory-bandwidth probe vs quiet plateau — a bandwidth/LLC
   //     co-tenant the CPU stamps can't see (uniform scan inflation).
+  //   LatBar: pointer-chase memory-LATENCY probe vs quiet plateau — the
+  //     LLC/TLB-polluting co-tenant mode all three other stamps are
+  //     structurally blind to (r15: uniform ~1.12-1.26× board inflation
+  //     with clean serial/par/mem; the pinned artifact's own lat stamps
+  //     sat at 642-906 ms vs the same day's 597-648 ms plateau — ratios
+  //     1.07-1.51 in exactly the inflated windows). GATES ONLY when the
+  //     calibration file carries a `lat_quiet_ms` nominal — promoting a
+  //     nominal measured on an unverified window would re-blind the
+  //     stamp, so absent the pin the stamp stays record-only.
   val ParBar = 1.4
   val SerialBar = 1.3
   val MemBar = 1.3
+  val LatBar = 1.3
 
   private def die(msg: String): Nothing = {
     System.err.println(s"[bench] FATAL: $msg")
@@ -54,13 +64,14 @@ object Bench {
     (java.net.InetAddress.getLocalHost.getHostName,
       Runtime.getRuntime.availableProcessors)
 
-  private def loadCalibration(): (Double, Double) = {
+  private def loadCalibration(): (Double, Double, Option[Double]) = {
     val envSerial = sys.env.get("SPARK_GRAFT_SERIAL_QUIET_MS").map(_.toDouble)
     val envMem = sys.env.get("SPARK_GRAFT_MEM_QUIET_MS").map(_.toDouble)
+    val envLat = sys.env.get("SPARK_GRAFT_LAT_QUIET_MS").map(_.toDouble)
     if (envSerial.isDefined || envMem.isDefined) {
       if (envSerial.isEmpty || envMem.isEmpty)
         die("SPARK_GRAFT_SERIAL_QUIET_MS and SPARK_GRAFT_MEM_QUIET_MS must be set together")
-      return (envSerial.get, envMem.get)
+      return (envSerial.get, envMem.get, envLat)
     }
     val path = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_CALIBRATION", "bench-calibration.json"))
@@ -83,20 +94,28 @@ object Bench {
       die(s"calibration in $path is pinned to host=$pinHost cpus=$pinCores but this " +
         s"machine is host=$host cpus=$cores — its quiet plateaus do not apply here; " +
         "re-run `Bench --calibrate` on a quiet window of THIS machine")
-    (field("serial_quiet_ms").toDouble, field("mem_quiet_ms").toDouble)
+    // lat nominal is OPTIONAL: pre-r16 calibration files lack it and the
+    // lat stamp then stays record-only (see LatBar)
+    val lat = ("\"lat_quiet_ms\"\\s*:\\s*\"?([^\",}]+)").r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    (field("serial_quiet_ms").toDouble, field("mem_quiet_ms").toDouble, lat)
   }
 
   /** Measure this box's quiet plateaus (median of 9 after 2 discarded
     * JIT-warmup stamps each) and write the host-pinned calibration file.
     * Run on a QUIET window — the pin IS the health reference. */
   private def calibrate(): Unit = {
-    (0 until 2).foreach { _ => graft.tools.MachineProbe.stampMs(); graft.tools.MachineProbe.stampMemMs() }
+    (0 until 2).foreach { _ =>
+      graft.tools.MachineProbe.stampMs(); graft.tools.MachineProbe.stampMemMs()
+      graft.tools.MachineProbe.stampLatMs()
+    }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val serial = med((0 until 9).map(_ => graft.tools.MachineProbe.stampMs()))
     val mem = med((0 until 9).map(_ => graft.tools.MachineProbe.stampMemMs()))
+    val lat = med((0 until 9).map(_ => graft.tools.MachineProbe.stampLatMs()))
     val (host, cores) = machineKey()
     val json =
-      f"""{"host":"$host","cpus":$cores,"serial_quiet_ms":$serial%.0f,"mem_quiet_ms":$mem%.0f,"measured_utc":"${java.time.Instant.now()}"}"""
+      f"""{"host":"$host","cpus":$cores,"serial_quiet_ms":$serial%.0f,"mem_quiet_ms":$mem%.0f,"lat_quiet_ms":$lat%.0f,"measured_utc":"${java.time.Instant.now()}"}"""
     val path = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_CALIBRATION", "bench-calibration.json"))
     java.nio.file.Files.write(path, (json + "\n").getBytes("UTF-8"))
@@ -106,7 +125,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     if (args.contains("--calibrate")) { calibrate(); return }
     // Fail-loudly calibration load happens BEFORE the ~15-minute run.
-    val (serialQuietMs, memQuietMs) = loadCalibration()
+    val (serialQuietMs, memQuietMs, latQuietMs) = loadCalibration()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -317,7 +336,8 @@ object Bench {
     def sampleHealthy(i: Int): Boolean =
       probesPar(i) / probes(i) <= ParBar &&
         probes(i) / SerialQuietMs <= SerialBar &&
-        probesMem(i) / MemQuietMs <= MemBar
+        probesMem(i) / MemQuietMs <= MemBar &&
+        latQuietMs.forall(lq => probesLat(i) / lq <= LatBar)
     val cleanRounds = (0 until 3).filter(r => sampleHealthy(r) && sampleHealthy(r + 1))
     val degraded = cleanRounds.isEmpty
     val gateRounds = if (degraded) 0 until 3 else cleanRounds
@@ -393,6 +413,11 @@ object Bench {
     val serialRatio = probes.min / SerialQuietMs
     val parRatio = probesPar.min / probes.min
     val memRatio = probesMem.min / MemQuietMs
+    // lat: gating only when calibrated (LatBar); stamped either way
+    val latRatio = latQuietMs.map(lq => probesLat.min / lq)
+    val latStamp = latQuietMs.map(lq =>
+      f""","probe_lat_quiet_ms":$lq%.0f,"probe_lat_ratio":${latRatio.get}%.2f,"probe_lat_gating":true""")
+      .getOrElse(""","probe_lat_gating":false""")
     // The full artifact lands IN THE REPO by default: /tmp does not
     // outlive the sandbox, which truncated the committed bench record two
     // rounds running.
@@ -413,20 +438,23 @@ object Bench {
       .map(k => "\"" + k + f"\":${resMap(k)}%.3f").mkString("{", ",", "}")
     val cleanRoundsJson = cleanRounds.mkString("[", ",", "]")
     val stampFields =
-      f""""degraded":$degraded,"probe_gate":"clean_bracketed_rounds","probe_clean_rounds":$cleanRoundsJson,"probe_bars":{"par_serial":$ParBar%.2f,"serial_quiet":$SerialBar%.2f,"mem_quiet":$MemBar%.2f},"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f,"probe_lat_ms_median":$probeLatMed%.0f"""
+      f""""degraded":$degraded,"probe_gate":"clean_bracketed_rounds","probe_clean_rounds":$cleanRoundsJson,"probe_bars":{"par_serial":$ParBar%.2f,"serial_quiet":$SerialBar%.2f,"mem_quiet":$MemBar%.2f},"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f,"probe_lat_ms_median":$probeLatMed%.0f$latStamp"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
     val full =
       f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"probe_lat_ms":$probeLatJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+    val latMsg = latRatio.map(r => f" lat $r%.2f").getOrElse(" lat(record-only)")
     if (degraded) System.err.println(
       f"[bench] DEGRADED WINDOW: no timing round was bracketed by two healthy probes " +
         f"(bars: par/serial>$ParBar%.1f = core-stealing, serial/quiet>$SerialBar%.1f = " +
-        f"serial stall, mem/quiet>$MemBar%.1f = bandwidth co-tenant; min ratios this run: " +
-        f"par $parRatio%.2f, serial $serialRatio%.2f, mem $memRatio%.2f) " +
+        f"serial stall, mem/quiet>$MemBar%.1f = bandwidth co-tenant" +
+        latQuietMs.map(_ => f", lat/quiet>$LatBar%.1f = LLC/TLB co-tenant").getOrElse("") +
+        f"; min ratios this run: " +
+        f"par $parRatio%.2f, serial $serialRatio%.2f, mem $memRatio%.2f,$latMsg) " +
         "— totals are not comparable across rounds; per-query ratios only")
     else System.err.println(
       s"[bench] healthy: clean-bracketed rounds $cleanRoundsJson of 3; " +
-        f"min ratios par $parRatio%.2f serial $serialRatio%.2f mem $memRatio%.2f")
+        f"min ratios par $parRatio%.2f serial $serialRatio%.2f mem $memRatio%.2f$latMsg")
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     println(line)

@@ -964,6 +964,17 @@ object Diag {
         val overlap = (exact.toSet intersect capped.toSet).size.toDouble / k
         println(f"[iicap] $label cap=$cap%,d: top-$k overlap=$overlap%.2f " +
           f"serve=$tCap%.2f s (${tExact / tCap}%.1fx vs exact)")
+        // the r16 answer to a binding head-term cap: capped candidates +
+        // exact completion — measure what exactness costs over the prefix
+        val two = top(RetrievalQueries.bm25FromIndexTwoStage(
+          spark, s"$dir/index", terms, k, cap))
+        val tTwo = (1 to 3).map(_ => time {
+          top(RetrievalQueries.bm25FromIndexTwoStage(
+            spark, s"$dir/index", terms, k, cap)); () }).min
+        val overlap2 = (exact.toSet intersect two.toSet).size.toDouble / k
+        println(f"[iicap] $label cap=$cap%,d TWO-STAGE: top-$k " +
+          f"overlap=$overlap2%.2f serve=$tTwo%.2f s " +
+          f"(${tTwo / tCap}%.1fx vs capped, ${tExact / tTwo}%.1fx vs exact)")
       }
     }
   }

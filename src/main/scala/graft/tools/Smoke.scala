@@ -518,10 +518,17 @@ object Smoke {
       val bmCap = graft.queries.RetrievalQueries
         .bm25FromIndexCapped(spark, fidx, Seq("spark", "join"), 10, 1L << 20)
         .collect()
+      // two-stage at a BINDING cap (32 ≪ the fixture dfs): candidates
+      // from the prefixes, exact completion — the binding-cap default
+      val bmTwo = graft.queries.RetrievalQueries
+        .bm25FromIndexTwoStage(spark, fidx, Seq("spark", "join"), 10, 32L)
+        .collect()
       println(s"BM25-FULL-INDEX: top=${bm.take(3).map(r =>
         s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} rows=${bm.length} " +
         s"capped_equal=${bm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
           bmCap.map(r => (r.getLong(0), r.getDouble(1))).toSeq} " +
+        s"two_stage_binding_cap_equal=${bm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+          bmTwo.map(r => (r.getLong(0), r.getDouble(1))).toSeq} " +
         s"committed=${graft.queries.RetrievalQueries.scoredIndexCommitted(spark, fidx)}")
     }
     spark.stop()
