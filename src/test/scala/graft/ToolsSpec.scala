@@ -1033,6 +1033,33 @@ class ToolsSpec extends AnyFunSuite {
       .bm25FromIndexTwoStage(spark, path, terms, 20, cap))
     assert(two === exact,
       "two-stage must complete the capped candidate set to the exact answer")
+
+    // 100 TB plan contracts of the two stages. The df count (stage 2's
+    // TRUE-df input) must be a column-pruned scan — reading tf/dl/doc_id
+    // for a COUNT over the head term's corpus-sized run would forfeit
+    // most of the completion's byte advantage; the count's input frame
+    // is reconstructed here exactly as the serve builds it.
+    val all = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+      .where(col("term").isin(terms: _*))
+    val dfs = all.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    dfs.collect()
+    val dfPlan = dfs.queryExecution.executedPlan.toString
+    assert("ReadSchema: [^\\n]*struct<term:string>".r.findFirstIn(dfPlan).isDefined,
+      s"the df count must read ONLY the term column:\n$dfPlan")
+    // the serve itself: candidate semi-join and the df/stats joins must
+    // broadcast (candidates ≤ |terms|·cap rows, dfs ≤ |terms| rows,
+    // stats 1 row) and top-k must be TakeOrderedAndProject — a
+    // SortMergeJoin or global Sort here would shuffle the posting runs
+    val served = graft.queries.RetrievalQueries
+      .bm25FromIndexTwoStage(spark, path, terms, 20, cap)
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"two-stage must never sort-merge its bounded sides:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"two-stage top-k must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df/stats must broadcast into the scoring stage:\n$p")
   }
 
   test("marker flip hammer: never absent, never torn, across 400 consecutive flips") {
