@@ -29,23 +29,32 @@ run / fork := true
 // only protected fresh sbt processes). Prune
 // target/test-reports-archive manually.
 Test / testListeners += new sbt.TestsListener {
-  @volatile private var delegate: Option[sbt.JUnitXmlTestsListener] = None
-  def doInit(): Unit = {
-    val d = new sbt.JUnitXmlTestsListener(
-      "target/test-reports-archive/" +
-        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
-          .format(java.time.LocalDateTime.now()))
-    d.doInit()
-    delegate = Some(d)
+  // The delegate is constructed LAZILY on first use (not only in doInit):
+  // an sbt path that skips doInit would otherwise drop every event
+  // silently — an empty report archive with no error, the exact
+  // evidence-loss mode this listener exists to close (r16 ADVICE).
+  // doComplete clears it so the next execution in the same sbt session
+  // still gets its own timestamped dir.
+  private var delegate: Option[sbt.JUnitXmlTestsListener] = None
+  private def get(): sbt.JUnitXmlTestsListener = synchronized {
+    delegate.getOrElse {
+      val d = new sbt.JUnitXmlTestsListener(
+        "target/test-reports-archive/" +
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+            .format(java.time.LocalDateTime.now()))
+      d.doInit()
+      delegate = Some(d)
+      d
+    }
   }
+  def doInit(): Unit = { get(); () }
   def doComplete(finalResult: sbt.protocol.testing.TestResult): Unit =
-    delegate.foreach(_.doComplete(finalResult))
-  def startGroup(name: String): Unit = delegate.foreach(_.startGroup(name))
-  def testEvent(event: sbt.TestEvent): Unit = delegate.foreach(_.testEvent(event))
-  def endGroup(name: String, t: Throwable): Unit =
-    delegate.foreach(_.endGroup(name, t))
+    synchronized { delegate.foreach(_.doComplete(finalResult)); delegate = None }
+  def startGroup(name: String): Unit = get().startGroup(name)
+  def testEvent(event: sbt.TestEvent): Unit = get().testEvent(event)
+  def endGroup(name: String, t: Throwable): Unit = get().endGroup(name, t)
   def endGroup(name: String, result: sbt.protocol.testing.TestResult): Unit =
-    delegate.foreach(_.endGroup(name, result))
+    get().endGroup(name, result)
 }
 // Pass the forked program's stdout through unprefixed: the bench/verify
 // drivers parse the process output (one JSON line), and sbt's default

@@ -98,6 +98,14 @@ object Bench {
     // lat stamp then stays record-only (see LatBar)
     val lat = ("\"lat_quiet_ms\"\\s*:\\s*\"?([^\",}]+)").r
       .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    // fail-loud, not fail-quiet: a calibration file that CARRIES the key
+    // but whose value the parse can't use (hand-edited to a quoted
+    // string — which the strip above removes — or otherwise mangled)
+    // would silently downgrade the lat gate to record-only (r16 ADVICE)
+    if (raw.contains("lat_quiet_ms") && lat.isEmpty)
+      die(s"calibration file $path contains 'lat_quiet_ms' but it did not parse " +
+        "as a number — refusing to silently demote the lat gate to record-only; " +
+        "fix the field or re-run `Bench --calibrate`")
     (field("serial_quiet_ms").toDouble, field("mem_quiet_ms").toDouble, lat)
   }
 
@@ -437,12 +445,19 @@ object Bench {
     val qsHead = headline.filter(resMap.contains)
       .map(k => "\"" + k + f"\":${resMap(k)}%.3f").mkString("{", ",", "}")
     val cleanRoundsJson = cleanRounds.mkString("[", ",", "]")
+    // PINNABLE: a board is a valid cross-round reference only when ≥ 2
+    // of its 3 rounds were clean-bracketed — with one clean round every
+    // per-query number is a SINGLE sample, and the driver's r16 board
+    // proved what that costs (cur2 4.49 s single-sample vs 2.52 s
+    // min-of-3 on the same code). One clean round still yields honest
+    // per-query ratios; it just must not become the pinned reference.
+    val pinnable = cleanRounds.size >= 2
     val stampFields =
       f""""degraded":$degraded,"probe_gate":"clean_bracketed_rounds","probe_clean_rounds":$cleanRoundsJson,"probe_bars":{"par_serial":$ParBar%.2f,"serial_quiet":$SerialBar%.2f,"mem_quiet":$MemBar%.2f},"probe_par_ratio":$parRatio%.2f,"probe_serial_ratio":$serialRatio%.2f,"probe_mem_ratio":$memRatio%.2f,"probe_nominal_ms":$ProbeNominalMs%.0f,"probe_serial_quiet_ms":$SerialQuietMs%.0f,"probe_mem_quiet_ms":$MemQuietMs%.0f,"probe_ms_median":$probeMed%.0f,"probe_par_ms_median":$probeParMed%.0f,"probe_mem_ms_median":$probeMemMed%.0f,"probe_lat_ms_median":$probeLatMed%.0f$latStamp"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"pinnable":$pinnable,"queries":$qsHead,"n_queries":${results.size},"ingest_samples_per_sec":$ingestRate%.0f,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir","full":"$fullPath"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"probe_lat_ms":$probeLatJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,$stampFields,"unit":"sec","timing":"min_over_clean_rounds","n_gate_rounds":${cleanRounds.size},"pinnable":$pinnable,"queries":$qs,"queries_median":$qsMed,"ingest_samples_per_sec":$ingestRate%.0f,"ingest_rounds_sec":$ingestJson,"probe_ms":$probeJson,"probe_par_ms":$probeParJson,"probe_mem_ms":$probeMemJson,"probe_lat_ms":$probeLatJson,"bytes_per_sample":$bytesPerSample%.2f,"sf":"$sfDir"}"""
     val latMsg = latRatio.map(r => f" lat $r%.2f").getOrElse(" lat(record-only)")
     if (degraded) System.err.println(
       f"[bench] DEGRADED WINDOW: no timing round was bracketed by two healthy probes " +
@@ -455,6 +470,10 @@ object Bench {
     else System.err.println(
       s"[bench] healthy: clean-bracketed rounds $cleanRoundsJson of 3; " +
         f"min ratios par $parRatio%.2f serial $serialRatio%.2f mem $memRatio%.2f$latMsg")
+    if (!degraded && !pinnable) System.err.println(
+      "[bench] NON-PINNABLE: only one clean-bracketed round — every per-query " +
+        "number is a single sample (no min-of-N). Usable for per-query ratios; " +
+        "do NOT pin this board as the cross-round reference (pinnable:false).")
     // Primary channel: one bare JSON line on stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not prefix it).
     println(line)

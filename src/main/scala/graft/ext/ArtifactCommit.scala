@@ -219,7 +219,11 @@ object ArtifactCommit {
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     once().orElse {
-      if (local) None
+      // the not-found window only exists DURING a flip; an artifact whose
+      // directory doesn't exist yet has never been built, so the common
+      // poll-before-first-build path returns immediately instead of
+      // paying the sleep (r16 ADVICE)
+      if (local || !fs.exists(marker.getParent)) None
       else { Thread.sleep(25); once() }
     }
   }
@@ -233,7 +237,9 @@ object ArtifactCommit {
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     fs.exists(marker) || {
-      if (local) false
+      // see readMarker: a never-built artifact (no directory) has no flip
+      // window to retry against
+      if (local || !fs.exists(marker.getParent)) false
       else { Thread.sleep(25); fs.exists(marker) }
     }
   }

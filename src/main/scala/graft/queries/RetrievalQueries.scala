@@ -197,13 +197,25 @@ object RetrievalQueries {
     *              needs, precomputed at build so serving reads zero
     *              corpus-sized tables; sum_dl stored exactly so appends
     *              merge without avg-of-avgs
+    *   dfs/v=N/   (term, df) — the per-term document frequency SIDECAR
+    *              (r17): df is a build-time constant of the snapshot
+    *              (one row per vocabulary term), term-range-sharded and
+    *              term-sorted so a query's bounded `isin` reads ≤|terms|
+    *              rows. Without it the two-stage serve recomputed true
+    *              df per query by scanning the FULL term runs — a
+    *              stop-word-grade head term made every query pay a
+    *              corpus-sized posting-run scan for a number the build
+    *              already knew (the one r16 `weak`). Appends merge the
+    *              sidecar BY SUM (exactly like sum_dl — valid under the
+    *              no-duplicate-doc append contract); drift against the
+    *              postings is impossible to ignore because the suite
+    *              pins sidecar ≡ recount after build/append/compact.
     * Build cost: one vocabulary-keyed exchange (the groupBy's partials
     * combine map-side; dl rides the key as a doc_id-functional column),
-    * the rank window on the same key, the range-partition write, and one
-    * stats pass. Per-term df is NOT stored: it equals the term's posting
-    * count, which a serve derives from its own pruned scan —
-    * candidate-bounded, and immune to the df-vs-postings drift a stored
-    * copy could develop. */
+    * the rank window on the same key, the range-partition write, one
+    * stats pass, and a term-column-only re-read of the just-written
+    * postings for the df sidecar (index-sized, one RLE'd column — never
+    * a second corpus tokenization). */
   def fullIndexWriteScored(docs: org.apache.spark.sql.DataFrame, path: String,
       shards: Int): Unit = {
     val spark = docs.sparkSession
@@ -225,17 +237,25 @@ object RetrievalQueries {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/stats/v=$tv")
       writePostingsGen(docs, s"$path/postings/v=$tv/g=0", shards, avgdl)
+      // df sidecar: count the just-written postings' term column (df =
+      // the term's posting-row count by construction — one row per
+      // (term, doc_id) pair)
+      writeDfs(spark.read.parquet(s"$path/postings/v=$tv/g=0")
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df")),
+        s"$path/dfs/v=$tv", shards)
       graft.ext.ArtifactCommit.verifyLock(spark, path, token, "scored BM25 index")
       graft.ext.ArtifactCommit.writeMarker(spark, path, Map(
         "v" -> tv.toString,
         "postings" -> s"postings/v=$tv/g=0",
-        "stats" -> s"stats/v=$tv"))
+        "stats" -> s"stats/v=$tv",
+        "dfs" -> s"dfs/v=$tv"))
       // retention: keep the new snapshot + the one it replaced (in-flight
       // readers), sweep anything older including crashed-mutation orphans
-      val keep = Set(s"postings/v=$tv", s"stats/v=$tv") ++
-        prior.toSeq.flatMap(p => p("postings").split(',').toSeq :+ p("stats")).toSet
+      val keep = Set(s"postings/v=$tv", s"stats/v=$tv", s"dfs/v=$tv") ++
+        prior.toSeq.flatMap(p => p("postings").split(',').toSeq :+ p("stats")).toSet ++
+        prior.flatMap(_.get("dfs")).toSet
       graft.ext.ArtifactCommit.sweepVersions(spark, path,
-        Seq("postings", "stats"), keep)
+        Seq("postings", "stats", "dfs"), keep)
     } finally graft.ext.ArtifactCommit.releaseLock(spark, path, token)
   }
 
@@ -284,6 +304,22 @@ object RetrievalQueries {
       .parquet(genPath)
   }
 
+  /** df-sidecar layout pass shared by build, append, and legacy-marker
+    * migration: (term, df) term-range-sharded and term-sorted, so a
+    * serve's bounded `isin` prunes shards and skips pages exactly like
+    * the postings read — the sidecar is vocabulary-sized (one row per
+    * term, ≪ the postings), so it takes a quarter of the postings'
+    * shard count. */
+  private def writeDfs(dfs: org.apache.spark.sql.DataFrame,
+      outPath: String, shards: Int): Unit =
+    dfs
+      .repartitionByRange(math.max(1, shards / 4), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.page.row.count.limit", 4096)
+      .parquet(outPath)
+
   /** Generation compaction for a [[fullIndexWriteScored]] artifact — the
     * re-coalesce rung BETWEEN appends and a full rebuild: each
     * [[fullIndexAppendScored]] leaves a `g=G` dir that every serve
@@ -317,17 +353,28 @@ object RetrievalQueries {
         .reduce(_.unionByName(_))
         .select(col("term"), col("doc_id"), col("dl"), col("tf"))
       writeRankedPairs(merged, s"$path/postings/v=$tv/g=0", shards, avgdl)
+      // df sidecar: generation-invariant (compaction merges rows, never
+      // adds or drops them), so the live sidecar carries forward exactly
+      // like stats; a legacy pre-sidecar snapshot migrates here — derive
+      // it from the compacted postings' term column (index-sized)
+      val dfsDir = snap.get("dfs").getOrElse {
+        writeDfs(spark.read.parquet(s"$path/postings/v=$tv/g=0")
+          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df")),
+          s"$path/dfs/v=$tv", shards)
+        s"dfs/v=$tv"
+      }
       beforeCommit()
       graft.ext.ArtifactCommit.verifyLock(spark, path, token, "scored BM25 index")
       graft.ext.ArtifactCommit.writeMarker(spark, path, Map(
         "v" -> tv.toString,
         "postings" -> s"postings/v=$tv/g=0",
-        "stats" -> snap("stats")))
+        "stats" -> snap("stats"),
+        "dfs" -> dfsDir))
       // retention: the new postings version + the prior snapshot's (for
-      // in-flight readers mid-union) + the still-live stats dir
-      val keep = Set(s"postings/v=$tv", snap("stats")) ++ gens
+      // in-flight readers mid-union) + the still-live stats/dfs dirs
+      val keep = Set(s"postings/v=$tv", snap("stats"), dfsDir) ++ gens
       graft.ext.ArtifactCommit.sweepVersions(spark, path,
-        Seq("postings", "stats"), keep)
+        Seq("postings", "stats", "dfs"), keep)
     } finally graft.ext.ArtifactCommit.releaseLock(spark, path, token)
   }
 
@@ -393,16 +440,35 @@ object RetrievalQueries {
       Seq((n, sumDl, avgdl)).toDF("n", "sum_dl", "avgdl")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/stats/v=$tv")
+      // df sidecar merges BY SUM, exactly like sum_dl: the batch's dfs
+      // (term column of the new gen) add to the live sidecar's — exact
+      // under the no-duplicate-doc append contract. A legacy pre-sidecar
+      // snapshot migrates here: its dfs derive once from the PRIOR live
+      // generations (term-column-only scan), then the merge is the same.
+      val batchDfs = spark.read.parquet(s"$path/$genDir")
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val priorDfs = snap.get("dfs") match {
+        case Some(d) => spark.read.parquet(s"$path/$d")
+        case None => snap("postings").split(',').toSeq
+          .map(d => spark.read.parquet(s"$path/$d")).reduce(_.unionByName(_))
+          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      }
+      writeDfs(priorDfs.unionByName(batchDfs)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+        s"$path/dfs/v=$tv", shards)
       graft.ext.ArtifactCommit.verifyLock(spark, path, token, "scored BM25 index")
-      // ONE atomic flip publishes postings + stats together: a reader
-      // always sees a consistent (postings set, n, avgdl) snapshot and a
-      // crash between the table writes leaves the OLD snapshot live
+      // ONE atomic flip publishes postings + stats + dfs together: a
+      // reader always sees a consistent (postings set, n, avgdl, dfs)
+      // snapshot and a crash between the table writes leaves the OLD
+      // snapshot live
       graft.ext.ArtifactCommit.writeMarker(spark, path, Map(
         "v" -> tv.toString,
         "postings" -> (snap("postings").split(',').toSeq :+ genDir).mkString(","),
-        "stats" -> s"stats/v=$tv"))
-      val keep = Set(s"stats/v=$tv", snap("stats"))
-      graft.ext.ArtifactCommit.sweepVersions(spark, path, Seq("stats"), keep)
+        "stats" -> s"stats/v=$tv",
+        "dfs" -> s"dfs/v=$tv"))
+      val keep = Set(s"stats/v=$tv", snap("stats"), s"dfs/v=$tv") ++
+        snap.get("dfs").toSet
+      graft.ext.ArtifactCommit.sweepVersions(spark, path, Seq("stats", "dfs"), keep)
     } finally graft.ext.ArtifactCommit.releaseLock(spark, path, token)
   }
 
@@ -432,6 +498,16 @@ object RetrievalQueries {
     val snap = scoredSnap(spark, path)
     spark.read.parquet(s"$path/${snap("stats")}")
   }
+
+  /** The live snapshot's (term, df) sidecar — None only for a legacy
+    * pre-sidecar snapshot (any r17+ build/append/compact publishes one).
+    * A query's bounded term `isin` against it reads ≤|terms| rows
+    * (term-range shards prune, pages skip) — the O(1)-per-term df lookup
+    * that replaced the two-stage serve's per-query full-run recount. */
+  private[graft] def readScoredDfs(spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.DataFrame] =
+    scoredSnap(spark, path).get("dfs")
+      .map(d => spark.read.parquet(s"$path/$d"))
 
   /** Serve BM25 top-k from a [[fullIndexWriteScored]] artifact: the
     * bounded term `isin` pushes into the term-sorted parquet (range
@@ -487,35 +563,101 @@ object RetrievalQueries {
     *     page-skipped exactly like [[bm25FromIndexCapped]]) vote the
     *     candidate doc set, ≤ |terms|·cap ids;
     *   stage 2 — EXACT COMPLETION: every candidate is scored with the
-    *     TRUE df (counted from the full pruned term runs — a term-column
-    *     scan, no row materialization) and its true tf for EVERY query
-    *     term (the semi-join against the candidate set keeps candidate
-    *     rows only), through the identical scoring tree.
+    *     TRUE df (a bounded `isin` read of the snapshot's (term, df)
+    *     SIDECAR — ≤|terms| rows, never a posting-run scan; r16 recounted
+    *     it from the full term runs per query, so a head term's serve
+    *     cost scaled with its corpus-sized run for a number the build
+    *     already knew) and its true tf for EVERY query term (the
+    *     semi-join against the candidate set keeps candidate rows only),
+    *     through the identical scoring tree.
     * The answer equals [[bm25FromIndex]] whenever the exact top-k docs
     * each carry at least one query term inside that term's capped prefix
     * — in particular whenever the cap clears every DISCRIMINATIVE term's
     * df, no matter how hard it binds on head terms (the case the plain
     * prefix serve gets structurally wrong; suite-pinned on a planted
-    * head+tail corpus). Cost: the capped read + a term-column df count +
-    * a candidate-bounded completion — a small multiple of the capped
-    * serve, far under the uncapped read's shuffle (the completion scan
-    * reads the head run's columns but aggregates only candidate rows).
-    * This is the serve to default to at binding caps; the plain
+    * head+tail corpus). Cost: the capped read + a ≤|terms|-row sidecar
+    * read + a candidate-bounded completion — a small multiple of the
+    * capped serve, far under the uncapped read's shuffle (the completion
+    * scan reads the head run's columns but aggregates only candidate
+    * rows). A legacy pre-sidecar snapshot falls back to the r16 recount
+    * (still exact, just run-length-priced) until its next
+    * append/compact/rebuild migrates it. This is the serve
+    * [[bm25Serve]] dispatches to at binding caps; the plain
     * [[bm25FromIndexCapped]] remains the measurement rung and the
     * exact-at-generous-caps gate form. */
   def bm25FromIndexTwoStage(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, terms: Seq[String], k: Int,
       maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame = {
+    val post = twoStageCompletionFrame(spark, indexPath, terms,
+      maxPostingsPerTerm)
+      .localCheckpoint() // candidate-bounded; feeds the scoring stage
+    val dfs = readScoredDfs(spark, indexPath) match {
+      case Some(sidecar) => // TRUE df: O(|terms|) sidecar rows
+        sidecar.where(col("term").isin(terms: _*))
+      case None => // legacy snapshot: recount the full pruned term runs
+        readScoredPostings(spark, indexPath)
+          .where(col("term").isin(terms: _*))
+          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    }
+    bm25Rank(post, dfs, readScoredStats(spark, indexPath), k)
+  }
+
+  /** Candidate-id broadcast bound for the two-stage completion: the
+    * voted candidate set is ≤ |terms|·cap ids (8 B each), so a 3-term
+    * cap-10k query broadcasts ~240 KB — but a 20-term cap-1M query would
+    * broadcast ~160 MB to every executor. Above this bound the semi-join
+    * drops the broadcast HINT and lets the planner shuffle (AQE may
+    * still broadcast at runtime if the ACTUAL distinct-candidate count
+    * turns out small — the guard bounds the forced worst case, not the
+    * optimizer). */
+  private[graft] val TwoStageBroadcastMaxIds = 10000000L
+
+  /** Stage-1 candidates + stage-2 tf completion of the two-stage serve,
+    * pre-checkpoint (exposed for plan pins): capped prefixes (rank ≤ cap,
+    * page-skipped) vote the candidate ids; the full pruned term runs
+    * semi-join against them, broadcast only under
+    * [[TwoStageBroadcastMaxIds]]. */
+  private[graft] def twoStageCompletionFrame(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      terms: Seq[String],
+      maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame = {
     val all = readScoredPostings(spark, indexPath)
       .where(col("term").isin(terms: _*))
     val cands = all.where(col("rank") <= maxPostingsPerTerm)
       .select(col("doc_id")).distinct()
-    val post = all.join(broadcast(cands), Seq("doc_id"), "left_semi")
-      .localCheckpoint() // candidate-bounded; feeds the scoring stage
-    val dfs = all.groupBy(col("term")) // TRUE df — never min(df, cap)
-      .agg(count(lit(1)).cast("double").as("df"))
-    bm25Rank(post, dfs, readScoredStats(spark, indexPath), k)
+    val bounded = terms.size.toLong * maxPostingsPerTerm <= TwoStageBroadcastMaxIds
+    all.join(if (bounded) broadcast(cands) else cands, Seq("doc_id"), "left_semi")
   }
+
+  /** THE serve entry — picks the serve form from the cap and the
+    * sidecar's true dfs (the r16 verdict's "caller decision" made
+    * automatic): the cap BINDS when some query term's true df exceeds
+    * it — there the plain prefix is structurally wrong (measured overlap
+    * ≈ 0 on head+tail queries at any binding cap) and the two-stage
+    * completion serves; at generous caps the plain capped serve is
+    * already exact AND cheaper (no completion pass), so it serves. The
+    * decision costs one ≤|terms|-row sidecar read — free relative to
+    * either serve. A legacy pre-sidecar snapshot dispatches to two-stage
+    * unconditionally (exact in both regimes; the conservative choice
+    * when the df needed to decide is itself run-length-priced). */
+  def bm25Serve(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      terms: Seq[String], k: Int,
+      maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame =
+    if (capBinds(spark, indexPath, terms, maxPostingsPerTerm))
+      bm25FromIndexTwoStage(spark, indexPath, terms, k, maxPostingsPerTerm)
+    else bm25FromIndexCapped(spark, indexPath, terms, k, maxPostingsPerTerm)
+
+  /** True iff `cap` binds on any of `terms` (df > cap) in the live
+    * snapshot — [[bm25Serve]]'s dispatch predicate. Legacy pre-sidecar
+    * snapshots report true (see [[bm25Serve]]). */
+  private[graft] def capBinds(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, terms: Seq[String], cap: Long): Boolean =
+    readScoredDfs(spark, indexPath) match {
+      case Some(sidecar) => !sidecar
+        .where(col("term").isin(terms: _*) && col("df") > lit(cap.toDouble))
+        .isEmpty
+      case None => true
+    }
 
   /** The one BM25 scoring tree both serve forms share (kept identical to
     * [[bm25Served]]/[[bm25TopK]] term for term, so every form is
@@ -774,24 +916,51 @@ object RetrievalQueries {
       CapGenerous)
   }
 
-  /** BINDING cap for the ii8 gate: far under every fixture term's df
-    * (≈380-410 at sf0.001/sf0.01 — the cap genuinely prunes ~70% of
-    * every posting run), yet measured to keep the two-stage completion
-    * EXACT at both gate SFs (overlap knee at cap≈96; 128 = knee + margin;
-    * the plain prefix serve at this cap is NOT exact — that contrast is
-    * the ToolsSpec planted-corpus pin). At sf0.1 the same cap is an
-    * approximation (overlap 10/20) — sf0.1 is the bench's SF, where the
-    * row measures serving cost, not the correctness gate's. */
-  private val CapBinding = 128L
+  /** BINDING cap for the ii8/ii9 gates, derived AT GATE TIME from the
+    * index's df sidecar as min(query-term df)/3 — a fixed fraction, so
+    * regenerated test data or changed query terms can't silently stop
+    * the cap binding or push it under the exactness knee the way a
+    * hard-coded constant could (r16 pinned 128 against fixture dfs
+    * ≈380-410 with the knee measured at cap≈96; min/3 lands at ~127-136
+    * on the same fixtures — above the knee, binding on every term, and
+    * it MOVES with the data). Binding is asserted, not assumed: a
+    * degenerate corpus where min df < 2 can't bind and fails loudly.
+    * At sf0.1 the derived cap stays a genuine ~3× prune of every run —
+    * sf0.1 is the bench's SF, where the row measures serving cost. */
+  private def bindingCapFor(s: SparkSession, idxPath: String): Long = {
+    val dfs = readScoredDfs(s, idxPath)
+      .getOrElse(throw new IllegalStateException(
+        s"gate index at $idxPath lacks the df sidecar"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .collect().map(_.getAs[Double]("df")).toSeq
+    require(dfs.size == Bm25Terms.size,
+      s"every gate term needs a sidecar df row, got $dfs for $Bm25Terms")
+    val cap = math.max(1L, (dfs.min / 3).toLong)
+    require(dfs.forall(cap < _),
+      s"derived cap $cap must BIND on every gate term (dfs $dfs)")
+    cap
+  }
 
   /** ii8: the TWO-STAGE capped serve — capped prefixes vote candidates,
-    * exact df/tf complete them ([[bm25FromIndexTwoStage]], the r15 iicap
-    * answer to binding caps). Hash-checked against the same EXACT oracle
-    * as bm1/ii2/ii5/ii6 while the cap BINDS on every query term — the
-    * property the plain capped serve cannot have. */
+    * exact sidecar df + true tf complete them ([[bm25FromIndexTwoStage]],
+    * the r15 iicap answer to binding caps). Hash-checked against the
+    * same EXACT oracle as bm1/ii2/ii5/ii6 while the derived cap BINDS on
+    * every query term — the property the plain capped serve cannot
+    * have. */
   private val ii8 = withOracle("ii8_bm25_two_stage", bm25Sql) { (s, dir) =>
-    bm25FromIndexTwoStage(s, scoredIndexFor(s, dir), Bm25Terms, Bm25TopK,
-      CapBinding)
+    val idx = scoredIndexFor(s, dir)
+    bm25FromIndexTwoStage(s, idx, Bm25Terms, Bm25TopK, bindingCapFor(s, idx))
+  }
+
+  /** ii9: the automatic serve DISPATCH ([[bm25Serve]]) at the same
+    * binding cap — the one entry a caller points a query at; here the
+    * sidecar dfs route it to the two-stage completion, so it must be
+    * hash-equal to the same exact oracle (the generous-cap branch is
+    * ii6's, pinned separately in ToolsSpec where the CHOICE itself is
+    * assertable). */
+  private val ii9 = withOracle("ii9_bm25_dispatch", bm25Sql) { (s, dir) =>
+    val idx = scoredIndexFor(s, dir)
+    bm25Serve(s, idx, Bm25Terms, Bm25TopK, bindingCapFor(s, idx))
   }
 
   private val BoolK = 50
@@ -834,5 +1003,5 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
-  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, pp1)
+  val all: Seq[QueryDef] = Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, pp1)
 }

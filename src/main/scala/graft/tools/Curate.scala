@@ -71,8 +71,11 @@ object Curate {
       // opt-in search-index artifact over the KEPT mix (decontamination-by-
       // retrieval and eval-neighbor audits run BM25 against exactly the
       // corpus that trains — indexing the raw corpus would surface docs
-      // the mix dropped): the scored full index, served by
-      // RetrievalQueries.bm25FromIndex / bm25FromIndexCapped /
+      // the mix dropped): the scored full index (postings + stats + the
+      // per-term df sidecar), served by RetrievalQueries.bm25Serve — the
+      // one entry, which dispatches on cap-vs-sidecar-df to the two-stage
+      // completion (binding caps) or the plain capped prefix (generous
+      // caps) — or directly by bm25FromIndex / bm25FromIndexCapped /
       // booleanAndFromScoredIndex (all versioned-snapshot-aware; the flat
       // booleanAndFromIndex serves only fullIndexWrite's unversioned layout)
       if (searchIndex) timed("index_export") {

@@ -518,17 +518,21 @@ object Smoke {
       val bmCap = graft.queries.RetrievalQueries
         .bm25FromIndexCapped(spark, fidx, Seq("spark", "join"), 10, 1L << 20)
         .collect()
-      // two-stage at a BINDING cap (32 ≪ the fixture dfs): candidates
-      // from the prefixes, exact completion — the binding-cap default
+      // the ONE serve entry, at a BINDING cap (32 ≪ the fixture dfs):
+      // the sidecar dfs route it to the two-stage completion — capped
+      // prefixes vote candidates, exact sidecar df + true tf complete
       val bmTwo = graft.queries.RetrievalQueries
-        .bm25FromIndexTwoStage(spark, fidx, Seq("spark", "join"), 10, 32L)
+        .bm25Serve(spark, fidx, Seq("spark", "join"), 10, 32L)
         .collect()
+      val binds = graft.queries.RetrievalQueries
+        .capBinds(spark, fidx, Seq("spark", "join"), 32L)
       println(s"BM25-FULL-INDEX: top=${bm.take(3).map(r =>
         s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} rows=${bm.length} " +
         s"capped_equal=${bm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
           bmCap.map(r => (r.getLong(0), r.getDouble(1))).toSeq} " +
-        s"two_stage_binding_cap_equal=${bm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        s"dispatch_binding_cap_equal=${bm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
           bmTwo.map(r => (r.getLong(0), r.getDouble(1))).toSeq} " +
+        s"cap_binds=$binds " +
         s"committed=${graft.queries.RetrievalQueries.scoredIndexCommitted(spark, fidx)}")
     }
     spark.stop()

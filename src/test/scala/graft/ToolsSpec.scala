@@ -499,6 +499,13 @@ class ToolsSpec extends AnyFunSuite {
     val sFull = graft.queries.RetrievalQueries.readScoredStats(spark, full).head()
     assert(sInc.getDouble(0) === sFull.getDouble(0))
     assert(math.abs(sInc.getDouble(2) - sFull.getDouble(2)) < 1e-9)
+    // df sidecar: the append's by-sum merge equals a from-scratch build's
+    // sidecar term for term (exact under the no-duplicate-doc contract)
+    val dInc = graft.queries.RetrievalQueries.readScoredDfs(spark, inc).get
+    val dFull = graft.queries.RetrievalQueries.readScoredDfs(spark, full).get
+    assert(dInc.count() === dFull.count())
+    assert(dInc.join(dFull, Seq("term", "df"), "left_anti").isEmpty,
+      "appended sidecar dfs must merge by sum to the rebuild's values")
     // the served ranked answer is identical
     val terms = Seq("spark", "join", "window")
     val a = graft.queries.RetrievalQueries.bm25FromIndex(spark, inc, terms, 20)
@@ -545,6 +552,13 @@ class ToolsSpec extends AnyFunSuite {
       .select(coalesce(sum(size(split(lower(trim(col("text"))), "\\s+"))
         .cast("double")), lit(0.0))).head().getDouble(0)
     assert(math.abs(st.getDouble(1) - wantSum) < 1e-6 * (wantSum + 1))
+    // df sidecar exact after the race + replay, same discipline as stats
+    val dfsRaced = graft.queries.RetrievalQueries.readScoredDfs(spark, path).get
+    val dfsRecount = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    assert(dfsRaced.join(dfsRecount, Seq("term", "df"), "left_anti").isEmpty &&
+      dfsRaced.count() === dfsRecount.count(),
+      "sidecar dfs must stay exact under racing appenders + replay")
 
     // ZERO-DOWNTIME: committed() stays true while another append runs
     // (poll from a reader thread during the mutation)
@@ -933,6 +947,14 @@ class ToolsSpec extends AnyFunSuite {
       "compaction must publish ONE postings generation")
     assert(snapPost("stats") === snapPre("stats"),
       "stats are already exact — compaction must not touch them")
+    assert(snapPost("dfs") === snapPre("dfs"),
+      "dfs are generation-invariant — compaction must carry the sidecar forward")
+    // and the carried sidecar still equals a recount of the compacted postings
+    val dfsPost = graft.queries.RetrievalQueries.readScoredDfs(spark, path).get
+    val dfsWant = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    assert(dfsPost.join(dfsWant, Seq("term", "df"), "left_anti").isEmpty &&
+      dfsPost.count() === dfsWant.count())
     // every serve form answers hash-equal to its pre-compaction answer
     assert(serves() === preServe)
     // the impact rank is GLOBAL again: exactly one rank-1 row per term
@@ -1034,22 +1056,35 @@ class ToolsSpec extends AnyFunSuite {
     assert(two === exact,
       "two-stage must complete the capped candidate set to the exact answer")
 
-    // 100 TB plan contracts of the two stages. The df count (stage 2's
-    // TRUE-df input) must be a column-pruned scan — reading tf/dl/doc_id
-    // for a COUNT over the head term's corpus-sized run would forfeit
-    // most of the completion's byte advantage; the count's input frame
-    // is reconstructed here exactly as the serve builds it.
-    val all = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
-      .where(col("term").isin(terms: _*))
-    val dfs = all.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    dfs.collect()
-    val dfPlan = dfs.queryExecution.executedPlan.toString
-    assert("ReadSchema: [^\\n]*struct<term:string>".r.findFirstIn(dfPlan).isDefined,
-      s"the df count must read ONLY the term column:\n$dfPlan")
+    // 100 TB plan contracts of the two stages. Stage 2's TRUE-df input
+    // is the snapshot's (term, df) SIDECAR — r16 recounted it per query
+    // from the full term runs, so a head term's serve cost scaled with
+    // its corpus-sized posting run for a build-time constant (the r16
+    // verdict's one `weak`). The sidecar must exist, agree with a
+    // recount, and be what the serve actually reads.
+    val snapM = graft.ext.ArtifactCommit.readMarker(spark, path).get
+    assert(snapM.contains("dfs"), "the build must publish the df sidecar")
+    val sidecar = graft.queries.RetrievalQueries.readScoredDfs(spark, path).get
+    val recount = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    assert(sidecar.join(recount, Seq("term", "df"), "left_anti").isEmpty &&
+      sidecar.count() === recount.count(),
+      "sidecar dfs must equal a recount of the postings, term for term")
+    // the sidecar read is page-skippable: the bounded term isin pushes
+    // into its term-sorted parquet
+    val scPlan = sidecar.where(col("term").isin(terms: _*))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(scPlan).isDefined,
+      s"term isin must reach the sidecar scan:\n$scPlan")
     // the serve itself: candidate semi-join and the df/stats joins must
     // broadcast (candidates ≤ |terms|·cap rows, dfs ≤ |terms| rows,
     // stats 1 row) and top-k must be TakeOrderedAndProject — a
-    // SortMergeJoin or global Sort here would shuffle the posting runs
+    // SortMergeJoin or global Sort here would shuffle the posting runs.
+    // The df input must come from the sidecar dir, and the serve must
+    // carry NO aggregate over a postings scan (the r16 recount's shape —
+    // its only aggregate is the doc-keyed score sum over the
+    // checkpointed candidate rows).
     val served = graft.queries.RetrievalQueries
       .bm25FromIndexTwoStage(spark, path, terms, 20, cap)
     served.collect()
@@ -1060,6 +1095,51 @@ class ToolsSpec extends AnyFunSuite {
       s"two-stage top-k must be TakeOrderedAndProject:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"df/stats must broadcast into the scoring stage:\n$p")
+    assert(p.contains(s"/${snapM("dfs")}"),
+      s"stage-2 df must be the sidecar read, not a postings recount:\n$p")
+    assert(!p.contains("postings/v="),
+      "the served plan must hold no live postings scan — candidates are " +
+        s"checkpointed, df is the sidecar, stats are 1 row:\n$p")
+
+    // DISPATCH contract (bm25Serve): the sidecar dfs make the
+    // binding-cap choice automatic — two-stage when some query term's
+    // df exceeds the cap, plain capped prefix (already exact, no
+    // completion pass) otherwise
+    assert(graft.queries.RetrievalQueries.capBinds(spark, path, terms, cap),
+      "cap 60 must bind (df('the') = 830)")
+    assert(!graft.queries.RetrievalQueries.capBinds(spark, path, terms, 1000L),
+      "cap 1000 must not bind (max df = 830)")
+    assert(rows(graft.queries.RetrievalQueries
+      .bm25Serve(spark, path, terms, 20, cap)) === exact,
+      "dispatcher at a binding cap must serve the two-stage exact answer")
+    assert(rows(graft.queries.RetrievalQueries
+      .bm25Serve(spark, path, terms, 20, 1000L)) === exact,
+      "dispatcher at a generous cap must serve the plain capped exact answer")
+
+    // BROADCAST GUARD: the candidate semi-join broadcasts only while
+    // |terms|·cap stays under TwoStageBroadcastMaxIds; above it the
+    // forced broadcast hint must be GONE (AQE may still choose broadcast
+    // at runtime from the ACTUAL candidate size — the guard bounds the
+    // forced worst case). Pinned on the optimized logical plan, where
+    // the hint is visible pre-AQE.
+    val maxIds = graft.queries.RetrievalQueries.TwoStageBroadcastMaxIds
+    val under = graft.queries.RetrievalQueries
+      .twoStageCompletionFrame(spark, path, terms, cap)
+      .queryExecution.optimizedPlan.toString
+    assert(under.contains("strategy=broadcast"),
+      s"|terms|*cap = ${terms.size * cap} <= $maxIds must broadcast candidates:\n$under")
+    val wideCap = maxIds / terms.size + 1
+    val over = graft.queries.RetrievalQueries
+      .twoStageCompletionFrame(spark, path, terms, wideCap)
+      .queryExecution.optimizedPlan.toString
+    assert(!over.contains("strategy=broadcast"),
+      s"|terms|*cap = ${terms.size * wideCap} > $maxIds must NOT force a " +
+        s"broadcast — shuffle semi-join fallback:\n$over")
+    // the guarded serve still answers exactly (a generous cap regardless
+    // of join strategy)
+    assert(rows(graft.queries.RetrievalQueries
+      .bm25FromIndexTwoStage(spark, path, terms, 20, wideCap)) === exact,
+      "the no-broadcast regime must serve the same exact answer")
   }
 
   test("marker flip hammer: never absent, never torn, across 400 consecutive flips") {
