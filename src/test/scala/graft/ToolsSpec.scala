@@ -1140,6 +1140,33 @@ class ToolsSpec extends AnyFunSuite {
     assert(rows(graft.queries.RetrievalQueries
       .bm25FromIndexTwoStage(spark, path, terms, 20, wideCap)) === exact,
       "the no-broadcast regime must serve the same exact answer")
+
+    // CERTIFIED adaptive serve (the max-score/WAND upper-bound rung):
+    // exactness is PROVEN per query — the k-th candidate's exact score
+    // must strictly beat Σ idf·(boundary impact beyond the prefix), else
+    // the cap escalates. On this corpus the binding cap 60 certifies in
+    // one round (zebra's run is covered → its bound is 0; the top-20
+    // carry zebra's idf mass, far above "the"'s boundary bound).
+    val (cert60, trace60) = graft.queries.RetrievalQueries
+      .bm25ServeCertifiedTrace(spark, path, terms, 20, cap)
+    assert(rows(cert60) === exact,
+      "certified serve must return the exact top-k")
+    assert(trace60 === Seq(cap),
+      s"cap $cap must certify without escalation here, tried: $trace60")
+    // a cap too small to separate the scores must ESCALATE — and still
+    // land exact
+    val (certTiny, traceTiny) = graft.queries.RetrievalQueries
+      .bm25ServeCertifiedTrace(spark, path, terms, 20, 2L)
+    assert(rows(certTiny) === exact,
+      "certified serve must stay exact through escalation")
+    assert(traceTiny.length > 1 && traceTiny.head === 2L,
+      s"cap 2 cannot certify (candidates miss the true top-k) — must " +
+        s"escalate, tried: $traceTiny")
+    // at cap ≥ every query-term df the prefix IS the full read: the
+    // plain capped serve returns, exact by construction, one round
+    val (certFull, traceFull) = graft.queries.RetrievalQueries
+      .bm25ServeCertifiedTrace(spark, path, terms, 20, 1000L)
+    assert(rows(certFull) === exact && traceFull === Seq(1000L))
   }
 
   test("marker flip hammer: never absent, never torn, across 400 consecutive flips") {
