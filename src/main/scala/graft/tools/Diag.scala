@@ -975,6 +975,19 @@ object Diag {
         println(f"[iicap] $label cap=$cap%,d TWO-STAGE: top-$k " +
           f"overlap=$overlap2%.2f serve=$tTwo%.2f s " +
           f"(${tTwo / tCap}%.1fx vs capped, ${tExact / tTwo}%.1fx vs exact)")
+        // the r17 certificate rung: same cap as the starting point, with
+        // the escalation trace showing how far the proof had to go
+        val (certDf, certTrace) = RetrievalQueries.bm25ServeCertifiedTrace(
+          spark, s"$dir/index", terms, k, cap)
+        val cert = top(certDf)
+        val tCert = (1 to 3).map(_ => time {
+          top(RetrievalQueries.bm25ServeCertified(
+            spark, s"$dir/index", terms, k, cap)); () }).min
+        val overlapC = (exact.toSet intersect cert.toSet).size.toDouble / k
+        println(f"[iicap] $label cap=$cap%,d CERTIFIED: top-$k " +
+          f"overlap=$overlapC%.2f serve=$tCert%.2f s " +
+          f"caps-tried=${certTrace.mkString("->")} " +
+          f"(${tCert / tTwo}%.1fx vs two-stage, ${tExact / tCert}%.1fx vs exact)")
       }
     }
   }
