@@ -591,16 +591,23 @@ object RetrievalQueries {
     val post = twoStageCompletionFrame(spark, indexPath, terms,
       maxPostingsPerTerm)
       .localCheckpoint() // candidate-bounded; feeds the scoring stage
-    val dfs = readScoredDfs(spark, indexPath) match {
-      case Some(sidecar) => // TRUE df: O(|terms|) sidecar rows
-        sidecar.where(col("term").isin(terms: _*))
-      case None => // legacy snapshot: recount the full pruned term runs
-        readScoredPostings(spark, indexPath)
-          .where(col("term").isin(terms: _*))
-          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-    }
-    bm25Rank(post, dfs, readScoredStats(spark, indexPath), k)
+    bm25Rank(post, trueDfsFrame(spark, indexPath, terms),
+      readScoredStats(spark, indexPath), k)
   }
+
+  /** TRUE (term, df) of `terms` in the live snapshot: ≤|terms| sidecar
+    * rows, or — legacy pre-sidecar snapshot — a recount of the full
+    * pruned term runs (still exact, run-length-priced until the
+    * artifact's next mutation migrates it). */
+  private def trueDfsFrame(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    readScoredDfs(spark, indexPath) match {
+      case Some(sidecar) => sidecar.where(col("term").isin(terms: _*))
+      case None => readScoredPostings(spark, indexPath)
+        .where(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    }
 
   /** Candidate-id broadcast bound for the two-stage completion: the
     * voted candidate set is ≤ |terms|·cap ids (8 B each), so a 3-term
@@ -705,15 +712,9 @@ object RetrievalQueries {
     val statsRow = readScoredStats(spark, indexPath)
       .select("n", "avgdl").head()
     val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
-    // true dfs of the query terms: ≤|terms| sidecar rows (legacy
-    // snapshots recount the pruned runs once — the serve stays correct,
-    // just run-length-priced until the artifact's next mutation)
-    val dfByTerm: Map[String, Double] = (readScoredDfs(spark, indexPath) match {
-      case Some(sidecar) => sidecar.where(col("term").isin(terms: _*))
-      case None => readScoredPostings(spark, indexPath)
-        .where(col("term").isin(terms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-    }).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // true dfs of the query terms (≤|terms| rows via the sidecar)
+    val dfByTerm: Map[String, Double] = trueDfsFrame(spark, indexPath, terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     def idf(t: String): Double = {
       val df = dfByTerm.getOrElse(t, 0.0)
       math.log(1 + (n - df + 0.5) / (df + 0.5))
@@ -734,13 +735,7 @@ object RetrievalQueries {
       // returned output share one computation
       val post = twoStageCompletionFrame(spark, indexPath, terms, cap)
         .localCheckpoint()
-      val dfsF = readScoredDfs(spark, indexPath) match {
-        case Some(sidecar) => sidecar.where(col("term").isin(terms: _*))
-        case None => readScoredPostings(spark, indexPath)
-          .where(col("term").isin(terms: _*))
-          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      }
-      val raw = bm25RankRaw(post, dfsF,
+      val raw = bm25RankRaw(post, trueDfsFrame(spark, indexPath, terms),
         readScoredStats(spark, indexPath), k).localCheckpoint()
       val top = raw.collect().map(r => r.getDouble(1))
       // per-term boundary impact: the rank = cap+1 rows (≤ one per
