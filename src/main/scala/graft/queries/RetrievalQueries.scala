@@ -33,7 +33,7 @@ object RetrievalQueries {
 
   /** Fixed retrieval query — deterministic so both engines rank the same
     * request; the operator is parametric in real use. */
-  private val Bm25Terms = Seq("spark", "join", "window")
+  private[graft] val Bm25Terms = Seq("spark", "join", "window")
   private val Bm25TopK = 20
   private val PostingsPage = 100
   private val PostingsTerms = 30
@@ -44,7 +44,11 @@ object RetrievalQueries {
     * trees match term for term; the three per-term contributions sum in
     * pinned left-to-right order. Ranking uses the unrounded score
     * (doc_id tie-break); the emitted score is rounded to 4 decimals. */
-  private def bm25Sql: String = {
+  /** The d/tf/st/sc CTE chain ending in `sc(doc_id, s)` — the exact-BM25
+    * scoring shared by [[bm25Sql]] and the hybrid-fusion oracle
+    * ([[HybridQueries]]), factored so the two gates can never drift on the
+    * score expression. */
+  private[graft] def bm25ScoreCtes: String = {
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf${i + 1}"
     }.mkString(",\n       |         ")
@@ -54,7 +58,7 @@ object RetrievalQueries {
     val scoreTerms = Bm25Terms.indices.map { i =>
       s"ln(1+(n-df${i + 1}+0.5)/(df${i + 1}+0.5)) * (tf${i + 1}*2.2)/(tf${i + 1} + 1.2*(0.25 + 0.75*dl/avgdl))"
     }.mkString("\n       |    + ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
        |tf AS (
        |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
@@ -67,16 +71,30 @@ object RetrievalQueries {
        |sc AS (
        |  SELECT doc_id,
        |    $scoreTerms AS s
-       |  FROM tf, st),
+       |  FROM tf, st)""".stripMargin
+  }
+
+  private def bm25Sql: String =
+    s"""WITH $bm25ScoreCtes,
        |r AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
        |SELECT doc_id, round(s,4) AS bm25 FROM r WHERE rn <= $Bm25TopK""".stripMargin
-  }
 
   /** BM25 top-k of `docs` (doc_id, text) for `terms` — see object doc for
     * the scale shape. Frame-parametric so Diag drives the identical code
     * at synthetic scale. */
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int): org.apache.spark.sql.DataFrame =
+    bm25ScoredDocs(docs, terms)
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("s"), 4).as("bm25"))
+
+  /** bm1's map-only scoring frame without the final top-k: every doc of
+    * `docs` scored as `(doc_id, s)` — shared by [[bm25TopK]] and the
+    * hybrid fusion's lexical ranker ([[HybridQueries.hybridRrfTopK]]), so
+    * the fused gate ranks with bit-identical scores to bm1's. */
+  private[graft] def bm25ScoredDocs(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val tfCols: Seq[Column] =
       col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
@@ -104,9 +122,6 @@ object RetrievalQueries {
     }.reduce(_ + _)
     tf.join(broadcast(st))
       .select(col("doc_id"), score.as("s"))
-      .orderBy(col("s").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), round(col("s"), 4).as("bm25"))
   }
 
   /** Full postings index of `docs`: every term's df + first page. Also the

@@ -504,6 +504,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF fusion equals the rank arithmetic of its two pools") {
+    import graft.queries.{HybridQueries, Tables}
+    val docs = Tables(spark, sf, "documents")
+    val embs = Tables(spark, sf, "embeddings")
+    val terms = Seq("spark", "join", "window")
+    val lex = HybridQueries.lexicalRankedPool(docs, terms, 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val den = HybridQueries.denseRankedPool(embs, 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // pools are genuine rank lists: contiguous 1..n, disjoint ranks
+    assert(lex.values.toSeq.sorted === (1 to lex.size), s"lex ranks $lex")
+    assert(den.values.toSeq.sorted === (1 to den.size), s"den ranks $den")
+    assert(!den.contains(0L), "the query vector must not be its own neighbor")
+    // the fused operator must equal RRF computed by hand from the pools
+    val expected = (lex.keySet ++ den.keySet).toSeq.map { id =>
+      val c = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        den.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, c)
+    }.sortBy { case (id, c) => (-c, id) }.take(20).map { case (id, c) =>
+      (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val fused = graft.SparkEntry.queries("hyb1_hybrid_rrf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fused === expected)
+    // fusion is doing real work here: both rankers contribute to the cut
+    val both = fused.map(_._1).toSet
+    assert((both intersect (lex.keySet -- den.keySet)).nonEmpty &&
+      (both intersect (den.keySet -- lex.keySet)).nonEmpty,
+      s"fixture must exercise single-ranker docs in the fused top-k: $fused")
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

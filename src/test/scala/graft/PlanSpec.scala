@@ -471,6 +471,19 @@ class PlanSpec extends AnyFunSuite {
       s"bm1: only the corpus-stats agg may gather:\n$p")
   }
 
+  test("hyb1 hybrid fusion: rankers TakeOrdered the corpus, fused exchange is bounded") {
+    val p = plan("hyb1_hybrid_rrf")
+    // both rankers cut the corpus with per-partition heaps, never a
+    // global sort of corpus-sized data (the window sorts that assign
+    // ranks run ABOVE those cuts, on ≤pool-row frames)
+    assert(p.contains("TakeOrderedAndProject"), s"rankers must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stats/query attaches must broadcast, never sort-merge:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 1,
+      s"only the fused aggregate (≤ 2·pool rows) may hash-shuffle:\n$p")
+  }
+
   test("lnk1 outlink extraction is map-only; pp1 is map-only + TakeOrdered") {
     val p1 = plan("lnk1_outlinks")
     assert(!p1.contains("Exchange"), s"lnk1 must not shuffle:\n$p1")
