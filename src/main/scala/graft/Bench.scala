@@ -192,7 +192,9 @@ object Bench {
       "qc1_score_invariants", "bpe1_merge_invariants", "sem1_cluster_invariants",
       "pk5_bestfit_invariants",
       // tok1_unit_invariants retrains a BPE model inline (tok1's shape)
-      "tok1_unit_invariants")
+      "tok1_unit_invariants",
+      // hyb2's invariants re-run both serves + both scan-form pools
+      "hyb2_served_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

@@ -108,6 +108,95 @@ object HybridQueries {
       .limit(k)
       .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
 
+  /** Served lexical pool: [[RetrievalQueries.bm25Serve]] from the
+    * versioned scored-index artifact at a generous cap (the dispatcher
+    * routes to the plain capped serve — exact and completion-free), its
+    * top-`pool` ranked by the emitted (bm25 desc, doc_id) order. The
+    * serve reads |terms| pruned posting runs + the stats/dfs sidecars,
+    * never the corpus. */
+  private[graft] def servedLexicalPool(s: org.apache.spark.sql.SparkSession,
+      dir: String, pool: Int): DataFrame =
+    RetrievalQueries.bm25Serve(s, RetrievalQueries.scoredIndexFor(s, dir),
+        RetrievalQueries.Bm25Terms, pool, Long.MaxValue)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).as("r"))
+
+  /** Served dense pool: the AnnIndex IVF serve
+    * ([[SimilarityQueries.ivfServedTopK]]) for the [[QueryVec]] query at
+    * the s3 operating point (nprobe 6/16 — approximate BY DESIGN; recall
+    * floor pinned in the invariants row), ranked by the emitted
+    * (cos desc, neighbor_id) order. The serve reads only the probed
+    * cells' directories of the artifact, never the corpus. */
+  private[graft] def servedDensePool(s: org.apache.spark.sql.SparkSession,
+      dir: String, pool: Int): DataFrame = {
+    val q = Tables(s, dir, "embeddings").where(col("vec_id") === QueryVec)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    SimilarityQueries.ivfServedTopK(s,
+        SimilarityQueries.servedIndexFor(s, dir), q,
+        SimilarityQueries.S3Nprobe, pool)
+      .select(col("neighbor_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("neighbor_id"))).as("r"))
+  }
+
+  /** hyb2: the SERVED hybrid — the same RRF fusion with BOTH rankers
+    * answered from their persisted versioned artifacts (the scored BM25
+    * index and the AnnIndex), i.e. the user-facing search endpoint shape:
+    * no corpus scan, no tokenize, no training at query time; at 100 TB a
+    * query costs |terms| pruned posting runs + nprobe/nlist of one
+    * cell-pruned scan + the ≤2·pool-row fusion. Rows-only (the dense
+    * side is nprobe-approximate by design — KMeans cells are not
+    * ANSI-expressible); the ⊕ companion pins the composition's
+    * invariants, and hyb1 is the family's exact-oracle anchor. */
+  def hybridServedTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      pool: Int, k: Int, rrfK: Int = RrfK): DataFrame =
+    fuseRrf(Seq(servedLexicalPool(s, dir, pool),
+      servedDensePool(s, dir, pool)), k, rrfK)
+
+  private val hyb2 = rowsOnly("hyb2_hybrid_served") { (s, dir) =>
+    hybridServedTopK(s, dir, Pool, FusedK)
+  }
+
+  /** hyb2's ORACLE-CHECKED companion (the s10-invariants pattern —
+    * non-SQL-expressible semantics reduced to booleans both engines can
+    * state): both artifacts report committed; the served lexical pool
+    * retrieves EXACTLY the scan-form lexical pool's doc set (the BM25
+    * serve is exact — same unrounded-score cut); the served fusion
+    * equals RRF recomputed by hand from its own collected pools (the
+    * fusion kernel does pure rank arithmetic); the nprobe-approximate
+    * dense pool's recall vs the exact dense pool clears a floor (6/16
+    * cells on isotropic data); and the cut is exactly k. */
+  private val hyb2Invariants = withOracle("hyb2_served_invariants",
+    s"""SELECT TRUE AS artifacts_committed, TRUE AS lex_pool_set_eq,
+       |       TRUE AS fused_eq_pools, TRUE AS dense_recall_ok,
+       |       CAST($FusedK AS BIGINT) AS n_fused""".stripMargin) { (s, dir) =>
+    val committed =
+      graft.ext.ArtifactCommit.committed(s, RetrievalQueries.scoredIndexFor(s, dir)) &&
+        graft.ext.AnnIndex.committed(s, SimilarityQueries.servedIndexFor(s, dir))
+    val lexServed = servedLexicalPool(s, dir, Pool).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lexScan = lexicalRankedPool(Tables(s, dir, "documents"),
+      RetrievalQueries.Bm25Terms, Pool).collect().map(_.getLong(0)).toSet
+    val denServed = servedDensePool(s, dir, Pool).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val denExact = denseRankedPool(Tables(s, dir, "embeddings"), QueryVec, Pool)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (denServed.keySet intersect denExact).size.toDouble / denExact.size
+    val expected = (lexServed.keySet ++ denServed.keySet).toSeq.map { id =>
+      val c = lexServed.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0) +
+        denServed.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0)
+      (id, c)
+    }.sortBy { case (id, c) => (-c, id) }.take(FusedK).map { case (id, c) =>
+      (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val fused = hybridServedTopK(s, dir, Pool, FusedK).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import s.implicits._
+    Seq((committed, lexServed.keySet == lexScan, fused == expected,
+      recall >= 0.3, fused.size.toLong))
+      .toDF("artifacts_committed", "lex_pool_set_eq", "fused_eq_pools",
+        "dense_recall_ok", "n_fused")
+  }
+
   /** hyb1: the fused gate — same BM25 CTEs as bm1's oracle (shared
     * builder, can't drift), s1's cosine formula on DOUBLE casts, RRF in
     * ANSI SQL. Hash-checked end to end. */
@@ -134,5 +223,5 @@ object HybridQueries {
       RetrievalQueries.Bm25Terms, QueryVec, Pool, FusedK)
   }
 
-  val all: Seq[QueryDef] = Seq(hyb1)
+  val all: Seq[QueryDef] = Seq(hyb1, hyb2, hyb2Invariants)
 }

@@ -189,7 +189,7 @@ object SimilarityQueries {
     * Note: this synthetic corpus is isotropic (near-worst case for any
     * space partitioner); recall floor asserted in ExtSpec. */
   private val S3Nlist = 16
-  private val S3Nprobe = 6
+  private[graft] val S3Nprobe = 6
 
   /** s3's stages, exposed for the invariants row: (assigned corpus
     * (vec_id, embedding, cell), queries (query_id, qv), probe set

@@ -535,6 +535,16 @@ class ExtSpec extends AnyFunSuite {
       s"fixture must exercise single-ranker docs in the fused top-k: $fused")
   }
 
+  test("served hybrid: invariants all hold and the fusion serves from both artifacts") {
+    val inv = graft.SparkEntry.queries("hyb2_served_invariants")(spark, sf)
+      .collect().head
+    assert(inv.getBoolean(0), "both artifacts must report committed")
+    assert(inv.getBoolean(1), "served lexical pool must equal the scan-form pool's doc set")
+    assert(inv.getBoolean(2), "served fusion must equal hand-computed RRF of its pools")
+    assert(inv.getBoolean(3), "nprobe dense pool must clear the recall floor")
+    assert(inv.getLong(4) === 20L)
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -484,6 +484,16 @@ class PlanSpec extends AnyFunSuite {
       s"only the fused aggregate (≤ 2·pool rows) may hash-shuffle:\n$p")
   }
 
+  test("hyb2 served hybrid: no corpus scan — both rankers read their artifacts") {
+    val p = plan("hyb2_hybrid_served")
+    // the whole point of the served form: query cost is the two pruned
+    // artifact reads + the bounded fusion, never a documents tokenize
+    assert(!p.contains("documents.parquet"),
+      s"served hybrid must not scan the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounded sides must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"pools must not global-sort:\n$p")
+  }
+
   test("lnk1 outlink extraction is map-only; pp1 is map-only + TakeOrdered") {
     val p1 = plan("lnk1_outlinks")
     assert(!p1.contains("Exchange"), s"lnk1 must not shuffle:\n$p1")
