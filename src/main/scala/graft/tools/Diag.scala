@@ -59,6 +59,10 @@ object Diag {
         regime = args.lift(2).getOrElse("uniform"))
       spark.stop(); return
     }
+    if (args.headOption.contains("hybrid")) {
+      hybridScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("docs")) {
       docScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -914,6 +918,85 @@ object Diag {
     * body terms: the WAND case the cap exists for) and tail-only (all
     * dfs under the generous cap: must be overlap 1.0, the ii6 exactness
     * contract at scale) — plus serve times, pricing what the cap buys. */
+  /** Hybrid-serve family at synthetic scale: one corpus carrying BOTH a
+    * text body (iicap's varied-dl shape: 20-99 tokens, 10 k vocab, 40%
+    * of docs salted with the head term "the") and a 64-dim embedding
+    * (annserve's clustered shape: 32 planted centers + jitter), both
+    * artifacts built (scored BM25 index + AnnIndex), then the three
+    * serves measured min-of-3: lexical alone (`bm25Serve` at a binding
+    * cap — dispatches to the two-stage completion), dense alone (IVF at
+    * nprobe/nlist = 8/256), and the RRF fusion of both. The claim under
+    * test: fusion costs ≈ the sum of its rankers (bounded rank windows +
+    * a ≤2·pool-row aggregate add nothing measurable), so the hybrid
+    * endpoint's scale path IS its rankers' — there is no fusion-side
+    * term that could grow with the corpus. */
+  private def hybridScale(spark: SparkSession, n: Long): Unit = {
+    import graft.queries.{HybridQueries, RetrievalQueries, SimilarityQueries}
+    import org.apache.spark.sql.expressions.Window
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_").toString
+    // text side: iicap's varied regime (real head-term impact order)
+    val bodyLen = (pmod(xxhash64(col("id"), lit(3)), lit(80)) + lit(20))
+    val body = concat_ws(" ",
+      transform(sequence(lit(1), bodyLen),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val text = when(pmod(xxhash64(col("id"), lit(13)), lit(10)) < 4,
+      concat(body, lit(" the"))).otherwise(body)
+    val docs = spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+    // embedding side: annserve's clustered 64-dim vectors, same ids
+    spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(pmod(col("id"), lit(32)), i), lit(1000)) / 500.0 - 1.0) +
+            (pmod(xxhash64(col("id"), i, lit(7)), lit(100)) / 500.0 - 0.1))
+            .cast("float")).as("embedding"))
+      .repartition(32).write.parquet(s"$dir/emb")
+    val emb = spark.read.parquet(s"$dir/emb")
+    val tLexBuild = time(RetrievalQueries.fullIndexWriteScored(docs,
+      s"$dir/index", shards = math.max(32, (n / 250000).toInt)))
+    val nlist = 256
+    val tAnnBuild = time(graft.ext.AnnIndex.write(spark, emb, s"$dir/ann", nlist))
+    println(f"[hybrid] n=$n%,d: scored-index build $tLexBuild%.1f s, " +
+      f"ann build $tAnnBuild%.1f s")
+    val (pool, k, cap, nprobe) = (50, 20, 10000L, 8)
+    val terms = Seq("the", "w17", "w42") // head+tail: the cap BINDS on "the"
+    val queries1 = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    def lexPool() = RetrievalQueries.bm25Serve(spark, s"$dir/index", terms, pool, cap)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).as("r"))
+    def denPool() = SimilarityQueries.ivfServedTopK(spark, s"$dir/ann",
+        queries1, nprobe, pool)
+      .select(col("neighbor_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("neighbor_id"))).as("r"))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    val tLex = (1 to 3).map(_ => time { run(lexPool()); () }).min
+    val tDen = (1 to 3).map(_ => time { run(denPool()); () }).min
+    val fusedDocs = run(HybridQueries.fuseRrf(Seq(lexPool(), denPool()), k, 60))
+    val tFused = (1 to 3).map(_ => time {
+      run(HybridQueries.fuseRrf(Seq(lexPool(), denPool()), k, 60)); () }).min
+    // the fusion KERNEL alone, rankers factored out (pools materialized):
+    // this is the only part the hybrid adds to its rankers — if it is
+    // ~ms, any end-to-end gap vs lex+dense is serve-step re-execution /
+    // scheduling, not a corpus-scaling fusion term
+    val (lp, dp) = (lexPool().localCheckpoint(), denPool().localCheckpoint())
+    val tFuseOnly = (1 to 3).map(_ => time {
+      run(HybridQueries.fuseRrf(Seq(lp, dp), k, 60)); () }).min
+    val lexSet = run(lexPool()).toSet
+    val denSet = run(denPool()).toSet
+    val fromLexOnly = fusedDocs.count(d => lexSet(d) && !denSet(d))
+    val fromDenOnly = fusedDocs.count(d => denSet(d) && !lexSet(d))
+    val fromBoth = fusedDocs.count(d => lexSet(d) && denSet(d))
+    println(f"[hybrid] n=$n%,d serve (pool=$pool k=$k cap=$cap%,d " +
+      f"nprobe=$nprobe/$nlist): lex=$tLex%.2f s, dense=$tDen%.2f s, " +
+      f"FUSED=$tFused%.2f s (${tFused / (tLex + tDen)}%.2fx of lex+dense; " +
+      f"fusion kernel alone on materialized pools: $tFuseOnly%.3f s)")
+    println(f"[hybrid] fused top-$k composition: $fromLexOnly lex-only + " +
+      f"$fromDenOnly dense-only + $fromBoth both " +
+      f"(pool overlap ${(lexSet intersect denSet).size})")
+  }
+
   private def iiCapScale(spark: SparkSession, n: Long,
       regime: String = "uniform"): Unit = {
     import graft.queries.RetrievalQueries
