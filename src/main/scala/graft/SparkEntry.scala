@@ -13,7 +13,8 @@ object SparkEntry {
     CoreQueries.all ++ PromQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       SamplingQueries.all ++ CurationQueries.all ++ EventQueries.all ++
-      RetrievalQueries.all ++ GraphQueries.all ++ HybridQueries.all
+      RetrievalQueries.all ++ GraphQueries.all ++ HybridQueries.all ++
+      PrfQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -545,6 +545,50 @@ class ExtSpec extends AnyFunSuite {
     assert(inv.getLong(4) === 20L)
   }
 
+  test("PRF expansion: mined terms are the exact top-e and widen recall") {
+    import graft.queries.{PrfQueries, Tables}
+    val docs = Tables(spark, sf, "documents")
+    val terms = Seq("spark", "join", "window")
+    val exp = graft.SparkEntry.queries("prf1_expansion_terms")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exp.length === 10)
+    assert(exp.forall { case (t, _) => !terms.contains(t) && t.nonEmpty })
+    // recount independently: each mined count is the true frequency in
+    // the feedback docs, and nothing outside the cut beats the cut's min
+    val fb = graft.queries.RetrievalQueries
+      .bm25ScoredDocs(docs, terms)
+      .orderBy(org.apache.spark.sql.functions.col("s").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .limit(5).collect().map(_.getLong(0)).toSet
+    val words = docs.collect()
+      .filter(r => fb(r.getAs[Long]("doc_id")))
+      .flatMap(_.getAs[String]("text").trim.toLowerCase.split("\\s+"))
+      .filter(t => t.nonEmpty && !terms.contains(t))
+    val counts = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    exp.foreach { case (t, n) => assert(counts(t) === n, s"count drift for $t") }
+    val ord = Ordering.Tuple2[Long, String] // rank key (-tf, term): better first
+    val cutMin = exp.map { case (t, n) => (-n, t) }.max(ord) // worst kept
+    counts.filterNot(c => exp.exists(_._1 == c._1)).foreach { case (t, n) =>
+      assert(ord.gt((-n, t), cutMin), s"dropped term $t (tf $n) beats the cut")
+    }
+    // recall widening: the expanded term set makes MATCHABLE docs the
+    // original query cannot see at all (zero original terms, ≥1 expansion
+    // term) — the candidate-set property; whether they reach the top-k
+    // cut is corpus-dependent. And every emitted doc matches ≥1 expanded
+    // term (the s > 0 contract).
+    val expSet = exp.map(_._1).toSet
+    val tokens = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+").toSet).toMap
+    assert(tokens.values.count(ws =>
+      !terms.exists(ws) && expSet.exists(ws)) > 0,
+      "expansion should make docs with zero original-term matches matchable")
+    val got = graft.SparkEntry.queries("prf2_bm25_expanded")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.forall(d => (terms.toSet ++ expSet).exists(tokens(d))),
+      s"every emitted doc must match ≥1 expanded-query term")
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -494,6 +494,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"pools must not global-sort:\n$p")
   }
 
+  test("prf2 expanded-query round 2 keeps bm1's no-keyed-shuffle shape") {
+    // the expansion term set rides the driver (bounded ≤e collect at plan
+    // construction), so the executed plan IS round 2: map-side tf columns
+    // over |orig|+e terms, one bounded stats gather, TakeOrdered cut
+    val p = plan("prf2_bm25_expanded")
+    assert(p.contains("TakeOrderedAndProject"), s"prf2 must not global-sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"prf2 round 2 must not shuffle by key:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"prf2's stats join must broadcast:\n$p")
+  }
+
   test("lnk1 outlink extraction is map-only; pp1 is map-only + TakeOrdered") {
     val p1 = plan("lnk1_outlinks")
     assert(!p1.contains("Exchange"), s"lnk1 must not shuffle:\n$p1")
