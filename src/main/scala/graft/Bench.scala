@@ -194,7 +194,9 @@ object Bench {
       // tok1_unit_invariants retrains a BPE model inline (tok1's shape)
       "tok1_unit_invariants",
       // hyb2's invariants re-run both serves + both scan-form pools
-      "hyb2_served_invariants")
+      "hyb2_served_invariants",
+      // mmr1's invariants replay the greedy selection stepwise
+      "mmr1_diversity_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

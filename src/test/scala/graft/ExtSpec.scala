@@ -589,6 +589,22 @@ class ExtSpec extends AnyFunSuite {
       s"every emitted doc must match ≥1 expanded-query term")
   }
 
+  test("MMR diversification: stepwise-optimal, pool-bounded, never less diverse") {
+    val inv = graft.SparkEntry.queries("mmr1_diversity_invariants")(spark, sf)
+      .collect().head
+    assert(inv.getBoolean(0), "picks must come from the pool")
+    assert(inv.getBoolean(1), "first pick must be the relevance argmax")
+    assert(inv.getBoolean(2), "every pick must maximize the MMR objective at its step")
+    assert(inv.getBoolean(3), "diversified set must not be MORE self-similar than plain top-k")
+    assert(inv.getLong(4) === 10L)
+    // determinism: the greedy is pure arithmetic over the collected pool
+    val a = graft.SparkEntry.queries("mmr1_diversified")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = graft.SparkEntry.queries("mmr1_diversified")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === b)
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
