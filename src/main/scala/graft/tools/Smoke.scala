@@ -534,6 +534,19 @@ object Smoke {
           bmTwo.map(r => (r.getLong(0), r.getDouble(1))).toSeq} " +
         s"cap_binds=$binds " +
         s"committed=${graft.queries.RetrievalQueries.scoredIndexCommitted(spark, fidx)}")
+
+      // r17 retrieval-stack post-passes: hybrid RRF fusion (scan + served
+      // forms), PRF query expansion, MMR diversification
+      val hyb = graft.queries.HybridQueries.hybridRrfTopK(
+        docsAll, emb, Seq("spark", "join"), 0L, 30, 10).collect()
+      val exp = graft.queries.PrfQueries.expansionTerms(
+        docsAll, Seq("spark", "join"), 5, 8).collect()
+      val prf = graft.queries.PrfQueries.bm25ExpandedTopK(
+        docsAll, Seq("spark", "join"), 5, 8, 10).collect()
+      println(s"RETRIEVAL-STACK: hybrid_rows=${hyb.length} " +
+        s"hybrid_top=${hyb.take(2).map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} " +
+        s"expansion=${exp.map(_.getString(0)).mkString("/")} " +
+        s"expanded_rows=${prf.length}")
     }
     spark.stop()
   }
