@@ -547,6 +547,22 @@ object Smoke {
         s"hybrid_top=${hyb.take(2).map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")} " +
         s"expansion=${exp.map(_.getString(0)).mkString("/")} " +
         s"expanded_rows=${prf.length}")
+
+      // r17 contrastive mining: BM25 hard negatives for ad-hoc anchors +
+      // triplets from the dedup clusters
+      val anchors = docsAll.orderBy(col("doc_id")).limit(2)
+        .select(col("doc_id").as("anchor_id"))
+      val hneg = graft.queries.NegativeQueries
+        .hardNegatives(docsAll, anchors, 5, 5).collect()
+      val keepers = graft.queries.DedupQueries.keepList(
+        graft.queries.DedupQueries.minhashPairs(spark, dir), docsAll)
+      val tri = graft.queries.NegativeQueries
+        .trainingTriplets(docsAll, keepers, 2, 5, 3).collect()
+      println(s"CONTRASTIVE: hard_neg_rows=${hneg.length} " +
+        s"neg_top=${hneg.take(2).map(r =>
+          s"${r.getLong(0)}->${r.getLong(1)}@${r.getDouble(3)}").mkString(",")} " +
+        s"triplet_rows=${tri.length} " +
+        s"triplet_anchors=${tri.map(_.getLong(0)).distinct.sorted.mkString("/")}")
     }
     spark.stop()
   }

@@ -605,6 +605,94 @@ class ExtSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("hard-negative mining: terms, exclusions, and ranks verify independently") {
+    import graft.queries.{NegativeQueries, RetrievalQueries, Tables}
+    val raw = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse(""))
+    val toks = raw.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    def shingleSet(id: Long): Set[String] = {
+      val ws = toks(id)
+      if (ws.length < 2) Set.empty else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else (sa intersect sb).size.toDouble / (sa union sb).size
+    }
+    val anchorIds = RetrievalQueries
+      .bm25ScoredDocs(Tables(spark, sf, "documents"), Seq("spark", "join", "window"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(3).collect().map(_.getLong(0)).toSet
+    // hn1: mined terms are the true per-anchor top-5 by (tf desc, term)
+    val mined = graft.SparkEntry.queries("hn1_anchor_terms")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mined.map(_._1).toSet === anchorIds)
+    mined.groupBy(_._1).foreach { case (a, rows) =>
+      val counts = toks(a).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      rows.foreach { case (_, t, n) =>
+        assert(counts(t) === n, s"anchor $a term $t count drift")
+      }
+      assert(rows.length === math.min(5, counts.size))
+      val ord = Ordering.Tuple2[Long, String]
+      val cutMin = rows.map { case (_, t, n) => (-n, t) }.max(ord)
+      counts.filterNot(c => rows.exists(_._2 == c._1)).foreach { case (t, n) =>
+        assert(ord.gt((-n, t), cutMin), s"anchor $a: dropped term $t beats the cut")
+      }
+    }
+    val minedTerms = mined.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // hn2: per-anchor contiguous ranks, scores descending with the cut's
+    // tie-break, anchor + near-dups excluded, every negative matchable
+    val neg = graft.SparkEntry.queries("hn2_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(neg.map(_._1).toSet === anchorIds)
+    neg.groupBy(_._1).foreach { case (a, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3) === (1L to rows.length), s"anchor $a ranks")
+      assert(byRank.map(_._4).zip(byRank.map(_._4).tail).forall { case (x, y) => x >= y },
+        s"anchor $a scores must be non-increasing in rank")
+      rows.foreach { case (_, id, _, s) =>
+        assert(id !== a, "the anchor is not its own negative")
+        assert(jac(a, id) < 0.8, s"negative $id is a near-dup of anchor $a")
+        assert(minedTerms(a).exists(toks(id).contains), s"negative $id matches no mined term")
+        assert(s > 0, "retrieved negatives carry positive scores")
+      }
+    }
+  }
+
+  test("training triplets: positives are cluster-mates, negatives are not, counts compose") {
+    import graft.queries.DedupQueries
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val keep = DedupQueries.keepList(DedupQueries.exactPairs(spark, sf), docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = keep.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val expAnchors = clusters.filter(_._2.size >= 2).toSeq
+      .sortBy { case (k, m) => (-m.size, k) }.take(2).map(_._1).toSet
+    val tri = graft.SparkEntry.queries("hn3_training_triplets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tri.map(_._1).toSet === expAnchors,
+      "anchors must be the keepers of the largest dup clusters")
+    tri.groupBy(_._1).foreach { case (a, rows) =>
+      val pos = rows.map(_._2).toSet
+      val negs = rows.map(r => (r._3, r._4)).toSet
+      assert(pos === clusters(a) - a, s"anchor $a positives must be its cluster-mates")
+      negs.foreach { case (n, _) =>
+        assert(keep(n) !== a, s"negative $n is in anchor $a's cluster")
+      }
+      assert(rows.length === pos.size * negs.size,
+        s"anchor $a must emit the full positive × negative cross")
+      assert(negs.map(_._2).toSeq.sorted === (1L to negs.size),
+        s"anchor $a negative ranks must be contiguous")
+    }
+    // determinism: the mining is pure arithmetic over pinned orderings
+    val again = graft.SparkEntry.queries("hn3_training_triplets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === tri.toSet)
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -505,6 +505,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"prf2's stats join must broadcast:\n$p")
   }
 
+  test("hn2 hard negatives: heap-aggregate cut, one bounded exchange, no corpus window") {
+    // the mined term sets ride the driver (bounded anchors·m collect at
+    // plan construction, the PRF shape), so the executed plan IS the
+    // scoring+cut: per-anchor branches over ONE checkpointed frequency
+    // frame, broadcast stats + broadcast anchor shingles (map-side
+    // Jaccard exclusion), and a partial bottom_k heap per task — the only
+    // hash exchange carries ≤ anchors·n·tasks heap rows
+    val p = plan("hn2_hard_negatives")
+    assert(!p.contains("SortMergeJoin"),
+      s"stats/shingle attaches must broadcast:\n$p")
+    assert(p.contains("partial_bottom_k"),
+      s"the per-anchor cut must be the map-side heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the negative path must not window-rank corpus-sized data:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"anchor selection must be a bounded top-k, not a global sort:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 1,
+      s"only the bottom_k merge may hash-shuffle:\n$p")
+  }
+
   test("lnk1 outlink extraction is map-only; pp1 is map-only + TakeOrdered") {
     val p1 = plan("lnk1_outlinks")
     assert(!p1.contains("Exchange"), s"lnk1 must not shuffle:\n$p1")
