@@ -71,6 +71,10 @@ object Diag {
       curateScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("negatives")) {
+      negativeScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("newops")) {
       newOps(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -1083,6 +1087,37 @@ object Diag {
     * threshold). Times d1 (exact content-hash groups), the signature
     * build, LSH candidate pairs, and keeper election — the flagship
     * family's shapes where the corpus is 2 000× the gate fixture. */
+  /** Hard-negative mining at synthetic corpus scale (iicap's varied-length
+    * text regime). The scale claim under measure: ALL anchors score in ONE
+    * corpus pass (union-term tf columns over one checkpointed frequency
+    * frame + a per-anchor projection each), so cost grows with the union
+    * vocabulary — sublinearly in anchor count — not with anchors × corpus
+    * scans as a per-anchor serve loop would. */
+  private def negativeScale(spark: SparkSession, n: Long): Unit = {
+    import graft.queries.NegativeQueries
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val bodyLen = (pmod(xxhash64(col("id"), lit(3)), lit(80)) + lit(20))
+    val body = concat_ws(" ",
+      transform(sequence(lit(1), bodyLen),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"), body.as("text"))
+      .localCheckpoint()
+    var base = 0.0
+    for (a <- Seq(1, 3, 6)) {
+      val anchors = docs.where(col("doc_id") < a)
+        .select(col("doc_id").as("anchor_id"))
+      var rows = 0
+      val t = (1 to 2).map(_ => time {
+        rows = NegativeQueries.hardNegatives(docs, anchors, 5, 10).collect().length
+      }).min
+      if (a == 1) base = t
+      println(f"[negatives] n=$n%,d anchors=$a: mining $t%.2f s " +
+        f"(rows=$rows, x${t / base}%.2f vs 1-anchor — a per-anchor scan loop would be x$a)")
+    }
+  }
+
   private def docScale(spark: SparkSession, n: Long): Unit = {
     import graft.ext.TextAnalysis.{shingles, words}
     import graft.ext.extfunctions.minhash_signature
