@@ -196,7 +196,9 @@ object Bench {
       // hyb2's invariants re-run both serves + both scan-form pools
       "hyb2_served_invariants",
       // mmr1's invariants replay the greedy selection stepwise
-      "mmr1_diversity_invariants")
+      "mmr1_diversity_invariants",
+      // kmv3 re-runs the exact card plus three sketch passes
+      "kmv3_sketch_invariants")
     val defs = SparkEntry.defs.filterNot(d => skip.contains(d.name))
 
     // JIT/codegen + parquet-footer warmup on the BENCHED dir (not timed):

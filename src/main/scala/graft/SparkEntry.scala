@@ -14,7 +14,8 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       SamplingQueries.all ++ CurationQueries.all ++ EventQueries.all ++
       RetrievalQueries.all ++ GraphQueries.all ++ HybridQueries.all ++
-      PrfQueries.all ++ DiversityQueries.all ++ NegativeQueries.all
+      PrfQueries.all ++ DiversityQueries.all ++ NegativeQueries.all ++
+      OverlapQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -449,4 +449,9 @@ object extfunctions {
     * ordering), returned sorted ascending — see [[BottomKAgg]]. */
   def bottom_k(v: Column, k: Int): Column =
     column(BottomKAgg(expression(v), k).toAggregateExpression())
+
+  /** KMV distinct-value sketch: the k smallest DISTINCT 64-bit hashes of
+    * `h`, sorted ascending — see [[KmvSketchAgg]]/[[Kmv]]. */
+  def kmv_sketch(h: Column, k: Int): Column =
+    column(KmvSketchAgg(expression(h), k).toAggregateExpression())
 }

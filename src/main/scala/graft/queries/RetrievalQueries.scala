@@ -1136,6 +1136,65 @@ object RetrievalQueries {
     phraseTopK(Tables(s, dir, "documents"), "hash", "join", Bm25TopK)
   }
 
+  /** Dirichlet-smoothed query-likelihood scoring (Zhai & Lafferty SIGIR
+    * 2001, μ = [[QlmMu]]): score(d) = Σ_t ln((tf + μ·cf_t/|C|)/(dl + μ)) —
+    * the second standard ranking model next to BM25, and the same scale
+    * shape as bm1: map-only tf columns inside whole-stage codegen, ONE
+    * bounded stats aggregate (collection frequencies + total tokens)
+    * broadcast back, TakeOrderedAndProject cut. Smoothing scores every
+    * doc (no `s > 0` floor — a zero-tf doc still has a likelihood), so
+    * the cut is the pure top-k. Contributions sum in sorted term order on
+    * both engines (the prf2/hn determinism contract). */
+  def qlmScoredDocs(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      mu: Double): org.apache.spark.sql.DataFrame = {
+    val ts = terms.sorted
+    val tfCols: Seq[Column] =
+      col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
+        ts.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ws"), x => x === t)).cast("double").as(s"tf${i + 1}")
+        }
+    val tf = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(tfCols: _*)
+      .localCheckpoint()
+    val st = tf.agg(sum(col("dl")).as("ctot"),
+      ts.indices.map(i => sum(col(s"tf${i + 1}")).as(s"cf${i + 1}")): _*)
+    val score = ts.indices.map { i =>
+      log((col(s"tf${i + 1}") + lit(mu) * (col(s"cf${i + 1}") / col("ctot"))) /
+        (col("dl") + lit(mu)))
+    }.reduce(_ + _)
+    tf.join(broadcast(st))
+      .select(col("doc_id"), score.as("s"))
+  }
+
+  private val QlmMu = 2000.0
+
+  private val ql1 = withOracle("ql1_lm_dirichlet", {
+    val ts = Bm25Terms.sorted
+    val tfCols = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf${i + 1}"
+    }.mkString(",\n       |        ")
+    val cfCols = ts.indices.map(i => s"sum(tf${i + 1}) AS cf${i + 1}")
+      .mkString(", ")
+    val scoreTerms = ts.indices.map { i =>
+      s"ln((tf${i + 1} + 2000*(cf${i + 1}/ctot))/(dl + 2000))"
+    }.mkString("\n       |  + ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+       |        $tfCols
+       |      FROM d),
+       |st AS (SELECT sum(dl) AS ctot, $cfCols FROM tf),
+       |sc AS (SELECT doc_id,
+       |    $scoreTerms AS s
+       |  FROM tf, st),
+       |r AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
+       |SELECT doc_id, round(s, 4) AS qlm FROM r WHERE rn <= $Bm25TopK""".stripMargin
+  }) { (s, dir) =>
+    qlmScoredDocs(Tables(s, dir, "documents"), Bm25Terms, QlmMu)
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), round(col("s"), 4).as("qlm"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1)
+    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1)
 }

@@ -563,6 +563,19 @@ object Smoke {
           s"${r.getLong(0)}->${r.getLong(1)}@${r.getDouble(3)}").mkString(",")} " +
         s"triplet_rows=${tri.length} " +
         s"triplet_anchors=${tri.map(_.getLong(0)).distinct.sorted.mkString("/")}")
+
+      // r17 second ranking model + sketched corpus-overlap card
+      val qlm = graft.queries.RetrievalQueries
+        .qlmScoredDocs(docsAll, Seq("join", "spark"), 2000.0)
+        .orderBy(col("s").desc, col("doc_id")).limit(3).collect()
+      val card = graft.SparkEntry.queries("kmv2_overlap_sketch")(spark, dir)
+        .collect()(0)
+      val cardExact = graft.SparkEntry.queries("kmv1_overlap_exact")(spark, dir)
+        .collect()(0)
+      println(f"OVERLAP-CARD: qlm_top=${qlm.map(r =>
+          s"${r.getLong(0)}:${"%.4f".format(r.getDouble(1))}").mkString(",")} " +
+        f"exact=(${cardExact.getLong(0)},${cardExact.getLong(1)},${cardExact.getLong(2)}) " +
+        f"est=(${card.getDouble(0)}%.0f,${card.getDouble(1)}%.0f,${card.getDouble(2)}%.1f)")
     }
     spark.stop()
   }

@@ -693,6 +693,66 @@ class ExtSpec extends AnyFunSuite {
     assert(again.toSet === tri.toSet)
   }
 
+  test("KMV sketch: exact below k, 4-sigma estimates above, mergeable, distinct") {
+    import graft.ext.Kmv
+    import graft.ext.extfunctions.kmv_sketch
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int): Array[Long] =
+      df.agg(kmv_sketch(xxhash64(col("id")), k).as("s"))
+        .collect()(0).getSeq[Long](0).toArray
+    // below k: the sketch IS the distinct hash set (exact estimate)
+    val small = sketch(spark.range(100).toDF("id"), 256)
+    assert(small.length === 100)
+    assert(Kmv.distinctEstimate(small, 256) === 100.0)
+    // duplicates never occupy slots: 3 copies of 100 distinct ids
+    val dup = sketch(spark.range(300).select((col("id") % 100).as("id")), 256)
+    assert(dup.toSeq === small.toSeq, "duplicate hashes must collapse")
+    // filled sketch: estimate within the 4-sigma bound of the truth
+    val n = 200000L
+    val k = 1024
+    val big = sketch(spark.range(n).toDF("id"), k)
+    assert(big.length === k)
+    val est = Kmv.distinctEstimate(big, k)
+    assert(math.abs(est - n) <= Kmv.distinctBound(est, filled = true, k),
+      s"est $est vs $n outside 4-sigma")
+    // mergeability: sketch(A) merged with sketch(B) = sketch(A union B)
+    val a = sketch(spark.range(0, n / 2).toDF("id"), k)
+    val b = sketch(spark.range(n / 4, n).toDF("id"), k) // overlapping halves
+    assert(Kmv.merge(a, b, k).toSeq === big.toSeq)
+    // overlap estimator on the planted 50% overlap
+    val (rho, cEst, uEst) = Kmv.overlapEstimate(a, b, k)
+    val exactCommon = n / 2 - n / 4
+    assert(math.abs(cEst - exactCommon) <=
+      Kmv.intersectionBound(rho, k, uEst), s"common est $cEst vs $exactCommon")
+    // structural: sorted strictly ascending
+    assert(big.zip(big.drop(1)).forall { case (p, q) => p < q })
+  }
+
+  test("Dirichlet query-likelihood ranking equals a driver-side recomputation") {
+    import graft.queries.Tables
+    val docs = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse("")
+          .trim.toLowerCase.split("\\s+").toSeq)
+    val terms = Seq("join", "spark", "window") // sorted — the pinned order
+    val mu = 2000.0
+    val ctot = docs.map(_._2.length.toDouble).sum
+    val cf = terms.map(t => t -> docs.map(_._2.count(_ == t).toDouble).sum).toMap
+    val expected = docs.map { case (id, ws) =>
+      val dl = ws.length.toDouble
+      val s = terms.map(t =>
+        math.log((ws.count(_ == t) + mu * (cf(t) / ctot)) / (dl + mu))).sum
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1).toSeq
+    val got = graft.SparkEntry.queries("ql1_lm_dirichlet")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // smoothing scores every doc: a top-20 exists even though no doc is
+    // required to match — and scores are all finite negatives
+    val scores = graft.SparkEntry.queries("ql1_lm_dirichlet")(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(scores.forall(s => s < 0 && !s.isInfinite && !s.isNaN))
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

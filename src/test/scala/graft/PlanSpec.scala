@@ -526,6 +526,31 @@ class PlanSpec extends AnyFunSuite {
       s"only the bottom_k merge may hash-shuffle:\n$p")
   }
 
+  test("ql1 Dirichlet LM keeps bm1's no-keyed-shuffle shape") {
+    val p = plan("ql1_lm_dirichlet")
+    assert(p.contains("TakeOrderedAndProject"), s"ql1 must not global-sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ql1 must not shuffle by key (stats are one bounded gather):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"ql1's stats join must broadcast:\n$p")
+  }
+
+  test("kmv sketch pass: one scan, partial k-entry state, no keyed shuffle, no join") {
+    // the whole point vs kmv1's exact card: the sketch pass is a
+    // partial-aggregate gather (k-entry TreeSet per task), never a
+    // g-keyed distinct exchange or an equi-join. kmv2's gate frame is a
+    // driver-built card, so the pin targets the sketch aggregation
+    // itself
+    val df = graft.queries.OverlapQueries.sketchFrame(
+      graft.queries.Tables(spark, dir, "documents"), bench = false)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmv_sketch"),
+      s"the sketch must aggregate map-side before the gather:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the sketch pass must not shuffle by key:\n$p")
+    assert(!p.contains("Join"), s"the sketch pass must not join:\n$p")
+  }
+
   test("lnk1 outlink extraction is map-only; pp1 is map-only + TakeOrdered") {
     val p1 = plan("lnk1_outlinks")
     assert(!p1.contains("Exchange"), s"lnk1 must not shuffle:\n$p1")
