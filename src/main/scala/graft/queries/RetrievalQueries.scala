@@ -1195,6 +1195,82 @@ object RetrievalQueries {
       .select(col("doc_id"), round(col("s"), 4).as("qlm"))
   }
 
+  /** IR evaluation metrics (ir1) — the eval side of the retrieval stack:
+    * MRR, nDCG@k (graded, Järvelin & Kekäläinen 2002), precision@k and
+    * recall@k of bm1's ranking against deterministic pseudo-qrels
+    * (graded relevance = how many of a RICHER 5-term set the doc
+    * contains; fully relevant = all 5 — the ranker sees only 3 of them,
+    * so the top-k genuinely mixes grades and the metrics discriminate).
+    *
+    * Scale shape: the ranking is bm1's TakeOrdered k rows; relevance is
+    * one map-only corpus pass feeding a bounded grade histogram (≤6
+    * rows — the ideal ranking needs only grade COUNTS, since the DCG
+    * term depends on the grade alone) plus a k-row broadcast-pruned
+    * grade lookup. All metric arithmetic runs driver-side over ≤k+6
+    * rows in pinned rank order (the bounded-model shape); the oracle
+    * pins the same order via `list_sum(list(… ORDER BY rn))`. */
+  private[graft] val QrelTerms =
+    Seq("spark", "join", "window", "sort", "merge")
+
+  private val ir1 = withOracle("ir1_eval_metrics", {
+    val relSum = QrelTerms
+      .map(t => s"CASE WHEN list_contains(ws,'$t') THEN 1 ELSE 0 END")
+      .mkString(" +\n       |    ")
+    s"""WITH $bm25ScoreCtes,
+       |r AS (SELECT doc_id, rn FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
+       |  WHERE rn <= $Bm25TopK),
+       |rel AS (SELECT doc_id,
+       |    ($relSum) AS rel FROM d),
+       |rr AS (SELECT r.rn, rel.rel FROM r JOIN rel ON r.doc_id = rel.doc_id),
+       |dcg AS (SELECT list_sum(list((pow(2, rel)-1)/(ln(rn+1)/ln(2)) ORDER BY rn)) AS v FROM rr),
+       |ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC) AS rn FROM rel QUALIFY rn <= $Bm25TopK),
+       |idcg AS (SELECT list_sum(list((pow(2, rel)-1)/(ln(rn+1)/ln(2)) ORDER BY rn)) AS v FROM ideal),
+       |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel WHERE rel = ${QrelTerms.size}),
+       |m AS (SELECT coalesce(1.0/min(rn), 0.0) AS v FROM rr WHERE rel = ${QrelTerms.size}),
+       |hit AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM rr WHERE rel = ${QrelTerms.size})
+       |SELECT round(m.v, 6) AS mrr, round(dcg.v/idcg.v, 6) AS ndcg_k,
+       |       round(hit.v/$Bm25TopK, 6) AS precision_k,
+       |       round(hit.v/nrel.n_relevant, 6) AS recall_k,
+       |       nrel.n_relevant
+       |FROM m, dcg, idcg, hit, nrel""".stripMargin
+  }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val ranked = bm25TopK(docs, Bm25Terms, Bm25TopK)
+      .collect().map(_.getLong(0))
+    val relCol = QrelTerms
+      .map(t => when(array_contains(words(col("text")), t), 1).otherwise(0))
+      .reduce(_ + _)
+    val relFrame = docs.select(col("doc_id"), relCol.as("rel"))
+      .localCheckpoint()
+    val hist = relFrame.groupBy(col("rel")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val gradeOf = relFrame.where(col("doc_id").isin(ranked.map(Long.box): _*))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = QrelTerms.size
+    val nRelevant = hist.getOrElse(full, 0L)
+    // ideal top-k grades from the histogram (DCG depends on grade only)
+    val ideal = hist.toSeq.sortBy(-_._1)
+      .flatMap { case (g, n) => Seq.fill(math.min(n, Bm25TopK.toLong).toInt)(g) }
+      .take(Bm25TopK)
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    def dcgOf(grades: Seq[Int]): Double =
+      grades.zipWithIndex.map { case (g, i) =>
+        (math.pow(2, g) - 1) / log2(i + 2.0)
+      }.sum
+    val grades = ranked.map(gradeOf).toSeq
+    val mrr = grades.zipWithIndex
+      .collectFirst { case (g, i) if g == full => 1.0 / (i + 1) }
+      .getOrElse(0.0)
+    val nHit = grades.count(_ == full).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((r6(mrr), r6(dcgOf(grades) / dcgOf(ideal)), r6(nHit / Bm25TopK),
+      r6(nHit / nRelevant), nRelevant))
+      .toDF("mrr", "ndcg_k", "precision_k", "recall_k", "n_relevant")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1)
+    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1, ir1)
 }

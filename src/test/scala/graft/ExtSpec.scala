@@ -753,6 +753,40 @@ class ExtSpec extends AnyFunSuite {
     assert(scores.forall(s => s < 0 && !s.isInfinite && !s.isNaN))
   }
 
+  test("IR eval metrics recompute from raw text and discriminate on this fixture") {
+    import graft.queries.Tables
+    val row = graft.SparkEntry.queries("ir1_eval_metrics")(spark, sf)
+      .collect().head
+    val (mrr, ndcg, prec, rec, nRel) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getLong(4))
+    // independent recomputation from collected raw text (ranking ids ride
+    // bm1's hash-proven ordering; everything else re-derived here)
+    val toks = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse("")
+          .trim.toLowerCase.split("\\s+").toSet).toMap
+    val qrels = Seq("spark", "join", "window", "sort", "merge")
+    val grade = toks.view.mapValues(ws => qrels.count(ws)).toMap
+    val ranked = graft.queries.RetrievalQueries
+      .bm25TopK(Tables(spark, sf, "documents"), Seq("spark", "join", "window"), 20)
+      .collect().map(_.getLong(0)).toSeq
+    val g = ranked.map(grade)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def dcg(gs: Seq[Int]) = gs.zipWithIndex
+      .map { case (x, i) => (math.pow(2, x) - 1) / log2(i + 2.0) }.sum
+    val ideal = grade.values.toSeq.sorted(Ordering[Int].reverse).take(20)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mrr === r6(g.zipWithIndex.collectFirst {
+      case (5, i) => 1.0 / (i + 1) }.getOrElse(0.0)))
+    assert(ndcg === r6(dcg(g) / dcg(ideal)))
+    assert(prec === r6(g.count(_ == 5) / 20.0))
+    assert(nRel === grade.values.count(_ == 5).toLong)
+    assert(rec === r6(g.count(_ == 5).toDouble / nRel))
+    // the fixture discriminates: metrics are strictly inside (0, 1)
+    assert(ndcg > 0 && ndcg < 1, s"ndcg $ndcg should be non-degenerate")
+    assert(prec > 0 && prec < 1)
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
