@@ -23,6 +23,25 @@ object DocStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(graft.ext.TextAnalysis.words(col("text")))).as("total_tokens"))
 
+  /** Streaming VOCABULARY card — kmv1/kmv2's live analogue: a running
+    * KMV distinct-4-gram sketch per source over the arriving corpus
+    * (one ≤k-long array per stratum — bounded by strata cardinality and
+    * k, never by stream volume). The sketch aggregate's merge IS the
+    * micro-batch fold, so the card is exactly the batch sketch of all
+    * rows seen (streaming ≡ batch, suite-pinned) — and two cards (two
+    * streams, a stream and a snapshot) merge with [[graft.ext.Kmv.merge]]
+    * into the union's sketch, which is how the live card folds into the
+    * corpus card without re-reading anything. Distinct-count/overlap
+    * estimates are a read-time fold ([[graft.ext.Kmv]]), same stance as
+    * [[driftCard]]'s read-time PSI. No watermark — cumulative card, late
+    * documents still count (the rp1 stance). */
+  def vocabularyCard(stream: DataFrame, k: Int = 4096): DataFrame =
+    stream.select(col("source"),
+        explode(graft.ext.TextAnalysis.shingles(
+          graft.ext.TextAnalysis.words(col("text")), 4)).as("g"))
+      .groupBy(col("source"))
+      .agg(graft.ext.extfunctions.kmv_sketch(xxhash64(col("g")), k).as("sketch"))
+
   /** Streaming distribution-drift card — rp3's live analogue: the BASE
     * snapshot's per-language decile cuts are computed batch-side
     * ([[graft.queries.CurationQueries.decileCuts]], exact or DDSketch)

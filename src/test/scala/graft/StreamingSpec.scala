@@ -229,6 +229,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vocabulary card equals the batch sketch and merges across strata") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, String)]
+    val df = stream.toDF().select(col("_1").as("source"), col("_2").as("text"))
+    val docs = Seq(
+      ("web", "alpha beta gamma delta epsilon zeta"),
+      ("web", "beta gamma delta epsilon zeta eta"),
+      ("books", "one two three four five six seven"),
+      ("books", "two three four five six seven eight"))
+    stream.addData(docs.take(2): _*)
+    val q = graft.streaming.DocStream.vocabularyCard(df, k = 256)
+      .writeStream.format("memory").queryName("vocab_card")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val card = spark.table("vocab_card").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      // streaming ≡ batch: the card after both micro-batches is the batch
+      // sketch over all rows (the aggregate's merge IS the fold)
+      val batch = graft.streaming.DocStream
+        .vocabularyCard(docs.toDF("source", "text"), k = 256)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      assert(card.keySet === Set("web", "books"))
+      card.foreach { case (s, sk) => assert(sk.toSeq === batch(s).toSeq, s"stratum $s") }
+      // below-k sketches are exact: estimates equal true distinct 4-gram counts
+      def grams(texts: Seq[String]): Set[String] = texts.flatMap(t =>
+        t.trim.toLowerCase.split("\\s+").toSeq.sliding(4).map(_.mkString(" "))).toSet
+      assert(graft.ext.Kmv.distinctEstimate(card("web"), 256) ===
+        grams(docs.filter(_._1 == "web").map(_._2)).size.toDouble)
+      // cross-strata merge is the union's sketch — the card→corpus-card fold
+      val union = graft.ext.Kmv.merge(card("web"), card("books"), 256)
+      val all = graft.streaming.DocStream
+        .vocabularyCard(docs.map { case (_, t) => ("all", t) }.toDF("source", "text"), k = 256)
+        .collect().head.getSeq[Long](1).toArray
+      assert(union.toSeq === all.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming WARC ingestion: shards parsed as they land, each exactly once") {
     import graft.sources.Warc
     val docs = Warc.withUrls(
