@@ -1271,6 +1271,56 @@ object RetrievalQueries {
       .toDF("mrr", "ndcg_k", "precision_k", "recall_k", "n_relevant")
   }
 
+  /** Snippet generation (sg1) — the serving post-pass every search stack
+    * ships: for each top hit, the best fixed-width window (most query-term
+    * occurrences; ties → earliest start). Map-only over the k hit docs
+    * (broadcast semi-prune — the corpus never explodes): window
+    * candidates are a per-doc sequence explode bounded by k·max_dl rows,
+    * and the per-doc argmax window ranks that bounded frame, so the
+    * whole operator is a k-doc sliver regardless of corpus size. */
+  private val SnippetWidth = 8
+  private val SnippetDocs = 5
+
+  def snippets(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      nDocs: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25TopK(docs, terms, nDocs).select("doc_id")
+    val wins = docs.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - lit(w - 1), lit(1))))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        slice(col("ws"), col("i"), lit(w)).as("win"))
+      .select(col("doc_id"), col("i").cast("long").as("start_idx"),
+        size(filter(col("win"), x => x.isInCollection(terms))).cast("long")
+          .as("n_hits"),
+        array_join(col("win"), " ").as("snippet"))
+    wins.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n_hits").desc, col("start_idx"))))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private val sg1 = withOracle("sg1_snippets", {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(",")
+    s"""WITH $bm25ScoreCtes,
+       |top5 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
+       |  WHERE rn <= $SnippetDocs),
+       |dd AS (SELECT d.doc_id, d.ws FROM d JOIN top5 USING (doc_id)),
+       |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS start_idx,
+       |    CAST(len(list_filter(ws[i:i+${SnippetWidth - 1}], x -> list_contains([$termList], x))) AS BIGINT) AS n_hits,
+       |    array_to_string(ws[i:i+${SnippetWidth - 1}], ' ') AS snippet
+       |  FROM dd, unnest(range(1, greatest(len(ws) - ${SnippetWidth - 2}, 2))) AS t(i)),
+       |best AS (SELECT doc_id, start_idx, n_hits, snippet,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, start_idx) AS rn FROM wins)
+       |SELECT doc_id, start_idx, n_hits, snippet FROM best WHERE rn = 1""".stripMargin
+  }) { (s, dir) =>
+    snippets(Tables(s, dir, "documents"), Bm25Terms, SnippetDocs, SnippetWidth)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1, ir1)
+    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1, ir1,
+      sg1)
 }

@@ -787,6 +787,29 @@ class ExtSpec extends AnyFunSuite {
     assert(prec > 0 && prec < 1)
   }
 
+  test("snippets are the true argmax window of each top hit") {
+    import graft.queries.Tables
+    val terms = Set("spark", "join", "window")
+    val toks = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse("")
+          .trim.toLowerCase.split("\\s+").toSeq).toMap
+    val got = graft.SparkEntry.queries("sg1_snippets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length === 5)
+    got.foreach { case (id, start, hits, snippet) =>
+      val ws = toks(id)
+      // enumerate every width-8 window: none beats (hits desc, start asc)
+      val wins = (1 to math.max(ws.length - 7, 1)).map { i =>
+        val w = ws.slice(i - 1, i - 1 + 8)
+        (i.toLong, w.count(terms).toLong, w.mkString(" "))
+      }
+      val best = wins.minBy { case (i, h, _) => (-h, i) }
+      assert((start, hits, snippet) === best, s"doc $id window drift")
+      assert(hits >= 1, s"a top-BM25 hit must have a matching window")
+    }
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
