@@ -1320,7 +1320,72 @@ object RetrievalQueries {
     snippets(Tables(s, dir, "documents"), Bm25Terms, SnippetDocs, SnippetWidth)
   }
 
+  /** "Did you mean" spell suggestion (dym1/dym2): for each misspelled
+    * query term, the vocabulary terms within edit distance
+    * [[DymMaxDist]], ranked (distance asc, df desc, term asc). The
+    * candidate pass is map-side Levenshtein over the DICTIONARY — bounded
+    * by vocabulary size, not corpus size — so the per-query ranking
+    * window runs over a bounded frame. dym1 derives the dictionary from
+    * the corpus (ii1's one vocabulary-keyed exchange); dym2 reads it
+    * from the versioned scored index's per-term df SIDECAR — a
+    * (term, df) table, no postings touched, no corpus scan: the shape a
+    * 100 TB deployment serves suggestions from. */
+  private val DymQueries = Seq("joim", "scon", "stram")
+  private val DymMaxDist = 2
+  private val DymTopK = 5
+
+  /** Rank suggestion candidates from a (term, df) dictionary frame. */
+  def didYouMean(vocab: org.apache.spark.sql.DataFrame,
+      queries: Seq[String], maxDist: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.map(x => s"'$x'").mkString(",")
+    vocab
+      .crossJoin(broadcast(
+        vocab.sparkSession.sql(s"SELECT explode(array($q)) AS query")))
+      .withColumn("dist", levenshtein(col("term"), col("query")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query")
+          .orderBy(col("dist"), col("df").desc, col("term"))))
+      .where(col("rn") <= k)
+      .select(col("query"), col("term"), col("dist"), col("df"))
+  }
+
+  private def dymSql: String = {
+    val qList = DymQueries.map(x => s"'$x'").mkString(",")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |v AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+       |    SELECT doc_id, unnest(list_distinct(ws)) AS term FROM d) GROUP BY term),
+       |q AS (SELECT unnest([$qList]) AS query),
+       |c AS (SELECT q.query, v.term, CAST(levenshtein(v.term, q.query) AS BIGINT) AS dist, v.df
+       |      FROM v CROSS JOIN q WHERE levenshtein(v.term, q.query) <= $DymMaxDist),
+       |r AS (SELECT query, term, dist, df,
+       |    row_number() OVER (PARTITION BY query ORDER BY dist, df DESC, term) AS rn FROM c)
+       |SELECT query, term, dist, df FROM r WHERE rn <= $DymTopK""".stripMargin
+  }
+
+  /** Corpus-derived dictionary: (term, document frequency). */
+  private def corpusVocab(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  private val dym1 = withOracle("dym1_did_you_mean", dymSql) { (s, dir) =>
+    didYouMean(corpusVocab(Tables(s, dir, "documents")), DymQueries,
+      DymMaxDist, DymTopK)
+  }
+
+  /** dym2: the SERVED form — the dictionary is the scored index's df
+    * sidecar (one ≤|vocab|-row read under the versioned marker; df there
+    * is the same document frequency by construction, suite-pinned
+    * sidecar ≡ recount), hash-checked against the identical oracle. */
+  private val dym2 = withOracle("dym2_dym_served", dymSql) { (s, dir) =>
+    val sidecar = readScoredDfs(s, scoredIndexFor(s, dir)).getOrElse(
+      throw new IllegalStateException("scored index has no df sidecar"))
+    didYouMean(sidecar.select(col("term"), col("df").cast("long").as("df")),
+      DymQueries, DymMaxDist, DymTopK)
+  }
+
   val all: Seq[QueryDef] =
     Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1, ir1,
-      sg1)
+      sg1, dym1, dym2)
 }

@@ -810,6 +810,35 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("did-you-mean: true nearest vocabulary terms, served ≡ scan-form") {
+    val scan = graft.SparkEntry.queries("dym1_did_you_mean")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val served = graft.SparkEntry.queries("dym2_dym_served")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(scan.toSet === served.toSet,
+      "the sidecar dictionary must suggest identically to the corpus scan")
+    // every suggestion is within the distance budget of its query and
+    // its df is the true document frequency
+    val toks = graft.queries.Tables(spark, sf, "documents").collect()
+      .map(r => Option(r.getAs[String]("text")).getOrElse("")
+        .trim.toLowerCase.split("\\s+").toSet)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    scan.foreach { case (q, t, dist, df) =>
+      assert(lev(q, t) === dist && dist <= 2, s"$q -> $t distance drift")
+      assert(toks.count(_.contains(t)).toLong === df, s"$t df drift")
+    }
+    // the intended corrections surface as the top suggestion per query
+    val top = scan.groupBy(_._1).view.mapValues(_.minBy(s => (s._3, -s._4, s._2))._2).toMap
+    assert(top === Map("joim" -> "join", "scon" -> "scan", "stram" -> "stream"))
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
