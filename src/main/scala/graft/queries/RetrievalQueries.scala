@@ -1385,7 +1385,80 @@ object RetrievalQueries {
       DymQueries, DymMaxDist, DymTopK)
   }
 
+  /** MULTI-QUERY batch serve (ii11) — query-throughput amortization: Q
+    * ranked queries answered from ONE pruned index scan. The postings
+    * read prunes by the UNION of all query terms (one isin pushdown, one
+    * scan, one checkpoint — vs Q separate serve calls each re-reading
+    * the artifact); a broadcast (query_id, term) map replicates shared-
+    * term candidate rows per query map-side; then one (query, doc)-keyed
+    * sum and a per-query bottom_k heap (partial per task — the exchange
+    * carries ≤ Q·k·tasks heap rows, never a per-query window funnel).
+    * Exactness: uncapped prefixes ⇒ pruned-count df IS true df, so each
+    * query's answer is hash-identical to its single serve (suite-pinned)
+    * and to the shared generic oracle. */
+  def bm25FromIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: Seq[(String, Seq[String])],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val union = queries.flatMap(_._2).distinct
+    val post = readScoredPostings(spark, indexPath)
+      .where(col("term").isin(union: _*))
+      .localCheckpoint()
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val contrib = post
+      .join(broadcast(dfs), "term")
+      .join(broadcast(readScoredStats(spark, indexPath).select("n", "avgdl")))
+      .join(broadcast(qt), "term")
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("c"))
+    contrib
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("c")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(bottom_k(struct((-col("s")).as("ns"), col("doc_id").as("id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        round(-col("t.ns"), 4).as("bm25"))
+  }
+
+  private val BatchQueries: Seq[(String, Seq[String])] =
+    Seq("q1" -> Bm25Terms, "q2" -> Seq("sort", "merge"))
+
+  private val ii11 = withOracle("ii11_bm25_batch", {
+    val qtRows = BatchQueries.map { case (q, ts) =>
+      s"SELECT '$q' AS query_id, unnest([${ts.map(t => s"'$t'").mkString(",")}]) AS term"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |qt AS (
+       |  $qtRows),
+       |ut AS (SELECT DISTINCT term FROM qt),
+       |tf2 AS (SELECT dd.doc_id, ut.term,
+       |          CAST(len(list_filter(dd.ws, x -> x = ut.term)) AS DOUBLE) AS tfv,
+       |          CAST(len(dd.ws) AS DOUBLE) AS dl
+       |        FROM d dd CROSS JOIN ut),
+       |st2 AS (SELECT term, CAST(sum(CASE WHEN tfv>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
+       |        FROM tf2 GROUP BY term),
+       |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |             avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d),
+       |contrib AS (SELECT t.doc_id, t.term,
+       |    ln(1+(g.n-s2.df+0.5)/(s2.df+0.5)) * (t.tfv*2.2)/(t.tfv + 1.2*(0.25 + 0.75*t.dl/g.avgdl)) AS c
+       |  FROM tf2 t, st2 s2, g WHERE t.term = s2.term),
+       |qs AS (SELECT qt.query_id, c.doc_id, list_sum(list(c.c ORDER BY c.term)) AS s
+       |  FROM qt JOIN contrib c ON qt.term = c.term
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, s,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+       |      FROM qs WHERE s > 0)
+       |SELECT query_id, doc_id, round(s, 4) AS bm25 FROM r WHERE rn <= $Bm25TopK""".stripMargin
+  }) { (s, dir) =>
+    bm25FromIndexBatch(s, scoredIndexFor(s, dir), BatchQueries, Bm25TopK)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, pp1, ql1, ir1,
-      sg1, dym1, dym2)
+    Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, ii11, pp1,
+      ql1, ir1, sg1, dym1, dym2)
 }

@@ -75,6 +75,11 @@ object Diag {
       negativeScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("batchserve")) {
+      batchServeScale(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L),
+        args.lift(2).map(_.toInt).getOrElse(8))
+      spark.stop(); return
+    }
     if (args.headOption.contains("newops")) {
       newOps(spark, args.lift(1).map(_.toLong).getOrElse(1_000_000L))
       spark.stop(); return
@@ -1116,6 +1121,40 @@ object Diag {
       println(f"[negatives] n=$n%,d anchors=$a: mining $t%.2f s " +
         f"(rows=$rows, x${t / base}%.2f vs 1-anchor — a per-anchor scan loop would be x$a)")
     }
+  }
+
+  /** Batch BM25 serve vs Q single serves at synthetic corpus scale
+    * (iicap's varied regime): the amortization claim under measure — one
+    * pruned postings scan + one (query, doc) pass for ALL queries vs Q
+    * separate artifact reads. */
+  private def batchServeScale(spark: SparkSession, n: Long, q: Int): Unit = {
+    import graft.queries.RetrievalQueries
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val dir = java.nio.file.Files.createTempDirectory("graft_batchserve_").toString
+    val bodyLen = (pmod(xxhash64(col("id"), lit(3)), lit(80)) + lit(20))
+    val body = concat_ws(" ",
+      transform(sequence(lit(1), bodyLen),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val docs = spark.range(n).select(col("id").as("doc_id"), body.as("text"))
+    val tBuild = time(RetrievalQueries.fullIndexWriteScored(docs,
+      s"$dir/index", shards = math.max(32, (n / 250000).toInt)))
+    println(f"[batchserve] n=$n%,d: scored-index build $tBuild%.1f s")
+    // q 3-term queries over disjoint mid-frequency terms
+    val queries = (0 until q).map(i =>
+      s"q$i" -> Seq(s"w${100 + 3 * i}", s"w${101 + 3 * i}", s"w${102 + 3 * i}"))
+    val tSingle = (1 to 2).map(_ => time {
+      queries.foreach { case (_, ts) =>
+        RetrievalQueries.bm25FromIndex(spark, s"$dir/index", ts, 20).collect()
+      }
+    }).min
+    var rows = 0
+    val tBatch = (1 to 2).map(_ => time {
+      rows = RetrievalQueries.bm25FromIndexBatch(spark, s"$dir/index",
+        queries, 20).collect().length
+    }).min
+    println(f"[batchserve] q=$q singles $tSingle%.2f s, batch $tBatch%.2f s " +
+      f"(x${tSingle / tBatch}%.1f amortization, $rows rows)")
   }
 
   private def docScale(spark: SparkSession, n: Long): Unit = {

@@ -1219,6 +1219,56 @@ class ToolsSpec extends AnyFunSuite {
     assert(torn.isEmpty, s"torn/mixed marker payloads observed: $torn")
   }
 
+  test("batch BM25 serve ≡ the single serves, from one pruned postings scan") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_batchidx_")
+      .toString + "/index"
+    graft.queries.RetrievalQueries.fullIndexWriteScored(docs, path, shards = 4)
+    val queries = Seq("a" -> Seq("spark", "join", "window"),
+      "b" -> Seq("sort", "merge"), "c" -> Seq("spark", "sort"))
+    val batch = graft.queries.RetrievalQueries
+      .bm25FromIndexBatch(spark, path, queries, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    queries.foreach { case (q, ts) =>
+      val single = graft.queries.RetrievalQueries
+        .bm25FromIndex(spark, path, ts, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(q) === single && single.nonEmpty,
+        s"batch query $q must equal its single serve")
+    }
+    // ONE pruned postings read feeds every query: the union-term isin
+    // reaches the parquet scan, and the batch plan scans the postings
+    // artifact exactly once (the checkpoint; the per-query fan-out is a
+    // broadcast (query_id, term) map, not a re-read)
+    val union = queries.flatMap(_._2).distinct
+    val prePlan = graft.queries.RetrievalQueries.readScoredPostings(spark, path)
+      .where(col("term").isin(union: _*))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(prePlan).isDefined,
+      s"union-term isin must reach the postings scan:\n$prePlan")
+    val df = graft.queries.RetrievalQueries
+      .bm25FromIndexBatch(spark, path, queries, 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the postings PARQUET is read once, at checkpoint materialization:
+    // the serve plan touches only the in-memory checkpoint (twice — the
+    // df count and the scoring pass), never the artifact again
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("postings")),
+      s"the batch serve must not re-read the postings artifact:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(finalPlan).size === 2,
+      s"the pruned checkpoint feeds exactly df-count + scoring:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"df/stats/query-map attaches must broadcast:\n$plan")
+    assert(plan.contains("partial_bottom_k"),
+      s"the per-query cut must be the map-side heap:\n$plan")
+  }
+
   test("legacy pre-versioned ANN marker fails with a clear diagnosis") {
     val path = java.nio.file.Files.createTempDirectory("graft_annlegacy_")
       .toString + "/index"
