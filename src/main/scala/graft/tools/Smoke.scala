@@ -576,6 +576,22 @@ object Smoke {
           s"${r.getLong(0)}:${"%.4f".format(r.getDouble(1))}").mkString(",")} " +
         f"exact=(${cardExact.getLong(0)},${cardExact.getLong(1)},${cardExact.getLong(2)}) " +
         f"est=(${card.getDouble(0)}%.0f,${card.getDouble(1)}%.0f,${card.getDouble(2)}%.1f)")
+
+      // r17 serving extras: batch serve (one pruned scan for Q queries),
+      // spell suggestion from the df sidecar, snippets for the top hits
+      val batch = graft.queries.RetrievalQueries.bm25FromIndexBatch(spark,
+        fidx, Seq("qa" -> Seq("spark", "join"), "qb" -> Seq("sort", "merge")), 5)
+        .collect()
+      val dym = graft.queries.RetrievalQueries.didYouMean(
+        graft.queries.RetrievalQueries.readScoredDfs(spark, fidx).get
+          .select(col("term"), col("df").cast("long").as("df")),
+        Seq("spakr"), 2, 3).collect()
+      val snip = graft.queries.RetrievalQueries.snippets(
+        docsAll, Seq("spark", "join"), 2, 8).collect()
+      println(s"SERVE-EXTRAS: batch_rows=${batch.length} " +
+        s"batch_qs=${batch.map(_.getString(0)).distinct.sorted.mkString("/")} " +
+        s"dym=${dym.map(r => s"${r.getString(0)}->${r.getString(1)}").mkString(",")} " +
+        s"snippets=${snip.map(r => s"${r.getLong(0)}@${r.getLong(1)}:${r.getLong(2)}hits").mkString(",")}")
     }
     spark.stop()
   }
