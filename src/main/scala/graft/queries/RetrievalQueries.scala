@@ -1458,7 +1458,75 @@ object RetrievalQueries {
     bm25FromIndexBatch(s, scoredIndexFor(s, dir), BatchQueries, Bm25TopK)
   }
 
+  /** Ranker agreement (ir2) — rank-biased overlap (Webber et al. TOIS
+    * 2010, p = 0.9, truncated at k) plus plain overlap between the BM25
+    * and query-likelihood rankings of the same query: the diagnostic a
+    * ranking change ships with ("how differently would results come
+    * back"). Both rankings are the gates' own TakeOrdered k rows; the
+    * agreement arithmetic runs driver-side over ≤2k rows in pinned depth
+    * order (the oracle pins the same order via
+    * `list_sum(list(… ORDER BY d))`). On this fixture the two models
+    * agree on 15 of 20 docs but order them differently (RBO 0.36) — the
+    * prefix-weighted metric discriminates where set overlap cannot. */
+  private val RboP = 0.9
+
+  private val ir2 = withOracle("ir2_ranker_agreement", {
+    val ts = Bm25Terms.sorted
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf${i + 1}"
+    }.mkString(", ")
+    val qtfCols = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS qtf${i + 1}"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf${i + 1}>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df${i + 1}").mkString(", ")
+    val cfCols = ts.indices.map(i => s"sum(qtf${i + 1}) AS cf${i + 1}").mkString(", ")
+    val bmExpr = Bm25Terms.indices.map(i =>
+      s"ln(1+(n-df${i + 1}+0.5)/(df${i + 1}+0.5)) * (tf${i + 1}*2.2)/(tf${i + 1} + 1.2*(0.25 + 0.75*dl/avgdl))")
+      .mkString("\n       |    + ")
+    val qlExpr = ts.indices.map(i =>
+      s"ln((qtf${i + 1} + 2000*(cf${i + 1}/ctot))/(dl + 2000))")
+      .mkString("\n       |    + ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols, $qtfCols FROM d),
+       |s1 AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfCols FROM tf),
+       |s2 AS (SELECT sum(dl) AS ctot, $cfCols FROM tf),
+       |ra AS (SELECT doc_id, rn FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM
+       |       (SELECT doc_id,
+       |    $bmExpr AS s FROM tf, s1)) WHERE rn <= $Bm25TopK),
+       |rb AS (SELECT doc_id, rn FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM
+       |       (SELECT doc_id,
+       |    $qlExpr AS s FROM tf, s2)) WHERE rn <= $Bm25TopK),
+       |j AS (SELECT ra.doc_id, ra.rn AS r1, rb.rn AS r2 FROM ra JOIN rb USING (doc_id)),
+       |x AS (SELECT dd.d, CAST(count(j.doc_id) AS DOUBLE) AS xd
+       |      FROM unnest(range(1, ${Bm25TopK + 1})) AS dd(d)
+       |      LEFT JOIN j ON j.r1 <= dd.d AND j.r2 <= dd.d
+       |      GROUP BY dd.d),
+       |rbo AS (SELECT ${1 - RboP} * list_sum(list(xd / d * pow($RboP, d - 1) ORDER BY d)) AS v FROM x),
+       |ov AS (SELECT CAST(count(*) AS DOUBLE) AS common FROM j)
+       |SELECT round(rbo.v, 6) AS rbo, round(ov.common/$Bm25TopK, 6) AS overlap_k,
+       |       CAST(ov.common AS BIGINT) AS n_common FROM rbo, ov""".stripMargin
+  }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val a = bm25TopK(docs, Bm25Terms, Bm25TopK).collect().map(_.getLong(0))
+    val b = qlmScoredDocs(docs, Bm25Terms, QlmMu)
+      .orderBy(col("s").desc, col("doc_id")).limit(Bm25TopK)
+      .collect().map(_.getLong(0))
+    val rank2 = b.zipWithIndex.toMap // 0-based: rank ≤ d ⇔ idx < d
+    val k = Bm25TopK
+    val rbo = (1 - RboP) * (1 to k).map { dd =>
+      val xd = a.take(dd).count(id => rank2.get(id).exists(_ < dd)).toDouble
+      xd / dd * math.pow(RboP, dd - 1)
+    }.sum
+    val nCommon = a.count(rank2.contains).toLong
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((r6(rbo), r6(nCommon.toDouble / k), nCommon))
+      .toDF("rbo", "overlap_k", "n_common")
+  }
+
   val all: Seq[QueryDef] =
     Seq(bm1, ii1, ii2, ii3, ii4, ii5, ii6, ii7, ii8, ii9, ii10, ii11, pp1,
-      ql1, ir1, sg1, dym1, dym2)
+      ql1, ir1, ir2, sg1, dym1, dym2)
 }

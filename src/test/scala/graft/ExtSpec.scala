@@ -839,6 +839,34 @@ class ExtSpec extends AnyFunSuite {
     assert(top === Map("joim" -> "join", "scon" -> "scan", "stram" -> "stream"))
   }
 
+  test("ranker agreement: RBO formula pinned, gate values recompute") {
+    import graft.queries.{RetrievalQueries, Tables}
+    val docs = Tables(spark, sf, "documents")
+    val terms = Seq("spark", "join", "window")
+    val a = RetrievalQueries.bm25TopK(docs, terms, 20).collect().map(_.getLong(0)).toSeq
+    val b = RetrievalQueries.qlmScoredDocs(docs, terms, 2000.0)
+      .orderBy(col("s").desc, col("doc_id")).limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    def rbo(x: Seq[Long], y: Seq[Long], p: Double, k: Int): Double = {
+      val ry = y.zipWithIndex.toMap
+      (1 - p) * (1 to k).map { d =>
+        x.take(d).count(id => ry.get(id).exists(_ < d)).toDouble / d *
+          math.pow(p, d - 1)
+      }.sum
+    }
+    // identical rankers: truncated RBO equals its analytic maximum 1 - p^k
+    assert(math.abs(rbo(a, a, 0.9, 20) - (1 - math.pow(0.9, 20))) < 1e-12)
+    val row = graft.SparkEntry.queries("ir2_ranker_agreement")(spark, sf)
+      .collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(0) === r6(rbo(a, b, 0.9, 20)))
+    assert(row.getLong(2) === a.count(b.toSet).toLong)
+    assert(row.getDouble(1) === r6(row.getLong(2).toDouble / 20))
+    // the two models genuinely disagree on ordering here: RBO is well
+    // below both the identical-ranker max and the plain overlap
+    assert(row.getDouble(0) < row.getDouble(1))
+  }
+
   test("LSH ANN recall@5 vs brute force is high at this corpus size") {
     val brute = graft.SparkEntry.queries("s1_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
