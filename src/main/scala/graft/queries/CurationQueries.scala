@@ -75,7 +75,14 @@ object CurationQueries {
 
     // t5's gopher gate (the one shared definition), over the shared words
     // array — gopherPassesWs so `ws` is computed once for gate + token
-    // count + shingles
+    // count + shingles.
+    // r17 NOTE (guide §1.1, measured): gop feeds three consumers (keeper
+    // election, contamination probe, final projection), but a
+    // localCheckpoint MEASURED SLOWER at sf0.1 (cur1 1.83 → 2.54 s,
+    // window-normalized): the checkpoint must materialize the full `ws`
+    // word arrays (the widest column, needed downstream for shingles),
+    // which costs more than re-running the cheap tokenize projection.
+    // Double evaluation stays (the t7/rp3 verdict).
     val gop = pool.select(col("doc_id"), col("lang"), col("ws"),
       md5(col("text").cast("binary")).as("ch"),
       size(col("ws")).as("n_tokens"),
@@ -395,6 +402,14 @@ object CurationQueries {
     * against those cuts. Accuracy property in QueriesSpec. */
   def driftOf(s: SparkSession, docs: DataFrame,
       sketchQuantiles: Boolean = false): DataFrame = {
+    // r17 NOTE (guide §1.1, measured): `tok` feeds the decile-cut
+    // aggregate AND the bucketing pass (two tokenize passes in one plan),
+    // but a localCheckpoint of the narrow frame MEASURED SLOWER at sf0.1
+    // (rp3 1.64 → 2.21 s, window-normalized): size(words(..)) is one
+    // cheap codegen'd projection, and the checkpoint's extra blocking job
+    // costs more than the recompute. Double evaluation stays (the t7/cur1
+    // verdict; contrast d13/cur3/sm5 where the recomputed subtree is
+    // heavy enough that the same move measured 20-30% faster).
     val tok = docs.select(
       col("doc_id"), col("lang"),
       size(words(col("text"))).as("t"),
@@ -584,10 +599,17 @@ object CurationQueries {
     val c4 = TextQueries.c4CleanOf(docs)
     // rejected pages vanish inside the explode — no Filter over the HOF
     // columns, no pushdown cloning (posexplode of an empty array emits
-    // nothing; `when` without otherwise gives null, also nothing)
+    // nothing; `when` without otherwise gives null, also nothing).
+    // r17 (guide §1.2): kl feeds BOTH the corpus-wide line count and the
+    // reassembly join — unmaterialized, the whole boilerplate-plant +
+    // C4-clean + explode subtree evaluated twice in one plan (two full
+    // `documents` scans in the before-plan). localCheckpoint runs it
+    // once; at 100 TB this is the cleaned-line table the pipeline lands
+    // between its clean and dedup stages anyway (d13's discipline).
     val kl = c4.select(col("doc_id"), col("n_lines"), col("n_kept"),
         posexplode(when(col("page_kept"), split(col("cleaned"), "\n")))
           .as(Seq("i", "line")))
+      .localCheckpoint()
     val dup = kl.groupBy("line").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > DedupQueries.DupLineMax)
     kl.join(dup, Seq("line"), "left")

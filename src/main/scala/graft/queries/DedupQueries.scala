@@ -1054,11 +1054,22 @@ object DedupQueries {
     * frame — frame-parameterized so Diag can time it on synthetic corpora
     * (and so a caller with REAL multi-line text splits on '\n' instead of
     * the gate's synthesized structure). */
-  def lineDedupOf(docLines: DataFrame, dupLineMax: Long = DupLineMax): DataFrame =
-    lineDedupAgainst(docLines,
-      docLines.select(posexplode(col("lines")).as(Seq("i", "line")))
-        .groupBy("line").agg(count(lit(1)).as("cnt")),
-      dupLineMax)
+  def lineDedupOf(docLines: DataFrame, dupLineMax: Long = DupLineMax): DataFrame = {
+    // r17 (guide §1.2): the exploded (doc_id, i, line) frame feeds BOTH
+    // the corpus-wide count and the reassembly join — naively composed,
+    // `docLines` (here: tokenize + line synthesis) evaluates twice in one
+    // plan (the before-plan shows two full scan+projection subtrees).
+    // localCheckpoint materializes the explode ONCE; both consumers read
+    // the checkpoint. At 100 TB this is the line table a real pipeline
+    // lands anyway (the streaming variant's base index IS that table);
+    // the r8-measured "positions-only" alternative (3rd evaluation) stays
+    // rejected — this is the opposite move, 2 evaluations → 1.
+    val exploded = docLines
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
+      .localCheckpoint()
+    lineDedupExploded(exploded,
+      exploded.groupBy("line").agg(count(lit(1)).as("cnt")), dupLineMax)
+  }
 
   /** The accumulated (line, cnt) index for [[lineDedupIncremental]] — the
     * base-side state a snapshot-over-snapshot pipeline maintains (and the
@@ -1099,9 +1110,16 @@ object DedupQueries {
     * cheap projection AND the corpus text dwarfs the position sliver —
     * revisit against a real multi-line corpus, not the synthesized one. */
   private def lineDedupAgainst(docLines: DataFrame, counts: DataFrame,
+      dupLineMax: Long): DataFrame =
+    lineDedupExploded(
+      docLines.select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line"))),
+      counts, dupLineMax)
+
+  /** [[lineDedupAgainst]] over an already-exploded (doc_id, i, line)
+    * frame (r17) — lets [[lineDedupOf]] share one explode between count
+    * and reassembly. */
+  private def lineDedupExploded(exploded: DataFrame, counts: DataFrame,
       dupLineMax: Long): DataFrame = {
-    val exploded = docLines
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
     val dup = counts.where(col("cnt") > dupLineMax)
     exploded.join(dup, Seq("line"), "left")
       .groupBy("doc_id")

@@ -645,12 +645,19 @@ object SamplingQueries {
     * applied to every incoming batch via [[dsirScoreWith]] (the s7/d9
     * incremental shape: state reduced to what the decision needs). */
   def dsirWeightsOf(docs: org.apache.spark.sql.DataFrame,
-      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame =
+    dsirWeightsOfFeats(dsirFeats(docs), targetLang)
+
+  /** [[dsirWeightsOf]] over an already-extracted feature frame — split out
+    * (r17) so [[dsirOf]] can share ONE feature-extraction pass between
+    * training and scoring. */
+  private def dsirWeightsOfFeats(feats: org.apache.spark.sql.DataFrame,
+      targetLang: String): org.apache.spark.sql.DataFrame = {
     // ONE corpus pass: raw and target-conditional counts from the same
     // ≤256-key partial aggregation (a naive t/r/nt/nr formulation scans
     // the bigram explode four times — measured 4× the training cost);
     // the corpus totals then derive from the 256-row frame, not the data
-    val g = dsirFeats(docs).groupBy("bucket").agg(
+    val g = feats.groupBy("bucket").agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === targetLang, 1)).as("ct"))
     val tot = g.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
@@ -668,16 +675,36 @@ object SamplingQueries {
     * smoothed-ratio prior. */
   def dsirScoreWith(weights: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    dsirFeats(docs).join(broadcast(weights), Seq("bucket"), "left")
+    dsirScoreFeats(weights, dsirFeats(docs))
+
+  /** [[dsirScoreWith]] over an already-extracted feature frame (r17) —
+    * same probe + per-doc fold, input pass factored out. */
+  private def dsirScoreFeats(weights: org.apache.spark.sql.DataFrame,
+      feats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    feats.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         round(avg(coalesce(col("lw"), lit(0.0))), 4).as("score"))
 
   /** sm5's full train+score+cut over any (doc_id, lang, text) frame —
-    * frame-parameterized so Diag can time it on synthetic corpora. */
+    * frame-parameterized so Diag can time it on synthetic corpora.
+    *
+    * r17 (guide §1.2/§2.3): the feature extraction (tokenize + bigram
+    * explode + per-instance md5) is the dominant pass, and the naive
+    * composition ran it THREE times in one plan — once under the weight
+    * training, and twice more because `scored` feeds both the percentile
+    * threshold and the final cut (the before-plan shows 5 parquet scans
+    * of `documents`). The narrow (doc_id, lang, bucket) instance frame is
+    * localCheckpointed ONCE and feeds training + scoring, and the
+    * doc-sized (doc_id, n_feats, score) frame is checkpointed before the
+    * threshold — the plan drops to one corpus scan; at 100 TB these are
+    * exactly the two materialization points a real DSIR pipeline writes
+    * (the feature table and the score table). */
   def dsirOf(docs: org.apache.spark.sql.DataFrame,
       targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
-    val scored = dsirScoreWith(dsirWeightsOf(docs, targetLang), docs)
+    val feats = dsirFeats(docs).localCheckpoint()
+    val scored = dsirScoreFeats(dsirWeightsOfFeats(feats, targetLang), feats)
+      .localCheckpoint()
     val th = scored.agg(
       expr("percentile_disc(0.70) WITHIN GROUP (ORDER BY score)").as("th"))
     scored.crossJoin(broadcast(th))

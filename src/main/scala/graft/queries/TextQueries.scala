@@ -342,6 +342,15 @@ object TextQueries {
       |  FROM tf JOIN df USING (term))
       |SELECT doc_id, term, tf, df, score FROM s WHERE rn <= 3""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // r17 NOTE (guide §1.1/§1.2, measured): tf feeds the df aggregate AND
+    // the scoring join, so the tokenize+aggregate subtree evaluates twice
+    // — but a localCheckpoint of the (doc_id, term, tf) frame MEASURED
+    // SLOWER at sf0.1 (t7 1.11 → 1.51 s, window-normalized): the
+    // recompute is one cheap explode+partial-agg while the checkpoint
+    // materializes a corpus-sized frame and serializes an extra job. The
+    // double evaluation stays — same verdict as d13's r8 positions-only
+    // experiment: materialization only pays when the recomputed subtree
+    // is expensive (per-instance hashing / heavy string synthesis).
     val tf = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
