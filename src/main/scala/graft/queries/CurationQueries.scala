@@ -328,7 +328,14 @@ object CurationQueries {
         .where(u < col("keep_rate"))
         .select(col("doc_id"), col("lang"), col("n_tokens"))
     }
+    // r17 (guide §1.2/§5): `ordered` is consumed FOUR times — packOffsets'
+    // bounds head, its per-bucket totals collect, its pass-2 frame, and
+    // the final pos-join — and each consumption re-ran the md5-hash +
+    // bucket-base join + rank window over the persisted kept frame. One
+    // checkpoint of the narrow (doc_id, lang, n_tokens, pos) frame runs
+    // the window once; every downstream action reads the materialization.
     val ordered = graft.ext.Shuffle.deterministicOrder(kept, "doc_id", "cur2")
+      .localCheckpoint()
     val offsets = graft.ext.Packing
       .packOffsets(ordered, "pos", col("n_tokens"), blockSize = 2048L, buckets = 64)
       .select(col("pos"), col("offset"))

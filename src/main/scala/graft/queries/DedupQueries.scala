@@ -322,13 +322,17 @@ object DedupQueries {
         .join(comp.select(col("doc_id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("comp").as("nbr_comp"))
+      // r17: carry the previous label through the checkpoint so the
+      // convergence test is a filter over the just-materialized frame —
+      // the old form re-joined next against comp (an extra shuffle-join
+      // per round on top of the check's own action).
       val next = comp.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint(true)
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "doc_id")
-        .where(col("comp") =!= col("prev")).isEmpty
-      comp = next
+      converged = next.where(col("comp") =!= col("prev")).isEmpty
+      comp = next.select(col("doc_id"), col("comp"))
       rounds += 1
     }
     docs.select("doc_id").join(comp, Seq("doc_id"), "left")

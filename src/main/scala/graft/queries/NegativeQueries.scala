@@ -75,22 +75,45 @@ object NegativeQueries {
       .drop("rn")
   }
 
-  /** Collect a mined (anchor_id, term, tf) frame to the bounded driver-side
-    * term-set model, anchors sorted. */
-  private def termModel(at: DataFrame): Seq[(Long, Seq[String])] =
-    at.collect()
-      .groupBy(_.getLong(0))
-      .map { case (a, rows) => a -> rows.map(_.getString(1)).toSeq }
-      .toSeq.sortBy(_._1)
+  /** The bounded driver-side anchor model (r17, guide §1.2/§5): per
+    * anchor — its top-m (term, tf) mined terms (tf desc, term asc; empty
+    * excluded — [[anchorTerms]]' exact cut) and its distinct bigram
+    * shingle set. The anchors are ≤[[NumAnchors]] DOCUMENTS, i.e. query
+    * compile-time state, so instead of a corpus-scan → broadcast-join →
+    * explode → groupBy → window pass per derivation (hn2 ran TWO of
+    * them: term mining + the separate shingle frame), ONE id-pushdown
+    * scan (`doc_id isin` reaches the parquet scan as PushedFilters)
+    * fetches the anchor rows and the counting/cut runs driver-side over
+    * ≤|anchors| word arrays — the same bounded-model shape as the PRF
+    * expansion set and the IVF centroids. Tokens/shingles are computed
+    * by the SAME Spark expressions (words/shingles), so values are
+    * bit-identical to the distributed form. */
+  private def anchorModel(docs: DataFrame, anchorIds: Seq[Long],
+      m: Int): Seq[(Long, Seq[(String, Long)], Seq[String])] =
+    docs.where(col("doc_id").isin(anchorIds.map(Long.box): _*))
+      .select(col("doc_id"), words(col("text")).as("ws"),
+        shingles(words(col("text")), 2).as("sh"))
+      .collect()
+      .map { r =>
+        val top = r.getSeq[String](1).filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (t, tf) => (-tf, t) }.take(m)
+        (r.getLong(0), top, r.getSeq[String](2))
+      }.toSeq.sortBy(_._1)
 
   /** Every (anchor, doc) BM25 score in ONE corpus pass — see object doc.
-    * Output (anchor_id, doc_id, s[, sh]); `withShingles` carries the
-    * doc's bigram shingle set for map-side near-dup exclusion (hn2 —
-    * hn3 excludes by cluster membership instead and skips the shingle
-    * materialization). */
+    * Output (anchor_id, doc_id, s[, jac]); `exclShingles` (hn2) carries
+    * each anchor's driver-side shingle set, and the doc-vs-anchor bigram
+    * Jaccard is computed per anchor INSIDE the tokenize pass against the
+    * broadcast-literal set — the checkpoint then materializes one DOUBLE
+    * per (doc, anchor) instead of the doc's whole shingle array (r17:
+    * the shingle-array checkpoint was the pass's dominant materialization;
+    * the per-pair Jaccard count is unchanged, it just runs before the
+    * checkpoint instead of after the explode). hn3 excludes by cluster
+    * membership instead and skips the columns entirely. */
   private def scoreByAnchors(docs: DataFrame,
       termsByAnchor: Seq[(Long, Seq[String])],
-      withShingles: Boolean): DataFrame = {
+      exclShingles: Option[Seq[(Long, Seq[String])]]): DataFrame = {
     val union = termsByAnchor.flatMap(_._2).distinct.sorted
     val idx = union.zipWithIndex.toMap
     val base: Seq[Column] =
@@ -98,10 +121,12 @@ object NegativeQueries {
         union.zipWithIndex.map { case (t, i) =>
           size(filter(col("ws"), x => x === t)).cast("double").as(s"tf$i")
         }
-    val tfCols = if (withShingles) base :+ shingles(col("ws"), 2).as("sh") else base
+    val jacCols = exclShingles.toSeq.flatten.zipWithIndex.map { case ((_, sh), i) =>
+      jaccard_sim(shingles(col("ws"), 2), typedlit(sh)).as(s"jac$i")
+    }
     // one tokenize pass feeds stats AND scoring (bm1's checkpoint shape)
     val tf = docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .select(tfCols: _*)
+      .select(base ++ jacCols: _*)
       .localCheckpoint()
     val dfAggs = avg(col("dl")).as("avgdl") +:
       union.indices.map(i => sum((col(s"tf$i") > 0).cast("double")).as(s"df$i"))
@@ -116,15 +141,18 @@ object NegativeQueries {
     // ONE scan for every anchor: a generate emitting |anchors| scored
     // rows per doc beats |anchors| union branches each re-scanning the
     // checkpointed frame (measured 2x at 6 anchors x 4M docs pre-rewrite)
+    val jacIdx = exclShingles.toSeq.flatten.map(_._1).zipWithIndex.toMap
     val branches = termsByAnchor.map { case (a, ts) =>
-      struct(lit(a).as("anchor_id"),
-        ts.sorted.map(t => contrib(idx(t))).reduce(_ + _).as("s"))
+      val fields = Seq(lit(a).as("anchor_id"),
+        ts.sorted.map(t => contrib(idx(t))).reduce(_ + _).as("s")) ++
+        (if (exclShingles.isDefined) Seq(col(s"jac${jacIdx(a)}").as("jac")) else Nil)
+      struct(fields: _*)
     }
     val out = Seq(col("a.anchor_id").as("anchor_id"), col("doc_id"),
-      col("a.s").as("s")) ++ (if (withShingles) Seq(col("sh")) else Nil)
+      col("a.s").as("s")) ++
+      (if (exclShingles.isDefined) Seq(col("a.jac").as("jac")) else Nil)
     joined
-      .select(Seq(col("doc_id"), explode(array(branches: _*)).as("a")) ++
-        (if (withShingles) Seq(col("sh")) else Nil): _*)
+      .select(col("doc_id"), explode(array(branches: _*)).as("a"))
       .select(out: _*)
   }
 
@@ -154,13 +182,20 @@ object NegativeQueries {
     * score. */
   def hardNegatives(docs: DataFrame, anchors: DataFrame, m: Int,
       n: Int): DataFrame = {
-    val model = termModel(anchorTerms(docs, anchors, m))
-    val scored = scoreByAnchors(docs, model, withShingles = true)
-    val ash = docs.join(broadcast(anchors), docs("doc_id") === anchors("anchor_id"))
-      .select(col("anchor_id"), shingles(words(col("text")), 2).as("sh_a"))
-    val elig = scored.join(broadcast(ash), "anchor_id")
+    // r17: anchor ids pass through the driver (≤NumAnchors longs), the
+    // model comes from ONE id-pushdown anchor fetch instead of two
+    // corpus-scan derivations (term mining + the shingle frame), and the
+    // near-dup exclusion test rides the scoring pass's own checkpoint as
+    // a per-anchor double (see scoreByAnchors) — the separate ash join
+    // is gone. Values identical: same expressions, same cut, same test.
+    val ids = anchors.collect().map(_.getLong(0)).toSeq
+    val model = anchorModel(docs, ids, m)
+    val scored = scoreByAnchors(docs,
+      model.map { case (a, ts, _) => (a, ts.map(_._1)) },
+      exclShingles = Some(model.map { case (a, _, sh) => (a, sh) }))
+    val elig = scored
       .where(col("s") > 0 && col("doc_id") =!= col("anchor_id") &&
-        jaccard_sim(col("sh_a"), col("sh")) < lit(DedupQueries.JaccardThreshold))
+        col("jac") < lit(DedupQueries.JaccardThreshold))
     topPerAnchor(elig, n)
   }
 
@@ -171,17 +206,25 @@ object NegativeQueries {
     * (anchor, pos, neg) row per positive × negative. */
   def trainingTriplets(docs: DataFrame, keepers: DataFrame, c: Int, m: Int,
       n: Int): DataFrame = {
-    val anch = keepers.groupBy(col("keep_id"))
+    // r17: anchor ids collected once (≤c longs — they were already
+    // driver-bound via the term model), the pos slice filters keepers by
+    // the literal id set instead of a join, and the mined model comes
+    // from one id-pushdown anchor fetch (see anchorModel) instead of a
+    // corpus-scan window pass.
+    val anchorIds = keepers.groupBy(col("keep_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .where(col("cluster_size") >= 2)
       .orderBy(col("cluster_size").desc, col("keep_id"))
       .limit(c)
-      .select(col("keep_id").as("anchor_id"))
-    val pos = keepers.join(broadcast(anch), keepers("keep_id") === anch("anchor_id"))
-      .where(col("doc_id") =!= col("keep_id"))
-      .select(col("anchor_id"), col("doc_id").as("pos_id"))
-    val model = termModel(anchorTerms(docs, anch, m))
-    val scored = scoreByAnchors(docs, model, withShingles = false)
+      .select(col("keep_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val pos = keepers
+      .where(col("keep_id").isin(anchorIds.map(Long.box): _*) &&
+        col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id").as("anchor_id"), col("doc_id").as("pos_id"))
+    val model = anchorModel(docs, anchorIds, m)
+    val scored = scoreByAnchors(docs,
+      model.map { case (a, ts, _) => (a, ts.map(_._1)) }, exclShingles = None)
     val elig = scored.join(keepers, "doc_id")
       .where(col("s") > 0 && col("keep_id") =!= col("anchor_id"))
     val neg = topPerAnchor(elig, n).drop("bm25")
@@ -237,8 +280,17 @@ object NegativeQueries {
        |$bm25AnchorCte,
        |${miningCtes("d")}
        |SELECT anchor_id, term, tf FROM at""".stripMargin) { (s, dir) =>
+    // r17: the mined model IS the output here (≤ anchors·m rows), so it
+    // comes straight from the bounded driver-side derivation — one
+    // id-pushdown fetch instead of the corpus-scan window pass; the
+    // distributed [[anchorTerms]] form stays for anchor sets too large
+    // to model driver-side.
     val docs = Tables(s, dir, "documents")
-    anchorTerms(docs, bm25Anchors(docs, NumAnchors), TermsPerAnchor)
+    val ids = bm25Anchors(docs, NumAnchors).collect().map(_.getLong(0)).toSeq
+    import s.implicits._
+    anchorModel(docs, ids, TermsPerAnchor)
+      .flatMap { case (a, ts, _) => ts.map { case (t, tf) => (a, t, tf) } }
+      .toDF("anchor_id", "term", "tf")
   }
 
   /** hn2: DPR-style hard negatives — per-anchor BM25 top-n with the
@@ -300,7 +352,12 @@ object NegativeQueries {
        |SELECT p.anchor_id, p.pos_id, n2.neg_id, n2.neg_rank
        |FROM pos p JOIN neg n2 USING (anchor_id)""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
+    // r17: keepers feeds three consumers in trainingTriplets (anchor cut,
+    // pos slice, eligibility join) — checkpoint the doc-sized (doc_id,
+    // keep_id) frame once instead of re-running the docs⋈comp tail per
+    // consumer.
     val keepers = DedupQueries.keepList(DedupQueries.minhashPairs(s, dir), docs)
+      .localCheckpoint()
     trainingTriplets(docs, keepers, NumClusters, TermsPerAnchor,
       TripletNegatives)
   }

@@ -642,9 +642,18 @@ object RetrievalQueries {
   private[graft] def twoStageCompletionFrame(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       terms: Seq[String],
+      maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame =
+    twoStageCompletionOver(readScoredPostings(spark, indexPath), terms,
+      maxPostingsPerTerm)
+
+  /** [[twoStageCompletionFrame]] over an already-resolved postings frame
+    * (r17) — lets the certified serve's escalation loop resolve the
+    * snapshot (marker read + parquet listing) ONCE instead of per
+    * iteration. */
+  private def twoStageCompletionOver(
+      postings: org.apache.spark.sql.DataFrame, terms: Seq[String],
       maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame = {
-    val all = readScoredPostings(spark, indexPath)
-      .where(col("term").isin(terms: _*))
+    val all = postings.where(col("term").isin(terms: _*))
     val cands = all.where(col("rank") <= maxPostingsPerTerm)
       .select(col("doc_id")).distinct()
     val bounded = terms.size.toLong * maxPostingsPerTerm <= TwoStageBroadcastMaxIds
@@ -724,12 +733,22 @@ object RetrievalQueries {
       terms: Seq[String], k: Int,
       initialCap: Long): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
     require(initialCap >= 1, s"initialCap must be >= 1, got $initialCap")
+    import spark.implicits._
+    // r17 (guide §5, driver): resolve the snapshot ONCE — one postings
+    // frame reused by every iteration's completion + boundary read (the
+    // old loop re-read the marker and re-listed parquet per use), and the
+    // 1-row stats / ≤|terms|-row dfs — already collected for the bound
+    // arithmetic — re-enter the scoring joins as literal frames instead
+    // of fresh artifact reads per iteration. Same values by construction.
+    val postings = readScoredPostings(spark, indexPath)
     val statsRow = readScoredStats(spark, indexPath)
       .select("n", "avgdl").head()
     val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val statsLit = Seq((n, avgdl)).toDF("n", "avgdl")
     // true dfs of the query terms (≤|terms| rows via the sidecar)
     val dfByTerm: Map[String, Double] = trueDfsFrame(spark, indexPath, terms)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dfsLit = dfByTerm.toSeq.toDF("term", "df")
     def idf(t: String): Double = {
       val df = dfByTerm.getOrElse(t, 0.0)
       math.log(1 + (n - df + 0.5) / (df + 0.5))
@@ -748,15 +767,14 @@ object RetrievalQueries {
       // exact candidate scores (two-stage completion at this cap) —
       // checkpointed k-row frame so the certificate collect and the
       // returned output share one computation
-      val post = twoStageCompletionFrame(spark, indexPath, terms, cap)
+      val post = twoStageCompletionOver(postings, terms, cap)
         .localCheckpoint()
-      val raw = bm25RankRaw(post, trueDfsFrame(spark, indexPath, terms),
-        readScoredStats(spark, indexPath), k).localCheckpoint()
+      val raw = bm25RankRaw(post, dfsLit, statsLit, k).localCheckpoint()
       val top = raw.collect().map(r => r.getDouble(1))
       // per-term boundary impact: the rank = cap+1 rows (≤ one per
       // generation per term; absent = run fully covered) ride the same
       // page-skipped rank pushdown as the prefix read
-      val mByTerm = readScoredPostings(spark, indexPath)
+      val mByTerm = postings
         .where(col("term").isin(terms: _*) && col("rank") === cap + 1)
         .groupBy(col("term")).agg(max(impact).as("m"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
