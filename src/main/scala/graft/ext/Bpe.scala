@@ -98,11 +98,19 @@ object Bpe {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = dict.sparkSession
     import spark.implicits._
+    // r17 (guide §5, driver pacing): LAZY localCheckpoints — the eager
+    // form scheduled a separate materialization job per training round
+    // (plus one for the initial symbol expansion) before the round's
+    // pair-count job even started; lazily the checkpoint materializes
+    // inside the next round's pair-count action (one scheduler round trip
+    // per round instead of two), and the final round's never-read vocab
+    // is never materialized at all. Lineage is still truncated at every
+    // round — the reason the checkpoint exists.
     var vocab = dict.select(col("cnt").cast("long").as("cnt"),
       concat(
         transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
         array(lit(Eow))).as("sym"))
-      .as[(Long, Seq[String])].localCheckpoint()
+      .as[(Long, Seq[String])].localCheckpoint(false)
 
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var done = false
@@ -133,7 +141,7 @@ object Bpe {
         val rules = accepted.map { case (a, b, _) => (a, b) -> (a + b) }.toMap
         vocab = vocab.mapPartitions(_.map { case (cnt, sym) =>
           (cnt, applyRules(sym, rules))
-        }).localCheckpoint()
+        }).localCheckpoint(false)
       }
     }
     out.toSeq

@@ -335,7 +335,7 @@ object CurationQueries {
     // checkpoint of the narrow (doc_id, lang, n_tokens, pos) frame runs
     // the window once; every downstream action reads the materialization.
     val ordered = graft.ext.Shuffle.deterministicOrder(kept, "doc_id", "cur2")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val offsets = graft.ext.Packing
       .packOffsets(ordered, "pos", col("n_tokens"), blockSize = 2048L, buckets = 64)
       .select(col("pos"), col("offset"))
@@ -616,7 +616,7 @@ object CurationQueries {
     val kl = c4.select(col("doc_id"), col("n_lines"), col("n_kept"),
         posexplode(when(col("page_kept"), split(col("cleaned"), "\n")))
           .as(Seq("i", "line")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dup = kl.groupBy("line").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > DedupQueries.DupLineMax)
     kl.join(dup, Seq("line"), "left")

@@ -1070,7 +1070,7 @@ object DedupQueries {
     // rejected — this is the opposite move, 2 evaluations → 1.
     val exploded = docLines
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     lineDedupExploded(exploded,
       exploded.groupBy("line").agg(count(lit(1)).as("cnt")), dupLineMax)
   }
@@ -1202,8 +1202,8 @@ object DedupQueries {
       |       TRUE AS families_minimally_connected,
       |       TRUE AS singletons_keep_themselves
       |FROM embeddings""".stripMargin) { (s, dir) =>
-    val pairs = semDedupPairs(s, dir).localCheckpoint()
-    val keep = sem1SemDedup.fn(s, dir).localCheckpoint()
+    val pairs = semDedupPairs(s, dir).localCheckpoint(false)
+    val keep = sem1SemDedup.fn(s, dir).localCheckpoint(false)
     val base = keep.agg(count(lit(1)).as("n_vecs"),
       (countDistinct(col("vec_id")) === count(lit(1))).as("mapping_total"),
       every(col("keep_id") <= col("vec_id")).as("keeper_is_min_id"))

@@ -308,7 +308,7 @@ object EventQueries {
     val users = Tables(s, dir, "events")
       .select(col("user_id").cast("string").as("u"))
     val exact = users.groupBy("u").agg(count(lit(1)).as("n_exact"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cap = graft.functions.MGOps.DefaultCapacity
     val items = users.agg(freq_sketch(col("u")).as("sk"))
       .select(posexplode(freq_items(col("sk"))).as(Seq("rank", "item")),

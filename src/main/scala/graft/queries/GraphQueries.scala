@@ -144,13 +144,13 @@ object GraphQueries {
   def pagerank(edges: DataFrame, iterations: Int, damping: Double,
       broadcastRanks: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("h"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(false)
     val nN = nodes.count().toDouble // one bounded scalar to the driver
     // edge-less graph: empty result, not a plan-time 1/0 under ANSI
     // constant folding (a crawl with no absolute links hits this)
     if (nN == 0) return nodes.select(col("h"), lit(0.0).as("pr"))
     val deg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("od")).localCheckpoint()
+      .agg(count(lit(1)).cast("double").as("od")).localCheckpoint(false)
     // sink detection is FREE: a sink exists iff fewer distinct srcs than
     // nodes (both frames are already checkpointed; two bounded counts,
     // no extra join) — a sink-free graph pays ZERO dangling overhead
@@ -159,7 +159,7 @@ object GraphQueries {
     // only when they exist
     lazy val dangling = nodes
       .join(deg.select(col("src").as("h")), Seq("h"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("pr"))
     for (_ <- 1 to iterations) {
@@ -182,7 +182,7 @@ object GraphQueries {
         .select(col("h"),
           (lit((1 - damping) / nN) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dm") / lit(nN))).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -197,7 +197,7 @@ object GraphQueries {
   def hits(edges: DataFrame, iterations: Int,
       broadcastRanks: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("h"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(false)
     val nN = nodes.count().toDouble
     // an edge-less graph (a crawl with no absolute links) has no scores:
     // return the empty frame instead of letting 1/0 constant-fold under
@@ -216,7 +216,7 @@ object GraphQueries {
         .groupBy(col(to).as("h")).agg(sum(col("v")).as("s"))
       val z = flowed.agg(sum(col("s")).as("z"))
       flowed.join(broadcast(z)).select(col("h"), (col("s") / col("z")).as("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     var hub = nodes.select(col("h"), (lit(1.0) / lit(nN)).as("v"))
     var auth = hub
@@ -257,7 +257,7 @@ object GraphQueries {
 
   /** HITS over the host graph — [[hits]] with the gate fixture's edges. */
   private val hits1 = withOracle("hits1_host_hits", hitsSql) { (s, dir) =>
-    hits(hostEdges(s, dir).localCheckpoint(), Iterations, broadcastRanks = true)
+    hits(hostEdges(s, dir).localCheckpoint(false), Iterations, broadcastRanks = true)
       .select(col("h").as("host"), round(col("authority"), 6).as("authority"),
         round(col("hub"), 6).as("hub"))
   }
@@ -267,7 +267,7 @@ object GraphQueries {
     * construction, so the kernel's dangling-mass term is exactly 0 here
     * — pr2 exercises it). */
   private val pr1 = withOracle("pr1_host_pagerank", pagerankSql("")) { (s, dir) =>
-    pagerank(hostEdges(s, dir).localCheckpoint(), Iterations, Damping,
+    pagerank(hostEdges(s, dir).localCheckpoint(false), Iterations, Damping,
         broadcastRanks = true)
       .select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
   }
@@ -282,7 +282,7 @@ object GraphQueries {
     * iteration) is pinned in ExtSpec. */
   private val pr2 = withOracle("pr2_dangling_pagerank",
     pagerankSql(" AND src % 5 != 0")) { (s, dir) =>
-    pagerank(hostEdges(s, dir).where(col("src") % 5 =!= 0).localCheckpoint(),
+    pagerank(hostEdges(s, dir).where(col("src") % 5 =!= 0).localCheckpoint(false),
         Iterations, Damping, broadcastRanks = true)
       .select(col("h").as("host"), round(col("pr"), 6).as("pagerank"))
   }

@@ -127,7 +127,7 @@ object NegativeQueries {
     // one tokenize pass feeds stats AND scoring (bm1's checkpoint shape)
     val tf = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(base ++ jacCols: _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dfAggs = avg(col("dl")).as("avgdl") +:
       union.indices.map(i => sum((col(s"tf$i") > 0).cast("double")).as(s"df$i"))
     val st = tf.agg(count(lit(1)).cast("double").as("n"), dfAggs: _*)
@@ -357,7 +357,7 @@ object NegativeQueries {
     // keep_id) frame once instead of re-running the docs⋈comp tail per
     // consumer.
     val keepers = DedupQueries.keepList(DedupQueries.minhashPairs(s, dir), docs)
-      .localCheckpoint()
+      .localCheckpoint(false)
     trainingTriplets(docs, keepers, NumClusters, TermsPerAnchor,
       TripletNegatives)
   }

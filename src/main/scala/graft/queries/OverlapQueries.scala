@@ -52,10 +52,15 @@ object OverlapQueries {
       .collect()(0).getSeq[Long](0).toArray
 
   /** The exact three counts as single-row frames (shared by kmv1 and
-    * kmv3's exact anchor). */
+    * kmv3's exact anchor).
+    *
+    * r17 (guide §1.2): each distinct gram set feeds TWO consumers (its
+    * own count and the overlap join), so unmaterialized the corpus-sized
+    * tokenize+shingle+explode ran four times in one plan. The distinct
+    * sets are vocabulary-sized (≪ corpus); checkpoint each once. */
   private def exactCounts(docs: DataFrame): DataFrame = {
-    val a = grams(docs, bench = false).distinct()
-    val b = grams(docs, bench = true).distinct()
+    val a = grams(docs, bench = false).distinct().localCheckpoint(false)
+    val b = grams(docs, bench = true).distinct().localCheckpoint(false)
     a.agg(count(lit(1)).as("n_train"))
       .crossJoin(b.agg(count(lit(1)).as("n_bench")))
       .crossJoin(a.join(broadcast(b), "g").agg(count(lit(1)).as("n_common")))

@@ -107,7 +107,7 @@ object RetrievalQueries {
     val tf = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(tfCols: _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dfAggs =
       avg(col("dl")).as("avgdl") +:
         terms.indices.map(i =>
@@ -605,7 +605,7 @@ object RetrievalQueries {
       maxPostingsPerTerm: Long): org.apache.spark.sql.DataFrame = {
     val post = twoStageCompletionFrame(spark, indexPath, terms,
       maxPostingsPerTerm)
-      .localCheckpoint() // candidate-bounded; feeds the scoring stage
+      .localCheckpoint(false) // candidate-bounded; feeds the scoring stage
     bm25Rank(post, trueDfsFrame(spark, indexPath, terms),
       readScoredStats(spark, indexPath), k)
   }
@@ -768,8 +768,8 @@ object RetrievalQueries {
       // checkpointed k-row frame so the certificate collect and the
       // returned output share one computation
       val post = twoStageCompletionOver(postings, terms, cap)
-        .localCheckpoint()
-      val raw = bm25RankRaw(post, dfsLit, statsLit, k).localCheckpoint()
+        .localCheckpoint(false)
+      val raw = bm25RankRaw(post, dfsLit, statsLit, k).localCheckpoint(false)
       val top = raw.collect().map(r => r.getDouble(1))
       // per-term boundary impact: the rank = cap+1 rows (≤ one per
       // generation per term; absent = run fully covered) ride the same
@@ -799,7 +799,7 @@ object RetrievalQueries {
       stats: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val post = prunedPostings
-      .localCheckpoint() // candidate-bounded; feeds df counts AND scoring
+      .localCheckpoint(false) // candidate-bounded; feeds df counts AND scoring
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     bm25Rank(post, dfs, stats, k)
   }
@@ -993,10 +993,10 @@ object RetrievalQueries {
       .where(col("term").isin(terms: _*))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint() // feeds df counts AND scoring
+      .localCheckpoint(false) // feeds df counts AND scoring
     val norms = docs
       .select(col("doc_id"), size(words(col("text"))).cast("double").as("dl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val st = norms.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     post
@@ -1173,7 +1173,7 @@ object RetrievalQueries {
         }
     val tf = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(tfCols: _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val st = tf.agg(sum(col("dl")).as("ctot"),
       ts.indices.map(i => sum(col(s"tf${i + 1}")).as(s"cf${i + 1}")): _*)
     val score = ts.indices.map { i =>
@@ -1260,7 +1260,7 @@ object RetrievalQueries {
       .map(t => when(array_contains(words(col("text")), t), 1).otherwise(0))
       .reduce(_ + _)
     val relFrame = docs.select(col("doc_id"), relCol.as("rel"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val hist = relFrame.groupBy(col("rel")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val gradeOf = relFrame.where(col("doc_id").isin(ranked.map(Long.box): _*))
@@ -1421,7 +1421,7 @@ object RetrievalQueries {
     val union = queries.flatMap(_._2).distinct
     val post = readScoredPostings(spark, indexPath)
       .where(col("term").isin(union: _*))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("query_id", "term")

@@ -451,7 +451,7 @@ object SamplingQueries {
       |       TRUE AS bins_within_capacity,
       |       TRUE AS halffull_bound_per_shard
       |FROM documents""".stripMargin) { (s, dir) =>
-    val bins = pk5Bins(s, dir).localCheckpoint()
+    val bins = pk5Bins(s, dir).localCheckpoint(false)
     val truth = Tables(s, dir, "documents").select(col("doc_id"),
       least(size(graft.ext.TextAnalysis.words(col("text"))).cast("long"),
         lit(Pk5Capacity)).as("want_tokens"))
@@ -702,9 +702,9 @@ object SamplingQueries {
     * (the feature table and the score table). */
   def dsirOf(docs: org.apache.spark.sql.DataFrame,
       targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
-    val feats = dsirFeats(docs).localCheckpoint()
+    val feats = dsirFeats(docs).localCheckpoint(false)
     val scored = dsirScoreFeats(dsirWeightsOfFeats(feats, targetLang), feats)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val th = scored.agg(
       expr("percentile_disc(0.70) WITHIN GROUP (ORDER BY score)").as("th"))
     scored.crossJoin(broadcast(th))

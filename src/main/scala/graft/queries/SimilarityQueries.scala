@@ -852,7 +852,7 @@ object SimilarityQueries {
     val pairs = tgt.join(broadcast(src), lit(true))
       .withColumn("cos", dot_f(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
       .select("src_id", "tgt_id", "cos")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val m = pairs
       .join(kNNMean(pairs, "src_id", "tgt_id", "a_src"), "src_id")
       .join(kNNMean(pairs, "tgt_id", "src_id", "a_tgt"), "tgt_id")

@@ -551,12 +551,12 @@ object TextQueries {
       |       TRUE AS counts_positive,
       |       TRUE AS first_merge_is_argmax
       |FROM w WHERE w != ''""".stripMargin) { (s, dir) =>
-    val rules = bpe1Merges.fn(s, dir).localCheckpoint()
+    val rules = bpe1Merges.fn(s, dir).localCheckpoint(false)
     val dict = Tables(s, dir, "documents")
       .select(explode(words(col("text"))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the word count AND the pair recount
+      .localCheckpoint(false) // feeds the word count AND the pair recount
     // initial symbol sequence: characters + the </w> sentinel
     val sym = concat(
       transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
@@ -781,7 +781,7 @@ object TextQueries {
     val terms = Tables(s, dir, "documents")
       .select(explode(words(col("text"))).as("term"))
     val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
-      .localCheckpoint() // feeds the bound join AND the coverage anti-join
+      .localCheckpoint(false) // feeds the bound join AND the coverage anti-join
     val cap = graft.functions.MGOps.DefaultCapacity
     val items = terms.agg(freq_sketch(col("term")).as("sk"))
       .select(posexplode(freq_items(col("sk"))).as(Seq("rank", "item")),
