@@ -76,17 +76,19 @@ object CurationQueries {
     // t5's gopher gate (the one shared definition), over the shared words
     // array — gopherPassesWs so `ws` is computed once for gate + token
     // count + shingles.
-    // r17 NOTE (guide §1.1, measured): gop feeds three consumers (keeper
-    // election, contamination probe, final projection), but a
-    // localCheckpoint MEASURED SLOWER at sf0.1 (cur1 1.83 → 2.54 s,
-    // window-normalized): the checkpoint must materialize the full `ws`
-    // word arrays (the widest column, needed downstream for shingles),
-    // which costs more than re-running the cheap tokenize projection.
-    // Double evaluation stays (the t7/rp3 verdict).
-    val gop = pool.select(col("doc_id"), col("lang"), col("ws"),
+    // r17 (guide §1.1/§1.2, measured twice): gop feeds three consumers
+    // (keeper election, contamination probe, final projection). A
+    // checkpoint of the WHOLE frame measured SLOWER (1.83 → 2.54 s): it
+    // materializes the `ws` word arrays. The split below checkpoints only
+    // the NARROW columns (doc_id, lang, ch, n_tokens, ok — what the
+    // keeper election and the final projection need) and leaves the
+    // ws-consuming contamination probe as its own single tokenize pass:
+    // corpus tokenizations drop 3 → 2 with a doc-sized materialization.
+    val gop = pool.select(col("doc_id"), col("lang"),
       md5(col("text").cast("binary")).as("ch"),
       size(col("ws")).as("n_tokens"),
       graft.ext.TextAnalysis.gopherPassesWs(col("ws")).as("ok"))
+      .localCheckpoint(false)
 
     // d1's keeper election within the pool (groupBy + join, not a window:
     // partial-agg on uniform hash keys — a window over ch has no map-side
@@ -98,7 +100,7 @@ object CurationQueries {
       .select(words(col("text")).as("ws"))
       .select(explode(shingles(col("ws"), 4)).as("g"))
       .distinct()
-    val contam = gop.select(col("doc_id"), explode(shingles(col("ws"), 4)).as("g"))
+    val contam = pool.select(col("doc_id"), explode(shingles(col("ws"), 4)).as("g"))
       .join(broadcast(bench), "g")
       .select("doc_id").distinct()
 
@@ -409,24 +411,63 @@ object CurationQueries {
     * against those cuts. Accuracy property in QueriesSpec. */
   def driftOf(s: SparkSession, docs: DataFrame,
       sketchQuantiles: Boolean = false): DataFrame = {
-    // r17 NOTE (guide §1.1, measured): `tok` feeds the decile-cut
-    // aggregate AND the bucketing pass (two tokenize passes in one plan),
-    // but a localCheckpoint of the narrow frame MEASURED SLOWER at sf0.1
-    // (rp3 1.64 → 2.21 s, window-normalized): size(words(..)) is one
-    // cheap codegen'd projection, and the checkpoint's extra blocking job
-    // costs more than the recompute. Double evaluation stays (the t7/cur1
-    // verdict; contrast d13/cur3/sm5 where the recomputed subtree is
-    // heavy enough that the same move measured 20-30% faster).
     val tok = docs.select(
       col("doc_id"), col("lang"),
       size(words(col("text"))).as("t"),
       (col("doc_id") % 10 >= 8).as("is_new"))
-    val cuts = decileCuts(tok.where(!col("is_new")), sketchQuantiles)
-    val bk = tok.join(broadcast(cuts), "lang")
-      .select(col("lang"), col("is_new"),
-        size(filter(col("cs"), c => c <= col("t"))).as("b"))
-    val cnt = bk.groupBy("lang", "is_new", "b").agg(count(lit(1)).as("n"))
-    psiFromBucketCounts(s, cnt)
+    if (sketchQuantiles) {
+      // sketch path (the documented 100 TB swap): dd_hist consumes raw
+      // instances, so the two-pass shape stays — cuts from the sketch
+      // aggregate, bucketing against the broadcast cuts.
+      val cuts = decileCuts(tok.where(!col("is_new")), sketchQuantiles = true)
+      val bk = tok.join(broadcast(cuts), "lang")
+        .select(col("lang"), col("is_new"),
+          size(filter(col("cs"), c => c <= col("t"))).as("b"))
+      val cnt = bk.groupBy("lang", "is_new", "b").agg(count(lit(1)).as("n"))
+      psiFromBucketCounts(s, cnt)
+    } else {
+      // r17 (guide §1.2, exact path): the old shape evaluated `tok` twice
+      // (decile aggregate + bucketing pass = two corpus tokenizes), and a
+      // plain checkpoint of tok measured SLOWER (1.64 → 2.21 s — the
+      // materialization exceeded the cheap recompute). Instead: ONE
+      // corpus pass folds tok to per-(lang, side, token-count)
+      // frequencies — bounded by langs × 2 × |distinct t|, NOT corpus
+      // size — and both the decile cuts and the bucket counts derive
+      // from that bounded frame. The cuts are computed driver-side with
+      // integer-exact cume_dist arithmetic (smallest t with
+      // 10·cum ≥ i·N — percentile_disc's definition; equality with the
+      // aggregate form is pinned in QueriesSpec), the same bounded-model
+      // move as the IVF centroids.
+      val grouped = tok.groupBy(col("lang"), col("is_new"), col("t"))
+        .agg(count(lit(1)).as("n")).localCheckpoint(false)
+      val cutsByLang: Seq[(String, Seq[Int])] = grouped.where(!col("is_new"))
+        .select("lang", "t", "n").collect()
+        .groupBy(_.getString(0)).view.mapValues { rows =>
+          discreteDeciles(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq)
+        }.toSeq.map { case (l, cs) => (l, cs) }
+      if (cutsByLang.isEmpty)
+        return psiFromBucketCounts(s,
+          grouped.where(lit(false)).select(col("lang"), col("is_new"),
+            lit(0).as("b"), col("n")))
+      val cutsDf = s.createDataFrame(cutsByLang).toDF("lang", "cs")
+      val cnt = grouped.join(broadcast(cutsDf), "lang")
+        .select(col("lang"), col("is_new"),
+          size(filter(col("cs"), c => c <= col("t"))).as("b"), col("n"))
+        .groupBy("lang", "is_new", "b").agg(sum(col("n")).as("n"))
+      psiFromBucketCounts(s, cnt)
+    }
+  }
+
+  /** Exact discrete deciles over a (value, count) histogram — the
+    * driver-side form of `percentile_disc(i/10)`: the smallest value
+    * whose cumulative count clears i/10 of the total, in integer
+    * arithmetic (10·cum ≥ i·N — no FP). Equality with the aggregate form
+    * is pinned in QueriesSpec on real and synthetic corpora. */
+  private[graft] def discreteDeciles(hist: Seq[(Int, Long)]): Seq[Int] = {
+    val sorted = hist.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val cum = sorted.scanLeft(0L)(_ + _._2).tail
+    (1 to 9).map(i => sorted(cum.indexWhere(c => 10L * c >= i.toLong * total))._1)
   }
 
   /** The reference population's decile cuts per language over a

@@ -118,6 +118,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rp3 driver-side discrete deciles == percentile_disc aggregate (r17 single-pass path)") {
+    import org.apache.spark.sql.functions._
+    // the r17 exact path computes cuts driver-side over a (t, count)
+    // histogram; pin the rule against Spark's own percentile_disc on the
+    // real corpus AND a tie-heavy synthetic (where an off-by-one in the
+    // cume_dist arithmetic would move a cut)
+    def check(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val tok = docs.select(col("lang"),
+        size(graft.ext.TextAnalysis.words(col("text"))).as("t"))
+      val agg = tok.groupBy("lang").agg(
+        array((1 to 9).map(i =>
+          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY t)")): _*).as("cs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+      val hist = tok.groupBy("lang", "t").count().collect()
+        .groupBy(_.getString(0)).view.mapValues(rows =>
+          graft.queries.CurationQueries.discreteDeciles(
+            rows.map(r => (r.getInt(1), r.getLong(2))).toSeq)).toMap
+      assert(hist.keySet === agg.keySet)
+      for ((lang, cs) <- agg)
+        assert(hist(lang) === cs.toSeq, s"lang=$lang driver vs percentile_disc")
+    }
+    check(spark.read.parquet(s"$dir/documents.parquet"))
+    import spark.implicits._
+    check((1 to 300).map { i =>
+      (if (i % 3 == 0) "aa" else "bb",
+        Seq.fill(5 + (i % 7))("w").mkString(" ")) // heavy ties at 7 values
+    }.toDF("lang", "text"))
+  }
+
   test("pk2 sketch-quantile mode: monotone buckets, quartile-sized, no percentile pass") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
