@@ -506,12 +506,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("hn2 hard negatives: heap-aggregate cut, one bounded exchange, no corpus window") {
-    // the mined term sets ride the driver (bounded anchors·m collect at
-    // plan construction, the PRF shape), so the executed plan IS the
-    // scoring+cut: per-anchor branches over ONE checkpointed frequency
-    // frame, broadcast stats + broadcast anchor shingles (map-side
-    // Jaccard exclusion), and a partial bottom_k heap per task — the only
-    // hash exchange carries ≤ anchors·n·tasks heap rows
+    // the mined term sets AND the anchor shingle sets ride the driver
+    // (bounded anchor-model collect at plan construction — r17: one
+    // id-pushdown fetch; anchor SELECTION's TakeOrdered also runs there,
+    // so it no longer appears in this frame), leaving the executed plan
+    // as pure scoring+cut: per-anchor branches over ONE checkpointed
+    // frequency frame whose jac columns carry the map-side Jaccard
+    // exclusion against literal shingle sets, broadcast stats, and a
+    // partial bottom_k heap per task — the only hash exchange carries
+    // ≤ anchors·n·tasks heap rows
     val p = plan("hn2_hard_negatives")
     assert(!p.contains("SortMergeJoin"),
       s"stats/shingle attaches must broadcast:\n$p")
@@ -519,8 +522,10 @@ class PlanSpec extends AnyFunSuite {
       s"the per-anchor cut must be the map-side heap aggregate:\n$p")
     assert(!p.contains("Window"),
       s"the negative path must not window-rank corpus-sized data:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"anchor selection must be a bounded top-k, not a global sort:\n$p")
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Scan parquet"),
+      s"anchor selection and the corpus tokenize run at plan construction " +
+        s"(driver-bounded model + checkpointed frequency frame) — neither " +
+        s"may reappear in the scoring frame:\n$p")
     val finalPlan = p.split("== Initial Plan ==").head
     assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 1,
       s"only the bottom_k merge may hash-shuffle:\n$p")
