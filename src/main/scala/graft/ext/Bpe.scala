@@ -119,10 +119,24 @@ object Bpe {
       // over-collect: disjointness rejections thin the pool, and an
       // unfilled batch only costs an extra (cheap) round
       val pool = math.max(4 * room, 64)
-      val cands = vocab.flatMap { case (cnt, sym) =>
-          (0 until sym.length - 1).iterator.map(i => (sym(i), sym(i + 1), cnt)) }
-        .toDF("a", "b", "cnt")
-        .groupBy("a", "b").agg(sum("cnt").as("c"))
+      // r18 (guide §4): pair counting as codegen column expressions — the
+      // old typed flatMap deserialized every word's symbol array per round
+      // (DeserializeToObject + SerializeFromObject around an opaque
+      // lambda, breaking WholeStageCodegen exactly where each round
+      // spends its time). The explode/aggregate form emits the identical
+      // (a, b, cnt) multiset — element_at is 1-based, so i and i+1 over
+      // sequence(1, size-1) are the flatMap's (sym(i), sym(i+1)) pairs —
+      // and stays in codegen through the partial agg. Single-symbol words
+      // (possible once a whole word merges to one token) are filtered
+      // rather than fed to sequence(1, 0), which would yield a DESCENDING
+      // [1, 0] probe (the flatMap's 0 until len-1 was empty there).
+      val cands = vocab.toDF("cnt", "sym")
+        .where(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("a"),
+            element_at(col("sym"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(pool).collect()
       val used = scala.collection.mutable.Set[String]()

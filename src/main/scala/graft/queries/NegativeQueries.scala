@@ -189,7 +189,12 @@ object NegativeQueries {
     // a per-anchor double (see scoreByAnchors) — the separate ash join
     // is gone. Values identical: same expressions, same cut, same test.
     val ids = anchors.collect().map(_.getLong(0)).toSeq
-    val model = anchorModel(docs, ids, m)
+    // r18 (ADVICE): drop anchors that mined ZERO non-empty terms
+    // (empty/whitespace docs) — the old anchorTerms path produced no rows
+    // for them (term <> '' filter), so they contributed no scored rows;
+    // an empty term list here would make scoreByAnchors' per-anchor
+    // reduce(_ + _) throw at plan construction instead.
+    val model = anchorModel(docs, ids, m).filter(_._2.nonEmpty)
     val scored = scoreByAnchors(docs,
       model.map { case (a, ts, _) => (a, ts.map(_._1)) },
       exclShingles = Some(model.map { case (a, _, sh) => (a, sh) }))
@@ -222,7 +227,11 @@ object NegativeQueries {
       .where(col("keep_id").isin(anchorIds.map(Long.box): _*) &&
         col("doc_id") =!= col("keep_id"))
       .select(col("keep_id").as("anchor_id"), col("doc_id").as("pos_id"))
-    val model = anchorModel(docs, anchorIds, m)
+    // empty-term anchors drop here for the same reason as hardNegatives:
+    // no mined terms -> no scored rows (anchorTerms' semantics), not a
+    // plan-construction crash. Their pos rows then inner-join to nothing,
+    // exactly as when ascore has no rows for that anchor.
+    val model = anchorModel(docs, anchorIds, m).filter(_._2.nonEmpty)
     val scored = scoreByAnchors(docs,
       model.map { case (a, ts, _) => (a, ts.map(_._1)) }, exclShingles = None)
     val elig = scored.join(keepers, "doc_id")

@@ -139,6 +139,19 @@ object Diag {
         args.lift(2).map(_.toLong).getOrElse(10_000_000L))
       spark.stop(); return
     }
+    if (args.headOption.contains("drift")) {
+      driftScale(spark, args.lift(1).map(_.toLong).getOrElse(4_000_000L))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("bpeplan")) {
+      bpePairCountPlans(spark, args.lift(1).map(_.toLong).getOrElse(2_000_000L))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("qjobs")) {
+      queryJobProfile(spark, args(1),
+        args.lift(2).getOrElse("/root/testdata/sf0.1"))
+      spark.stop(); return
+    }
 
     // --- storage efficiency: Prometheus-shaped corpus, 2M samples ---
     // 200 series x 10k samples, 15s scrape interval, counter-like values
@@ -1550,6 +1563,148 @@ object Diag {
 
     val tSm5 = time(sink(graft.queries.SamplingQueries.dsirOf(docs)))
     println(f"[lines] sm5 DSIR resample   n=$n%,d: $tSm5%.1f s (${n / tSm5 / 1e6}%.2f M docs/s)")
+  }
+
+  /** rp3 at corpus scale (the r17 verdict's re-judge ask): the exact
+    * path's r17 single-pass rewrite (fold ONE tokenize to a bounded
+    * (lang, side, token-count) frequency frame; deciles driver-side) was
+    * bench-NEUTRAL at sf0.1 and was kept on a 100 TB argument — the
+    * eliminated second pass is a full corpus tokenize. This probe
+    * measures both shapes on a synthetic corpus big enough for the
+    * tokenize to dominate: parquet-backed docs so each pass is a real
+    * scan, r16 two-pass (decile aggregate + bucketing pass) vs the
+    * current folded form (CurationQueries.driftOf exact path). */
+  private def driftScale(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_drift_corpus_").toString
+    val langs = array(lit("en"), lit("de"), lit("es"))
+    // varied token counts (20-99) so the deciles are non-trivial
+    val bodyLen = (pmod(xxhash64(col("id"), lit(3)), lit(80)) + lit(20))
+    val text = concat_ws(" ", transform(sequence(lit(1), bodyLen),
+      i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val tGen = time {
+      spark.range(n).select(
+        col("id").as("doc_id"), text.as("text"),
+        element_at(langs, (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"))
+        .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    }
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+    println(f"[drift] corpus gen  n=$n%,d: $tGen%.1f s -> $corpusDir")
+    import graft.queries.CurationQueries
+    import graft.ext.TextAnalysis.words
+    // r16 two-pass shape, verbatim (decile aggregate pass + bucketing pass)
+    def twoPass(): org.apache.spark.sql.DataFrame = {
+      val tok = docs.select(col("doc_id"), col("lang"),
+        size(words(col("text"))).as("t"),
+        (col("doc_id") % 10 >= 8).as("is_new"))
+      val cuts = CurationQueries.decileCuts(tok.where(!col("is_new")),
+        sketchQuantiles = false)
+      val bk = tok.join(broadcast(cuts), "lang")
+        .select(col("lang"), col("is_new"),
+          size(filter(col("cs"), c => c <= col("t"))).as("b"))
+      val cnt = bk.groupBy("lang", "is_new", "b").agg(count(lit(1)).as("n"))
+      CurationQueries.psiFromBucketCounts(spark, cnt)
+    }
+    val tOld = (1 to 2).map(_ => time(sink(twoPass()))).min
+    println(f"[drift] two-pass (r16 shape)   n=$n%,d: $tOld%.2f s")
+    val tNew = (1 to 2).map(_ =>
+      time(sink(CurationQueries.driftOf(spark, docs)))).min
+    println(f"[drift] folded single-pass     n=$n%,d: $tNew%.2f s " +
+      f"(x${tOld / tNew}%.2f vs two-pass)")
+    // equality of the emitted drift cards (cells, not just counts)
+    val a = twoPass().collect().map(_.toString).sorted
+    val b = CurationQueries.driftOf(spark, docs).collect().map(_.toString).sorted
+    println(s"[drift] outputs identical: ${a.sameElements(b)}")
+  }
+
+  /** bpe1 pair-count stage A/B (r18, guide §4): the r17 trainer counted
+    * adjacent symbol pairs with a TYPED Dataset flatMap — every round
+    * deserialized each word's symbol array to Scala objects
+    * (DeserializeToObject / SerializeFromObject bracketing an opaque
+    * lambda, no WholeStageCodegen through the hot loop). The r18 form is
+    * a codegen explode(transform(sequence…)) over the same checkpointed
+    * vocab. This probe runs BOTH forms over the identical dictionary,
+    * prints their executed plans (the committed before/after evidence —
+    * bpe1's own returned frame is a driver-side LocalRelation, so PlanFmt
+    * can't show the training rounds) and their times, and asserts the
+    * candidate lists match. */
+  private def bpePairCountPlans(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val base = concat_ws(" ", transform(sequence(lit(1), lit(60)),
+      i => concat(lit("w"), pmod(xxhash64(col("id") * 61 + i), lit(10000)))))
+    val docs = spark.range(n).select(col("id").as("doc_id"), base.as("text"))
+    val dict = docs
+      .select(explode(graft.ext.TextAnalysis.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val vocab = dict.select(col("cnt").cast("long").as("cnt"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+        array(lit(graft.ext.Bpe.Eow))).as("sym"))
+      .as[(Long, Seq[String])].localCheckpoint(true)
+    println(s"[bpeplan] vocab ${vocab.count()} words (n=$n docs)")
+    // r17 form: typed flatMap (DeserializeToObject in the plan)
+    def oldForm() = vocab.flatMap { case (cnt, sym) =>
+        (0 until sym.length - 1).iterator.map(i => (sym(i), sym(i + 1), cnt)) }
+      .toDF("a", "b", "cnt")
+      .groupBy("a", "b").agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("a").asc, col("b").asc)
+    // r18 form: codegen explode over the same vocab
+    def newForm() = vocab.toDF("cnt", "sym")
+      .where(size(col("sym")) >= 2)
+      .select(col("cnt"), explode(transform(sequence(lit(1), size(col("sym")) - 1),
+        i => struct(element_at(col("sym"), i).as("a"),
+          element_at(col("sym"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("a").asc, col("b").asc)
+    val pool = 256
+    var oldRows: Array[org.apache.spark.sql.Row] = Array.empty
+    var newRows: Array[org.apache.spark.sql.Row] = Array.empty
+    val tOld = (1 to 3).map(_ => time { oldRows = oldForm().limit(pool).collect() }).min
+    val tNew = (1 to 3).map(_ => time { newRows = newForm().limit(pool).collect() }).min
+    println(s"[bpeplan] === pair-count BEFORE (typed flatMap) ===")
+    println(oldForm().limit(pool).queryExecution.executedPlan.toString)
+    println(s"[bpeplan] === pair-count AFTER (codegen explode) ===")
+    println(newForm().limit(pool).queryExecution.executedPlan.toString)
+    println(f"[bpeplan] before $tOld%.2f s, after $tNew%.2f s " +
+      f"(x${tOld / tNew}%.2f), candidates identical: ${
+        oldRows.map(_.toString).sameElements(newRows.map(_.toString))}")
+  }
+
+  /** Scheduler-shape profile of one inventory query: jobs / stages /
+    * tasks per execution plus wall time (warmup run first, then a
+    * counted+timed run). The attribution tool for driver-pacing work
+    * (guide §5): a composition that runs N serial actions shows N jobs
+    * here regardless of how fast each is. */
+  private def queryJobProfile(spark: SparkSession, name: String,
+      sfDir: String): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    })
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warmup
+    Thread.sleep(500) // let listener events drain
+    jobs.set(0); stages.set(0); tasks.set(0)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"[qjobs] $name: ${jobs.get}%d jobs, ${stages.get}%d stages, " +
+      f"${tasks.get}%d tasks, $sec%.2f s (sf=$sfDir)")
   }
 
   private def shuffleRank(spark: SparkSession, n: Long): Unit = {

@@ -8,10 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.PlanFmt <out_dir> <suffix> <q1,q2,...> [sfDir]
   *
   * Writes `<out_dir>/<query>_<suffix>.txt`. Each query is EXECUTED first
-  * (noop sink) so with AQE on the dumped plan is the final adaptive plan
-  * (`AdaptiveSparkPlan isFinalPlan=true` where applicable), matching what
-  * the bench actually runs, and the formatted pre-execution plan (scan
-  * details: PushedFilters/ReadSchema) is appended alongside it. */
+  * through ITS OWN QueryExecution (a noop write — and also
+  * `Dataset.foreach`, which goes through the separate deserialized
+  * `rddQueryExecution` — would leave `df.queryExecution.executedPlan`
+  * unfinalized, so the r17 "post-AQE" dumps actually carried
+  * `isFinalPlan=false` initial plans; r18 ADVICE) so with AQE on the
+  * dumped plan is the final adaptive plan (`isFinalPlan=true` where
+  * applicable), matching what the bench actually runs, and the formatted
+  * pre-execution plan (scan details: PushedFilters/ReadSchema) is
+  * appended alongside it. */
 object PlanFmt {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
@@ -31,7 +36,10 @@ object PlanFmt {
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
+      // drive df's OWN QueryExecution so AQE finalizes the plan we dump
+      // (PlanSpec's plan() helper does the same via collect; executing
+      // the physical plan's RDD avoids pulling result rows to the driver)
+      df.queryExecution.executedPlan.execute().count()
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val executed = df.queryExecution.executedPlan.toString

@@ -693,6 +693,29 @@ class ExtSpec extends AnyFunSuite {
     assert(again.toSet === tri.toSet)
   }
 
+  test("hard negatives: an empty-text anchor degrades gracefully (no rows), not a crash") {
+    // r18 ADVICE: anchorModel used to keep anchors with zero non-empty
+    // terms, and scoreByAnchors' per-anchor reduce(_ + _) then threw at
+    // plan construction. The old anchorTerms path dropped such anchors
+    // (term <> '' filter) — the model path must match that semantics:
+    // the empty anchor simply yields no negatives.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "   "), // whitespace-only anchor: zero non-empty terms
+      (2L, "spark join window spark"),
+      (3L, "spark window shuffle table"),
+      (4L, "join join table scan"),
+      (5L, "window scan spark join")
+    ).toDF("doc_id", "text")
+    val anchors = Seq(1L, 2L).toDF("anchor_id")
+    val got = graft.queries.NegativeQueries
+      .hardNegatives(docs, anchors, m = 5, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._1 == 2L),
+      "the empty anchor must contribute no negatives")
+    assert(got.nonEmpty, "the non-empty anchor still mines negatives")
+  }
+
   test("KMV sketch: exact below k, 4-sigma estimates above, mergeable, distinct") {
     import graft.ext.Kmv
     import graft.ext.extfunctions.kmv_sketch
